@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * near-dup, SimHash, and n-gram Jaccard — all built from codegen'd
+  * built-ins (xxhash64, higher-order array functions); no UDFs.
+  *
+  * Scale posture: exact dedup is one hash-aggregate (map-side partial
+  * combine on the fingerprint). MinHash/LSH shuffles once on the
+  * (band_id, band_hash) bucket key — the classic shingle→minhash→band→
+  * bucket-join pipeline — so the corpus is never self-joined at large; only
+  * bucket-colliding candidates meet, and exact Jaccard re-verifies them.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical text. One
+    * hash-aggregate; at scale group on the md5 fingerprint, not the raw
+    * text, to keep shuffle rows narrow. */
+  def exactByText(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-level n-gram shingles of `text` (distinct set). */
+  def shingles(text: Column, n: Int): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val sh = transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    array_distinct(sh)
+  }
+
+  /** MinHash signature: element j = min over shingles of
+    * xxhash64(seed_j, shingle). Deterministic across runs/engines that
+    * share xxhash64. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleSet, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Banded LSH: split the signature into `bands` equal bands, hash each →
+    * one (band_id, band_hash) row per band per doc. Docs sharing any band
+    * bucket are near-dup candidates. */
+  def lshBands(docs: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+          .cast("string")).as("band_hash"))
+    }
+    docs.select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Exact Jaccard similarity of two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double")
+        / size(array_union(a, b)))
+
+  /** Full near-duplicate pipeline: shingle → minhash → band → bucket-join →
+    * exact-Jaccard verify. Returns candidate pairs (id_a < id_b) with their
+    * verified Jaccard ≥ `minJaccard`.
+    *
+    * numHashes = bands * rowsPerBand; the (bands, rowsPerBand) choice sets
+    * the S-curve threshold ≈ (1/bands)^(1/rowsPerBand).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                     minJaccard: Double = 0.7): DataFrame = {
+    val withSig = docs
+      .select(col(idCol), col(textCol))
+      .withColumn("sh", shingles(col(textCol), shingleN))
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    val banded = lshBands(withSig, idCol, "sig", bands, rowsPerBand)
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = withSig.select(col(idCol), col("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token
+    * hashes. One explode + one aggregate (map-side combinable). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash64 values (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives over `array<float>` columns, built from
+  * higher-order functions (zip_with / transform / aggregate) — codegen'd,
+  * UDF-free, deterministic (sequential left-to-right folds, so the same
+  * float math as any single-threaded engine).
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set and
+  * computes pairs map-side — no shuffle on the corpus. The LSH-bucketed
+  * path shuffles once on the bucket key, turning the O(N²) all-pairs
+  * problem into per-bucket local joins; at 100 TB the bucket key is the
+  * join/partition key and AQE handles residual skew.
+  */
+object Similarity {
+
+  /** Cast array<float> → array<double> (exact) so all arithmetic is double. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All (query, candidate) cosine pairs above `threshold`.
+    * `queries` must be broadcast-sized; corpus side never shuffles. */
+  def cosinePairs(corpus: DataFrame, queries: DataFrame,
+                  threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+      .filter(col("sim") >= threshold)
+      .select("query_id", "vec_id", "sim")
+  }
+
+  /** Brute-force exact top-k neighbours per query (the correctness
+    * baseline for ANN). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = cosinePairs(corpus, queries, threshold = -1.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane signature (SimHash for vectors): sign of the dot
+    * product against `planes` deterministic pseudo-hyperplanes, packed into
+    * a bit string usable as an LSH bucket key.
+    *
+    * The hyperplanes are derived from (plane index, dimension index) via a
+    * integer hash → [-0.5, 0.5) — fully deterministic, no RNG state.
+    */
+  def hyperplaneSignature(v: Column, planes: Int, dim: Int): Column = {
+    def coeff(p: Int, d: Int): Double = {
+      // xorshift-style integer mix; same value every run, every engine.
+      var h = p * 1000003 + d * 7919 + 0x9e3779b9
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+      h ^= h >>> 16
+      (h & 0xffff).toDouble / 65536.0 - 0.5
+    }
+    val bits = (0 until planes).map { p =>
+      val plane = array((0 until dim).map(d => lit(coeff(p, d))): _*)
+      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
+    * exact cosine re-ranks within the bucket. Trades recall for turning the
+    * corpus×corpus cross join into a per-bucket equi-join. */
+  def lshNeighbors(corpus: DataFrame, planes: Int, dim: Int,
+                   threshold: Double): DataFrame = {
+    val sig = corpus.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), planes, dim))
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim", "bucket")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * exclusively from codegen'd built-in functions (no UDFs) so they stay
+  * inside whole-stage codegen and remain expressible as ANSI SQL for the
+  * DuckDB oracle.
+  *
+  * Scale posture: all are narrow per-row transforms — no shuffle, no state;
+  * they pipeline into whatever scan/aggregation surrounds them at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; 0 for empty/blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+      .cast("int")
+
+  /** Characters matching a class, via strip-and-diff (portable to any SQL
+    * engine: length(x) - length(regexp_replace(x, cls, ''))). */
+  def charClassCount(text: Column, notClassRegex: String): Column =
+    length(regexp_replace(text, notClassRegex, ""))
+
+  def alphaCount(text: Column): Column = charClassCount(text, "[^A-Za-z]")
+  def digitCount(text: Column): Column = charClassCount(text, "[^0-9]")
+
+  def whitespaceCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\s", ""))
+
+  /** Alpha ratio in basis points, floor()'d so double division never hits a
+    * cross-engine rounding boundary. */
+  def alphaRatioBp(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(floor(alphaCount(text) * lit(10000.0) / length(text)))
+      .cast("long")
+
+  /** Simple length+composition quality gate (C4/Gopher-style heuristics:
+    * minimum length, mostly-alphabetic). */
+  def isQuality(text: Column, minLen: Int = 50, minAlphaBp: Int = 5000): Column =
+    length(text) >= minLen && alphaRatioBp(text) >= minAlphaBp
+
+  /** Occurrences of `word` as a standalone token, replace-diff counted
+    * (non-overlapping, consistent across engines). Text is lowercased and
+    * space-padded first. */
+  def wordHits(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(needle), ""))) / lit(needle.length))
+      .cast("int")
+  }
+
+  /** n-gram-free language-ID heuristic: stopword-hit count for a language's
+    * most frequent function words. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    stopwords.map(wordHits(text, _)).reduce(_ + _)
+
+  val englishStopwords: Seq[String] = Seq("the", "and", "of", "to", "a")
+
+  /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
+  def fingerprint(text: Column): Column = md5(text)
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+import graft.sources.Tables
+
+/** The oracle-checked query surface: every SURVEY.md §2 operator replayed on
+  * the driver's test tables, each paired with ANSI SQL the driver runs in
+  * DuckDB (SparkEntry contract). Column names and exact types are aligned
+  * on both sides — doubles are cast to DECIMAL before SUM, double→int goes
+  * through floor(), counts are cast to BIGINT, and each query carries a
+  * deterministic ORDER BY (unique key suffix) so results are reproducible
+  * in both engines.
+  */
+object ParityQueries {
+
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private val Money = Replay.Money
+
+  /** Shared DuckDB CTE prelude mirroring Replay 1:1 (unused CTEs are free —
+    * DuckDB inlines lazily). */
+  val prelude: String =
+    s"""WITH orders_r AS (
+       |  SELECT l_orderkey AS order_id, l_partkey AS product_id,
+       |         CAST(l_quantity AS INTEGER) AS quantity,
+       |         l_returnflag AS status,
+       |         CAST(l_shipdate AS DATE) AS order_date
+       |  FROM lineitem
+       |), orders_w AS (
+       |  SELECT * FROM orders_r
+       |  WHERE order_date >= DATE '${Replay.ordersFrom}'
+       |    AND order_date <  DATE '${Replay.ordersTo}'
+       |), inv_r AS (
+       |  SELECT l_partkey AS product_id,
+       |         CAST(l_quantity AS INTEGER) * 3 AS available_qty,
+       |         CAST(floor(l_quantity * l_discount * 10) AS INTEGER) AS reserved_qty,
+       |         l_linenumber * 10 AS safety_stock,
+       |         CAST(l_suppkey % 3 AS INTEGER) AS warehouse_id,
+       |         CAST(l_shipdate AS DATE) AS snapshot_date
+       |  FROM lineitem WHERE l_partkey % 7 <> 3
+       |), inv_w AS (
+       |  SELECT * FROM inv_r
+       |  WHERE snapshot_date >= DATE '${Replay.invFrom}'
+       |    AND snapshot_date <  DATE '${Replay.invTo}'
+       |), products_r AS (
+       |  SELECT p_partkey AS product_id, p_name AS product_name,
+       |         p_size AS safety_stock_level, (p_size % 7 <> 0) AS is_active
+       |  FROM part
+       |), suppliers_r AS (
+       |  SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+       |         (s_acctbal > 1000.0) AS is_active
+       |  FROM supplier
+       |), ps_r AS (
+       |  SELECT l_partkey AS product_id, l_suppkey AS supplier_id,
+       |         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS unit_cost,
+       |         CAST(l_suppkey % 5 AS INTEGER) + 1 AS priority
+       |  FROM lineitem WHERE l_partkey % 10 <> 0
+       |  GROUP BY l_partkey, l_suppkey
+       |), daily_orders AS (
+       |  SELECT product_id,
+       |         CAST(SUM(quantity) AS BIGINT) AS total_ordered,
+       |         CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count
+       |  FROM orders_w GROUP BY product_id
+       |), agg_inv AS (
+       |  SELECT product_id,
+       |         CAST(SUM(available_qty) AS BIGINT) AS available_qty,
+       |         CAST(SUM(reserved_qty) AS BIGINT) AS reserved_qty,
+       |         MAX(safety_stock) AS safety_stock
+       |  FROM inv_w GROUP BY product_id
+       |), ranked AS (
+       |  SELECT product_id, supplier_id, unit_cost, priority,
+       |         ROW_NUMBER() OVER (PARTITION BY product_id
+       |           ORDER BY priority ASC, unit_cost ASC, supplier_id ASC) AS supplier_rank
+       |  FROM ps_r
+       |), net_demand_calc AS (
+       |  SELECT p.product_id, p.product_name, s.supplier_id, s.supplier_name,
+       |         CAST(GREATEST(0, COALESCE(dord.total_ordered, 0)
+       |             + COALESCE(ai.safety_stock, p.safety_stock_level)
+       |             - (COALESCE(ai.available_qty, 0) - COALESCE(ai.reserved_qty, 0)))
+       |           AS BIGINT) AS net_demand,
+       |         rs.unit_cost, rs.priority AS supplier_priority
+       |  FROM products_r p
+       |  LEFT JOIN daily_orders dord ON p.product_id = dord.product_id
+       |  LEFT JOIN agg_inv ai ON p.product_id = ai.product_id
+       |  JOIN ranked rs ON p.product_id = rs.product_id AND rs.supplier_rank = 1
+       |  JOIN suppliers_r s ON rs.supplier_id = s.supplier_id
+       |  WHERE p.is_active AND s.is_active
+       |), net_demand_q AS (
+       |  SELECT product_id, product_name, supplier_id, supplier_name,
+       |         net_demand, unit_cost,
+       |         CAST(net_demand * unit_cost AS DECIMAL(18,2)) AS estimated_cost,
+       |         supplier_priority
+       |  FROM net_demand_calc WHERE net_demand > 0
+       |)
+       |""".stripMargin
+
+  // ------------------------------------------------------------ spark side
+
+  private def ndReplay(s: SparkSession, dir: String): DataFrame =
+    Procurement.netDemand(
+      Replay.orders(s, dir), Replay.inventory(s, dir),
+      Replay.products(s, dir), Replay.suppliers(s, dir),
+      Replay.productSuppliers(s, dir),
+      Replay.ordersWhen, Replay.inventoryWhen,
+      rankTieBreak = Seq(asc("supplier_id")), money = Money)
+
+  val parity: Seq[Q] = Seq(
+    Q("q01_aggregate_orders",
+      (s, dir) =>
+        Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen)
+          .orderBy("product_id", "order_date"),
+      Some(prelude +
+        """SELECT product_id,
+          |       CAST(SUM(quantity) AS INTEGER) AS total_quantity,
+          |       CAST(COUNT(DISTINCT order_id) AS INTEGER) AS order_count,
+          |       order_date
+          |FROM orders_w
+          |GROUP BY product_id, order_date
+          |ORDER BY product_id, order_date""".stripMargin)),
+
+    Q("q02_inventory_rollup",
+      (s, dir) =>
+        Procurement.aggregatedInventory(Replay.inventory(s, dir),
+            Replay.inventoryWhen)
+          .orderBy("product_id"),
+      Some(prelude +
+        """SELECT product_id, available_qty, reserved_qty, safety_stock
+          |FROM agg_inv ORDER BY product_id""".stripMargin)),
+
+    Q("q03_net_demand",
+      (s, dir) => ndReplay(s, dir)
+        .orderBy(asc("supplier_id"), asc("supplier_priority"),
+          desc("net_demand"), asc("product_id")),
+      Some(prelude +
+        """SELECT * FROM net_demand_q
+          |ORDER BY supplier_id, supplier_priority, net_demand DESC, product_id""".stripMargin)),
+
+    Q("q04_ranked_suppliers",
+      (s, dir) =>
+        Procurement.rankedSuppliers(Replay.productSuppliers(s, dir),
+            Seq(asc("supplier_id")))
+          .filter(col("supplier_rank") === 1).drop("supplier_rank")
+          .orderBy("product_id"),
+      Some(prelude +
+        """SELECT product_id, supplier_id, unit_cost, priority
+          |FROM ranked WHERE supplier_rank = 1 ORDER BY product_id""".stripMargin)),
+
+    Q("q05_missing_supplier",
+      (s, dir) =>
+        Procurement.missingSupplierMapping(Replay.orders(s, dir),
+            Replay.productSuppliers(s, dir), Replay.ordersWhen)
+          .orderBy("product_id"),
+      Some(prelude +
+        """SELECT o.product_id, CAST(COUNT(*) AS BIGINT) AS order_count
+          |FROM orders_w o
+          |LEFT JOIN (SELECT DISTINCT product_id FROM ps_r) ps
+          |  ON o.product_id = ps.product_id
+          |WHERE ps.product_id IS NULL
+          |GROUP BY o.product_id ORDER BY o.product_id""".stripMargin)),
+
+    Q("q06_missing_inventory",
+      (s, dir) =>
+        Procurement.missingInventory(Replay.orders(s, dir),
+            Replay.inventory(s, dir), Replay.ordersWhen, Replay.inventoryWhen)
+          .orderBy("product_id"),
+      Some(prelude +
+        """SELECT DISTINCT o.product_id
+          |FROM orders_w o
+          |LEFT JOIN (SELECT DISTINCT product_id FROM inv_w) i
+          |  ON o.product_id = i.product_id
+          |WHERE i.product_id IS NULL
+          |ORDER BY o.product_id""".stripMargin)),
+
+    Q("q07_dash_total_daily",
+      (s, dir) =>
+        Procurement.Dashboard.totalDailyOrders(
+          Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen)),
+      Some(prelude +
+        """, ao AS (
+          |  SELECT product_id,
+          |         CAST(SUM(quantity) AS INTEGER) AS total_quantity,
+          |         order_date
+          |  FROM orders_w GROUP BY product_id, order_date
+          |)
+          |SELECT CAST(SUM(total_quantity) AS BIGINT) AS total_orders
+          |FROM ao WHERE order_date = (SELECT MAX(order_date) FROM ao)""".stripMargin)),
+
+    Q("q08_dash_supplier_volume",
+      (s, dir) =>
+        Procurement.Dashboard.supplierOrderVolume(
+            ndReplay(s, dir).withColumn("calculation_date",
+              lit(java.sql.Date.valueOf("1996-12-31"))))
+          .orderBy(desc("total_demand"), asc("supplier_name")),
+      Some(prelude +
+        """SELECT supplier_name, CAST(SUM(net_demand) AS BIGINT) AS total_demand
+          |FROM net_demand_q GROUP BY supplier_name
+          |ORDER BY total_demand DESC, supplier_name""".stripMargin)),
+
+    Q("q09_supplier_order_totals",
+      (s, dir) => ndReplay(s, dir)
+        .groupBy("supplier_id", "supplier_name")
+        .agg(count(lit(1)).as("item_count"),
+          sum("estimated_cost").cast(Money).as("total_estimated_cost"))
+        .orderBy("supplier_id"),
+      Some(prelude +
+        """SELECT supplier_id, supplier_name,
+          |       CAST(COUNT(*) AS BIGINT) AS item_count,
+          |       CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_estimated_cost
+          |FROM net_demand_q GROUP BY supplier_id, supplier_name
+          |ORDER BY supplier_id""".stripMargin)),
+
+    // Nested per-supplier purchase-order documents (A6/S6): array<struct>
+    // output is not hash-comparable through the DuckDB oracle channel —
+    // registered rows-only; exact semantics are ScalaTest-verified.
+    Q("q10_supplier_orders_nested",
+      (s, dir) => Procurement.supplierOrders(ndReplay(s, dir),
+        java.time.LocalDate.parse("1996-12-31"),
+        java.time.LocalDate.parse("1997-01-01"),
+        "2026-01-01T00:00:00").orderBy("supplier_id"),
+      None),
+
+    Q("q11_distinct_products",
+      (s, dir) => Replay.orders(s, dir)
+        .filter(Replay.ordersWhen && col("quantity") > 25)
+        .select("product_id").distinct().orderBy("product_id"),
+      Some(prelude +
+        """SELECT DISTINCT product_id FROM orders_w
+          |WHERE quantity > 25 ORDER BY product_id""".stripMargin)),
+
+    Q("q12_verify_counts",
+      (s, dir) => Replay.orders(s, dir).filter(Replay.ordersWhen)
+        .agg(count(lit(1)).as("row_count"),
+          sum("quantity").as("total_qty")),
+      Some(prelude +
+        """SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+          |       CAST(SUM(quantity) AS BIGINT) AS total_qty
+          |FROM orders_w""".stripMargin))
+  )
+
+  def all: Seq[Q] = parity
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver's read-only Parquet test tables (TESTDATA.md) and
+  * generic partition-discovering Parquet/CSV sources mirroring the
+  * reference's storage layer (reference: docker/dags/trino_init_tables_dag.py:38-67
+  * — external Hive-partitioned Parquet; docker/dags/hdfs_upload_data_dag.py:122-174
+  * — CSV staging + snappy Parquet).
+  *
+  * Scale posture: plain `spark.read.parquet` keeps partition discovery,
+  * predicate pushdown and column pruning intact; no schema inference happens
+  * for Parquet (footer-driven), so scans stay metadata-cheap at 100 TB.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** One Parquet file/dir per table: `<dir>/<name>.parquet`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events needs special casing: the driver writes `ts` as Parquet
+    * TIMESTAMP(NANOS), which Spark 4 rejects unless read as a long
+    * (spark.sql.legacy.parquet.nanosAsLong); we then convert nanos →
+    * microsecond TimestampType (Spark's native resolution).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Register every test table as a temp view (for spark.sql entry points). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Partitioned-parquet source, the Spark analogue of the reference's
+    * external Hive tables (trino_init_tables_dag.py:38-67): Hive-style
+    * `<col>=<value>` directories are discovered automatically and pruned by
+    * Catalyst when the partition column is filtered (SURVEY.md §4).
+    */
+  def partitionedParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
+  /** Headered CSV source, analogue of the reference's staging copies
+    * (hdfs_upload_data_dag.py:122-151). Schema must be supplied by callers
+    * for production use; inference is for tests only.
+    */
+  def csv(spark: SparkSession, path: String,
+          schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+}
