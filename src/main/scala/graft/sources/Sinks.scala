@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+
+/** Output edges of the engine — the Spark-first versions of the reference's
+  * sinks (SURVEY.md §2.1).
+  *
+  * Idempotency: the reference's blind `INSERT INTO` duplicates rows on
+  * re-run (aggregate_orders.sql:6, net_demand_insert.sql:4 — SURVEY.md §4
+  * last row). Partitioned writes here use dynamic partition overwrite so a
+  * day can be recomputed safely — replacing only the partitions present in
+  * the new data, which is exactly the re-run-a-day semantics a 100 TB
+  * backfill needs.
+  */
+object Sinks {
+
+  /** S3/S4 — partitioned Parquet write, snappy (Spark default), dynamic
+    * partition overwrite keyed on the date column
+    * (reference: trino_init_tables_dag.py:49,65; hdfs_upload_data_dag.py:170). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** S5 — headered CSV staging copy (hdfs_upload_data_dag.py:122-151). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  // ------------------------------------------------------- JSON documents
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case b: Boolean => b.toString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case r: Row => jsonObject(r)
+    case seq: scala.collection.Seq[_] =>
+      seq.map(jsonValue).mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  private def jsonObject(r: Row, indent: String = ""): String =
+    r.schema.fields.zipWithIndex
+      .map { case (f, i) => s""""${f.name}": ${jsonValue(r.get(i))}""" }
+      .mkString("{", ", ", "}")
+
+  private def prettyObject(r: Row): String = {
+    val fields = r.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""  "${f.name}": ${jsonValue(r.get(i))}"""
+    }
+    fields.mkString("{\n", ",\n", "\n}")
+  }
+
+  /** S6 — one JSON purchase-order document per supplier in a date-named
+    * directory (procurement_dag.py:135-147: `supplier_<id>.json`).
+    *
+    * The nested rows are already aggregated to one-per-supplier (a
+    * dim-sized frame) — so collecting them to write driver-side files is
+    * bounded by supplier count, not data scale; the heavy lifting
+    * (grouping/nesting) stayed distributed in Procurement.supplierOrders.
+    */
+  def writeSupplierOrderJsons(supplierOrders: DataFrame,
+                              outDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    supplierOrders.collect().toSeq.map { row =>
+      val id = row.getAs[Any]("supplier_id")
+      val path = s"$outDir/supplier_$id.json"
+      Files.write(Paths.get(path),
+        prettyObject(row).getBytes(StandardCharsets.UTF_8))
+      path
+    }
+  }
+
+  /** Q3 — exception log `{date, exception_count, exceptions[]}` JSON
+    * (procurement_dag.py:184-189). */
+  def writeExceptionLog(exceptions: DataFrame, date: String,
+                        outDir: String): String = {
+    Files.createDirectories(Paths.get(outDir))
+    val rows = exceptions.collect().toSeq
+    val items = rows.map(r => jsonObject(r)).mkString("[", ", ", "]")
+    val doc =
+      s"""{
+         |  "date": "${jsonEscape(date)}",
+         |  "exception_count": ${rows.size},
+         |  "exceptions": $items
+         |}""".stripMargin
+    val path = s"$outDir/exceptions.json"
+    Files.write(Paths.get(path), doc.getBytes(StandardCharsets.UTF_8))
+    path
+  }
+
+  /** S11 — archival move (procurement_dag.py:197-308's WebHDFS copy, as a
+    * Hadoop FileSystem rename — works on HDFS and local FS alike). */
+  def archive(spark: org.apache.spark.sql.SparkSession,
+              src: String, dest: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = srcPath.getFileSystem(conf)
+    if (!fs.exists(srcPath)) false
+    else {
+      val parent = destPath.getParent
+      if (parent != null) fs.mkdirs(parent)
+      fs.rename(srcPath, destPath)
+    }
+  }
+}

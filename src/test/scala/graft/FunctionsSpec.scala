@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c).collect().head.get(0)
+
+  test("tokenCount: empty, blank, multi-space") {
+    assert(one(TextAnalysis.tokenCount($"text"), "") == 0)
+    assert(one(TextAnalysis.tokenCount($"text"), "   ") == 0)
+    assert(one(TextAnalysis.tokenCount($"text"), "a  b\tc") == 3)
+  }
+
+  test("charClassCount + ratio") {
+    assert(one(TextAnalysis.alphaCount($"text"), "ab1 c!") == 3)
+    assert(one(TextAnalysis.digitCount($"text"), "ab12") == 2)
+    assert(one(TextAnalysis.whitespaceCount($"text"), "a b\tc") == 2)
+    // 4 alpha / 8 chars = 5000bp
+    assert(one(TextAnalysis.alphaRatioBp($"text"), "abcd !!!") == 5000L)
+  }
+
+  test("wordHits counts standalone tokens only") {
+    assert(one(TextAnalysis.wordHits($"text", "the"),
+      "the cat theory the end") == 2)
+    assert(one(TextAnalysis.wordHits($"text", "the"), "theme theater") == 0)
+  }
+
+  test("fingerprint is md5 hex") {
+    assert(one(TextAnalysis.fingerprint($"text"), "abc")
+      == "900150983cd24fb0d6963f7d28e17f72")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank")
+  ).toDF("doc_id", "text")
+
+  test("exactByText keeps lowest id and counts copies") {
+    val m = Dedup.exactByText(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(m(1L) == 2L) // docs 1 and 4 identical
+    assert(m(2L) == 1L && m(3L) == 1L)
+  }
+
+  test("shingles produce distinct n-grams") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles($"text", 2)).collect()
+      .head.getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("minhash signatures equal for identical docs, near-equal for near-dups") {
+    val sig = docs.select($"doc_id",
+        Dedup.minhashSignature(Dedup.shingles($"text", 3), 32).as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(4L))
+    val agree12 = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13)
+  }
+
+  test("nearDuplicates finds the planted pair and the exact dup") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))   // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.9f, 0.1f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical = 1, orthogonal = 0") {
+    val pairs = Similarity.cosinePairs(emb, emb.filter($"vec_id" === 0),
+        threshold = -1.0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim"))
+      .toMap
+    assert(pairs(1L) == 1.0)
+    assert(pairs(2L) == 0.0)
+    assert(pairs(3L) > 0.99 && pairs(3L) < 1.0)
+  }
+
+  test("bruteForceTopK ranks by similarity desc") {
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("lshNeighbors finds identical vectors in the same bucket") {
+    val pairs = Similarity.lshNeighbors(emb, planes = 8, dim = 3,
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+}
