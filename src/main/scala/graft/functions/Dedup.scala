@@ -70,10 +70,14 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                      minJaccard: Double = 0.7): DataFrame = {
+    // The shingle+signature frame feeds three consumers (banding, and the
+    // two sides of the verify join) — persist so the 32-hash minhash
+    // expression tree is evaluated once per doc, not three times.
     val withSig = docs
       .select(col(idCol), col(textCol))
       .withColumn("sh", shingles(col(textCol), shingleN))
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = lshBands(withSig, idCol, "sig", bands, rowsPerBand)
     val a = banded.select(col("band_id"), col("band_hash"),
       col(idCol).as("id_a"))

@@ -29,6 +29,21 @@ object Replay {
 
   val Money: DecimalType = DecimalType(18, 2)
 
+  /** Dim-shaped derivations (products/suppliers/product_suppliers) play the
+    * role of master-data tables — in a real deployment these are
+    * materialized once, not re-derived per query. Memoize + persist them
+    * per (session, dir) so the query surface shares one materialization;
+    * facts stay scan-through (never cached — at 100 TB they don't fit and
+    * shouldn't: partition pruning + pushdown make their scans cheap).
+    */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memoDim(spark: SparkSession, dir: String, name: String)
+                     (build: => DataFrame): DataFrame =
+    dimCache.getOrElseUpdate((spark, dir, name),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** orders fact ← lineitem (reference orders: trino_init_tables_dag.py:39-51). */
   def orders(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem").select(
@@ -55,30 +70,36 @@ object Replay {
   /** products dim ← part (reference products: ddl_postgres.sql:8-19);
     * is_active := p_size % 7 <> 0. */
   def products(spark: SparkSession, dir: String): DataFrame =
+    memoDim(spark, dir, "products") {
     Tables.load(spark, dir, "part").select(
       col("p_partkey").as("product_id"),
       col("p_name").as("product_name"),
       col("p_size").as("safety_stock_level"),
       (col("p_size") % 7 =!= 0).as("is_active"))
+    }
 
   /** suppliers dim ← supplier (reference suppliers: ddl_postgres.sql:22-32);
     * is_active := s_acctbal > 1000. */
   def suppliers(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "supplier").select(
-      col("s_suppkey").as("supplier_id"),
-      col("s_name").as("supplier_name"),
-      (col("s_acctbal") > 1000.0).as("is_active"))
+    memoDim(spark, dir, "suppliers") {
+      Tables.load(spark, dir, "supplier").select(
+        col("s_suppkey").as("supplier_id"),
+        col("s_name").as("supplier_name"),
+        (col("s_acctbal") > 1000.0).as("is_active"))
+    }
 
   /** product_suppliers mapping ← lineitem pairs (reference: ddl_postgres.sql:35-42).
     * unit_cost = min extendedprice as DECIMAL; priority = suppkey%5+1.
     * Gap: product_id % 10 == 0 unmapped (drives Q1). */
   def productSuppliers(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .filter(col("l_partkey") % 10 =!= 0)
-      .groupBy(col("l_partkey").as("product_id"),
-        col("l_suppkey").as("supplier_id"))
-      .agg(min(col("l_extendedprice").cast(Money)).as("unit_cost"))
-      .withColumn("priority", (col("supplier_id") % 5).cast(IntegerType) + 1)
+    memoDim(spark, dir, "product_suppliers") {
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_partkey") % 10 =!= 0)
+        .groupBy(col("l_partkey").as("product_id"),
+          col("l_suppkey").as("supplier_id"))
+        .agg(min(col("l_extendedprice").cast(Money)).as("unit_cost"))
+        .withColumn("priority", (col("supplier_id") % 5).cast(IntegerType) + 1)
+    }
 
   /** The replay's "daily" windows (P2): orders drawn from 1996, inventory
     * snapshots from 1995 — ranges rather than a single day so every scale
