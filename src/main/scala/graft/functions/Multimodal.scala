@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns beside a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample are per-partition batch
+  * transforms.
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries — see `decodeStub`): the stub is a deterministic fake that
+  * derives pixel/sample features from the payload bytes. Everything
+  * Spark-side is real and tested: the schema contract, the partition-batch
+  * execution shape (`mapPartitions` over iterator batches — the Scala
+  * analogue of arrow-batched pandas UDFs), partitioning behavior, and the
+  * typed output schemas a real decoder would fill in.
+  *
+  * Scale posture: payloads never pass through a shuffle — decode/extract
+  * are map-side; only small derived features (embeddings, stats) flow into
+  * joins/aggregations downstream.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the payload. */
+  case class MediaMeta(kind: String, width: Int, height: Int,
+                       sampleRate: Int, durationMs: Long, codec: String)
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                      meta: MediaMeta)
+
+  case class DecodedFeatures(media_id: Long, kind: String, n_bytes: Int,
+                             mean_intensity: Double, feature: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long,
+                   frame_bytes: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("sampleRate", IntegerType),
+      StructField("durationMs", LongType), StructField("codec", StringType))))))
+
+  /** Deterministic fake media table derived from the documents fixture:
+    * payload = utf-8 text bytes, metadata derived from doc stats. Lets the
+    * full multimodal plumbing run on driver testdata. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, kind, text.getBytes("UTF-8"),
+          MediaMeta(kind, width = (n % 640).toInt + 1,
+            height = (n % 480).toInt + 1, sampleRate = 16000,
+            durationMs = n * 10, codec = "stub"))
+      }
+  }
+
+  /** STUB decode: where a real pipeline would call an image/audio codec on
+    * each payload (batched per partition), this derives deterministic
+    * "pixel" statistics and a fixed-dim feature vector from the raw bytes.
+    * Swap the body for e.g. javax.imageio / ffmpeg bindings in production —
+    * the signature, batching shape and output schema stay the same. */
+  def decodeStub(bytes: Array[Byte], featureDim: Int): (Double, Array[Float]) = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    val feat = new Array[Float](featureDim)
+    var h = 0x9e3779b9 ^ bytes.length
+    i = 0
+    while (i < featureDim) {
+      h = h * 31 + (if (bytes.length > 0) bytes(i % bytes.length) else 0)
+      h ^= h >>> 15
+      feat(i) = ((h & 0xffff).toFloat / 65536.0f) - 0.5f
+      i += 1
+    }
+    (mean, feat)
+  }
+
+  /** Decode + feature-extract, batched per partition (no shuffle). */
+  def decodeFeatures(media: Dataset[MediaRow],
+                     featureDim: Int = 16): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (mean, feat) = decodeStub(m.bytes, featureDim)
+        DecodedFeatures(m.media_id, m.kind, m.bytes.length, mean, feat)
+      }
+    }
+  }
+
+  /** STUB resize: a real impl rescales pixels; the stub truncates/pads the
+    * payload to the target "resolution" deterministically. */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+             targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val target = math.max(1, targetW * targetH / 64)
+        val out = java.util.Arrays.copyOf(m.bytes, target)
+        m.copy(bytes = out,
+          meta = m.meta.copy(width = targetW, height = targetH))
+      }
+    }
+  }
+
+  /** STUB frame-sample: emits one Frame per `everyMs` of duration; a real
+    * impl would seek/decode video frames. Flat-maps partition-local — the
+    * fan-out never shuffles payload bytes. */
+  def sampleFrames(media: Dataset[MediaRow],
+                   everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
+        (0 until n).iterator.map { i =>
+          val off = i * everyMs
+          val start = ((off.toDouble / math.max(1, m.meta.durationMs))
+            * m.bytes.length).toInt.min(math.max(0, m.bytes.length - 8))
+          Frame(m.media_id, i, off,
+            java.util.Arrays.copyOfRange(m.bytes, start,
+              math.min(m.bytes.length, start + 8)))
+        }
+      }
+    }
+  }
+
+  /** Media stats as a DataFrame query (oracle-checkable: byte length is
+    * portable arithmetic). */
+  def mediaStats(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        max(col("meta.durationMs")).as("max_duration_ms"))
+}

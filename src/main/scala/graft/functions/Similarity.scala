@@ -25,15 +25,28 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via higher-order built-ins (reference formulation; same
+    * sequential fold order as the native expression below). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression (graft.plans
+    * .CosineSimilarity): one fused allocation-free loop per row —
+    * bit-identical results to cosineHof, markedly faster at scale. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.CosineSimilarity(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(b)))
 
   /** All (query, candidate) cosine pairs above `threshold`.
     * `queries` must be broadcast-sized; corpus side never shuffles. */
   def cosinePairs(corpus: DataFrame, queries: DataFrame,
                   threshold: Double): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // raw float arrays go straight into the native expression (it widens
+    // exactly) — no per-row array<double> copy.
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
     val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
+      col("embedding").as("qv"))
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("v")), 6))

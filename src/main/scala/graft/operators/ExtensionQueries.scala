@@ -173,6 +173,44 @@ object ExtensionQueries {
       (s, dir) => Dedup.simhash64(
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // Multimodal: binary payload column + typed metadata; stats are
+    // portable arithmetic (utf-8 byte lengths), so oracle-checked even
+    // though the payload pipeline itself is Spark-only.
+    Q("q31_media_stats",
+      (s, dir) => graft.functions.Multimodal.mediaStats(
+        graft.functions.Multimodal.syntheticMedia(s, dir))
+        .orderBy("kind"),
+      Some("""SELECT CASE CAST(doc_id % 3 AS INTEGER)
+             |         WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |         ELSE 'video' END AS kind,
+             |       CAST(COUNT(*) AS BIGINT) AS n_media,
+             |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+             |       CAST(MAX(n_chars * 10) AS BIGINT) AS max_duration_ms
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Multimodal decode/feature-extract path (stubbed codec, real
+    // partition-batched plumbing) → rows-only.
+    Q("q32_media_features",
+      (s, dir) => graft.functions.Multimodal.decodeFeatures(
+        graft.functions.Multimodal.syntheticMedia(s, dir))
+        .toDF().orderBy("media_id"),
+      None),
+
+    // Semi-structured props column: JSON field extraction + aggregation.
+    Q("q33_events_props",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
