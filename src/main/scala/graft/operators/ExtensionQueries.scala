@@ -198,6 +198,57 @@ object ExtensionQueries {
         .toDF().orderBy("media_id"),
       None),
 
+    // Sessionization: gap>30min starts a new session; lag + running-sum
+    // windows, whole-second arithmetic on both sides so boundary events
+    // agree across engines.
+    Q("q34_sessions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_s").isNull ||
+              col("ts").cast("long") - col("prev_s") > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum("new_session").as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             |         LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |           PARTITION BY user_id
+             |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_s
+             |  FROM events
+             |), f AS (
+             |  SELECT user_id,
+             |         CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM e
+             |)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(new_session) AS BIGINT) AS n_sessions
+             |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Term frequency with deterministic top-k (count desc, token asc) —
+    // the explode/unnest + LIMIT surface.
+    Q("q35_term_freq",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(100),
+      Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+             |      FROM documents) t
+             |WHERE length(token) > 0
+             |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
       (s, dir) => Tables.events(s, dir)
