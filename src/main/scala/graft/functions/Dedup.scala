@@ -23,14 +23,30 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-level n-gram shingles of `text` (distinct set). */
+  /** Word-level n-gram shingles of `text` (distinct set; empty when the
+    * text has fewer than n tokens — no partial shingles). */
   def shingles(text: Column, n: Int): Column = {
     val tokens = split(trim(text), "\\s+")
     val sh = transform(
-      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      sequence(lit(0), size(tokens) - n),
       i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
-    array_distinct(sh)
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(sh))
   }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5("seed|s") as a long.
+    * Identical in any engine with md5 (DuckDB: ('0x'||substr(md5(...),1,15))
+    * ::BIGINT) — used where cross-engine-checkable signatures matter;
+    * xxhash64 (faster, Spark-native) elsewhere. */
+  def md5Hash64(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed|"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature built on the portable md5 hash. */
+  def minhashSignatureMd5(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleSet, s => md5Hash64(seed, s)))
+    }: _*)
 
   /** MinHash signature: element j = min over shingles of
     * xxhash64(seed_j, shingle). Deterministic across runs/engines that

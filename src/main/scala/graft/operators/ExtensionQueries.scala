@@ -249,6 +249,188 @@ object ExtensionQueries {
              |WHERE length(token) > 0
              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
 
+    // MinHash signatures on the portable md5 hash — the full
+    // shingle→minhash computation, hash-checked against DuckDB.
+    Q("q36_minhash_md5",
+      (s, dir) => {
+        val k = 16
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), k))
+          .select(col("doc_id") +:
+            (0 until k).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = (0 until 16).map(i =>
+          s"  MIN(('0x'||substr(md5('$i|'||shingle),1,15))::BIGINT) AS h$i")
+          .mkString(",\n")
+        s"""WITH tok AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents
+           |), tr AS (
+           |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
+           |         len(w) AS n
+           |  FROM tok
+           |), sh0 AS (
+           |  SELECT doc_id, i, n,
+           |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+           |           lead(tok, 2) OVER win AS shingle
+           |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+           |)
+           |SELECT doc_id,
+           |$mins
+           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // n-gram Jaccard over deterministically-blocked pairs (lang +
+    // n_chars bucket), basis-point floor'd — fully oracle-checked.
+    Q("q37_jaccard_pairs",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") % 20).as("bucket"),
+            Dedup.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val a = sh.select(col("lang"), col("bucket"),
+          col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("lang"), col("bucket"),
+          col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("lang", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("ninter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard_bp",
+            floor(col("ninter") * lit(10000.0)
+              / (size(col("sh_a")) + size(col("sh_b")) - col("ninter")))
+              .cast("long"))
+          .select("id_a", "id_b", "jaccard_bp")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
+             |         len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+             |), shc AS (
+             |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+             |), d AS (
+             |  SELECT doc_id, lang, n_chars % 20 AS bucket FROM documents
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b
+             |    ON a.lang = b.lang AND a.bucket = b.bucket
+             |   AND a.doc_id < b.doc_id
+             |  JOIN shc ca ON ca.doc_id = a.doc_id
+             |  JOIN shc cb ON cb.doc_id = b.doc_id
+             |), inter AS (
+             |  SELECT p.id_a, p.id_b, COUNT(*) AS ninter
+             |  FROM pairs p
+             |  JOIN sh sa ON sa.doc_id = p.id_a
+             |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+             |  GROUP BY p.id_a, p.id_b
+             |)
+             |SELECT p.id_a, p.id_b,
+             |       CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+             |         / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0))) AS BIGINT)
+             |         AS jaccard_bp
+             |FROM pairs p
+             |JOIN shc ca ON ca.doc_id = p.id_a
+             |JOIN shc cb ON cb.doc_id = p.id_b
+             |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    // Per-language stats with exact interpolating median.
+    Q("q38_lang_stats",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          floor(sum("n_chars") * lit(1.0) / count(lit(1))).cast("long")
+            .as("avg_chars_fl"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+             |       CAST(median(n_chars) AS DOUBLE) AS median_chars,
+             |       CAST(floor(SUM(n_chars) * 1.0 / COUNT(*)) AS BIGINT)
+             |         AS avg_chars_fl
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Running totals: window frame (ROWS UNBOUNDED PRECEDING) over the
+    // per-product daily series.
+    Q("q39_running_totals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Replay.orders(s, dir).filter(Replay.ordersWhen)
+          .groupBy("product_id", "order_date")
+          .agg(sum("quantity").as("daily_qty"))
+        val w = Window.partitionBy(col("product_id"))
+          .orderBy(col("order_date"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.withColumn("cum_qty", sum("daily_qty").over(w))
+          .orderBy("product_id", "order_date")
+      },
+      Some(ParityQueries.prelude +
+        """, daily AS (
+          |  SELECT product_id, order_date,
+          |         CAST(SUM(quantity) AS BIGINT) AS daily_qty
+          |  FROM orders_w GROUP BY product_id, order_date
+          |)
+          |SELECT product_id, order_date, daily_qty,
+          |       CAST(SUM(daily_qty) OVER (PARTITION BY product_id
+          |         ORDER BY order_date
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |         AS BIGINT) AS cum_qty
+          |FROM daily ORDER BY product_id, order_date""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT across two half-year windows.
+    Q("q40_set_ops",
+      (s, dir) => {
+        val o = Replay.orders(s, dir)
+        def ids(from: String, to: String) = o.filter(
+          col("order_date") >= lit(java.sql.Date.valueOf(from)) &&
+            col("order_date") < lit(java.sql.Date.valueOf(to)))
+          .select("product_id")
+        val h1 = ids("1996-01-01", "1996-07-01")
+        val h2 = ids("1996-07-01", "1997-01-01")
+        h1.intersect(h2).withColumn("tag", lit("both"))
+          .unionByName(h1.except(h2).withColumn("tag", lit("h1_only")))
+          .unionByName(h2.except(h1).withColumn("tag", lit("h2_only")))
+          .orderBy("tag", "product_id")
+      },
+      Some(ParityQueries.prelude +
+        """, h1 AS (
+          |  SELECT product_id FROM orders_r
+          |  WHERE order_date >= DATE '1996-01-01'
+          |    AND order_date < DATE '1996-07-01'
+          |), h2 AS (
+          |  SELECT product_id FROM orders_r
+          |  WHERE order_date >= DATE '1996-07-01'
+          |    AND order_date < DATE '1997-01-01'
+          |)
+          |SELECT product_id, 'both' AS tag
+          |  FROM (SELECT product_id FROM h1 INTERSECT SELECT product_id FROM h2)
+          |UNION ALL
+          |SELECT product_id, 'h1_only' FROM
+          |  (SELECT product_id FROM h1 EXCEPT SELECT product_id FROM h2)
+          |UNION ALL
+          |SELECT product_id, 'h2_only' FROM
+          |  (SELECT product_id FROM h2 EXCEPT SELECT product_id FROM h1)
+          |ORDER BY tag, product_id""".stripMargin)),
+
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
       (s, dir) => Tables.events(s, dir)
