@@ -86,6 +86,49 @@ object Similarity {
     concat(bits: _*)
   }
 
+  /** IVF-style partitioned search: vectors are assigned to their
+    * nearest-centroid cell (one map-side pass against broadcast
+    * centroids), queries probe only their own cell — the coarse-quantizer
+    * scale path: at 100 TB the corpus is bucketed once and each query
+    * touches 1/k of it (nprobe=1 here; union more cells for recall).
+    *
+    * Centroids are taken deterministically as the first `k` corpus vectors
+    * (no RNG; a production build would k-means-refine them — same
+    * plumbing).
+    */
+  def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
+    val centroids = broadcast(corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("csim"), asc("centroid_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(centroids)
+      .withColumn("csim", cosine(col("embedding"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+        col("embedding"))
+  }
+
+  /** ANN search over the IVF cells: exact cosine within the query's cell
+    * only. Returns top-k per query from its cell. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cells: Int,
+              k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cells)
+    val q = assigned.join(queries.select("vec_id"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("vec_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank", "cell")
+  }
+
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
     * exact cosine re-ranks within the bucket. Trades recall for turning the
     * corpus×corpus cross join into a per-bucket equi-join. */

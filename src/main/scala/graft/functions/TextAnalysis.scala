@@ -62,4 +62,14 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** GPT2-style pre-tokenizer pattern (ASCII variant): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+    * A cheap proxy for BPE token counts without a vocabulary. */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern)).cast("int")
 }

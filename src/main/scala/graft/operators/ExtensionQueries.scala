@@ -431,6 +431,32 @@ object ExtensionQueries {
           |  (SELECT product_id FROM h2 EXCEPT SELECT product_id FROM h1)
           |ORDER BY tag, product_id""".stripMargin)),
 
+    // BPE-ish pre-tokenizer counts (GPT2-style pattern, ASCII variant) —
+    // regex semantics agree between Java regex and RE2 for this pattern.
+    Q("q41_bpe_tokens",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.bpeTokenCount(col("text"))
+            .as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+             |    AS INTEGER) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // IVF-partitioned ANN: nearest-centroid cell assignment (map-side vs
+    // broadcast centroids) + within-cell exact top-k. Cell ranking uses
+    // engine-float ties → rows-only; recall vs brute force is
+    // ScalaTest-pinned.
+    Q("q42_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          cells = 8, k = 10).orderBy("query_id", "rank")
+      },
+      None),
+
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
       (s, dir) => Tables.events(s, dir)

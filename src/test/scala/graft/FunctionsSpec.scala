@@ -125,4 +125,31 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("ivfAssign: every vector lands in exactly one cell; identical " +
+    "vectors share cells; ivfTopK finds the twin") {
+    val assigned = Similarity.ivfAssign(emb, k = 2).collect()
+    assert(assigned.length == 4)
+    val cells = assigned.map(r => r.getAs[Long]("vec_id")
+      -> r.getAs[Long]("cell")).toMap
+    assert(cells(0L) == cells(1L)) // identical vectors, same cell
+    val top = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+        cells = 2, k = 2).collect()
+    assert(top.exists(r => r.getAs[Long]("vec_id") == 1L
+      && r.getAs[Double]("sim") == 1.0))
+    assert(top.forall(r => r.getAs[Long]("cell") == cells(0L)))
+  }
+
+  test("ivf recall against brute force on real embeddings") {
+    val spark2 = spark
+    val real = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(real, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.ivfTopK(real, queries, cells = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // nprobe=1 coarse search: sane shape + non-trivial overlap with exact
+    assert(ivf.nonEmpty && ivf.size <= 30)
+    assert((ivf intersect exact).nonEmpty)
+  }
 }
