@@ -46,6 +46,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2000)
   }
 
+  test("stateful sessionization emits sessions consistent with batch model") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val got = EventStreams.runToMemory(
+      EventStreams.sessionize(stream, gapSeconds = 1800).toDF(), "t_sessions",
+      outputMode = "append")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"),
+        r.getAs[Long]("end_s"), r.getAs[Long]("n_events")))
+    assert(got.nonEmpty)
+
+    // batch model: same gap segmentation over collected events
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    val model = ev.flatMap { case (u, ts) =>
+      ts.foldLeft(List.empty[(Long, Long, Long, Long)]) {
+        case (Nil, t) => List((u, t, t, 1L))
+        case ((uu, s, last, n) :: rest, t) =>
+          if (t - last <= 1800) (uu, s, t, n + 1) :: rest
+          else (u, t, t, 1L) :: (uu, s, last, n) :: rest
+      }
+    }.toSet
+    // every emitted (closed) session must be exactly one model session
+    got.foreach { s => assert(model.contains(s), s"session $s not in model") }
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val doubled = stream.union(stream)
