@@ -76,4 +76,24 @@ object Pipeline {
     nd.unpersist()
     Result(aggCount, ndCount, files, excCount, logPath)
   }
+
+  /** Backfill a date range as ONE ranged scan per stage (not a per-day
+    * loop): the generalized Column-predicate operators aggregate every day
+    * in the window in a single pass, and dynamic partition overwrite
+    * replaces exactly the partitions present in the result — the shape a
+    * 100 TB backfill needs (one shuffle over the range, not N job setups).
+    * Export/quality stay daily (driven by runDay) as they produce per-day
+    * artifacts.
+    */
+  def backfillAggregates(spark: SparkSession, orders: DataFrame,
+                         warehouseDir: String,
+                         from: LocalDate, untilExclusive: LocalDate): Long = {
+    import org.apache.spark.sql.functions.col
+    val when = col("order_date") >= java.sql.Date.valueOf(from) &&
+      col("order_date") < java.sql.Date.valueOf(untilExclusive)
+    val agg = Procurement.aggregateOrders(orders, when)
+    Sinks.writePartitionedParquet(agg, s"$warehouseDir/aggregated_orders",
+      Seq("order_date"))
+    agg.count()
+  }
 }

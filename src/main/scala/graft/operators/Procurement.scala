@@ -261,6 +261,56 @@ object Procurement {
       .select("supplier_id", "supplier_name", "order_date", "data_date",
         "generated_at", "items", "total_estimated_cost")
 
+  /** The net-demand plan in Spark SQL text — the reference's
+    * net_demand.sql (docker/dags/sql/net_demand.sql:4-87) re-dialected,
+    * proving SQL-level parity alongside the DataFrame API. Requires temp
+    * views orders/inventory/products/suppliers/product_suppliers; dates
+    * are bound parameters, not string splices.
+    */
+  def netDemandSql(spark: org.apache.spark.sql.SparkSession,
+                   d: LocalDate): DataFrame =
+    spark.sql(
+      """WITH daily_orders AS (
+        |  SELECT o.product_id, SUM(o.quantity) AS total_ordered,
+        |         COUNT(DISTINCT o.order_id) AS order_count
+        |  FROM orders o WHERE o.order_date = :d GROUP BY o.product_id
+        |), aggregated_inventory AS (
+        |  SELECT i.product_id, SUM(i.available_qty) AS available_qty,
+        |         SUM(i.reserved_qty) AS reserved_qty,
+        |         MAX(i.safety_stock) AS safety_stock
+        |  FROM inventory i WHERE i.snapshot_date = :d GROUP BY i.product_id
+        |), ranked_suppliers AS (
+        |  SELECT ps.product_id, ps.supplier_id, ps.unit_cost, ps.priority,
+        |         ROW_NUMBER() OVER (PARTITION BY ps.product_id
+        |           ORDER BY ps.priority ASC, ps.unit_cost ASC) AS supplier_rank
+        |  FROM product_suppliers ps
+        |), net_demand_calc AS (
+        |  SELECT p.product_id, p.product_name, s.supplier_id,
+        |         s.supplier_name,
+        |         GREATEST(0, COALESCE(dord.total_ordered, 0)
+        |           + COALESCE(ai.safety_stock, p.safety_stock_level)
+        |           - (COALESCE(ai.available_qty, 0)
+        |              - COALESCE(ai.reserved_qty, 0))) AS net_demand,
+        |         CAST(rs.unit_cost AS DECIMAL(10,2)) AS unit_cost,
+        |         rs.priority AS supplier_priority
+        |  FROM products p
+        |  LEFT JOIN daily_orders dord ON p.product_id = dord.product_id
+        |  LEFT JOIN aggregated_inventory ai ON p.product_id = ai.product_id
+        |  INNER JOIN ranked_suppliers rs
+        |    ON p.product_id = rs.product_id AND rs.supplier_rank = 1
+        |  INNER JOIN suppliers s ON rs.supplier_id = s.supplier_id
+        |  WHERE p.is_active = TRUE AND s.is_active = TRUE
+        |)
+        |SELECT product_id, product_name, supplier_id, supplier_name,
+        |       net_demand, unit_cost,
+        |       CAST(net_demand * unit_cost AS DECIMAL(10,2))
+        |         AS estimated_cost,
+        |       supplier_priority
+        |FROM net_demand_calc WHERE net_demand > 0
+        |ORDER BY supplier_id, supplier_priority, net_demand DESC
+        |""".stripMargin,
+      Map("d" -> java.sql.Date.valueOf(d)))
+
   // -------------------------------------------------------------- dashboard
 
   /** The five Metabase cards (docker/dags/metabase_setup_dag.py:237-313) as

@@ -21,12 +21,15 @@ object Sinks {
     * partition overwrite keyed on the date column
     * (reference: trino_init_tables_dag.py:49,65; hdfs_upload_data_dag.py:170). */
   def writePartitionedParquet(df: DataFrame, path: String,
-                              partitionCols: Seq[String]): Unit =
+                              partitionCols: Seq[String]): Unit = {
     df.write
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    // overwritten partitions invalidate any cached file listing for path
+    df.sparkSession.catalog.refreshByPath(path)
+  }
 
   /** S5 — headered CSV staging copy (hdfs_upload_data_dag.py:122-151). */
   def writeCsv(df: DataFrame, path: String): Unit =

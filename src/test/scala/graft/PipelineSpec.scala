@@ -42,4 +42,31 @@ class PipelineSpec extends AnyFunSuite {
     val agg = spark.read.parquet(s"$tmp/warehouse/aggregated_orders")
     assert(agg.count() == 5)
   }
+
+  test("backfillAggregates: one ranged scan covers multiple days and " +
+    "overwrites only its partitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft-backfill").toString
+    def day(d: String, ids: Seq[Long]) = ids.map(i =>
+      (i, (i % 3).toInt + 1, 10, "PENDING", java.sql.Date.valueOf(d)))
+    val orders = (day("2026-02-01", 1L to 30L) ++ day("2026-02-02", 31L to 50L)
+      ++ day("2026-02-03", 51L to 55L))
+      .toDF("order_id", "product_id", "quantity", "status", "order_date")
+
+    val n = Pipeline.backfillAggregates(spark, orders, tmp,
+      LocalDate.parse("2026-02-01"), LocalDate.parse("2026-02-03"))
+    val table = spark.read.parquet(s"$tmp/aggregated_orders")
+    // two days in range, day 3 excluded
+    assert(table.select("order_date").distinct().count() == 2)
+    val firstCount = table.count()
+    assert(n == firstCount)
+
+    // extending the backfill replaces overlapping partitions (day 2) and
+    // adds the new one (day 3: products {1,2,3} → 3 groups)
+    Pipeline.backfillAggregates(spark, orders, tmp,
+      LocalDate.parse("2026-02-02"), LocalDate.parse("2026-02-04"))
+    val after = spark.read.parquet(s"$tmp/aggregated_orders")
+    assert(after.count() == firstCount + 3)
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards: the scale-critical plan properties stay true as
+  * the code evolves — broadcast joins on all dim sides, WindowGroupLimit
+  * for the top-1 ranking, pushed filters on the fact scan, whole-stage
+  * codegen coverage.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q03 net demand: all four joins broadcast; top-1 uses " +
+    "WindowGroupLimit; no sort-merge join") {
+    val p = plan("q03_net_demand")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p.take(2000))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("fact scans carry pushed filters (partition-pruning predicate " +
+    "reaches parquet)") {
+    val p = plan("q01_aggregate_orders")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+  }
+
+  test("anti-joins plan as broadcast where the dim side is small") {
+    val p = plan("q05_missing_supplier")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("scan prunes columns: fingerprint query reads only doc_id + text") {
+    val p = plan("q21_doc_fingerprint")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
+
+  test("SQL-dialect net demand equals the DataFrame plan's results") {
+    val ps = new ProcurementSpec
+    ps.orders.createOrReplaceTempView("orders")
+    ps.inventory.createOrReplaceTempView("inventory")
+    ps.products.createOrReplaceTempView("products")
+    ps.suppliers.createOrReplaceTempView("suppliers")
+    ps.productSuppliers.createOrReplaceTempView("product_suppliers")
+    val d = LocalDate.parse("2026-01-13")
+    val viaSql = graft.operators.Procurement
+      .netDemandSql(spark, d).collect().map(_.toSeq).toSet
+    val viaDf = graft.operators.Procurement
+      .netDemand(ps.orders, ps.inventory, ps.products, ps.suppliers,
+        ps.productSuppliers, d)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+}
