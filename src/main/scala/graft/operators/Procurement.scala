@@ -145,11 +145,17 @@ object Procurement {
       .filter(col("supplier_rank") === 1)
       .drop("supplier_rank")
 
+    // Broadcast is HINTED only for the supplier dim (genuinely small at any
+    // scale). The product-grain sides (daily_orders, agg_inventory, ranked
+    // suppliers) share products' cardinality — at 100 TB they must be free
+    // to fall back to shuffle joins, so those are left to Catalyst/AQE
+    // (auto-broadcast under the threshold keeps the small-scale plan
+    // all-broadcast; see PlanSpec).
     val joined = products.filter(col("is_active"))
       .select("product_id", "product_name", "safety_stock_level")
       .join(dOrders, Seq("product_id"), "left")
       .join(aggInv, Seq("product_id"), "left")
-      .join(broadcast(rs), Seq("product_id"), "inner")
+      .join(rs, Seq("product_id"), "inner")
       .join(
         broadcast(suppliers.filter(col("is_active"))
           .select("supplier_id", "supplier_name")),
@@ -189,8 +195,11 @@ object Procurement {
     */
   def missingSupplierMapping(orders: DataFrame, productSuppliers: DataFrame,
                              when: Column): DataFrame =
+    // no broadcast hint: product_suppliers is products×suppliers-per-
+    // product cardinality — auto-broadcast handles the small case, SMJ
+    // anti-join the 100 TB case
     orders.filter(when)
-      .join(broadcast(productSuppliers.select("product_id")),
+      .join(productSuppliers.select("product_id"),
         Seq("product_id"), "left_anti")
       .groupBy("product_id")
       .agg(count(lit(1)).as("order_count"))

@@ -1,0 +1,113 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle→hash kernels. The composable formulation
+  * (split → transform(sequence…slice…concat_ws) → array_distinct →
+  * transform(md5…conv)) is correct but every higher-order function is
+  * interpreted (no whole-stage codegen for lambda functions), costing
+  * ~1 ms/doc. These expressions do the whole pipeline in one tight loop
+  * per document — same values bit-for-bit (md5 of the space-joined word
+  * n-gram, first 15 hex chars as a long), so the DuckDB oracles are
+  * unchanged.
+  */
+private[plans] object ShingleHashKernel {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** md5(s) → first 15 hex chars as unsigned long (= conv(substr(md5,1,15),
+    * 16,10): 7 full bytes + the high nibble of byte 8). */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** Distinct md5-prefix hashes of all word n-gram shingles of `text`
+    * (whitespace tokenization; empty when fewer than n tokens). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val tokens = text.trim.split("\\s+")
+    if (tokens.length < n || (tokens.length == 1 && tokens(0).isEmpty))
+      return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    val last = tokens.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(md5Prefix60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** MinHash signature over the base hashes: element s = min over hashes
+    * of (h xor s·2654435769). */
+  def minhash(hashes: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      val mix = s.toLong * 2654435769L
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val v = hashes(i) ^ mix
+        if (v < m) m = v
+        i += 1
+      }
+      sig(s) = m
+      s += 1
+    }
+    sig
+  }
+}
+
+/** array<long>: distinct md5-prefix hashes of the word n-gram shingles. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashKernel.shingleHashes(
+      input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** array<long>: k-element MinHash signature of the n-gram shingle set;
+  * null-size docs (< n tokens) yield an empty signature array. */
+case class ShingleMinHash(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = ShingleHashKernel.shingleHashes(
+      input.asInstanceOf[UTF8String].toString, n)
+    if (hashes.isEmpty) new GenericArrayData(Array.emptyLongArray)
+    else new GenericArrayData(ShingleHashKernel.minhash(hashes, k))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleMinHash =
+    copy(child = c)
+}

@@ -75,11 +75,40 @@ class DedupSpec extends AnyFunSuite {
 
   test("nearDuplicates finds the planted pair and the exact dup") {
     val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5,
+        exactFirst = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))   // identical
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearDuplicates default collapses exact copies to a representative") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 4L))) // 4 collapsed into representative 1
+    assert(pairs.contains((1L, 2L))) // near-dup still found
+  }
+
+  test("fused shingle/minhash kernels equal the composable formulation") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val viaHof = real.select($"doc_id",
+        Dedup.shingles($"text", 3).as("sh"))
+      .withColumn("hs", org.apache.spark.sql.functions.transform(
+        $"sh", s => Dedup.md5Hash64(s)))
+      .withColumn("sig", Dedup.minhashSignatureMd5($"hs", 16))
+      .select($"doc_id", $"hs", $"sig").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSeq)).toMap
+    val viaFast = real.select($"doc_id",
+        Dedup.shingleHashesFast($"text", 3).as("hs"),
+        Dedup.minhashSignatureFast($"text", 3, 16).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSeq)).toMap
+    assert(viaFast == viaHof)
   }
 
   test("simhash: identical docs equal; near-dups closer than unrelated") {
