@@ -159,4 +159,12 @@ object Dedup {
   /** Hamming distance between two simhash64 values (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash via the native one-pass kernel (graft.plans.SimHash64): same
+    * bits as simhash64's explode+groupBy plan, but map-side only — tokens
+    * never shuffle. */
+  def simhash64Fast(text: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.SimHash64(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
 }

@@ -169,9 +169,12 @@ object ExtensionQueries {
       None),
 
     // SimHash signatures: same xxhash64 portability limit → rows-only.
+    // Native one-pass kernel (bit-equal to the explode+groupBy plan,
+    // DedupSpec-verified), map-side only.
     Q("q30_simhash",
-      (s, dir) => Dedup.simhash64(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash64Fast(col("text")).as("simhash"))
         .orderBy("doc_id"),
       None),
 
@@ -462,6 +465,37 @@ object ExtensionQueries {
           cells = 8, k = 10).orderBy("query_id", "rank")
       },
       None),
+
+    // As-of join (point-in-time): each event picks up its user's latest
+    // daily snapshot at-or-before the event — oracle is DuckDB's native
+    // ASOF JOIN; ours is the union + last_value-window composition.
+    Q("q43_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val snapshots = ev
+          .groupBy(col("user_id"),
+            date_trunc("day", col("ts")).as("snap_ts"))
+          .agg(count(lit(1)).as("snap_events"))
+        AsOf.asofJoin(
+          ev.select("event_id", "user_id", "ts"),
+          snapshots, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "snap_ts",
+          valueCols = Seq("snap_ts", "snap_events"))
+          .select(col("event_id"), col("user_id"), col("snap_ts"),
+            col("snap_events"))
+          .orderBy("event_id")
+      },
+      Some("""WITH snapshots AS (
+             |  SELECT user_id, date_trunc('day', ts) AS snap_ts,
+             |         CAST(COUNT(*) AS BIGINT) AS snap_events
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT e.event_id, e.user_id,
+             |       CAST(s.snap_ts AS TIMESTAMP) AS snap_ts, s.snap_events
+             |FROM events e
+             |ASOF LEFT JOIN snapshots s
+             |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+             |ORDER BY e.event_id""".stripMargin)),
 
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",

@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of a document in one pass — same semantics as the
+  * composable Dedup.simhash64 (explode tokens → xxhash64(seed 42) → 64
+  * per-bit ±1 votes → sign), but with NO shuffle: the explode+groupBy
+  * formulation shuffles every token row; this computes the signature
+  * map-side per document, which is the only formulation that stands at
+  * 100 TB (tokens never leave the scan task).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val tokens = text.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      if (tokens(i).nonEmpty) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(tokens(i)), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

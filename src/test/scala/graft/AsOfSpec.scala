@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  val snapshots = Seq(
+    (1L, ts("2026-01-01 00:00:00"), 10),
+    (1L, ts("2026-01-02 00:00:00"), 20),
+    (2L, ts("2026-01-05 00:00:00"), 99)
+  ).toDF("user_id", "snap_ts", "balance")
+
+  val events = Seq(
+    (100L, 1L, ts("2026-01-01 12:00:00")), // after snap 1 → 10
+    (101L, 1L, ts("2026-01-02 00:00:00")), // exactly at snap 2 → 20 (inclusive)
+    (102L, 1L, ts("2026-01-03 09:00:00")), // after snap 2 → 20
+    (103L, 2L, ts("2026-01-01 00:00:00")), // before any snap → null
+    (104L, 3L, ts("2026-01-09 00:00:00"))  // user with no snaps → null
+  ).toDF("event_id", "user_id", "ts")
+
+  test("asofJoin: latest at-or-before per key; inclusive ties; nulls " +
+    "when no prior snapshot") {
+    val out = AsOf.asofJoin(events, snapshots, Seq("user_id"),
+        "ts", "snap_ts", Seq("balance"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Integer]("balance")).map(_.intValue)).toMap
+    assert(out == Map(
+      100L -> Some(10), 101L -> Some(20), 102L -> Some(20),
+      103L -> None, 104L -> None))
+  }
+
+  test("asofJoin preserves left cardinality") {
+    val out = AsOf.asofJoin(events, snapshots, Seq("user_id"),
+      "ts", "snap_ts", Seq("balance"))
+    assert(out.count() == events.count())
+    assert(out.columns.toSet ==
+      Set("user_id", "ts", "event_id", "balance"))
+  }
+}

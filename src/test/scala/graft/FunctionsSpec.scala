@@ -118,6 +118,17 @@ class DedupSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
+
+  test("native simhash kernel is bit-equal to the explode+groupBy plan") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val viaAgg = Dedup.simhash64(real, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFast = real.select($"doc_id",
+        Dedup.simhash64Fast($"text").as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast == viaAgg)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
