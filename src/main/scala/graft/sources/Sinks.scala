@@ -35,6 +35,39 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Bucketed managed table: co-locates rows by join key so repeated
+    * fact⋈fact joins on `bucketCols` need NO shuffle on either side
+    * (Exchange-free sort-merge join; see SinksSpec plan assertion). The
+    * 100 TB pattern for standing join keys — shuffle once at write time,
+    * never again at read time. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).format("parquet").saveAsTable(table)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. At scale, streaming/minibatch
+    * ingestion fragments partitions; compaction restores scan efficiency
+    * (fewer tasks, bigger sequential reads). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    spark.catalog.refreshByPath(path)
+    files
+  }
+
   // ------------------------------------------------------- JSON documents
 
   private def jsonEscape(s: String): String =

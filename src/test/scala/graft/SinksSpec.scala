@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sinks
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed tables join without any Exchange (co-located SMJ)") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
+    val a = spark.range(10000).select($"id".as("k"), ($"id" * 2).as("va"))
+    val b = spark.range(10000).select($"id".as("k"), ($"id" * 3).as("vb"))
+    Sinks.writeBucketed(a, "graft_buckets.ta", Seq("k"), 8, Seq("k"))
+    Sinks.writeBucketed(b, "graft_buckets.tb", Seq("k"), 8, Seq("k"))
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_buckets.ta")
+        .join(spark.table("graft_buckets.tb"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE graft_buckets.ta")
+      spark.sql("DROP TABLE graft_buckets.tb")
+      spark.sql("DROP DATABASE graft_buckets")
+    }
+  }
+
+  test("compact rewrites a fragmented directory into target-sized files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dir = s"$tmp/frag"
+    // 64 tiny files
+    spark.range(100000).repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    Sinks.compact(spark, dir, targetFileBytes = 512L * 1024)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before)
+    assert(spark.read.parquet(dir).count() == 100000)
+  }
+}
