@@ -160,6 +160,50 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Near-duplicate pipeline on the PORTABLE md5 hash family via the fused
+    * kernels — same shingle→minhash→band→bucket-join→Jaccard-verify shape
+    * as nearDuplicates, but every step reproducible in any engine with
+    * md5 (oracle-checked end-to-end as q44). Jaccard is returned in
+    * floor'd basis points over the 60-bit hash sets. */
+  def nearDuplicatesPortable(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, bands: Int = 4,
+                             rowsPerBand: Int = 4,
+                             minJaccardBp: Long = 5000): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol),
+        shingleHashesFast(col(textCol), shingleN).as("hs"),
+        minhashSignatureFast(col(textCol), shingleN, k).as("sig"))
+      .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_key"))
+    }
+    val banded = withSig.select(col(idCol),
+      explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+    val a = banded.select(col("band_id"), col("band_key"),
+      col(idCol).as("id_a"))
+    val b2 = banded.select(col("band_id"), col("band_key"),
+      col(idCol).as("id_b"))
+    val candidates = a.join(b2, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val hs = withSig.select(col(idCol), col("hs"))
+    candidates
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("ninter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("jaccard_bp",
+        floor(col("ninter") * lit(10000.0)
+          / (size(col("hs_a")) + size(col("hs_b")) - col("ninter")))
+          .cast("long"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select("id_a", "id_b", "jaccard_bp")
+  }
+
   /** SimHash via the native one-pass kernel (graft.plans.SimHash64): same
     * bits as simhash64's explode+groupBy plan, but map-side only — tokens
     * never shuffle. */

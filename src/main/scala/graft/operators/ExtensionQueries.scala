@@ -148,16 +148,34 @@ object ExtensionQueries {
              |           * sqrt(list_dot_product(e.v, e.v))), 6) >= 0.1
              |ORDER BY q.query_id, e.vec_id""".stripMargin)),
 
-    // Exact ANN baseline: brute-force top-10 per query. Rank ties at equal
-    // rounded sim make cross-engine rank assignment fragile → rows-only;
-    // ScalaTest pins semantics.
+    // Exact ANN baseline: brute-force top-10 per query. Sims are
+    // bit-identical across engines (q27 proves the double math), rounded
+    // to 6dp and tie-broken by vec_id — so ranks are deterministic and
+    // oracle-checkable.
     Q("q28_ann_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), sims AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_dot_product(q.qv, e.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM sims
+             |)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // MinHash-LSH near-dup candidates: xxhash64 has no DuckDB twin →
     // rows-only; Jaccard-verify semantics are ScalaTest-pinned.
@@ -465,6 +483,65 @@ object ExtensionQueries {
           cells = 8, k = 10).orderBy("query_id", "rank")
       },
       None),
+
+    // The FULL near-dup pipeline on the portable md5 hash family —
+    // shingle → minhash → band → bucket-join → exact-Jaccard verify,
+    // every stage reproduced in the DuckDB oracle.
+    Q("q44_neardup_portable",
+      (s, dir) => Dedup.nearDuplicatesPortable(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 2000)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
+             |         len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+             |), sig AS (
+             |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+             |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+             |                 t.seed * 2654435769)) AS minhash
+             |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+             |  GROUP BY doc_id, t.seed
+             |), bands AS (
+             |  SELECT doc_id, seed // 4 AS band_id,
+             |         string_agg(CAST(minhash AS VARCHAR), ','
+             |           ORDER BY seed) AS band_key
+             |  FROM sig GROUP BY doc_id, seed // 4
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b
+             |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+             |   AND a.doc_id < b.doc_id
+             |), shc AS (
+             |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+             |), inter AS (
+             |  SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.id_a
+             |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+             |  GROUP BY c.id_a, c.id_b
+             |), scored AS (
+             |  SELECT c.id_a, c.id_b,
+             |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+             |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
+             |           AS BIGINT) AS jaccard_bp
+             |  FROM cand c
+             |  JOIN shc ca ON ca.doc_id = c.id_a
+             |  JOIN shc cb ON cb.doc_id = c.id_b
+             |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+             |)
+             |SELECT id_a, id_b, jaccard_bp FROM scored
+             |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
 
     // As-of join (point-in-time): each event picks up its user's latest
     // daily snapshot at-or-before the event — oracle is DuckDB's native

@@ -224,6 +224,40 @@ object ParityQueries {
         "2026-01-01T00:00:00").orderBy("supplier_id"),
       None),
 
+    // Exploded image of the nested export documents — verifies the A6
+    // collect_list(struct) construction + per-doc totals through the
+    // oracle channel (the nested form itself is q10, rows-only).
+    Q("q13_export_items",
+      (s, dir) => Procurement.supplierOrders(ndReplay(s, dir),
+          java.time.LocalDate.parse("1996-12-31"),
+          java.time.LocalDate.parse("1997-01-01"), "2026-01-01T00:00:00")
+        .select(col("supplier_id"), col("supplier_name"),
+          col("total_estimated_cost").cast(Money).as("total_estimated_cost"),
+          explode(col("items")).as("item"))
+        .select(col("supplier_id"), col("supplier_name"),
+          col("total_estimated_cost"),
+          col("item.product_id").as("product_id"),
+          col("item.product_name").as("product_name"),
+          col("item.quantity").as("quantity"),
+          col("item.unit_cost").cast(Money).as("unit_cost"),
+          col("item.total_cost").cast(Money).as("total_cost"))
+        .orderBy("supplier_id", "product_id"),
+      Some(prelude +
+        """, totals AS (
+          |  SELECT supplier_id,
+          |         CAST(round(SUM(estimated_cost), 2) AS DECIMAL(18,2))
+          |           AS total_estimated_cost
+          |  FROM net_demand_q GROUP BY supplier_id
+          |)
+          |SELECT n.supplier_id, n.supplier_name, t.total_estimated_cost,
+          |       n.product_id, n.product_name,
+          |       CAST(n.net_demand AS INTEGER) AS quantity,
+          |       CAST(round(n.unit_cost, 2) AS DECIMAL(18,2)) AS unit_cost,
+          |       CAST(round(n.estimated_cost, 2) AS DECIMAL(18,2)) AS total_cost
+          |FROM net_demand_q n
+          |JOIN totals t ON n.supplier_id = t.supplier_id
+          |ORDER BY n.supplier_id, n.product_id""".stripMargin)),
+
     Q("q11_distinct_products",
       (s, dir) => Replay.orders(s, dir)
         .filter(Replay.ordersWhen && col("quantity") > 25)
