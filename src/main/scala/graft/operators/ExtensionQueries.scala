@@ -270,6 +270,28 @@ object ExtensionQueries {
              |WHERE length(token) > 0
              |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
 
+    // Embedding centroid aggregation per label (the IVF-training
+    // primitive): per-dimension sums, floor-scaled to integers so float
+    // summation order cannot perturb the oracle compare.
+    Q("q47_label_centroids",
+      (s, dir) => {
+        val dims = 0 until 4
+        Tables.load(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            dims.map(j => sum(floor(col("embedding").getItem(j)
+              .cast("double") * 1000000).cast("long")).as(s"c$j")): _*)
+          .orderBy("label")
+      },
+      Some {
+        val sums = (0 until 4).map(j =>
+          s"  CAST(SUM(CAST(floor(CAST(embedding[${j + 1}] AS DOUBLE) " +
+            s"* 1000000) AS BIGINT)) AS BIGINT) AS c$j").mkString(",\n")
+        s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |$sums
+           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+      }),
+
     // MinHash signatures on the portable md5 hash — the full
     // shingle→minhash computation, hash-checked against DuckDB.
     Q("q36_minhash_md5",
@@ -573,6 +595,39 @@ object ExtensionQueries {
              |ASOF LEFT JOIN snapshots s
              |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
              |ORDER BY e.event_id""".stripMargin)),
+
+    // Multi-level aggregation: ROLLUP over (status, product bucket) with
+    // NULLS FIRST ordering aligned across engines.
+    Q("q45_rollup",
+      (s, dir) => Replay.orders(s, dir).filter(Replay.ordersWhen)
+        .withColumn("pbucket", (col("product_id") % 4).cast("int"))
+        .rollup(col("status"), col("pbucket"))
+        .agg(sum("quantity").as("total_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("status"), asc_nulls_first("pbucket")),
+      Some(ParityQueries.prelude +
+        """SELECT status, CAST(product_id % 4 AS INTEGER) AS pbucket,
+          |       CAST(SUM(quantity) AS BIGINT) AS total_qty,
+          |       CAST(COUNT(*) AS BIGINT) AS n_rows
+          |FROM orders_w
+          |GROUP BY ROLLUP (status, pbucket)
+          |ORDER BY status NULLS FIRST, pbucket NULLS FIRST""".stripMargin)),
+
+    // Pivot: per-product quantity totals spread over status columns
+    // (oracle as portable conditional aggregation).
+    Q("q46_pivot",
+      (s, dir) => Replay.orders(s, dir).filter(Replay.ordersWhen)
+        .groupBy("product_id")
+        .pivot("status", Seq("A", "N", "R"))
+        .agg(sum("quantity"))
+        .select(col("product_id"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy("product_id"),
+      Some(ParityQueries.prelude +
+        """SELECT product_id,
+          |  CAST(SUM(CASE WHEN status = 'A' THEN quantity END) AS BIGINT) AS qty_a,
+          |  CAST(SUM(CASE WHEN status = 'N' THEN quantity END) AS BIGINT) AS qty_n,
+          |  CAST(SUM(CASE WHEN status = 'R' THEN quantity END) AS BIGINT) AS qty_r
+          |FROM orders_w GROUP BY product_id ORDER BY product_id""".stripMargin)),
 
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
