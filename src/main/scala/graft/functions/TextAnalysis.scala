@@ -60,6 +60,26 @@ object TextAnalysis {
 
   val englishStopwords: Seq[String] = Seq("the", "and", "of", "to", "a")
 
+  /** Stopword profiles per language for the classify heuristic. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "es" -> Seq("el", "los", "las", "una", "y"))
+
+  /** Language classification: argmax of per-language stopword hits, tie
+    * broken by profile order (first profile wins ties); "und" (unknown)
+    * when no profile scores a hit. */
+  def classifyLang(text: Column): Column = {
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> stopwordHits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -86,6 +86,41 @@ object ExtensionQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Multi-language stopword classification: per-language hit counts +
+    // argmax with deterministic tie order (profile order, 'und' when no
+    // hits) — oracle built from the same profiles.
+    Q("q48_lang_classify",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(Seq(col("doc_id"), col("lang")) ++
+          TextAnalysis.stopwordProfiles.map { case (l, words) =>
+            TextAnalysis.stopwordHits(col("text"), words).as(s"hits_$l")
+          } :+ TextAnalysis.classifyLang(col("text")).as("predicted"): _*)
+        .orderBy("doc_id"),
+      Some {
+        def hitsSql(words: Seq[String]): String = words.map { w =>
+          val needle = s" $w "
+          s"CAST((length(' '||lower(text)||' ') - " +
+            s"length(replace(' '||lower(text)||' ', '$needle', ''))) " +
+            s"/ ${needle.length} AS INTEGER)"
+        }.mkString("(", " + ", ")")
+        val profiles = TextAnalysis.stopwordProfiles
+        val hitCols = profiles.map { case (l, ws) =>
+          s"  ${hitsSql(ws)} AS hits_$l"
+        }.mkString(",\n")
+        val best = profiles.map(p => s"hits_${p._1}").mkString("GREATEST(", ", ", ")")
+        val cases = profiles.map { case (l, _) =>
+          s"WHEN hits_$l > 0 AND hits_$l = $best THEN '$l'"
+        }.mkString(" ")
+        s"""WITH h AS (
+           |  SELECT doc_id, lang,
+           |$hitCols
+           |  FROM documents
+           |)
+           |SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+           |       CASE $cases ELSE 'und' END AS predicted
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
     Q("q25_events_hourly",
       (s, dir) => Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("event_hour"),

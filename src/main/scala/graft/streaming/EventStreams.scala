@@ -124,6 +124,29 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream–static enrichment: the streaming fact joins a static dim —
+    * planned as a broadcast join per micro-batch, no stream state. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key),
+      "left")
+
+  /** Streaming ingestion into the partitioned warehouse: each micro-batch
+    * lands via the idempotent partitioned-parquet sink (dynamic partition
+    * overwrite is per-batch append here — `foreachBatch` gives the batch
+    * writer full sink flexibility). Returns the started query. */
+  def ingestToWarehouse(events: DataFrame, path: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date",
+        org.apache.spark.sql.functions.to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("event_date").parquet(path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming frame to completion against a bounded source and
     * return the materialized result (memory sink; for tests/smoke). */
   def runToMemory(streaming: DataFrame, name: String,

@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach { s => assert(model.contains(s), s"session $s not in model") }
   }
 
+  test("stream-static enrichment joins every event to its dim row") {
+    val spark2 = spark
+    import spark2.implicits._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val dim = (0L to 200L).map(u => (u, s"user_$u")).toDF("user_id", "name")
+    val got = EventStreams.runToMemory(
+      EventStreams.enrich(stream, dim, "user_id"), "t_enrich",
+      outputMode = "append")
+    assert(got.count() == 1000)
+    assert(got.filter(org.apache.spark.sql.functions.col("name").isNull)
+      .count() == 0)
+  }
+
+  test("foreachBatch ingestion lands partitioned parquet in the warehouse") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString + "/events"
+    val q = EventStreams.ingestToWarehouse(stream, out)
+    q.awaitTermination(60000)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() == 1000)
+    // Hive-style partition dirs by event_date
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("event_date=")))
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val doubled = stream.union(stream)
