@@ -2,9 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
-import graft.sources.Tables
 
 /** The oracle-checked query surface: every SURVEY.md §2 operator replayed on
   * the driver's test tables, each paired with ANSI SQL the driver runs in
