@@ -222,6 +222,31 @@ object ParityQueries {
         "2026-01-01T00:00:00").orderBy("supplier_id"),
       None),
 
+    // Dashboard card: Net Demand by Product (metabase_setup_dag.py:261-265),
+    // on the persisted-table shape (constant calculation_date in replay);
+    // product_id added for deterministic ordering.
+    Q("q14_dash_net_demand_by_product",
+      (s, dir) =>
+        Procurement.Dashboard.netDemandByProduct(
+            ndReplay(s, dir)
+              .withColumn("calculation_date",
+                lit(java.sql.Date.valueOf("1996-12-31"))), keepId = true)
+          .orderBy(desc("net_demand"), asc("product_id")),
+      Some(prelude +
+        """SELECT product_id, product_name, net_demand
+          |FROM net_demand_q
+          |ORDER BY net_demand DESC, product_id""".stripMargin)),
+
+    // Dashboard card: Total Procurement Cost (metabase_setup_dag.py:306-309).
+    Q("q15_dash_total_cost",
+      (s, dir) =>
+        Procurement.Dashboard.totalProcurementCost(
+          ndReplay(s, dir).withColumn("calculation_date",
+            lit(java.sql.Date.valueOf("1996-12-31")))),
+      Some(prelude +
+        """SELECT CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_cost
+          |FROM net_demand_q""".stripMargin)),
+
     // Exploded image of the nested export documents — verifies the A6
     // collect_list(struct) construction + per-doc totals through the
     // oracle channel (the nested form itself is q10, rows-only).

@@ -341,11 +341,15 @@ object Procurement {
       atMax(aggregatedOrders, "order_date")
         .agg(sum("total_quantity").as("total_orders"))
 
-    /** Net Demand by Product (metabase_setup_dag.py:261-265). */
-    def netDemandByProduct(netDemandTable: DataFrame): DataFrame =
+    /** Net Demand by Product (metabase_setup_dag.py:261-265). `keepId`
+      * adds product_id for deterministic ordering (the card itself shows
+      * name+demand only). */
+    def netDemandByProduct(netDemandTable: DataFrame,
+                           keepId: Boolean = false): DataFrame =
       atMax(netDemandTable, "calculation_date")
         .filter(col("net_demand") > 0)
-        .select("product_name", "net_demand")
+        .select((if (keepId) Seq("product_id") else Nil) ++
+          Seq("product_name", "net_demand") map col: _*)
         .orderBy(desc("net_demand"))
 
     /** Supplier Order Volume (metabase_setup_dag.py:277-282). */
@@ -355,10 +359,12 @@ object Procurement {
         .agg(sum("net_demand").as("total_demand"))
         .orderBy(desc("total_demand"))
 
-    /** Total Procurement Cost (metabase_setup_dag.py:306-309). */
-    def totalProcurementCost(netDemandTable: DataFrame): DataFrame =
+    /** Total Procurement Cost (metabase_setup_dag.py:306-309). The
+      * reference casts to DECIMAL(12,2); default widened to (18,2) so the
+      * total cannot overflow at larger scale factors. */
+    def totalProcurementCost(netDemandTable: DataFrame,
+                             money: DecimalType = DecimalType(18, 2)): DataFrame =
       atMax(netDemandTable, "calculation_date")
-        .agg(sum("estimated_cost").cast(DecimalType(12, 2))
-          .as("total_cost"))
+        .agg(sum("estimated_cost").cast(money).as("total_cost"))
   }
 }

@@ -49,6 +49,20 @@ object Tables {
   def partitionedParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
 
+  /** S2 — JDBC source, the analogue of the reference's Postgres federation
+    * (docker/trino-conf/catalog/postgres.properties; ddl_postgres.sql). In
+    * one SparkSession the "federation" is just another DataFrame; this
+    * harness substitutes Parquet-backed master tables (no DB in the
+    * container), but the production edge is this reader. `partitionColumn`
+    * options (added by callers for big tables) parallelize the scan.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
   /** Headered CSV source, analogue of the reference's staging copies
     * (hdfs_upload_data_dag.py:122-151). Schema must be supplied by callers
     * for production use; inference is for tests only.
