@@ -107,6 +107,30 @@ object ParityQueries {
       Replay.ordersWhen, Replay.inventoryWhen,
       rankTieBreak = Seq(asc("supplier_id")), money = Money)
 
+  /** The reference's dataflow materializes net_demand once (INSERT INTO,
+    * net_demand_insert.sql:4) and every downstream consumer — the export
+    * stage (via XCom, procurement_dag.py:77) and all dashboard cards —
+    * reads the RESULT table, never recomputes the MRP plan. The replay
+    * mirrors that: export/dashboard queries consume this memoized
+    * (dim-sized, persisted) materialization; q03 itself remains the full
+    * from-facts computation.
+    */
+  private val ndTableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def ndTable(s: SparkSession, dir: String): DataFrame =
+    ndTableCache.getOrElseUpdate((s, dir),
+      ndReplay(s, dir)
+        .withColumn("calculation_date",
+          lit(java.sql.Date.valueOf("1996-12-31")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Same for the aggregated_orders table (aggregate_orders.sql:6). */
+  private def aggOrdersTable(s: SparkSession, dir: String): DataFrame =
+    ndTableCache.getOrElseUpdate((s, dir + "#agg"),
+      Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val parity: Seq[Q] = Seq(
     Q("q01_aggregate_orders",
       (s, dir) =>
@@ -176,8 +200,7 @@ object ParityQueries {
 
     Q("q07_dash_total_daily",
       (s, dir) =>
-        Procurement.Dashboard.totalDailyOrders(
-          Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen)),
+        Procurement.Dashboard.totalDailyOrders(aggOrdersTable(s, dir)),
       Some(prelude +
         """, ao AS (
           |  SELECT product_id,
@@ -190,9 +213,7 @@ object ParityQueries {
 
     Q("q08_dash_supplier_volume",
       (s, dir) =>
-        Procurement.Dashboard.supplierOrderVolume(
-            ndReplay(s, dir).withColumn("calculation_date",
-              lit(java.sql.Date.valueOf("1996-12-31"))))
+        Procurement.Dashboard.supplierOrderVolume(ndTable(s, dir))
           .orderBy(desc("total_demand"), asc("supplier_name")),
       Some(prelude +
         """SELECT supplier_name, CAST(SUM(net_demand) AS BIGINT) AS total_demand
@@ -200,7 +221,7 @@ object ParityQueries {
           |ORDER BY total_demand DESC, supplier_name""".stripMargin)),
 
     Q("q09_supplier_order_totals",
-      (s, dir) => ndReplay(s, dir)
+      (s, dir) => ndTable(s, dir)
         .groupBy("supplier_id", "supplier_name")
         .agg(count(lit(1)).as("item_count"),
           sum("estimated_cost").cast(Money).as("total_estimated_cost"))
@@ -216,7 +237,7 @@ object ParityQueries {
     // output is not hash-comparable through the DuckDB oracle channel —
     // registered rows-only; exact semantics are ScalaTest-verified.
     Q("q10_supplier_orders_nested",
-      (s, dir) => Procurement.supplierOrders(ndReplay(s, dir),
+      (s, dir) => Procurement.supplierOrders(ndTable(s, dir),
         java.time.LocalDate.parse("1996-12-31"),
         java.time.LocalDate.parse("1997-01-01"),
         "2026-01-01T00:00:00").orderBy("supplier_id"),
@@ -227,10 +248,8 @@ object ParityQueries {
     // product_id added for deterministic ordering.
     Q("q14_dash_net_demand_by_product",
       (s, dir) =>
-        Procurement.Dashboard.netDemandByProduct(
-            ndReplay(s, dir)
-              .withColumn("calculation_date",
-                lit(java.sql.Date.valueOf("1996-12-31"))), keepId = true)
+        Procurement.Dashboard.netDemandByProduct(ndTable(s, dir),
+            keepId = true)
           .orderBy(desc("net_demand"), asc("product_id")),
       Some(prelude +
         """SELECT product_id, product_name, net_demand
@@ -240,9 +259,7 @@ object ParityQueries {
     // Dashboard card: Total Procurement Cost (metabase_setup_dag.py:306-309).
     Q("q15_dash_total_cost",
       (s, dir) =>
-        Procurement.Dashboard.totalProcurementCost(
-          ndReplay(s, dir).withColumn("calculation_date",
-            lit(java.sql.Date.valueOf("1996-12-31")))),
+        Procurement.Dashboard.totalProcurementCost(ndTable(s, dir)),
       Some(prelude +
         """SELECT CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_cost
           |FROM net_demand_q""".stripMargin)),
@@ -251,7 +268,7 @@ object ParityQueries {
     // collect_list(struct) construction + per-doc totals through the
     // oracle channel (the nested form itself is q10, rows-only).
     Q("q13_export_items",
-      (s, dir) => Procurement.supplierOrders(ndReplay(s, dir),
+      (s, dir) => Procurement.supplierOrders(ndTable(s, dir),
           java.time.LocalDate.parse("1996-12-31"),
           java.time.LocalDate.parse("1997-01-01"), "2026-01-01T00:00:00")
         .select(col("supplier_id"), col("supplier_name"),
