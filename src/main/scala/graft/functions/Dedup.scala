@@ -204,6 +204,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_bp")
   }
 
+  /** Content-defined chunk fingerprints (Rabin-Karp rolling-hash
+    * boundaries + FNV chunk hashes, graft.plans.ContentChunkHashes):
+    * sub-document dedup primitive — shared paragraphs share fingerprints
+    * regardless of surrounding edits. */
+  def contentChunks(text: Column, window: Int = 16,
+                    maskBits: Int = 6): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.ContentChunkHashes(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text),
+        window, maskBits))
+
   /** SimHash via the native one-pass kernel (graft.plans.SimHash64): same
     * bits as simhash64's explode+groupBy plan, but map-side only — tokens
     * never shuffle. */

@@ -631,6 +631,17 @@ object ExtensionQueries {
              |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
              |ORDER BY e.event_id""".stripMargin)),
 
+    // Content-defined chunk fingerprints (rolling-hash boundaries):
+    // engine-specific kernel → rows-only; edit-locality is test-pinned.
+    Q("q49_chunk_fingerprints",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Dedup.contentChunks(col("text"))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          col("col").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx"),
+      None),
+
     // Multi-level aggregation: ROLLUP over (status, product bucket) with
     // NULLS FIRST ordering aligned across engines.
     Q("q45_rollup",

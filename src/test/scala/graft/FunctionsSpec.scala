@@ -119,6 +119,25 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("content-defined chunks: identical docs identical; shared suffix " +
+    "shares chunk fingerprints despite a different prefix") {
+    val y = (1 to 60).map(i => s"common$i word$i stays the same").mkString(" ")
+    val rows = Seq(
+      (1L, "aaa bbb ccc " + y),
+      (2L, "completely different lead-in text that changes offsets " + y),
+      (3L, "aaa bbb ccc " + y)
+    ).toDF("doc_id", "text")
+    val chunks = rows.select($"doc_id",
+        Dedup.contentChunks($"text").as("ch")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(chunks(1L) == chunks(3L)) // identical content
+    val shared = chunks(1L) intersect chunks(2L)
+    // content-defined boundaries realign after the edit: the shared tail
+    // must contribute common fingerprints even though byte offsets differ
+    assert(shared.nonEmpty, s"no shared chunks: ${chunks(1L).size} vs ${chunks(2L).size}")
+    assert(chunks(1L) != chunks(2L)) // the differing prefixes do differ
+  }
+
   test("native simhash kernel is bit-equal to the explode+groupBy plan") {
     val real = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
