@@ -49,6 +49,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch (approx_count_distinct) within 5% of exact on events") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("decimal estimated_cost is exact net_demand × unit_cost") {
     val costs = Gen.listOfN(200, Gen.chooseNum(1, 999999))
       .apply(Gen.Parameters.default, Seed(7L)).get
