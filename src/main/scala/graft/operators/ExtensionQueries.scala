@@ -658,6 +658,68 @@ object ExtensionQueries {
           |GROUP BY ROLLUP (status, pbucket)
           |ORDER BY status NULLS FIRST, pbucket NULLS FIRST""".stripMargin)),
 
+    // CUBE: all grouping-set combinations over (status, pbucket).
+    Q("q50_cube",
+      (s, dir) => Replay.orders(s, dir).filter(Replay.ordersWhen)
+        .withColumn("pbucket", (col("product_id") % 4).cast("int"))
+        .cube(col("status"), col("pbucket"))
+        .agg(sum("quantity").as("total_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("status"), asc_nulls_first("pbucket")),
+      Some(ParityQueries.prelude +
+        """SELECT status, CAST(product_id % 4 AS INTEGER) AS pbucket,
+          |       CAST(SUM(quantity) AS BIGINT) AS total_qty,
+          |       CAST(COUNT(*) AS BIGINT) AS n_rows
+          |FROM orders_w
+          |GROUP BY CUBE (status, pbucket)
+          |ORDER BY status NULLS FIRST, pbucket NULLS FIRST""".stripMargin)),
+
+    // Outlier detection with EXACT arithmetic: events values are 2dp →
+    // decimal sums/sum-of-squares are order-independent; a row is an
+    // outlier when (n·x − Σx)² > 9·(n·Σx² − (Σx)²)  ⇔  |x − μ| > 3σ,
+    // all in integer-exact decimal (no float variance).
+    Q("q51_value_outliers",
+      (s, dir) => {
+        val d = (p: Int, sc: Int) => DecimalType(p, sc)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            col("value").cast(d(12, 2)).as("v"))
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).cast(d(10, 0)).as("n10"),
+          sum(col("v")).cast(d(19, 2)).as("s"),
+          sum((col("v") * col("v")).cast(d(26, 4))).cast(d(28, 4)).as("ss"))
+        val joined = ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("diff",
+            (col("n10") * col("v") - col("s")).cast(d(19, 2)))
+          .withColumn("lhs", (col("diff") * col("diff")).cast(d(38, 4)))
+          .withColumn("variance",
+            ((col("n10") * col("ss")).cast(d(38, 4))
+              - (col("s") * col("s")).cast(d(38, 4))).cast(d(34, 4)))
+        joined.filter(col("lhs") > lit(9) * col("variance"))
+          .select("event_type", "event_id", "v")
+          .orderBy("event_type", "event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |         CAST(value AS DECIMAL(12,2)) AS v
+             |  FROM events
+             |), stats AS (
+             |  SELECT event_type,
+             |         CAST(COUNT(*) AS DECIMAL(10,0)) AS n10,
+             |         CAST(SUM(v) AS DECIMAL(19,2)) AS s,
+             |         CAST(SUM(CAST(v * v AS DECIMAL(26,4))) AS DECIMAL(28,4)) AS ss
+             |  FROM ev GROUP BY event_type
+             |), j AS (
+             |  SELECT e.event_type, e.event_id, e.v,
+             |         CAST(t.n10 * e.v - t.s AS DECIMAL(19,2)) AS diff,
+             |         CAST(t.n10 * t.ss AS DECIMAL(38,4))
+             |           - CAST(t.s * t.s AS DECIMAL(38,4)) AS variance_w
+             |  FROM ev e JOIN stats t ON e.event_type = t.event_type
+             |)
+             |SELECT event_type, event_id, v FROM j
+             |WHERE CAST(diff * diff AS DECIMAL(38,4))
+             |      > 9 * CAST(variance_w AS DECIMAL(34,4))
+             |ORDER BY event_type, event_id""".stripMargin)),
+
     // Pivot: per-product quantity totals spread over status columns
     // (oracle as portable conditional aggregation).
     Q("q46_pivot",
