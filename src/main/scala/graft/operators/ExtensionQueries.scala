@@ -56,10 +56,10 @@ object ExtensionQueries {
           TextAnalysis.isQuality(col("text")).as("is_quality"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  length(text) AS n_chars_m,
-             |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
-             |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
-             |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws_chars,
+             |  CAST(length(text) AS INTEGER) AS n_chars_m,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS alpha_chars,
+             |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS digit_chars,
+             |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS ws_chars,
              |  CAST(CASE WHEN length(text) = 0 THEN 0
              |       ELSE floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
              |                  * 10000.0 / length(text)) END AS BIGINT) AS alpha_bp,
@@ -129,7 +129,7 @@ object ExtensionQueries {
           sum(col("value").cast(Money)).cast(Money).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_hour", "event_type"),
-      Some("""SELECT date_trunc('hour', ts) AS event_hour, event_type,
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour, event_type,
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
