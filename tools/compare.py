@@ -81,6 +81,20 @@ def main():
                   f"duck={sorted(exp_cols)}")
             failures.append(name)
             continue
+        # strict type check, both sides through DuckDB's type vocabulary
+        got_types = dict(con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        ).fetchall() and [(r[0], r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()])
+        exp_types = dict((r[0], r[1]) for r in con.execute(
+            f"DESCRIBE {oracle[name]}").fetchall())
+        tdiff = {c: (got_types.get(c), exp_types.get(c))
+                 for c in got_types
+                 if got_types.get(c) != exp_types.get(c)}
+        if tdiff:
+            print(f"  {name}: TYPE MISMATCH {tdiff}")
+            failures.append(name)
+            continue
         gk, ek = table_key(got, got_cols), table_key(exp, exp_cols)
         if len(gk) != len(ek):
             print(f"  {name}: ROWCOUNT spark={len(gk)} duck={len(ek)}")
