@@ -124,6 +124,27 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream–stream interval self-join: pair each event with the same
+    * user's events in the trailing `windowSeconds` (exclusive of itself,
+    * ordered pairs). Watermarks on both sides bound the join state to the
+    * interval horizon — the state-store posture that survives unbounded
+    * streams. */
+  def recentPairs(events: DataFrame, windowSeconds: Long,
+                  watermark: String = "1 hour"): DataFrame = {
+    val a = events.select(col("user_id"),
+        col("event_id").as("id_a"), col("ts").as("ts_a"))
+      .withWatermark("ts_a", watermark)
+    val b = events.select(col("user_id").as("user_b"),
+        col("event_id").as("id_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", watermark)
+    a.join(b,
+      col("user_id") === col("user_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("ts_b") < col("ts_a"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        col("ts_a"), col("ts_b"))
+  }
+
   /** Stream–static enrichment: the streaming fact joins a static dim —
     * planned as a broadcast join per micro-batch, no stream state. */
   def enrich(events: DataFrame, dim: DataFrame,

@@ -33,6 +33,16 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("archive moves a directory via the Hadoop FS API (S11)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-arch").toString
+    spark.range(10).write.parquet(s"$tmp/src/day1")
+    assert(Sinks.archive(spark, s"$tmp/src/day1", s"$tmp/processed/day1"))
+    assert(!new java.io.File(s"$tmp/src/day1").exists())
+    assert(spark.read.parquet(s"$tmp/processed/day1").count() == 10)
+    // missing source → false, no throw (reference logs and continues)
+    assert(!Sinks.archive(spark, s"$tmp/src/nope", s"$tmp/processed/nope"))
+  }
+
   test("compact rewrites a fragmented directory into target-sized files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val dir = s"$tmp/frag"

@@ -100,6 +100,28 @@ class StreamingSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("event_date=")))
   }
 
+  test("stream-stream interval join matches the batch self-join") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val got = EventStreams.runToMemory(
+      EventStreams.recentPairs(stream, windowSeconds = 600), "t_pairs",
+      outputMode = "append")
+    val ev = graft.sources.Tables.events(spark, dir)
+    val a = ev.select(org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_id").as("id_a"),
+      org.apache.spark.sql.functions.col("ts").as("ts_a"))
+    val b = ev.select(org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_id").as("id_b"),
+      org.apache.spark.sql.functions.col("ts").as("ts_b"))
+    val batch = a.join(b, Seq("user_id"))
+      .filter(org.apache.spark.sql.functions.col("ts_b") >=
+        org.apache.spark.sql.functions.col("ts_a") -
+          org.apache.spark.sql.functions.expr("INTERVAL 600 SECONDS") &&
+        org.apache.spark.sql.functions.col("ts_b") <
+          org.apache.spark.sql.functions.col("ts_a"))
+    assert(got.count() == batch.count())
+    assert(got.count() > 0)
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val doubled = stream.union(stream)
