@@ -3,7 +3,6 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * n-gram, first 15 hex chars as a long), so the DuckDB oracles are
   * unchanged.
   */
-private[plans] object ShingleHashKernel {
+object ShingleHashKernel {
 
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -63,6 +62,12 @@ private[plans] object ShingleHashKernel {
     out
   }
 
+  /** Full text→signature kernel (codegen entry point). */
+  def minhashForText(text: String, n: Int, k: Int): Array[Long] = {
+    val hashes = shingleHashes(text, n)
+    if (hashes.isEmpty) Array.emptyLongArray else minhash(hashes, k)
+  }
+
   /** MinHash signature over the base hashes: element s = min over hashes
     * of (h xor s·2654435769). */
   def minhash(hashes: Array[Long], numHashes: Int): Array[Long] = {
@@ -84,30 +89,43 @@ private[plans] object ShingleHashKernel {
   }
 }
 
-/** array<long>: distinct md5-prefix hashes of the word n-gram shingles. */
+/** array<long>: distinct md5-prefix hashes of the word n-gram shingles.
+  * Codegen emits a static call into the kernel — the expression lives
+  * inside whole-stage codegen with no interpreted-eval boundary. */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(ShingleHashKernel.shingleHashes(
       input.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.ShingleHashKernel.shingleHashes($c.toString(), $n));
+       """.stripMargin)
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
 }
 
 /** array<long>: k-element MinHash signature of the n-gram shingle set;
-  * null-size docs (< n tokens) yield an empty signature array. */
+  * docs with fewer than n tokens yield an empty signature array. */
 case class ShingleMinHash(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_minhash"
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = ShingleHashKernel.shingleHashes(
-      input.asInstanceOf[UTF8String].toString, n)
-    if (hashes.isEmpty) new GenericArrayData(Array.emptyLongArray)
-    else new GenericArrayData(ShingleHashKernel.minhash(hashes, k))
-  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashKernel.minhashForText(
+      input.asInstanceOf[UTF8String].toString, n, k))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.ShingleHashKernel.minhashForText($c.toString(), $n, $k));
+       """.stripMargin)
   override protected def withNewChildInternal(c: Expression): ShingleMinHash =
     copy(child = c)
 }

@@ -1,24 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit SimHash of a document in one pass — same semantics as the
-  * composable Dedup.simhash64 (explode tokens → xxhash64(seed 42) → 64
-  * per-bit ±1 votes → sign), but with NO shuffle: the explode+groupBy
-  * formulation shuffles every token row; this computes the signature
-  * map-side per document, which is the only formulation that stands at
-  * 100 TB (tokens never leave the scan task).
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+/** One-pass SimHash kernel (see SimHash64 below). Public object so
+  * generated code can reach the static forwarder. */
+object SimHashKernel {
+  def simhash64(text: String): Long = {
     val tokens = text.trim.split("\\s+")
     val votes = new Array[Int](64)
     var i = 0
@@ -39,8 +28,31 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+}
+
+/** 64-bit SimHash of a document in one pass — same semantics as the
+  * composable Dedup.simhash64 (explode tokens → xxhash64(seed 42) → 64
+  * per-bit ±1 votes → sign), but with NO shuffle: the explode+groupBy
+  * formulation shuffles every token row; this computes the signature
+  * map-side per document, which is the only formulation that stands at
+  * 100 TB (tokens never leave the scan task). Codegen calls the kernel
+  * statically, staying inside whole-stage codegen.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHashKernel.simhash64(
+      input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHashKernel.simhash64($c.toString());")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
