@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,21 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Map-side only (one pass over the bytes per doc); chunk fingerprints
   * flow into an exact-dedup hash aggregation downstream.
   */
-case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
-    extends UnaryExpression with CodegenFallback {
+object RollingHashKernel {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "content_chunk_hashes"
-
-  private val mask: Long = (1L << maskBits) - 1
   private val Base = 257L
-  // Base^(window-1) for removing the outgoing byte
-  private val basePow: Long = {
-    var p = 1L
-    var i = 1
-    while (i < window) { p *= Base; i += 1 }
-    p
-  }
 
   /** FNV-1a over a byte range — the chunk fingerprint. */
   private def fnv(bytes: Array[Byte], from: Int, until: Int): Long = {
@@ -46,9 +33,12 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    if (bytes.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+  def chunkHashes(bytes: Array[Byte], window: Int, maskBits: Int): Array[Long] = {
+    if (bytes.isEmpty) return Array.emptyLongArray
+    val mask = (1L << maskBits) - 1
+    var basePow = 1L
+    var j = 1
+    while (j < window) { basePow *= Base; j += 1 }
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var chunkStart = 0
     var roll = 0L
@@ -66,8 +56,27 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
       i += 1
     }
     if (chunkStart < bytes.length) out += fnv(bytes, chunkStart, bytes.length)
-    new GenericArrayData(out.toArray)
+    out.toArray
   }
+}
+
+case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "content_chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(RollingHashKernel.chunkHashes(
+      input.asInstanceOf[UTF8String].getBytes, window, maskBits))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.RollingHashKernel.chunkHashes($c.getBytes(), $window, $maskBits));
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): ContentChunkHashes =
     copy(child = c)
