@@ -126,12 +126,17 @@ object ExtensionQueries {
         .groupBy(date_trunc("hour", col("ts")).as("event_hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(Money)).cast(Money).as("sum_value"),
+          // decimal-exact sum; DOUBLE only at the output boundary (the
+          // driver's pandas comparator str-normalizes cells, and decimal
+          // trailing zeros don't survive that channel — see ParityQueries)
+          sum(col("value").cast(Money)).cast(Money).cast("double")
+            .as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_hour", "event_type"),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour, event_type,
              |  CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             |       AS DOUBLE) AS sum_value,
              |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -247,11 +252,17 @@ object ExtensionQueries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Multimodal decode/feature-extract path (stubbed codec, real
-    // partition-batched plumbing) → rows-only.
+    // partition-batched plumbing) → rows-only. The float feature vector is
+    // serialized to a CSV string for the verify surface: the driver's
+    // pandas comparator sorts rows by every column and ndarray cells crash
+    // that sort (the typed Dataset[DecodedFeatures] API still returns the
+    // real array — see MultimodalSpec).
     Q("q32_media_features",
       (s, dir) => graft.functions.Multimodal.decodeFeatures(
         graft.functions.Multimodal.syntheticMedia(s, dir))
-        .toDF().orderBy("media_id"),
+        .toDF()
+        .withColumn("feature", array_join(col("feature"), ","))
+        .orderBy("media_id"),
       None),
 
     // Sessionization: gap>30min starts a new session; lag + running-sum
@@ -695,7 +706,8 @@ object ExtensionQueries {
             ((col("n10") * col("ss")).cast(d(38, 4))
               - (col("s") * col("s")).cast(d(38, 4))).cast(d(34, 4)))
         joined.filter(col("lhs") > lit(9) * col("variance"))
-          .select("event_type", "event_id", "v")
+          .select(col("event_type"), col("event_id"),
+            col("v").cast("double").as("v"))
           .orderBy("event_type", "event_id")
       },
       Some("""WITH ev AS (
@@ -715,7 +727,7 @@ object ExtensionQueries {
              |           - CAST(t.s * t.s AS DECIMAL(38,4)) AS variance_w
              |  FROM ev e JOIN stats t ON e.event_type = t.event_type
              |)
-             |SELECT event_type, event_id, v FROM j
+             |SELECT event_type, event_id, CAST(v AS DOUBLE) AS v FROM j
              |WHERE CAST(diff * diff AS DECIMAL(38,4))
              |      > 9 * CAST(variance_w AS DECIMAL(34,4))
              |ORDER BY event_type, event_id""".stripMargin)),

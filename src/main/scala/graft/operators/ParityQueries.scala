@@ -154,12 +154,23 @@ object ParityQueries {
         """SELECT product_id, available_qty, reserved_qty, safety_stock
           |FROM agg_inv ORDER BY product_id""".stripMargin)),
 
+    // Money columns cross the oracle channel as DOUBLE: the driver's
+    // comparator string-normalizes pandas cells, and Spark DECIMAL keeps
+    // trailing zeros ("3474180.50") while DuckDB decimals arrive as float64
+    // ("3474180.5") — decimal(≤2dp)→double is exact in both engines, so the
+    // cast loses nothing and the reprs agree. Internal math stays decimal.
     Q("q03_net_demand",
       (s, dir) => ndReplay(s, dir)
+        .withColumn("unit_cost", col("unit_cost").cast("double"))
+        .withColumn("estimated_cost", col("estimated_cost").cast("double"))
         .orderBy(asc("supplier_id"), asc("supplier_priority"),
           desc("net_demand"), asc("product_id")),
       Some(prelude +
-        """SELECT * FROM net_demand_q
+        """SELECT product_id, product_name, supplier_id, supplier_name,
+          |       net_demand, CAST(unit_cost AS DOUBLE) AS unit_cost,
+          |       CAST(estimated_cost AS DOUBLE) AS estimated_cost,
+          |       supplier_priority
+          |FROM net_demand_q
           |ORDER BY supplier_id, supplier_priority, net_demand DESC, product_id""".stripMargin)),
 
     Q("q04_ranked_suppliers",
@@ -167,9 +178,11 @@ object ParityQueries {
         Procurement.rankedSuppliers(Replay.productSuppliers(s, dir),
             Seq(asc("supplier_id")))
           .filter(col("supplier_rank") === 1).drop("supplier_rank")
+          .withColumn("unit_cost", col("unit_cost").cast("double"))
           .orderBy("product_id"),
       Some(prelude +
-        """SELECT product_id, supplier_id, unit_cost, priority
+        """SELECT product_id, supplier_id,
+          |       CAST(unit_cost AS DOUBLE) AS unit_cost, priority
           |FROM ranked WHERE supplier_rank = 1 ORDER BY product_id""".stripMargin)),
 
     Q("q05_missing_supplier",
@@ -224,24 +237,52 @@ object ParityQueries {
       (s, dir) => ndTable(s, dir)
         .groupBy("supplier_id", "supplier_name")
         .agg(count(lit(1)).as("item_count"),
-          sum("estimated_cost").cast(Money).as("total_estimated_cost"))
+          sum("estimated_cost").cast(Money).cast("double")
+            .as("total_estimated_cost"))
         .orderBy("supplier_id"),
       Some(prelude +
         """SELECT supplier_id, supplier_name,
           |       CAST(COUNT(*) AS BIGINT) AS item_count,
-          |       CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_estimated_cost
+          |       CAST(CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS DOUBLE)
+          |         AS total_estimated_cost
           |FROM net_demand_q GROUP BY supplier_id, supplier_name
           |ORDER BY supplier_id""".stripMargin)),
 
-    // Nested per-supplier purchase-order documents (A6/S6): array<struct>
-    // output is not hash-comparable through the DuckDB oracle channel —
-    // registered rows-only; exact semantics are ScalaTest-verified.
+    // Nested per-supplier purchase-order documents (A6/S6). The nested
+    // array<struct> itself is ScalaTest-verified; for the oracle channel
+    // (whose pandas comparator cannot sort ndarray cells) the items array is
+    // serialized to a canonical '|'-joined string — product_id-sorted, money
+    // rendered at fixed scale-2 — which DuckDB reproduces with string_agg.
     Q("q10_supplier_orders_nested",
       (s, dir) => Procurement.supplierOrders(ndTable(s, dir),
-        java.time.LocalDate.parse("1996-12-31"),
-        java.time.LocalDate.parse("1997-01-01"),
-        "2026-01-01T00:00:00").orderBy("supplier_id"),
-      None),
+          java.time.LocalDate.parse("1996-12-31"),
+          java.time.LocalDate.parse("1997-01-01"),
+          "2026-01-01T00:00:00")
+        .withColumn("items", array_join(
+          transform(col("items"), x => concat_ws(":",
+            x.getField("product_id"), x.getField("product_name"),
+            x.getField("quantity"),
+            x.getField("unit_cost").cast(Money).cast("string"),
+            x.getField("total_cost").cast(Money).cast("string"))), "|"))
+        .withColumn("total_estimated_cost",
+          col("total_estimated_cost").cast(Money).cast("double"))
+        .orderBy("supplier_id"),
+      Some(prelude +
+        """SELECT supplier_id, supplier_name,
+          |       '1997-01-01' AS order_date, '1996-12-31' AS data_date,
+          |       '2026-01-01T00:00:00' AS generated_at,
+          |       string_agg(
+          |         product_id || ':' || product_name || ':' ||
+          |         CAST(net_demand AS INTEGER) || ':' ||
+          |         CAST(CAST(round(unit_cost, 2) AS DECIMAL(18,2)) AS VARCHAR)
+          |         || ':' ||
+          |         CAST(CAST(round(estimated_cost, 2) AS DECIMAL(18,2)) AS VARCHAR),
+          |         '|' ORDER BY product_id) AS items,
+          |       CAST(CAST(round(SUM(estimated_cost), 2) AS DECIMAL(18,2))
+          |            AS DOUBLE) AS total_estimated_cost
+          |FROM net_demand_q
+          |GROUP BY supplier_id, supplier_name
+          |ORDER BY supplier_id""".stripMargin)),
 
     // Dashboard card: Net Demand by Product (metabase_setup_dag.py:261-265),
     // on the persisted-table shape (constant calculation_date in replay);
@@ -259,9 +300,11 @@ object ParityQueries {
     // Dashboard card: Total Procurement Cost (metabase_setup_dag.py:306-309).
     Q("q15_dash_total_cost",
       (s, dir) =>
-        Procurement.Dashboard.totalProcurementCost(ndTable(s, dir)),
+        Procurement.Dashboard.totalProcurementCost(ndTable(s, dir))
+          .withColumn("total_cost", col("total_cost").cast("double")),
       Some(prelude +
-        """SELECT CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_cost
+        """SELECT CAST(CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS DOUBLE)
+          |  AS total_cost
           |FROM net_demand_q""".stripMargin)),
 
     // Exploded image of the nested export documents — verifies the A6
@@ -272,28 +315,31 @@ object ParityQueries {
           java.time.LocalDate.parse("1996-12-31"),
           java.time.LocalDate.parse("1997-01-01"), "2026-01-01T00:00:00")
         .select(col("supplier_id"), col("supplier_name"),
-          col("total_estimated_cost").cast(Money).as("total_estimated_cost"),
+          col("total_estimated_cost").cast(Money).cast("double")
+            .as("total_estimated_cost"),
           explode(col("items")).as("item"))
         .select(col("supplier_id"), col("supplier_name"),
           col("total_estimated_cost"),
           col("item.product_id").as("product_id"),
           col("item.product_name").as("product_name"),
           col("item.quantity").as("quantity"),
-          col("item.unit_cost").cast(Money).as("unit_cost"),
-          col("item.total_cost").cast(Money).as("total_cost"))
+          col("item.unit_cost").cast(Money).cast("double").as("unit_cost"),
+          col("item.total_cost").cast(Money).cast("double").as("total_cost"))
         .orderBy("supplier_id", "product_id"),
       Some(prelude +
         """, totals AS (
           |  SELECT supplier_id,
-          |         CAST(round(SUM(estimated_cost), 2) AS DECIMAL(18,2))
-          |           AS total_estimated_cost
+          |         CAST(CAST(round(SUM(estimated_cost), 2) AS DECIMAL(18,2))
+          |              AS DOUBLE) AS total_estimated_cost
           |  FROM net_demand_q GROUP BY supplier_id
           |)
           |SELECT n.supplier_id, n.supplier_name, t.total_estimated_cost,
           |       n.product_id, n.product_name,
           |       CAST(n.net_demand AS INTEGER) AS quantity,
-          |       CAST(round(n.unit_cost, 2) AS DECIMAL(18,2)) AS unit_cost,
-          |       CAST(round(n.estimated_cost, 2) AS DECIMAL(18,2)) AS total_cost
+          |       CAST(CAST(round(n.unit_cost, 2) AS DECIMAL(18,2)) AS DOUBLE)
+          |         AS unit_cost,
+          |       CAST(CAST(round(n.estimated_cost, 2) AS DECIMAL(18,2))
+          |            AS DOUBLE) AS total_cost
           |FROM net_demand_q n
           |JOIN totals t ON n.supplier_id = t.supplier_id
           |ORDER BY n.supplier_id, n.product_id""".stripMargin)),
