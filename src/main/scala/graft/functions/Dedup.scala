@@ -160,6 +160,27 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash on the PORTABLE md5 hash family (60 bits — the md5Hash64
+    * range): per bit, majority vote over all token occurrences. Same
+    * explode+aggregate shape as simhash64, but reproducible in any engine
+    * with md5 — the cross-engine-checkable twin of the xxhash64 kernel. */
+  def simhash60Md5(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", md5Hash64(col("tok")))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
   /** Near-duplicate pipeline on the PORTABLE md5 hash family via the fused
     * kernels — same shingle→minhash→band→bucket-join→Jaccard-verify shape
     * as nearDuplicates, but every step reproducible in any engine with

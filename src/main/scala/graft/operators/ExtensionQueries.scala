@@ -541,16 +541,74 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // IVF-partitioned ANN: nearest-centroid cell assignment (map-side vs
-    // broadcast centroids) + within-cell exact top-k. Cell ranking uses
-    // engine-float ties → rows-only; recall vs brute force is
-    // ScalaTest-pinned.
+    // broadcast centroids) + within-cell exact top-k. The double cosine
+    // math is bit-identical across engines (q27/q28 prove it) and the
+    // assignment tie-breaks on centroid_id, so the full pipeline —
+    // assignment included — is reproduced in the DuckDB oracle.
     Q("q42_ivf_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           cells = 8, k = 10).orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+             |), scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored WHERE rk = 1
+             |), q AS (
+             |  SELECT cell, vec_id AS query_id, v AS qv FROM asg
+             |  WHERE vec_id < 5
+             |), sims AS (
+             |  SELECT q.query_id, a.vec_id,
+             |         round(list_dot_product(q.qv, a.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(a.v, a.v))), 6) AS sim,
+             |         a.cell
+             |  FROM asg a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, vec_id, sim, cell,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM sims
+             |)
+             |SELECT query_id, vec_id, sim, rank, cell FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // SimHash on the portable md5 family (60-bit): the cross-engine-
+    // checkable twin of q30's native xxhash64 kernel — per-bit majority
+    // vote over token hashes, reproduced bit-for-bit in the oracle.
+    Q("q52_simhash_md5",
+      (s, dir) => Dedup.simhash60Md5(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), th AS (
+             |  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h
+             |  FROM tok WHERE length(tok) > 0
+             |), bits AS (
+             |  SELECT doc_id, t.b,
+             |         SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM th CROSS JOIN generate_series(0, 59) t(b)
+             |  GROUP BY doc_id, t.b
+             |)
+             |SELECT doc_id,
+             |       CAST(SUM(CASE WHEN s > 0
+             |                     THEN (CAST(1 AS BIGINT) << b)
+             |                     ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // The FULL near-dup pipeline on the portable md5 hash family —
     // shingle → minhash → band → bucket-join → exact-Jaccard verify,

@@ -138,6 +138,16 @@ class DedupSpec extends AnyFunSuite {
     assert(chunks(1L) != chunks(2L)) // the differing prefixes do differ
   }
 
+  test("portable md5 simhash: identical docs equal, near-dups closer, " +
+    "60-bit range") {
+    val sh = Dedup.simhash60Md5(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("native simhash kernel is bit-equal to the explode+groupBy plan") {
     val real = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
