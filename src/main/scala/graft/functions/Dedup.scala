@@ -67,6 +67,14 @@ object Dedup {
       graft.plans.ShingleMinHash(
         org.apache.spark.sql.graftops.ColumnBridge.expression(text), n, k))
 
+  /** |a ∩ b| of two ascending-sorted long arrays (shingleHashesFast output
+    * is sorted) — codegen'd merge scan, no per-pair hash set. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.SortedIntersectCount(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(b)))
+
   /** MinHash signature: element j = min over shingles of
     * xxhash64(seed_j, shingle). Deterministic across runs/engines that
     * share xxhash64. */
@@ -216,7 +224,7 @@ object Dedup {
     candidates
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("ninter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("ninter", sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard_bp",
         floor(col("ninter") * lit(10000.0)
           / (size(col("hs_a")) + size(col("hs_b")) - col("ninter")))

@@ -384,22 +384,26 @@ object ExtensionQueries {
       (s, dir) => {
         // intersect primitive long-hash arrays (fused kernel): the 60-bit
         // md5 prefix is collision-free at corpus scale and an order faster
-        // per pair than UTF8 set-intersection.
+        // per pair than UTF8 set-intersection. Both join sides are the SAME
+        // projection (self-join via alias, not two renamed branches) so the
+        // shuffle on (lang, bucket) is planned once and ReusedExchange
+        // feeds the probe side — shingles are computed once per doc, not
+        // twice. Intersection is a codegen'd merge scan over the sorted
+        // hash arrays.
         val sh = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             (col("n_chars") % 50).as("bucket"),
             Dedup.shingleHashesFast(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
-        val a = sh.select(col("lang"), col("bucket"),
-          col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sh.select(col("lang"), col("bucket"),
-          col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("lang", "bucket"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("ninter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
+            col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            Dedup.sortedIntersectCount(col("a.sh"), col("b.sh")).as("ninter"),
+            (size(col("a.sh")) + size(col("b.sh"))).as("ntot"))
           .withColumn("jaccard_bp",
-            floor(col("ninter") * lit(10000.0)
-              / (size(col("sh_a")) + size(col("sh_b")) - col("ninter")))
+            floor(col("ninter") * lit(10000.0) / (col("ntot") - col("ninter")))
               .cast("long"))
           .select("id_a", "id_b", "jaccard_bp")
           .orderBy("id_a", "id_b")

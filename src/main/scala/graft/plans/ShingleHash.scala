@@ -59,7 +59,30 @@ object ShingleHashKernel {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    // Sorted output: set semantics are unchanged (downstream consumers use
+    // counts/minima), and sortedness lets pair-verification intersect two
+    // docs with one O(n+m) merge scan instead of a per-pair hash set.
+    java.util.Arrays.sort(out)
     out
+  }
+
+  /** |a ∩ b| of two ascending-sorted long arrays via a single merge scan. */
+  def sortedIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
   }
 
   /** Full text→signature kernel (codegen entry point). */
@@ -108,6 +131,28 @@ case class ShingleHashes(child: Expression, n: Int)
        """.stripMargin)
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
+}
+
+/** int: |a ∩ b| of two ascending-sorted array<long> columns (as produced
+  * by ShingleHashes) — one merge scan per pair, no per-pair hash set. The
+  * workhorse of pair-verification joins, where array_intersect's
+  * build-a-set-per-call cost dominates. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleHashKernel.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.ShingleHashKernel.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
 }
 
 /** array<long>: k-element MinHash signature of the n-gram shingle set;
