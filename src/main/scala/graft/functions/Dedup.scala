@@ -189,6 +189,13 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /** simhash60Md5 via the fused one-pass kernel (graft.plans.SimHash60Md5):
+    * same bits, map-side only — tokens never shuffle. */
+  def simhash60Md5Fast(text: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.SimHash60Md5(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
+
   /** Near-duplicate pipeline on the PORTABLE md5 hash family via the fused
     * kernels — same shingle→minhash→band→bucket-join→Jaccard-verify shape
     * as nearDuplicates, but every step reproducible in any engine with

@@ -592,8 +592,12 @@ object ExtensionQueries {
     // checkable twin of q30's native xxhash64 kernel — per-bit majority
     // vote over token hashes, reproduced bit-for-bit in the oracle.
     Q("q52_simhash_md5",
-      (s, dir) => Dedup.simhash60Md5(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => Tables.load(s, dir, "documents")
+        // same row-dropping rule as the explode+groupBy formulation (and
+        // the oracle): docs with zero tokens produce no signature
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          Dedup.simhash60Md5Fast(col("text")).as("simhash"))
         .orderBy("doc_id"),
       Some("""WITH tok AS (
              |  SELECT doc_id,

@@ -158,6 +158,19 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFast == viaAgg)
   }
+
+  test("fused md5 simhash kernel is bit-equal to the explode+groupBy plan") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val viaAgg = Dedup.simhash60Md5(real, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFast = real
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id", Dedup.simhash60Md5Fast($"text").as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast == viaAgg)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
