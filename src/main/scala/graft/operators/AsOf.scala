@@ -65,4 +65,51 @@ object AsOf {
             .map(c => col(s"__l_$c").as(c)) ++
           valueCols.map(c => col(s"__v_$c").as(c)): _*)
   }
+
+  /** The same as-of semantics through the dedicated physical operator
+    * (graft.plans.AsOfJoinExec — preference (c) of the custom-operator
+    * ladder): each side sorts once at its own width and a single forward
+    * merge streams the match, instead of union-padding both inputs to the
+    * combined width and window-scanning |L|+|R| rows. Output columns:
+    * left columns (in order), then `valueCols` (nulls where no snapshot
+    * precedes the event).
+    *
+    * The planner strategy is attached idempotently to the session's
+    * experimental strategies, so this works on any SparkSession — no
+    * session-build-time extension wiring required.
+    */
+  def asofJoinExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftops.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+    val lPlan = ColumnBridge.analyzed(left)
+    // Re-alias every right column: both sides may derive from the same
+    // source (events → snapshots-of-events), and a binary node must not
+    // carry duplicate attribute ids across children.
+    val rAnalyzed = ColumnBridge.analyzed(right)
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut = rAliases.map(_.toAttribute)
+
+    def pick(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+             name: String) =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+
+    val node = graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      leftKeys = keys.map(pick(lPlan.output, _)),
+      rightKeys = keys.map(pick(rOut, _)),
+      leftTime = pick(lPlan.output, leftTime),
+      rightTime = pick(rOut, rightTime),
+      rightValues = valueCols.map(pick(rOut, _)))
+    ColumnBridge.ofRows(spark, node)
+  }
 }

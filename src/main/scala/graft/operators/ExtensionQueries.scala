@@ -679,7 +679,9 @@ object ExtensionQueries {
 
     // As-of join (point-in-time): each event picks up its user's latest
     // daily snapshot at-or-before the event — oracle is DuckDB's native
-    // ASOF JOIN; ours is the union + last_value-window composition.
+    // ASOF JOIN; ours is the dedicated physical operator (AsOfJoinExec:
+    // per-side sort + streaming merge; the union+window composition is the
+    // cross-checked reference formulation, AsOfSpec).
     Q("q43_asof_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
@@ -687,7 +689,7 @@ object ExtensionQueries {
           .groupBy(col("user_id"),
             date_trunc("day", col("ts")).as("snap_ts"))
           .agg(count(lit(1)).as("snap_events"))
-        AsOf.asofJoin(
+        AsOf.asofJoinExec(
           ev.select("event_id", "user_id", "ts"),
           snapshots, keys = Seq("user_id"),
           leftTime = "ts", rightTime = "snap_ts",

@@ -45,4 +45,42 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.columns.toSet ==
       Set("user_id", "ts", "event_id", "balance"))
   }
+
+  test("physical as-of exec: same semantics as the composition on the " +
+    "synthetic fixture") {
+    val out = AsOf.asofJoinExec(events, snapshots, Seq("user_id"),
+        "ts", "snap_ts", Seq("balance"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Integer]("balance")).map(_.intValue)).toMap
+    assert(out == Map(
+      100L -> Some(10), 101L -> Some(20), 102L -> Some(20),
+      103L -> None, 104L -> None))
+  }
+
+  test("physical as-of exec matches the composition row-for-row on real " +
+    "events data, and plans the dedicated operator") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"ts")
+    val snaps = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.date_trunc("day", $"ts").as("snap_ts"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("snap_events"))
+
+    val viaExec = AsOf.asofJoinExec(ev, snaps, Seq("user_id"),
+      "ts", "snap_ts", Seq("snap_ts", "snap_events"))
+    assert(viaExec.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"user_id",
+        $"snap_ts".cast("long").as("st"), $"snap_events")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val a = norm(viaExec)
+    val b = norm(AsOf.asofJoin(ev, snaps, Seq("user_id"),
+      "ts", "snap_ts", Seq("snap_ts", "snap_events")))
+    assert(a.length == b.length)
+    assert(a.sameElements(b))
+  }
 }
