@@ -33,6 +33,48 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed replay facts: the net-demand pre-aggregation join runs " +
+    "with ZERO exchanges (shuffle paid once at write time)") {
+    import graft.operators.{Procurement, Replay}
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_replay")
+    val dir = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(Replay.orders(spark, dir),
+      "graft_replay.orders_b", Seq("product_id"), 8, Seq("product_id"))
+    Sinks.writeBucketed(Replay.inventory(spark, dir),
+      "graft_replay.inventory_b", Seq("product_id"), 8, Seq("product_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // both fact-side aggregations group on the bucket key, so the
+      // bucketed scan's HashPartitioning(product_id) satisfies every
+      // downstream distribution — aggregation AND join shuffle-free
+      val joined = Procurement.dailyOrders(
+          spark.table("graft_replay.orders_b"), Replay.ordersWhen)
+        .join(Procurement.aggregatedInventory(
+          spark.table("graft_replay.inventory_b"), Replay.inventoryWhen),
+          Seq("product_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(joined.count() > 0)
+      // cross-check values against the unbucketed path
+      val viaBucket = joined.select("product_id", "total_ordered",
+        "available_qty").collect().map(_.toSeq).sortBy(_.toString)
+      val direct = Procurement.dailyOrders(
+          Replay.orders(spark, dir), Replay.ordersWhen)
+        .join(Procurement.aggregatedInventory(
+          Replay.inventory(spark, dir), Replay.inventoryWhen),
+          Seq("product_id"))
+        .select("product_id", "total_ordered", "available_qty")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(viaBucket.sameElements(direct))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE graft_replay.orders_b")
+      spark.sql("DROP TABLE graft_replay.inventory_b")
+      spark.sql("DROP DATABASE graft_replay")
+    }
+  }
+
   test("archive moves a directory via the Hadoop FS API (S11)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-arch").toString
     spark.range(10).write.parquet(s"$tmp/src/day1")

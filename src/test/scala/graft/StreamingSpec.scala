@@ -129,4 +129,23 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.dedupEvents(doubled), "t_dedup", outputMode = "append")
     assert(got.count() == 1000)
   }
+
+  test("round-trip: streaming ingestion feeds the batch query surface " +
+    "with identical aggregates") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft-roundtrip").toString + "/events"
+    EventStreams.ingestToWarehouse(stream, warehouse).awaitTermination(60000)
+
+    def hourly(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val viaWarehouse = hourly(spark.read.parquet(warehouse))
+    val direct = hourly(graft.sources.Tables.events(spark, dir))
+    assert(viaWarehouse == direct)
+  }
 }
