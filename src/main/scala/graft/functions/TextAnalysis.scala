@@ -80,6 +80,33 @@ object TextAnalysis {
     }
   }
 
+  /** Fused hit counting (graft.plans.StopwordProfileHits): one lowercase +
+    * indexOf scan pass per row instead of a regex pass per stopword —
+    * counts bit-equal to the replace-diff formulation above. Returns
+    * array<int> aligned with `profiles`. */
+  def profileHitsFast(text: Column,
+                      profiles: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.StopwordProfileHits(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text),
+        profiles))
+
+  def stopwordHitsFast(text: Column, stopwords: Seq[String]): Column =
+    profileHitsFast(text, Seq(stopwords)).getItem(0)
+
+  /** classifyLang over the fused kernel: the hit array is one shared
+    * subexpression; the argmax and every hit column read its slots. */
+  def classifyLangFast(text: Column): Column = {
+    val arr = profileHitsFast(text, stopwordProfiles.map(_._2))
+    val scores = stopwordProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> arr.getItem(i)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -72,7 +72,7 @@ object ExtensionQueries {
     Q("q24_lang_stopwords",
       (s, dir) => Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          TextAnalysis.stopwordHits(col("text"),
+          TextAnalysis.stopwordHitsFast(col("text"),
             TextAnalysis.englishStopwords).as("en_hits"))
         .withColumn("looks_english", col("en_hits") >= 3)
         .orderBy("doc_id"),
@@ -92,9 +92,11 @@ object ExtensionQueries {
     Q("q48_lang_classify",
       (s, dir) => Tables.load(s, dir, "documents")
         .select(Seq(col("doc_id"), col("lang")) ++
-          TextAnalysis.stopwordProfiles.map { case (l, words) =>
-            TextAnalysis.stopwordHits(col("text"), words).as(s"hits_$l")
-          } :+ TextAnalysis.classifyLang(col("text")).as("predicted"): _*)
+          TextAnalysis.stopwordProfiles.zipWithIndex.map { case ((l, _), i) =>
+            TextAnalysis.profileHitsFast(col("text"),
+              TextAnalysis.stopwordProfiles.map(_._2)).getItem(i)
+              .as(s"hits_$l")
+          } :+ TextAnalysis.classifyLangFast(col("text")).as("predicted"): _*)
         .orderBy("doc_id"),
       Some {
         def hitsSql(words: Seq[String]): String = words.map { w =>

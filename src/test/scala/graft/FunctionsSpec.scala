@@ -36,6 +36,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.fingerprint($"text"), "abc")
       == "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("fused stopword kernel matches the replace-diff formulation on " +
+    "real documents (all profiles + classify)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val profiles = TextAnalysis.stopwordProfiles
+    val slow = docs.select(Seq($"doc_id") ++
+        profiles.map { case (l, ws) =>
+          TextAnalysis.stopwordHits($"text", ws).as(s"h_$l") } :+
+        TextAnalysis.classifyLang($"text").as("pred"): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fast = docs.select(Seq($"doc_id") ++
+        profiles.zipWithIndex.map { case ((l, _), i) =>
+          TextAnalysis.profileHitsFast($"text", profiles.map(_._2))
+            .getItem(i).as(s"h_$l") } :+
+        TextAnalysis.classifyLangFast($"text").as("pred"): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fast == slow)
+    // adjacent-token edge: " a a " counts once under replace-diff
+    assert(one(TextAnalysis.stopwordHitsFast($"text", Seq("a")), "a a") ==
+      one(TextAnalysis.stopwordHits($"text", Seq("a")), "a a"))
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
