@@ -99,6 +99,11 @@ object Replay {
           col("l_suppkey").as("supplier_id"))
         .agg(min(col("l_extendedprice").cast(Money)).as("unit_cost"))
         .withColumn("priority", (col("supplier_id") % 5).cast(IntegerType) + 1)
+        // materialize the dim clustered on its join/window key: the ranking
+        // window (partitionBy product_id) and any co-located consumer then
+        // plan with NO exchange — one extra dim-sized shuffle at build
+        // time, saved on every query over the memoized table
+        .repartition(col("product_id"))
     }
 
   /** The replay's "daily" windows (P2): orders drawn from 1996, inventory
