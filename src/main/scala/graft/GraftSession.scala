@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    // whole-operator plans (AsOf.asofJoinExec also attaches this lazily
+    // via experimental strategies for sessions built without extensions)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
