@@ -4,7 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.CosineSimilarity
+import graft.plans.{ContentChunkHashes, CosineSimilarity, ShingleHashes,
+  ShingleMinHash, SimHash60Md5, SimHash64, SortedIntersectCount,
+  StopwordProfileHits}
 
 /** User-facing session plumbing: recommended configs for the engine and
   * registration of graft's native expressions for SQL callers.
@@ -25,15 +27,68 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .withExtensions(new GraftExtensions)
 
+  /** Literal-int argument of a SQL call (n-gram size, hash count, …). */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case l if l.foldable =>
+      l.eval() match {
+        case i: Int => i
+        case i: java.lang.Integer => i.intValue
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal")
+  }
+
+  /** Literal string-array argument (stopword lists). */
+  private def litStrings(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array literal, got $other")
+    }
+  }
+
+  /** The full native-expression surface for SQL callers — every graft
+    * kernel, so a SQL-only user (the reference's native habitat is Trino
+    * SQL) can reach the same operators as the DataFrame API. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      ((e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    "shingle_hashes" ->
+      ((e: Seq[Expression]) => ShingleHashes(e(0), litInt(e(1), "n"))),
+    "shingle_minhash" ->
+      ((e: Seq[Expression]) =>
+        ShingleMinHash(e(0), litInt(e(1), "n"), litInt(e(2), "k"))),
+    "simhash64" -> ((e: Seq[Expression]) => SimHash64(e(0))),
+    "simhash60_md5" -> ((e: Seq[Expression]) => SimHash60Md5(e(0))),
+    "sorted_intersect_count" ->
+      ((e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    "content_chunks" ->
+      ((e: Seq[Expression]) =>
+        if (e.length == 1) ContentChunkHashes(e(0), 16, 6)
+        else ContentChunkHashes(e(0), litInt(e(1), "window"),
+          litInt(e(2), "maskBits"))),
+    "stopword_hits" ->
+      ((e: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          StopwordProfileHits(e(0), Seq(litStrings(e(1), "stopwords"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(0))))
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, name)
+
   /** Register graft's native SQL functions on an existing session (for
     * sessions created elsewhere, e.g. the driver's Verify/Bench). */
-  def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName,
-        "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
 }
 
 /** spark.sql.extensions entry point: injects graft's native functions at
@@ -42,11 +97,11 @@ object GraftSession {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName,
-        "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    GraftSession.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        builder))
+    }
     // whole-operator plans (AsOf.asofJoinExec also attaches this lazily
     // via experimental strategies for sessions built without extensions)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * GraftSession.registerFunctions / GraftExtensions. */
 class SqlFunctionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   test("cosine_similarity callable from SQL; codegen and eval agree") {
     GraftSession.registerFunctions(spark)
@@ -26,5 +27,35 @@ class SqlFunctionSpec extends AnyFunSuite {
       "SELECT cosine_similarity(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))")
       .collect().head
     assert(r.isNullAt(0))
+  }
+
+  test("every native kernel is callable from SQL and agrees with the " +
+    "DataFrame API") {
+    import org.apache.spark.sql.functions._
+    GraftSession.registerFunctions(spark)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val r = spark.sql(
+      s"""SELECT shingle_hashes('$text', 3) AS sh,
+         |       shingle_minhash('$text', 3, 4) AS mh,
+         |       simhash64('$text') AS s64,
+         |       simhash60_md5('$text') AS s60,
+         |       sorted_intersect_count(array(1L, 3L, 7L),
+         |                              array(3L, 5L, 7L, 9L)) AS ic,
+         |       size(content_chunks('$text')) AS nchunks,
+         |       stopword_hits('$text', array('the', 'over')) AS hits
+         |""".stripMargin).collect().head
+    val viaDf = Seq(text).toDF("t").select(
+      graft.functions.Dedup.shingleHashesFast(col("t"), 3).as("sh"),
+      graft.functions.Dedup.minhashSignatureFast(col("t"), 3, 4).as("mh"),
+      graft.functions.Dedup.simhash64Fast(col("t")).as("s64"),
+      graft.functions.Dedup.simhash60Md5Fast(col("t")).as("s60"))
+      .collect().head
+    assert(r.getSeq[Long](0) == viaDf.getSeq[Long](0))
+    assert(r.getSeq[Long](1) == viaDf.getSeq[Long](1))
+    assert(r.getLong(2) == viaDf.getLong(2))
+    assert(r.getLong(3) == viaDf.getLong(3))
+    assert(r.getInt(4) == 2) // {3, 7}
+    assert(r.getInt(5) >= 1)
+    assert(r.getInt(6) == 3) // "the" twice + "over" once
   }
 }
