@@ -130,6 +130,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 1000)
   }
 
+  test("stateful sessionization on the RocksDB state store matches the " +
+    "default provider (the disk-backed store that holds state at scale)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def sessions(label: String): Map[Long, Long] = {
+      val stream = EventStreams.readEvents(spark, streamDir)
+      EventStreams.runToMemory(
+        EventStreams.sessionize(stream).toDF(), s"t_store_$label",
+        outputMode = "append")
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val default = sessions("hdfs")
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = sessions("rocksdb")
+      assert(rocks == default)
+      assert(rocks.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
