@@ -35,9 +35,22 @@ object Explain {
       println(s"========== $n ==========")
       if (run) {
         val t0 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        val t1 = System.nanoTime()
         val rows = df.queryExecution.toRdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[$n] rows=$rows sec=$sec%.3f (final adaptive plan below)")
+        val t2 = System.nanoTime()
+        println(f"[$n] rows=$rows plan=${(t1 - t0) / 1e9}%.3f " +
+          f"exec=${(t2 - t1) / 1e9}%.3f (final adaptive plan below)")
+        // a second fresh build shows steady-state planning cost (first
+        // build pays rule-executor warmup)
+        val t3 = System.nanoTime()
+        val df2 = SparkEntry.queries(n)(spark, sfDir)
+        df2.queryExecution.executedPlan
+        val t4 = System.nanoTime()
+        df2.queryExecution.toRdd.count()
+        val t5 = System.nanoTime()
+        println(f"[$n] warm: plan=${(t4 - t3) / 1e9}%.3f " +
+          f"exec=${(t5 - t4) / 1e9}%.3f")
       }
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

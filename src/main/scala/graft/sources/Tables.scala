@@ -17,9 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Relation memo: `spark.read.parquet` lists files and reads footers at
+    * DataFrame construction, which costs ~100ms per call — per QUERY when
+    * every query re-loads its base tables. A catalog-backed deployment
+    * resolves a table to a cached relation with known schema/file-index;
+    * this memo gives the test tables (immutable, TESTDATA.md) the same
+    * semantics. Only the plan metadata is reused — no row data is cached.
+    */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** One Parquet file/dir per table: `<dir>/<name>.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events needs special casing: the driver writes `ts` as Parquet
     * TIMESTAMP(NANOS), which Spark 4 rejects unless read as a long
