@@ -71,16 +71,20 @@ object Similarity {
     * The hyperplanes are derived from (plane index, dimension index) via a
     * integer hash → [-0.5, 0.5) — fully deterministic, no RNG state.
     */
+  /** Deterministic hyperplane coefficient for (plane, dimension) —
+    * xorshift-style integer mix; same value every run, every engine. A
+    * dyadic rational (k/65536 − 0.5), so its decimal literal round-trips
+    * exactly through SQL. */
+  def hyperplaneCoeff(p: Int, d: Int): Double = {
+    var h = p * 1000003 + d * 7919 + 0x9e3779b9
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    (h & 0xffff).toDouble / 65536.0 - 0.5
+  }
+
   def hyperplaneSignature(v: Column, planes: Int, dim: Int): Column = {
-    def coeff(p: Int, d: Int): Double = {
-      // xorshift-style integer mix; same value every run, every engine.
-      var h = p * 1000003 + d * 7919 + 0x9e3779b9
-      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
-      h ^= h >>> 16
-      (h & 0xffff).toDouble / 65536.0 - 0.5
-    }
     val bits = (0 until planes).map { p =>
-      val plane = array((0 until dim).map(d => lit(coeff(p, d))): _*)
+      val plane = array((0 until dim).map(d => lit(hyperplaneCoeff(p, d))): _*)
       when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

@@ -590,6 +590,40 @@ object ExtensionQueries {
              |SELECT query_id, vec_id, sim, rank, cell FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Embedding-cosine near-dup via hyperplane LSH: vectors sharing a
+    // random-hyperplane sign signature are candidates, exact cosine
+    // re-ranks. The plane coefficients are dyadic rationals baked into
+    // the oracle as exact literals, and the double dot/cosine math is
+    // bit-identical across engines (q27) — so signature, bucketing AND
+    // verification all oracle-check.
+    Q("q53_lsh_neighbors",
+      (s, dir) => Similarity.lshNeighbors(
+        Tables.load(s, dir, "embeddings"), planes = 4, dim = 64,
+        threshold = 0.1).orderBy("id_a", "id_b"),
+      Some {
+        val bits = (0 until 4).map { p =>
+          val lits = (0 until 64).map(d =>
+            Similarity.hyperplaneCoeff(p, d).toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |), sig AS (
+           |  SELECT vec_id, v, $bits AS bucket FROM e
+           |)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       round(list_dot_product(a.v, b.v)
+           |         / (sqrt(list_dot_product(a.v, a.v))
+           |            * sqrt(list_dot_product(b.v, b.v))), 6) AS sim,
+           |       a.bucket
+           |FROM sig a JOIN sig b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE round(list_dot_product(a.v, b.v)
+           |        / (sqrt(list_dot_product(a.v, a.v))
+           |           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.1
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // SimHash on the portable md5 family (60-bit): the cross-engine-
     // checkable twin of q30's native xxhash64 kernel — per-bit majority
     // vote over token hashes, reproduced bit-for-bit in the oracle.
