@@ -123,8 +123,13 @@ object Dedup {
         docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
       else docs
     // The shingle+signature frame feeds three consumers (banding, and the
-    // two sides of the verify join) — persist so the 32-hash minhash
-    // expression tree is evaluated once per doc, not three times.
+    // two sides of the verify join). It MUST be materialized (persist):
+    // without a barrier, CollapseProject inlines the `sh` expression into
+    // all 32 interpreted minhash lambdas — a ~100× blowup. CacheManager
+    // dedupes repeated persists of the same plan, so re-invocation reuses
+    // one entry. (The production-scale, cache-free formulation is
+    // nearDuplicatesPortable below, whose fused kernels make recompute
+    // cheaper than a corpus-wide cache.)
     val withSig = input
       .select(col(idCol), col(textCol))
       .withColumn("sh", shingles(col(textCol), shingleN))
@@ -206,28 +211,30 @@ object Dedup {
                              rowsPerBand: Int = 4,
                              minJaccardBp: Long = 5000): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol),
-        shingleHashesFast(col(textCol), shingleN).as("hs"),
-        minhashSignatureFast(col(textCol), shingleN, k).as("sig"))
-      .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache-free multi-consumer shape (see nearDuplicates): aliased
+    // self-joins + identical shuffles → ReusedExchange, instead of a
+    // corpus-wide persist
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
           .as("band_key"))
     }
-    val banded = withSig.select(col(idCol),
-      explode(array(bandRows: _*)).as("band"))
+    val banded = docs
+      .select(col(idCol),
+        minhashSignatureFast(col(textCol), shingleN, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col(idCol), explode(array(bandRows: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.band_key"))
-    val a = banded.select(col("band_id"), col("band_key"),
-      col(idCol).as("id_a"))
-    val b2 = banded.select(col("band_id"), col("band_key"),
-      col(idCol).as("id_b"))
-    val candidates = a.join(b2, Seq("band_id", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val hs = withSig.select(col(idCol), col("hs"))
+    val candidates = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val hs = docs.select(col(idCol),
+        shingleHashesFast(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
     candidates
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
