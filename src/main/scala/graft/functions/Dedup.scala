@@ -67,6 +67,17 @@ object Dedup {
       graft.plans.ShingleMinHash(
         org.apache.spark.sql.graftops.ColumnBridge.expression(text), n, k))
 
+  /** Group-level MinHash signature (graft.plans.MinHashAgg, a custom
+    * TypedImperativeAggregate): folds per-row base-hash arrays into one
+    * k-element signature per group — the signature of the union of the
+    * group's shingle sets. Mergeable (elementwise min) → map-side partial
+    * aggregation; only k longs per group cross the shuffle. */
+  def minhashAgg(baseHashes: Column, k: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.MinHashAgg(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(baseHashes), k)
+        .toAggregateExpression())
+
   /** |a ∩ b| of two ascending-sorted long arrays (shingleHashesFast output
     * is sorted) — codegen'd merge scan, no per-pair hash set. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -380,6 +380,44 @@ object ExtensionQueries {
            |GROUP BY doc_id, t.seed ORDER BY doc_id, seed""".stripMargin
       }),
 
+    // Group-level MinHash signatures via the custom
+    // TypedImperativeAggregate: one k-element signature per language =
+    // the signature of the union of that language's shingle sets
+    // (min is duplicate-insensitive, so the oracle is a plain
+    // MIN ... GROUP BY lang, seed over the per-doc shingle relation).
+    Q("q54_minhash_group_agg",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          Dedup.shingleHashesFast(col("text"), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .groupBy("lang")
+        .agg(Dedup.minhashAgg(col("hs"), 16).as("sig"))
+        .select(col("lang"), posexplode(col("sig")))
+        .select(col("lang"), col("pos").as("seed"),
+          col("col").as("minhash"))
+        .orderBy("lang", "seed"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, lang, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS tok, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, lang, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, lang, shingle FROM sh0 WHERE i <= n - 2
+             |)
+             |SELECT lang, CAST(t.seed AS INTEGER) AS seed,
+             |       MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+             |               t.seed * 2654435769)) AS minhash
+             |FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+             |GROUP BY lang, t.seed ORDER BY lang, seed""".stripMargin)),
+
     // n-gram Jaccard over deterministically-blocked pairs (lang +
     // n_chars bucket), basis-point floor'd — fully oracle-checked.
     Q("q37_jaccard_pairs",

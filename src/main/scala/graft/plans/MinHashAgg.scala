@@ -1,0 +1,89 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Group-level MinHash signature: aggregates per-row base-hash arrays
+  * (ShingleHashes output) into ONE k-element signature for the whole group
+  * — the signature of the UNION of the groups' shingle sets, since min is
+  * insensitive to duplicates across rows. The group-dedup primitive:
+  * cluster-level signatures, mergeable across partitions (elementwise min),
+  * so partial aggregation applies and only k longs per group cross the
+  * shuffle.
+  *
+  * Same portable hash family as ShingleMinHash (md5-prefix base hash,
+  * xor with seed·2654435769), so the result is reproducible in any engine
+  * with md5 — and DuckDB-oracle-checkable as
+  * MIN(xor(hash, seed*2654435769)) GROUP BY key, seed.
+  */
+case class MinHashAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val hashes = v.asInstanceOf[ArrayData]
+      val n = hashes.numElements()
+      var j = 0
+      while (j < k) {
+        val mix = j.toLong * 2654435769L
+        var m = buf(j)
+        var i = 0
+        while (i < n) {
+          val h = hashes.getLong(i) ^ mix
+          if (h < m) m = h
+          i += 1
+        }
+        buf(j) = m
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) {
+      if (other(j) < buf(j)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MinHashAgg = copy(child = c.head)
+}

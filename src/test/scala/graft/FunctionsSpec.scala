@@ -160,6 +160,27 @@ class DedupSpec extends AnyFunSuite {
     assert(chunks(1L) != chunks(2L)) // the differing prefixes do differ
   }
 
+  test("group minhash aggregate: partition-invariant, equals elementwise " +
+    "min of per-doc signatures") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      .select($"lang", Dedup.shingleHashesFast($"text", 3).as("hs"))
+      .filter(size($"hs") > 0)
+    def agg(parts: Int): Map[String, Seq[Long]] = real.repartition(parts)
+      .groupBy("lang").agg(Dedup.minhashAgg($"hs", 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val one = agg(1)
+    assert(agg(13) == one) // merge path ≡ single-buffer path
+    // group signature = elementwise min of the member signatures
+    val perDoc = real
+      .select($"lang", Dedup.minhashSignatureMd5($"hs", 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq)
+      .groupBy(_._1).map { case (l, sigs) =>
+        l -> sigs.map(_._2).toSeq.transpose.map(_.min)
+      }
+    assert(one == perDoc)
+  }
+
   test("portable md5 simhash: identical docs equal, near-dups closer, " +
     "60-bit range") {
     val sh = Dedup.simhash60Md5(docs, "doc_id", "text").collect()
