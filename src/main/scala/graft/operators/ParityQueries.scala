@@ -352,6 +352,75 @@ object ParityQueries {
         """SELECT DISTINCT product_id FROM orders_w
           |WHERE quantity > 25 ORDER BY product_id""".stripMargin)),
 
+    // The SQL-dialect surface through the oracle gate: the reference's
+    // net_demand.sql re-dialected as parameterized Spark SQL over temp
+    // views (single-day semantics, exactly the reference's shape — no
+    // extra rank tie-break; the replay data has no rank-1 ties at the
+    // verify scale, checked in DuckDB). The chosen day has orders but no
+    // 1996 snapshots, so the COALESCE(master safety_stock) fallback path
+    // (P6) is what the oracle verifies.
+    Q("q16_net_demand_sql",
+      (s, dir) => {
+        Replay.orders(s, dir).createOrReplaceTempView("orders")
+        Replay.inventory(s, dir).createOrReplaceTempView("inventory")
+        Replay.products(s, dir).createOrReplaceTempView("products")
+        Replay.suppliers(s, dir).createOrReplaceTempView("suppliers")
+        Replay.productSuppliers(s, dir)
+          .createOrReplaceTempView("product_suppliers")
+        Procurement.netDemandSql(s, java.time.LocalDate.parse("1996-06-03"))
+          .withColumn("net_demand", col("net_demand").cast("long"))
+          .withColumn("unit_cost", col("unit_cost").cast("double"))
+          .withColumn("estimated_cost", col("estimated_cost").cast("double"))
+          .orderBy(asc("supplier_id"), asc("supplier_priority"),
+            desc("net_demand"), asc("product_id"))
+      },
+      Some(prelude +
+        """, do1 AS (
+          |  SELECT product_id, SUM(quantity) AS total_ordered,
+          |         COUNT(DISTINCT order_id) AS order_count
+          |  FROM orders_r WHERE order_date = DATE '1996-06-03'
+          |  GROUP BY product_id
+          |), ai1 AS (
+          |  SELECT product_id, SUM(available_qty) AS available_qty,
+          |         SUM(reserved_qty) AS reserved_qty,
+          |         MAX(safety_stock) AS safety_stock
+          |  FROM inv_r WHERE snapshot_date = DATE '1996-06-03'
+          |  GROUP BY product_id
+          |), rk1 AS (
+          |  SELECT product_id, supplier_id, unit_cost, priority,
+          |         ROW_NUMBER() OVER (PARTITION BY product_id
+          |           ORDER BY priority ASC, unit_cost ASC) AS supplier_rank
+          |  FROM ps_r
+          |)
+          |SELECT p.product_id, p.product_name, s.supplier_id,
+          |       s.supplier_name,
+          |       CAST(GREATEST(0, COALESCE(d.total_ordered, 0)
+          |           + COALESCE(a.safety_stock, p.safety_stock_level)
+          |           - (COALESCE(a.available_qty, 0)
+          |              - COALESCE(a.reserved_qty, 0))) AS BIGINT)
+          |         AS net_demand,
+          |       CAST(CAST(r.unit_cost AS DECIMAL(10,2)) AS DOUBLE)
+          |         AS unit_cost,
+          |       CAST(CAST(GREATEST(0, COALESCE(d.total_ordered, 0)
+          |           + COALESCE(a.safety_stock, p.safety_stock_level)
+          |           - (COALESCE(a.available_qty, 0)
+          |              - COALESCE(a.reserved_qty, 0)))
+          |           * CAST(r.unit_cost AS DECIMAL(10,2))
+          |           AS DECIMAL(10,2)) AS DOUBLE) AS estimated_cost,
+          |       r.priority AS supplier_priority
+          |FROM products_r p
+          |LEFT JOIN do1 d ON p.product_id = d.product_id
+          |LEFT JOIN ai1 a ON p.product_id = a.product_id
+          |JOIN rk1 r ON p.product_id = r.product_id AND r.supplier_rank = 1
+          |JOIN suppliers_r s ON r.supplier_id = s.supplier_id
+          |WHERE p.is_active AND s.is_active
+          |  AND GREATEST(0, COALESCE(d.total_ordered, 0)
+          |        + COALESCE(a.safety_stock, p.safety_stock_level)
+          |        - (COALESCE(a.available_qty, 0)
+          |           - COALESCE(a.reserved_qty, 0))) > 0
+          |ORDER BY s.supplier_id, supplier_priority, net_demand DESC,
+          |         p.product_id""".stripMargin)),
+
     Q("q12_verify_counts",
       (s, dir) => Replay.orders(s, dir).filter(Replay.ordersWhen)
         .agg(count(lit(1)).as("row_count"),
