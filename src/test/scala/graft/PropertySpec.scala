@@ -60,6 +60,48 @@ class PropertySpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("as-of exec == union+window composition == scala model on seeded " +
+    "random data (duplicate times, sparse keys, empty-key probes)") {
+    import java.sql.Timestamp
+    // deliberately nasty: few keys (collisions), coarse times (exact-tie
+    // matches), keys with events but no snapshots and vice versa
+    val evGen = for {
+      k <- Gen.chooseNum(0L, 6L)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield (k, t * 3600L)
+    val snapGen = for {
+      k <- Gen.chooseNum(2L, 8L)
+      t <- Gen.chooseNum(0L, 50L)
+      v <- Gen.chooseNum(1, 999)
+    } yield (k, t * 3600L, v)
+    val evs = Gen.listOfN(300, evGen)
+      .apply(Gen.Parameters.default, Seed(11L)).get.zipWithIndex
+      .map { case ((k, s), i) => (i.toLong, k, new Timestamp(s * 1000)) }
+    val snaps = Gen.listOfN(80, snapGen)
+      .apply(Gen.Parameters.default, Seed(12L)).get
+      // one snapshot per (key, time): at-or-before semantics don't define
+      // which of two equal-time snapshots wins
+      .groupBy(s => (s._1, s._2)).map(_._2.head).toList
+      .map { case (k, s, v) => (k, new Timestamp(s * 1000), v) }
+
+    val evDf = evs.toDF("event_id", "k", "ts")
+    val snapDf = snaps.toDF("k", "snap_ts", "v")
+    def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Int]] =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Integer]("v")).map(_.intValue)).toMap
+
+    val viaExec = collect(graft.operators.AsOf.asofJoinExec(
+      evDf, snapDf, Seq("k"), "ts", "snap_ts", Seq("v")))
+    val viaWindow = collect(graft.operators.AsOf.asofJoin(
+      evDf, snapDf, Seq("k"), "ts", "snap_ts", Seq("v")))
+    val model: Map[Long, Option[Int]] = evs.map { case (id, k, ts) =>
+      id -> snaps.filter(s => s._1 == k && !s._2.after(ts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(viaExec == model)
+    assert(viaWindow == model)
+  }
+
   test("decimal estimated_cost is exact net_demand × unit_cost") {
     val costs = Gen.listOfN(200, Gen.chooseNum(1, 999999))
       .apply(Gen.Parameters.default, Seed(7L)).get
