@@ -80,6 +80,14 @@ object TextAnalysis {
     }
   }
 
+  /** One-pass character census (graft.plans.CharClassCounts):
+    * [n_chars, alpha, digit, ws] — counts bit-equal to the
+    * strip-and-diff regex formulations above. */
+  def charClassCountsFast(text: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.CharClassCounts(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
+
   /** Fused hit counting (graft.plans.StopwordProfileHits): one lowercase +
     * indexOf scan pass per row instead of a regex pass per stopword —
     * counts bit-equal to the replace-diff formulation above. Returns

@@ -46,15 +46,24 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("q23_text_quality",
-      (s, dir) => Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          length(col("text")).as("n_chars_m"),
-          TextAnalysis.alphaCount(col("text")).as("alpha_chars"),
-          TextAnalysis.digitCount(col("text")).as("digit_chars"),
-          TextAnalysis.whitespaceCount(col("text")).as("ws_chars"),
-          TextAnalysis.alphaRatioBp(col("text")).as("alpha_bp"),
-          TextAnalysis.isQuality(col("text")).as("is_quality"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        // one-pass census kernel; bp/quality derive from the shared
+        // array subexpression with the same double math as the
+        // composable formulation (TextAnalysisSpec cross-checks)
+        val cc = TextAnalysis.charClassCountsFast(col("text"))
+        val bp = when(cc.getItem(0) === 0, lit(0L))
+          .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
+          .cast("long")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            cc.getItem(0).as("n_chars_m"),
+            cc.getItem(1).as("alpha_chars"),
+            cc.getItem(2).as("digit_chars"),
+            cc.getItem(3).as("ws_chars"),
+            bp.as("alpha_bp"),
+            (cc.getItem(0) >= 50 && bp >= 5000).as("is_quality"))
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id,
              |  CAST(length(text) AS INTEGER) AS n_chars_m,
              |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS alpha_chars,

@@ -37,6 +37,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       == "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("char-class census kernel matches the regex strip-and-diff " +
+    "formulation on real documents + unicode edges") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+      .select($"text")
+      .union(Seq("", "   ", "a1 \t\nB!", "héllo wörld 42",
+        "\f\r tabs", "é combining", "😀 emoji")
+        .toDF("text"))
+    val slow = docs.select(length($"text"),
+        TextAnalysis.alphaCount($"text"), TextAnalysis.digitCount($"text"),
+        TextAnalysis.whitespaceCount($"text"),
+        TextAnalysis.alphaRatioBp($"text"))
+      .collect().map(_.toSeq).toSeq
+    val cc = TextAnalysis.charClassCountsFast($"text")
+    val bp = when(cc.getItem(0) === 0, lit(0L))
+      .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
+      .cast("long")
+    val fast = docs.select(cc.getItem(0), cc.getItem(1), cc.getItem(2),
+        cc.getItem(3), bp)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == slow)
+  }
+
   test("fused stopword kernel matches the replace-diff formulation on " +
     "real documents (all profiles + classify)") {
     val docs = spark.read
