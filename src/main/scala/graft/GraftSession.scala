@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{ContentChunkHashes, CosineSimilarity, ShingleHashes,
-  ShingleMinHash, SimHash60Md5, SimHash64, SortedIntersectCount,
-  StopwordProfileHits}
+import graft.plans.{CharClassCounts, ContentChunkHashes, CosineSimilarity,
+  MinHashAgg, ShingleHashes, ShingleMinHash, SimHash60Md5, SimHash64,
+  SortedIntersectCount, StopwordProfileHits}
 
 /** User-facing session plumbing: recommended configs for the engine and
   * registration of graft's native expressions for SQL callers.
@@ -77,7 +77,11 @@ object GraftSession {
       ((e: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.GetArrayItem(
           StopwordProfileHits(e(0), Seq(litStrings(e(1), "stopwords"))),
-          org.apache.spark.sql.catalyst.expressions.Literal(0))))
+          org.apache.spark.sql.catalyst.expressions.Literal(0))),
+    "char_class_counts" -> ((e: Seq[Expression]) => CharClassCounts(e(0))),
+    "minhash_agg" ->
+      ((e: Seq[Expression]) =>
+        MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()))
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[CosineSimilarity].getName, name)

@@ -58,4 +58,22 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(r.getInt(5) >= 1)
     assert(r.getInt(6) == 3) // "the" twice + "over" once
   }
+
+  test("aggregate and census kernels callable from SQL") {
+    import org.apache.spark.sql.functions._
+    GraftSession.registerFunctions(spark)
+    val cc = spark.sql(
+      "SELECT char_class_counts('ab1 C!') AS c").collect().head.getSeq[Int](0)
+    assert(cc == Seq(6, 3, 1, 1))
+    Seq("a b c", "a b d", "x y z").toDF("t")
+      .createOrReplaceTempView("sql_fn_docs")
+    val agg = spark.sql(
+      """SELECT minhash_agg(shingle_hashes(t, 2), 4) AS sig
+        |FROM sql_fn_docs""".stripMargin).collect().head.getSeq[Long](0)
+    val viaDf = Seq("a b c", "a b d", "x y z").toDF("t")
+      .agg(graft.functions.Dedup.minhashAgg(
+        graft.functions.Dedup.shingleHashesFast(col("t"), 2), 4).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(agg == viaDf)
+  }
 }
