@@ -93,6 +93,15 @@ object GraftSession {
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name), builder)
     }
+
+  /** Attach graft's expression-fusion optimizer rules to an existing
+    * session (sessions built through GraftExtensions get them already). */
+  def attachOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SortedIntersectFusion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.SortedIntersectFusion
 }
 
 /** spark.sql.extensions entry point: injects graft's native functions at
@@ -109,5 +118,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator plans (AsOf.asofJoinExec also attaches this lazily
     // via experimental strategies for sessions built without extensions)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // expression fusion (size∘array_intersect over sorted shingle hashes
+    // → merge-scan kernel)
+    e.injectOptimizerRule(_ => graft.plans.SortedIntersectFusion)
   }
 }

@@ -59,6 +59,36 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(r.getInt(6) == 3) // "the" twice + "over" once
   }
 
+  test("optimizer fusion rewrites size(array_intersect) over shingle " +
+    "hashes into the merge-scan kernel") {
+    import org.apache.spark.sql.functions._
+    GraftSession.attachOptimizations(spark)
+    // parquet-backed source: a literal input would be constant-folded to
+    // a LocalRelation before the fused expression could be observed
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val fused = docs.select($"doc_id", size(array_intersect(
+      graft.functions.Dedup.shingleHashesFast($"text", 3),
+      graft.functions.Dedup.shingleHashesFast(reverse($"text"), 3))).as("n"))
+    assert(fused.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"))
+    // values identical to the unfused formulation
+    val unfusedSpark = TestSpark.spark.newSession()
+    val docs2 = unfusedSpark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    import org.apache.spark.sql.{functions => F}
+    val unfused = docs2.select(F.col("doc_id"),
+      F.size(F.array_intersect(
+        graft.functions.Dedup.shingleHashesFast(F.col("text"), 3),
+        graft.functions.Dedup.shingleHashesFast(F.reverse(F.col("text")), 3)))
+        .as("n"))
+    assert(!unfused.queryExecution.optimizedPlan.toString
+      .contains("sorted_intersect_count"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(fused) == m(unfused))
+  }
+
   test("aggregate and census kernels callable from SQL") {
     import org.apache.spark.sql.functions._
     GraftSession.registerFunctions(spark)
