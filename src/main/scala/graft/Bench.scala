@@ -30,16 +30,23 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => -1L }
 
-    // Warmup (untimed): run every query once so the timed pass measures
+    // Warmup (untimed): run every query once so the timed passes measure
     // steady-state execution (codegen class cache, parquet footers, JIT),
     // not first-run compilation.
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run)
 
-    val results = names.map { name =>
+    // Two timed passes, report the min per query: single-pass numbers on a
+    // shared 32-thread box carry ±30% GC/scheduling noise that drowns real
+    // regressions; min-of-2 is the steady-state cost.
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       run(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val results = names.map { name =>
+      name -> math.min(pass1(name), timed(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
