@@ -900,6 +900,38 @@ object ExtensionQueries {
           |  CAST(SUM(CASE WHEN status = 'R' THEN quantity END) AS BIGINT) AS qty_r
           |FROM orders_w GROUP BY product_id ORDER BY product_id""".stripMargin)),
 
+    // Skew-mitigation operators through the oracle gate: the two-stage
+    // salted aggregation and the replicated-right salted join must be
+    // value-identical to their plain formulations (which is what the
+    // DuckDB oracle computes).
+    Q("q56_salted_agg",
+      (s, dir) => graft.operators.Skew.saltedAgg(
+        Replay.orders(s, dir).filter(Replay.ordersWhen),
+        keys = Seq("product_id"), saltBuckets = 8,
+        partials = Map("total_qty" -> sum(col("quantity")),
+          "n_rows" -> count(lit(1))),
+        merge = Map("total_qty" -> sum(col("total_qty")),
+          "n_rows" -> sum(col("n_rows"))))
+        .orderBy("product_id"),
+      Some(ParityQueries.prelude +
+        """SELECT product_id, CAST(SUM(quantity) AS BIGINT) AS total_qty,
+          |       CAST(COUNT(*) AS BIGINT) AS n_rows
+          |FROM orders_w GROUP BY product_id ORDER BY product_id""".stripMargin)),
+
+    Q("q57_salted_join",
+      (s, dir) => graft.operators.Skew.saltedJoin(
+        Replay.orders(s, dir).filter(Replay.ordersWhen),
+        Replay.products(s, dir).select(col("product_id"), col("is_active")),
+        key = "product_id", saltBuckets = 8)
+        .groupBy("is_active")
+        .agg(count(lit(1)).as("n_rows"), sum("quantity").as("total_qty"))
+        .orderBy("is_active"),
+      Some(ParityQueries.prelude +
+        """SELECT p.is_active, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |       CAST(SUM(o.quantity) AS BIGINT) AS total_qty
+          |FROM orders_w o JOIN products_r p ON o.product_id = p.product_id
+          |GROUP BY p.is_active ORDER BY p.is_active""".stripMargin)),
+
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
       (s, dir) => Tables.events(s, dir)
