@@ -932,6 +932,29 @@ object ExtensionQueries {
           |FROM orders_w o JOIN products_r p ON o.product_id = p.product_id
           |GROUP BY p.is_active ORDER BY p.is_active""".stripMargin)),
 
+    // Interval self-join (the batch twin of the stream-stream
+    // EventStreams.recentPairs): each event pairs with the same user's
+    // events in the trailing 10 minutes — equi-join on user_id with a
+    // time-range residual, the join shape AQE handles with the user_id
+    // shuffle at scale.
+    Q("q58_recent_pairs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+          col("ts").as("ts_a"))
+        val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+          col("ts").as("ts_b"))
+        a.join(b, Seq("user_id"))
+          .filter(col("ts_b") >= col("ts_a") - expr("INTERVAL 600 SECONDS")
+            && col("ts_b") < col("ts_a"))
+          .select("user_id", "id_a", "id_b")
+          .orderBy("user_id", "id_a", "id_b")
+      },
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |WHERE b.ts >= a.ts - INTERVAL 600 SECONDS AND b.ts < a.ts
+             |ORDER BY a.user_id, id_a, id_b""".stripMargin)),
+
     // Semi-structured props column: JSON field extraction + aggregation.
     Q("q33_events_props",
       (s, dir) => Tables.events(s, dir)
