@@ -934,17 +934,26 @@ object ExtensionQueries {
 
     // Interval self-join (the batch twin of the stream-stream
     // EventStreams.recentPairs): each event pairs with the same user's
-    // events in the trailing 10 minutes — equi-join on user_id with a
-    // time-range residual, the join shape AQE handles with the user_id
-    // shuffle at scale.
+    // events in the trailing 10 minutes. A plain equi-join on user_id
+    // alone is O(per-user²) in the residual filter; bucketing time into
+    // window-sized epochs and joining on (user, epoch) — with the right
+    // side visible in its own and the NEXT epoch — bounds each local
+    // cross product to two epochs of events. Any qualifying pair lands
+    // in exactly one epoch match (ts_a − ts_b ∈ (0, 600] ⇒ epoch_b ∈
+    // {epoch_a − 1, epoch_a}), so no dedup pass is needed.
     Q("q58_recent_pairs",
       (s, dir) => {
         val ev = Tables.events(s, dir)
+        val win = 600L
         val a = ev.select(col("user_id"), col("event_id").as("id_a"),
-          col("ts").as("ts_a"))
+            col("ts").as("ts_a"))
+          .withColumn("epoch", floor(col("ts_a").cast("long") / win))
         val b = ev.select(col("user_id"), col("event_id").as("id_b"),
-          col("ts").as("ts_b"))
-        a.join(b, Seq("user_id"))
+            col("ts").as("ts_b"))
+          .withColumn("e0", floor(col("ts_b").cast("long") / win))
+          .withColumn("epoch", explode(array(col("e0"), col("e0") + 1)))
+          .drop("e0")
+        a.join(b, Seq("user_id", "epoch"))
           .filter(col("ts_b") >= col("ts_a") - expr("INTERVAL 600 SECONDS")
             && col("ts_b") < col("ts_a"))
           .select("user_id", "id_a", "id_b")
