@@ -101,17 +101,25 @@ object Similarity {
     * plumbing).
     */
   def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
+    // Collapse the k centroids to ONE broadcast row holding a sorted
+    // struct array, then pick each vector's cell with a map-side argmax
+    // over that array — corpus rows never enter an exchange (the only
+    // shuffle in the plan is the k-row centroid collapse feeding the
+    // broadcast). The argmax is array_max over (sim, -centroid_id)
+    // structs: lexicographic struct ordering gives highest sim first,
+    // lowest centroid_id on ties — same ordering the previous
+    // row_number()-over-window formulation (and the q42 oracle) pins.
     val centroids = broadcast(corpus.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("cv")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("csim"), asc("centroid_id"))
+      .select(struct(col("vec_id").as("centroid_id"),
+        col("embedding").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs")))
     corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(centroids)
-      .withColumn("csim", cosine(col("embedding"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cell"),
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(cosine(col("embedding"), c.getField("cv")).as("sim"),
+          (-c.getField("centroid_id")).as("neg_id"),
+          c.getField("centroid_id").as("cell")))))
+      .select(col("vec_id"), col("best").getField("cell").as("cell"),
         col("embedding"))
   }
 

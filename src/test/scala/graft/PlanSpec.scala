@@ -44,6 +44,26 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("ivf assignment is map-side: corpus rows never shuffle (every " +
+    "exchange sits inside the broadcast centroid subtree) and there is " +
+    "no window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val qe = graft.functions.Similarity.ivfAssign(emb, 8).queryExecution
+    val p = qe.sparkPlan
+    // exchanges reachable without passing through a broadcast: these are
+    // the ones corpus rows would flow through — there must be none
+    def offenders(n: SparkPlan): Seq[SparkPlan] = n match {
+      case _: BroadcastExchangeLike => Nil
+      case s: ShuffleExchangeLike => Seq(s)
+      case other => other.children.flatMap(offenders)
+    }
+    assert(offenders(p).isEmpty, p.toString.take(2000))
+    assert(!p.toString.contains("Window"), p.toString.take(2000))
+  }
+
   test("SQL-dialect net demand equals the DataFrame plan's results") {
     val ps = new ProcurementSpec
     ps.orders.createOrReplaceTempView("orders")
