@@ -51,6 +51,9 @@ object Explain {
         val t5 = System.nanoTime()
         println(f"[$n] warm: plan=${(t4 - t3) / 1e9}%.3f " +
           f"exec=${(t5 - t4) / 1e9}%.3f")
+        df2.queryExecution.tracker.phases.toSeq.sortBy(_._2.startTimeMs)
+          .foreach { case (phase, s) =>
+            println(f"[$n]   phase $phase%-12s ${(s.endTimeMs - s.startTimeMs) / 1e3}%.3f") }
       }
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

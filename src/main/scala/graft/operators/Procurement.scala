@@ -195,11 +195,17 @@ object Procurement {
     */
   def missingSupplierMapping(orders: DataFrame, productSuppliers: DataFrame,
                              when: Column): DataFrame =
-    // no broadcast hint: product_suppliers is products×suppliers-per-
-    // product cardinality — auto-broadcast handles the small case, SMJ
-    // anti-join the 100 TB case
+    // The anti-join only tests key EXISTENCE, so collapse the mapping to
+    // distinct product_ids and broadcast them: the build side is
+    // products-master cardinality — the same dim-sized contract under
+    // which netDemand broadcasts products/suppliers/ranked-mapping — and
+    // the distinct costs no exchange when the dim is materialized
+    // clustered on product_id. Without the hint AQE judges the build side
+    // by the FULL mapping's stats (the distinct fuses into the dim's
+    // cached stage) and flips to a sort-merge join that shuffles the
+    // fact for a key set that fits in memory by definition.
     orders.filter(when)
-      .join(productSuppliers.select("product_id"),
+      .join(broadcast(productSuppliers.select("product_id").distinct()),
         Seq("product_id"), "left_anti")
       .groupBy("product_id")
       .agg(count(lit(1)).as("order_count"))

@@ -31,18 +31,43 @@ object Replay {
 
   /** Dim-shaped derivations (products/suppliers/product_suppliers) play the
     * role of master-data tables — in a real deployment these are
-    * materialized once, not re-derived per query. Memoize + persist them
-    * per (session, dir) so the query surface shares one materialization;
-    * facts stay scan-through (never cached — at 100 TB they don't fit and
-    * shouldn't: partition pruning + pushdown make their scans cheap).
+    * materialized once, not re-derived per query. Materialize them ONCE per
+    * (session, dir) as real catalog tables (Parquet in tmp) and hand every
+    * consumer the resulting catalog relation; facts stay scan-through
+    * (never materialized — at 100 TB they don't fit and shouldn't:
+    * partition pruning + pushdown make their scans cheap).
+    *
+    * Catalog tables rather than .persist(): a cached plan keeps the FULL
+    * derivation tree in every consumer's logical plan, and each query then
+    * pays cache-lookup canonicalization + optimization over that tree —
+    * measured ~0.25-0.4s per query on the 5-dim MRP plans. A catalog
+    * relation is a leaf: the same queries re-plan in ~0.1s. This also
+    * mirrors the reference, where master data lives in real tables
+    * (ddl_postgres.sql), not in a session cache.
     */
   private val dimCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def memoDim(spark: SparkSession, dir: String, name: String)
+  private def memoDim(spark: SparkSession, dir: String, name: String,
+                      bucketCols: Seq[String] = Nil)
                      (build: => DataFrame): DataFrame =
-    dimCache.getOrElseUpdate((spark, dir, name),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dimCache.getOrElseUpdate((spark, dir, name), {
+      val safe = s"${dir}_$name".replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"graft_dim$safe"
+      if (!spark.catalog.tableExists(table)) {
+        val path =
+          s"${System.getProperty("java.io.tmpdir")}/graft-dims/$safe"
+        val w = build.write.mode("overwrite").option("path", path)
+        // bucketed layout preserves the clustering contract a cached
+        // repartition used to give: scans report HashPartitioning on the
+        // bucket key, so per-key windows/joins plan with no exchange
+        (if (bucketCols.nonEmpty)
+          w.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+            .sortBy(bucketCols.head, bucketCols.tail: _*)
+         else w).saveAsTable(table)
+      }
+      spark.table(table)
+    })
 
   /** orders fact ← lineitem (reference orders: trino_init_tables_dag.py:39-51). */
   def orders(spark: SparkSession, dir: String): DataFrame =
@@ -92,18 +117,15 @@ object Replay {
     * unit_cost = min extendedprice as DECIMAL; priority = suppkey%5+1.
     * Gap: product_id % 10 == 0 unmapped (drives Q1). */
   def productSuppliers(spark: SparkSession, dir: String): DataFrame =
-    memoDim(spark, dir, "product_suppliers") {
+    // bucketed on its join/window key: the ranking window (partitionBy
+    // product_id) and any co-located consumer plan with NO exchange
+    memoDim(spark, dir, "product_suppliers", bucketCols = Seq("product_id")) {
       Tables.load(spark, dir, "lineitem")
         .filter(col("l_partkey") % 10 =!= 0)
         .groupBy(col("l_partkey").as("product_id"),
           col("l_suppkey").as("supplier_id"))
         .agg(min(col("l_extendedprice").cast(Money)).as("unit_cost"))
         .withColumn("priority", (col("supplier_id") % 5).cast(IntegerType) + 1)
-        // materialize the dim clustered on its join/window key: the ranking
-        // window (partitionBy product_id) and any co-located consumer then
-        // plan with NO exchange — one extra dim-sized shuffle at build
-        // time, saved on every query over the memoized table
-        .repartition(col("product_id"))
     }
 
   /** The replay's "daily" windows (P2): orders drawn from 1996, inventory
