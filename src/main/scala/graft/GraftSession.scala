@@ -55,53 +55,59 @@ object GraftSession {
 
   /** The full native-expression surface for SQL callers — every graft
     * kernel, so a SQL-only user (the reference's native habitat is Trino
-    * SQL) can reach the same operators as the DataFrame API. */
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_similarity" ->
-      ((e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
-    "shingle_hashes" ->
-      ((e: Seq[Expression]) => ShingleHashes(e(0), litInt(e(1), "n"))),
-    "shingle_minhash" ->
-      ((e: Seq[Expression]) =>
+    * SQL) can reach the same operators as the DataFrame API. Each entry
+    * carries its implementing class so DESCRIBE FUNCTION reports the real
+    * kernel, not a stand-in. */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity],
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("shingle_hashes", classOf[ShingleHashes],
+      (e: Seq[Expression]) => ShingleHashes(e(0), litInt(e(1), "n"))),
+    ("shingle_minhash", classOf[ShingleMinHash],
+      (e: Seq[Expression]) =>
         ShingleMinHash(e(0), litInt(e(1), "n"), litInt(e(2), "k"))),
-    "simhash64" -> ((e: Seq[Expression]) => SimHash64(e(0))),
-    "simhash60_md5" -> ((e: Seq[Expression]) => SimHash60Md5(e(0))),
-    "sorted_intersect_count" ->
-      ((e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
-    "content_chunks" ->
-      ((e: Seq[Expression]) =>
+    ("simhash64", classOf[SimHash64],
+      (e: Seq[Expression]) => SimHash64(e(0))),
+    ("simhash60_md5", classOf[SimHash60Md5],
+      (e: Seq[Expression]) => SimHash60Md5(e(0))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    ("content_chunks", classOf[ContentChunkHashes],
+      (e: Seq[Expression]) =>
         if (e.length == 1) ContentChunkHashes(e(0), 16, 6)
         else ContentChunkHashes(e(0), litInt(e(1), "window"),
           litInt(e(2), "maskBits"))),
-    "stopword_hits" ->
-      ((e: Seq[Expression]) =>
+    ("stopword_hits", classOf[StopwordProfileHits],
+      (e: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.GetArrayItem(
           StopwordProfileHits(e(0), Seq(litStrings(e(1), "stopwords"))),
           org.apache.spark.sql.catalyst.expressions.Literal(0))),
-    "char_class_counts" -> ((e: Seq[Expression]) => CharClassCounts(e(0))),
-    "minhash_agg" ->
-      ((e: Seq[Expression]) =>
+    ("char_class_counts", classOf[CharClassCounts],
+      (e: Seq[Expression]) => CharClassCounts(e(0))),
+    ("minhash_agg", classOf[MinHashAgg],
+      (e: Seq[Expression]) =>
         MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()))
 
-  private def info(name: String): ExpressionInfo =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, name)
+  private def info(name: String, cls: Class[_]): ExpressionInfo =
+    new ExpressionInfo(cls.getName, name)
 
   /** Register graft's native SQL functions on an existing session (for
     * sessions created elsewhere, e.g. the driver's Verify/Bench). */
   def registerFunctions(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, cls, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info(name), builder)
+        FunctionIdentifier(name), info(name, cls), builder)
     }
 
   /** Attach graft's expression-fusion optimizer rules to an existing
     * session (sessions built through GraftExtensions get them already). */
   def attachOptimizations(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations
-        .contains(graft.plans.SortedIntersectFusion))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+
-          graft.plans.SortedIntersectFusion
+    Seq(graft.plans.SortedIntersectFusion, graft.plans.HofCosineFusion)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
 }
 
 /** spark.sql.extensions entry point: injects graft's native functions at
@@ -110,16 +116,16 @@ object GraftSession {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    GraftSession.functions.foreach { case (name, builder) =>
+    GraftSession.functions.foreach { case (name, cls, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-        builder))
+        new ExpressionInfo(cls.getName, name), builder))
     }
     // whole-operator plans (AsOf.asofJoinExec also attaches this lazily
     // via experimental strategies for sessions built without extensions)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // expression fusion (size∘array_intersect over sorted shingle hashes
-    // → merge-scan kernel)
+    // → merge-scan kernel; HOF cosine → fused CosineSimilarity kernel)
     e.injectOptimizerRule(_ => graft.plans.SortedIntersectFusion)
+    e.injectOptimizerRule(_ => graft.plans.HofCosineFusion)
   }
 }

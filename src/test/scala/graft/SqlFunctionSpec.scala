@@ -89,6 +89,63 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(m(fused) == m(unfused))
   }
 
+  test("optimizer fusion rewrites the HOF cosine formulation into the " +
+    "fused kernel; values identical incl. unequal-length and null-element " +
+    "NULL rows") {
+    import org.apache.spark.sql.functions._
+    GraftSession.attachOptimizations(spark)
+    // parquet-backed (a literal frame would be folded to a LocalRelation
+    // before the fusion could be observed); row 4's unequal lengths and
+    // row 5's null element both hit the rewrite's NULL branch
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hofcos").toString + "/vecs"
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d, 3.0d)),
+        |  (2L, array(1.0d, 0.0d, 0.0d), array(0.0d, 1.0d, 0.0d)),
+        |  (3L, array(0.5d, -2.0d, 4.0d), array(3.0d, 0.25d, -1.0d)),
+        |  (4L, array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)),
+        |  (5L, array(1.0d, CAST(NULL AS DOUBLE), 2.0d),
+        |       array(1.0d, 1.0d, 1.0d))
+        |AS t(id, a, b)""".stripMargin).write.parquet(path)
+
+    def hofCosine(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), graft.functions.Similarity
+        .cosineHof(col("a"), col("b")).as("sim"))
+
+    val fused = hofCosine(spark.read.parquet(path))
+    assert(fused.queryExecution.optimizedPlan.toString
+      .contains("cosine_similarity"))
+
+    val plainSession = TestSpark.spark.newSession()
+    val unfused = hofCosine(plainSession.read.parquet(path))
+    assert(!unfused.queryExecution.optimizedPlan.toString
+      .contains("cosine_similarity"))
+
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val (f, u) = (m(fused), m(unfused))
+    assert(f == u, s"$f vs $u")
+    assert(f(4L).isEmpty)       // unequal lengths → NULL, both forms
+    assert(f(5L).isEmpty)       // null element → NULL, both forms
+    assert(f(1L).contains(1.0)) // bit-equal, not approximate
+  }
+
+  test("HOF cosine fusion does NOT fire on non-double (float) arrays") {
+    import org.apache.spark.sql.functions._
+    GraftSession.attachOptimizations(spark)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    // float arrays: the HOF form multiplies floats (different rounding
+    // than the all-double kernel), so the rule must leave them alone
+    val p = emb.select(graft.functions.Similarity
+      .cosineHof(col("embedding"), col("embedding")).as("sim"))
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("cosine_similarity"), p.take(1500))
+  }
+
   test("aggregate and census kernels callable from SQL") {
     import org.apache.spark.sql.functions._
     GraftSession.registerFunctions(spark)
