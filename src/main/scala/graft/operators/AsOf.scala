@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * Semantics: each left row is matched with the right row having the
   * greatest `rightTime` ≤ `leftTime` within the same keys (inclusive; at
   * equal timestamps the right row applies). Left rows with no prior right
-  * row keep nulls — drop or default downstream.
+  * row keep nulls — drop or default downstream. Key equality is SQL
+  * equality: a NULL in any key column never matches (null-key left rows
+  * emit with null values; null-key right rows are ignored) — the same
+  * contract as DuckDB ASOF LEFT JOIN.
   */
 object AsOf {
 
@@ -33,8 +36,14 @@ object AsOf {
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // SQL-equality null contract: drop null-key snapshots up front; a
+    // null-key EVENT then falls in a window partition containing no
+    // snapshot rows, so its values fill as null — exactly the unmatched
+    // case — without special-casing the left side.
+    val rightKeysNonNull = keys.map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
     // snapshots sort BEFORE events at the same instant → inclusive match
-    val taggedRight = right.select(
+    val taggedRight = right.filter(rightKeysNonNull).select(
       (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
     val taggedLeft = left.select(

@@ -17,7 +17,10 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   *
   * Semantics (identical to the composition): each left row picks up the
   * right row with the greatest rightTime <= leftTime within equal keys
-  * (inclusive); left rows with no prior right row get nulls.
+  * (inclusive); left rows with no prior right row get nulls. Key equality
+  * is SQL equality: a NULL in any key column never matches (null-key left
+  * rows emit with null values, null-key right rows are ignored) — the
+  * same contract as DuckDB ASOF LEFT JOIN.
   *
   * Why a dedicated operator: the composition unions both inputs before the
   * window, so every left column rides through the sort as null-padded
@@ -144,19 +147,26 @@ case class AsOfJoinExec(
           val lTimeRow = lTimeProj(l)
           var continue = true
           while (continue && loadPending()) {
-            val c = keyOrd.compare(pKey, lKey)
-            if (c < 0) {
-              // right group already behind every remaining left row
-              pKey = null
-            } else if (c == 0 && timeOrd.compare(pTime, lTimeRow) <= 0) {
-              mKey = pKey
-              mVals = pVals
+            if (pKey.anyNull) {
+              // SQL equality: a null key never matches anything — discard
+              // (natural ordering would otherwise equate null with null)
               pKey = null
             } else {
-              continue = false
+              val c = keyOrd.compare(pKey, lKey)
+              if (c < 0) {
+                // right group already behind every remaining left row
+                pKey = null
+              } else if (c == 0 && timeOrd.compare(pTime, lTimeRow) <= 0) {
+                mKey = pKey
+                mVals = pVals
+                pKey = null
+              } else {
+                continue = false
+              }
             }
           }
-          val matched = mKey != null && keyOrd.compare(mKey, lKey) == 0
+          val matched = !lKey.anyNull && mKey != null &&
+            keyOrd.compare(mKey, lKey) == 0
           numOutputRows += 1
           outProj(joined(l, if (matched) mVals else nullVals))
         }

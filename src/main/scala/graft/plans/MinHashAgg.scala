@@ -29,18 +29,27 @@ case class MinHashAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = child :: Nil
-  override def nullable: Boolean = false
+  // NULL for a group that never folded a hash (all-null inputs or only
+  // empty arrays) — the MIN-over-unnested-hashes analogy yields NULL/no
+  // row there, and a Long.MaxValue sentinel signature would band-collide
+  // with every other empty group's.
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_agg"
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(k)(Long.MaxValue)
+  // buffer slot k is the fold flag: 1 once any hash element was folded
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = Array.fill(k + 1)(Long.MaxValue)
+    buf(k) = 0L
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val hashes = v.asInstanceOf[ArrayData]
       val n = hashes.numElements()
+      if (n > 0) buf(k) = 1L
       var j = 0
       while (j < k) {
         val mix = j.toLong * 2654435769L
@@ -64,20 +73,22 @@ case class MinHashAgg(
       if (other(j) < buf(j)) buf(j) = other(j)
       j += 1
     }
+    if (other(k) == 1L) buf(k) = 1L
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(k) == 0L) null else new GenericArrayData(buf.take(k))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * k)
+    val bb = ByteBuffer.allocate(8 * (k + 1))
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(k)(bb.getLong)
+    Array.fill(k + 1)(bb.getLong)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =

@@ -138,7 +138,11 @@ case class ShingleHashes(child: Expression, n: Int)
   * workhorse of pair-verification joins, where array_intersect's
   * build-a-set-per-call cost dominates. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    // analysis-time type enforcement: non-array arguments are an analysis
+    // error, not a runtime ClassCastException; ascending-sortedness of the
+    // inputs remains a documented contract (ShingleHashes guarantees it)
+    with org.apache.spark.sql.graftops.LongArrayPairInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "sorted_intersect_count"
   override def nullSafeEval(a: Any, b: Any): Any =

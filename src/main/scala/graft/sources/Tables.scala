@@ -23,14 +23,23 @@ object Tables {
     * resolves a table to a cached relation with known schema/file-index;
     * this memo gives the test tables (immutable, TESTDATA.md) the same
     * semantics. Only the plan metadata is reused — no row data is cached.
+    *
+    * Contract: the memo assumes the files at a path never change for the
+    * life of the session (true for the driver's test tables); mutable
+    * data should go through the catalog (Catalog.scala), whose refresh
+    * handles invalidation. Entries of stopped sessions are purged on the
+    * next load so a long-lived JVM cycling sessions doesn't retain them.
     */
   private val relCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** One Parquet file/dir per table: `<dir>/<name>.parquet`. */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    relCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(relCache.remove)
     relCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** events needs special casing: the driver writes `ts` as Parquet
     * TIMESTAMP(NANOS), which Spark 4 rejects unless read as a long

@@ -21,3 +21,14 @@ object ColumnBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 }
+
+/** ExpectsInputTypes with two array<long> arguments — declared here
+  * because AbstractDataType (the inputTypes element type) is private[sql];
+  * graft expressions mix this in to get analysis-time type errors instead
+  * of runtime ClassCastExceptions. */
+trait LongArrayPairInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+}

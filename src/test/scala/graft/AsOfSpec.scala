@@ -58,6 +58,27 @@ class AsOfSpec extends AnyFunSuite {
       103L -> None, 104L -> None))
   }
 
+  test("null join keys follow SQL equality: null-key events get null " +
+    "values, null-key snapshots never match — both implementations") {
+    val snapsWithNull = Seq(
+      (Option(1L), ts("2026-01-01 00:00:00"), 10),
+      (Option.empty[Long], ts("2026-01-01 00:00:00"), 666) // must be inert
+    ).toDF("user_id", "snap_ts", "balance")
+    val eventsWithNull = Seq(
+      (100L, Option(1L), ts("2026-01-02 00:00:00")), // → 10
+      (101L, Option.empty[Long], ts("2026-01-02 00:00:00")) // null ≠ null
+    ).toDF("event_id", "user_id", "ts")
+
+    for (impl <- Seq(AsOf.asofJoin _, AsOf.asofJoinExec _)) {
+      val out = impl(eventsWithNull, snapsWithNull, Seq("user_id"),
+          "ts", "snap_ts", Seq("balance"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Integer]("balance")).map(_.intValue)).toMap
+      assert(out == Map(100L -> Some(10), 101L -> None), out)
+    }
+  }
+
   test("physical as-of exec matches the composition row-for-row on real " +
     "events data, and plans the dedicated operator") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")

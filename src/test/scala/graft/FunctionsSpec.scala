@@ -204,6 +204,36 @@ class DedupSpec extends AnyFunSuite {
     assert(one == perDoc)
   }
 
+  test("group minhash aggregate: NULL for groups with no hash elements " +
+    "(all-null or empty-array inputs), through both agg paths") {
+    val mixed = Seq(
+      ("a", Seq(7L, 9L)), ("a", Seq.empty[Long]),
+      ("b", Seq.empty[Long]),               // only empty arrays → NULL
+      ("c", Seq(3L))
+    ).toDF("g", "hs")
+      // null row for group "d" (null array input → NULL)
+      .unionByName(Seq("d").toDF("g")
+        .withColumn("hs", lit(null).cast("array<bigint>")))
+    for (parts <- Seq(1, 5)) {
+      val out = mixed.repartition(parts).groupBy("g")
+        .agg(Dedup.minhashAgg($"hs", 4).as("sig"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toSeq))).toMap
+      assert(out("b").isEmpty && out("d").isEmpty, out)
+      assert(out("a").nonEmpty && out("c").nonEmpty, out)
+      assert(out("a").get.length == 4)
+    }
+  }
+
+  test("sorted_intersect_count rejects non-array arguments at analysis " +
+    "time") {
+    GraftSession.registerFunctions(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count('abc', array(1L))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("portable md5 simhash: identical docs equal, near-dups closer, " +
     "60-bit range") {
     val sh = Dedup.simhash60Md5(docs, "doc_id", "text").collect()
