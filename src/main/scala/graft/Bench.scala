@@ -51,7 +51,34 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Write-side throughput (one pass, reported under its own key so the
+    // headline query total stays comparable across rounds): the three
+    // standing sink shapes — day-partitioned fact write (repartitioned on
+    // the partition column first, one file per day, no small-file spray),
+    // bucketed fact write (shuffle-once-at-write join layout), and
+    // small-file compaction of the partitioned output.
+    def timedOp(op: => Unit): Double = {
+      val t0 = System.nanoTime(); op; (System.nanoTime() - t0) / 1e9
+    }
+    val wdir = java.nio.file.Files
+      .createTempDirectory("graft-bench-writes").toString
+    val ordersW = graft.operators.Replay.orders(spark, sfDir)
+      .filter(graft.operators.Replay.ordersWhen)
+    import org.apache.spark.sql.functions.col
+    val writes = Seq(
+      "w_partitioned_write" -> timedOp(
+        graft.sources.Sinks.writePartitionedParquet(
+          ordersW.repartition(col("order_date")),
+          s"$wdir/orders_by_day", Seq("order_date"))),
+      "w_bucketed_write" -> timedOp(
+        graft.sources.Sinks.writeBucketed(ordersW, "graft_bench_orders_b",
+          Seq("product_id"), 8, sortCols = Seq("product_id"))),
+      "w_compaction" -> timedOp(
+        graft.sources.Sinks.compact(spark, s"$wdir/orders_by_day")))
+    val ws = writes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"writes":$ws,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -428,7 +428,38 @@ object ParityQueries {
       Some(prelude +
         """SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
           |       CAST(SUM(quantity) AS BIGINT) AS total_qty
-          |FROM orders_w""".stripMargin))
+          |FROM orders_w""".stripMargin)),
+
+    // The reference's dashboard "Exception Count" card is stubbed as
+    // SELECT 0 (metabase_setup_dag.py:294); this is the real thing —
+    // per-type/severity counts over the Q1+Q2 exception frame, completing
+    // the 5-card Metabase surface (SURVEY.md §2 Q1-Q3).
+    Q("q59_dash_exception_count",
+      (s, dir) => Procurement.exceptions(Replay.orders(s, dir),
+          Replay.inventory(s, dir), Replay.productSuppliers(s, dir),
+          Replay.ordersWhen, Replay.inventoryWhen)
+        .groupBy("type", "severity")
+        .agg(count(lit(1)).as("exception_count"))
+        .orderBy("type"),
+      Some(prelude +
+        """SELECT type, severity,
+          |       CAST(COUNT(*) AS BIGINT) AS exception_count
+          |FROM (
+          |  SELECT 'MISSING_SUPPLIER_MAPPING' AS type, 'HIGH' AS severity,
+          |         product_id
+          |  FROM (SELECT DISTINCT o.product_id FROM orders_w o
+          |        LEFT JOIN (SELECT DISTINCT product_id FROM ps_r) ps
+          |          ON o.product_id = ps.product_id
+          |        WHERE ps.product_id IS NULL)
+          |  UNION ALL
+          |  SELECT 'MISSING_INVENTORY' AS type, 'MEDIUM' AS severity,
+          |         product_id
+          |  FROM (SELECT DISTINCT o.product_id FROM orders_w o
+          |        LEFT JOIN (SELECT DISTINCT product_id FROM inv_w) i
+          |          ON o.product_id = i.product_id
+          |        WHERE i.product_id IS NULL)
+          |)
+          |GROUP BY type, severity ORDER BY type""".stripMargin))
   )
 
   def all: Seq[Q] = parity

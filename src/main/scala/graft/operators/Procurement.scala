@@ -234,15 +234,21 @@ object Procurement {
     * (procurement_dag.py:169,179).
     */
   def exceptions(orders: DataFrame, inventory: DataFrame,
-                 productSuppliers: DataFrame, d: LocalDate): DataFrame = {
-    val q1 = missingSupplierMapping(orders, productSuppliers, d)
+                 productSuppliers: DataFrame, ordersWhen: Column,
+                 inventoryWhen: Column): DataFrame = {
+    val q1 = missingSupplierMapping(orders, productSuppliers, ordersWhen)
       .select(lit("MISSING_SUPPLIER_MAPPING").as("type"),
         lit("HIGH").as("severity"), col("product_id"))
-    val q2 = missingInventory(orders, inventory, d)
+    val q2 = missingInventory(orders, inventory, ordersWhen, inventoryWhen)
       .select(lit("MISSING_INVENTORY").as("type"),
         lit("MEDIUM").as("severity"), col("product_id"))
     q1.unionByName(q2)
   }
+
+  def exceptions(orders: DataFrame, inventory: DataFrame,
+                 productSuppliers: DataFrame, d: LocalDate): DataFrame =
+    exceptions(orders, inventory, productSuppliers,
+      onDate("order_date", d), onDate("snapshot_date", d))
 
   // ----------------------------------------------------------------- export
 
