@@ -15,6 +15,27 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Production state-store configuration: RocksDB provider (state lives
+    * on executor disk, not heap — the only store that holds 100 TB-replay
+    * state) with changelog checkpointing (per-batch uploads ship only the
+    * delta changelog instead of snapshotting full SST files, cutting
+    * commit latency and checkpoint volume; snapshots still happen in the
+    * background for bounded replay). Unbounded state is still a bug —
+    * every stateful operator here bounds state via watermark (windowed
+    * aggs, dedup, interval join) or event-time timeout (sessionize); the
+    * StreamingSpec state-size pin enforces the sessionize bound.
+    */
+  val stateStoreConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** Apply stateStoreConfigs to an existing session (new streaming
+    * queries pick them up; running queries keep their provider). */
+  def configureStateStore(spark: SparkSession): Unit =
+    stateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+
   /** The events schema as the driver writes it, with `ts` as raw
     * TIMESTAMP(NANOS) read as long (see graft.sources.Tables.events). */
   val rawSchema: StructType = StructType(Seq(

@@ -157,6 +157,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize state stays bounded by ACTIVE users across watermark " +
+    "advances (RocksDB + changelog checkpointing): expired sessions are " +
+    "evicted, not accumulated") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    EventStreams.configureStateStore(spark)
+    try {
+      // four micro-batches, 10h apart, mostly-disjoint users: with a 1h
+      // watermark and 30min session gap, each batch's watermark advance
+      // must evict the batch-before-last's sessions
+      val d = java.nio.file.Files.createTempDirectory("graft-state-pin")
+      val base = java.time.Instant.parse("2026-03-01T00:00:00Z")
+        .getEpochSecond
+      def stage(idx: Int, users: Range, hour: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sp-w")
+        val rows = users.map { u =>
+          (u.toLong * 1000 + idx, (base + hour * 3600 + u) * 1000000000L,
+            u.toLong, "click", 1.0, "{}")
+        }
+        import spark.implicits._
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props").coalesce(1).write.parquet(s"$tmp/out")
+        val part = new java.io.File(s"$tmp/out").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(d.toFile, f"batch$idx%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1000000L + idx * 10000L) // deterministic order
+      }
+      stage(1, 1 to 40, hour = 0)
+      stage(2, 41 to 80, hour = 10)
+      stage(3, 81 to 120, hour = 20)
+      stage(4, 1 to 2, hour = 30)
+
+      val stream = spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = EventStreams.sessionize(stream, gapSeconds = 1800).toDF()
+        .writeStream.format("memory").queryName("t_state_pin")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.stateOperators.head.numRowsTotal)
+      q.stop()
+
+      // 122 distinct (user, batch) sessions entered the operator; state
+      // peaked at two batches' worth and ended at most one batch + the
+      // final two-user batch — growth is bounded by ACTIVE users
+      assert(stateRows.max <= 80, stateRows)
+      assert(stateRows.last <= 42, stateRows)
+      // the evicted sessions were EMITTED (timeout path), not dropped:
+      // every user from batches 1-3 has a closed session
+      val emitted = spark.table("t_state_pin")
+        .select("user_id").distinct().count()
+      assert(emitted == 120L, s"emitted=$emitted")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
