@@ -258,6 +258,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_bp")
   }
 
+  /** Connected components over an undirected pair list — the cluster-
+    * assignment step that turns near-duplicate PAIRS into dedup GROUPS
+    * (keep min-id representative per component, drop the rest).
+    *
+    * Iterative min-label propagation: every node repeatedly adopts the
+    * smallest label in its neighborhood until fixpoint — converges in
+    * O(max component diameter) rounds (near-dup clusters are cliquish, so
+    * typically 2-3). Scale posture: each round is one shuffle of the
+    * EDGE list (groupBy dst) + one of the label table; both are
+    * candidate-pair-sized, orders of magnitude below the corpus. Labels
+    * persist per round (previous round unpersisted) so lineage stays
+    * flat across iterations. Throws if maxIters rounds don't converge
+    * rather than returning a partial clustering.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b",
+                          maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e0 = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min("comp").as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Content-defined chunk fingerprints (Rabin-Karp rolling-hash
     * boundaries + FNV chunk hashes, graft.plans.ContentChunkHashes):
     * sub-document dedup primitive — shared paragraphs share fingerprints

@@ -115,6 +115,45 @@ object TextAnalysis {
     }
   }
 
+  /** Longest run of equal adjacent elements in an ASCENDING-SORTED string
+    * array — i.e. the count of the most frequent element, computed in one
+    * map-side fold with no shuffle. The building block for repetition
+    * metrics: sorting the tokens of ONE row is per-row work, so "count of
+    * the top word" never needs the explode → groupBy(doc, word) shuffle
+    * the naive formulation pays. Empty arrays yield 0. */
+  def maxSortedRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Gopher-style repetition metrics per document, all map-side: word
+    * count, distinct-word count, top-word fraction (count of the most
+    * frequent word / words), top-bigram fraction — high values flag the
+    * degenerate repetitive documents a training corpus drops (reference
+    * has no analogue; standard training-data quality gate). `ws` is the
+    * split token array; bigram fraction is NULL for one-word docs. */
+  def repetitionMetrics(ws: Column): Seq[Column] = {
+    val nWords = size(ws).cast("long")
+    val bg = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Seq(
+      nWords.as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"),
+      round(maxSortedRunLength(sort_array(ws)).cast("double") / nWords, 6)
+        .as("top_word_frac"),
+      when(size(bg) > 0,
+        round(maxSortedRunLength(sort_array(bg)).cast("double") / size(bg), 6))
+        .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
+  }
+
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -17,6 +17,61 @@ object ExtensionQueries {
 
   private val Money = DecimalType(18, 2)
 
+  /** Oracle CTE chain of the portable near-dup pipeline up to `scored`
+    * (candidate pairs + exact Jaccard in basis points) — shared by q44
+    * and the dedup-clustering oracle q61, which extends it with a
+    * recursive connected-components walk. */
+  private val neardupScoredCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
+      |         len(w) AS n
+      |  FROM tok
+      |), sh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+      |           lead(tok, 2) OVER win AS shingle
+      |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+      |), sig AS (
+      |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+      |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+      |                 t.seed * 2654435769)) AS minhash
+      |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+      |  GROUP BY doc_id, t.seed
+      |), bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |         string_agg(CAST(minhash AS VARCHAR), ','
+      |           ORDER BY seed) AS band_key
+      |  FROM sig GROUP BY doc_id, seed // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id
+      |), shc AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.id_a, c.id_b
+      |), scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+      |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
+      |           AS BIGINT) AS jaccard_bp
+      |  FROM cand c
+      |  JOIN shc ca ON ca.doc_id = c.id_a
+      |  JOIN shc cb ON cb.doc_id = c.id_b
+      |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |)
+      |""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("q20_dedup_exact",
@@ -709,56 +764,9 @@ object ExtensionQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 2000)
         .orderBy("id_a", "id_b"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-             |  FROM documents
-             |), tr AS (
-             |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
-             |         len(w) AS n
-             |  FROM tok
-             |), sh0 AS (
-             |  SELECT doc_id, i, n,
-             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
-             |           lead(tok, 2) OVER win AS shingle
-             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-             |), sh AS (
-             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
-             |), sig AS (
-             |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
-             |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
-             |                 t.seed * 2654435769)) AS minhash
-             |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
-             |  GROUP BY doc_id, t.seed
-             |), bands AS (
-             |  SELECT doc_id, seed // 4 AS band_id,
-             |         string_agg(CAST(minhash AS VARCHAR), ','
-             |           ORDER BY seed) AS band_key
-             |  FROM sig GROUP BY doc_id, seed // 4
-             |), cand AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM bands a JOIN bands b
-             |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-             |   AND a.doc_id < b.doc_id
-             |), shc AS (
-             |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
-             |), inter AS (
-             |  SELECT c.id_a, c.id_b, COUNT(*) AS ninter
-             |  FROM cand c
-             |  JOIN sh sa ON sa.doc_id = c.id_a
-             |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-             |  GROUP BY c.id_a, c.id_b
-             |), scored AS (
-             |  SELECT c.id_a, c.id_b,
-             |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
-             |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
-             |           AS BIGINT) AS jaccard_bp
-             |  FROM cand c
-             |  JOIN shc ca ON ca.doc_id = c.id_a
-             |  JOIN shc cb ON cb.doc_id = c.id_b
-             |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-             |)
-             |SELECT id_a, id_b, jaccard_bp FROM scored
-             |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
+      Some(neardupScoredCtes +
+        """SELECT id_a, id_b, jaccard_bp FROM scored
+          |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
 
     // As-of join (point-in-time): each event picks up its user's latest
     // daily snapshot at-or-before the event — oracle is DuckDB's native
@@ -977,6 +985,78 @@ object ExtensionQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_events,
              |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Gopher-style repetition metrics, entirely map-side: per-row token
+    // sort + run-length fold replace the explode → groupBy(doc, word)
+    // shuffle of the naive formulation (which the oracle uses — same
+    // values, different plan).
+    Q("q60_repetition_metrics",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+        d.select(col("doc_id") +:
+            TextAnalysis.repetitionMetrics(col("ws")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents WHERE length(trim(text)) > 0
+             |), tok AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS w, len(ws) AS n
+             |  FROM d
+             |), wc AS (
+             |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+             |), words AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+             |           AS top_word_frac
+             |  FROM wc GROUP BY doc_id
+             |), bg0 AS (
+             |  SELECT doc_id, i, n,
+             |         w || ' ' || lead(w) OVER (PARTITION BY doc_id
+             |           ORDER BY i) AS bg
+             |  FROM tok
+             |), bgc AS (
+             |  SELECT doc_id, bg, COUNT(*) AS c FROM bg0
+             |  WHERE i <= n - 1 AND n >= 2 GROUP BY doc_id, bg
+             |), bigr AS (
+             |  SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+             |           AS top_bigram_frac
+             |  FROM bgc GROUP BY doc_id
+             |)
+             |SELECT w.doc_id, w.n_words, w.n_distinct, w.top_word_frac,
+             |       b.top_bigram_frac
+             |FROM words w LEFT JOIN bigr b ON w.doc_id = b.doc_id
+             |ORDER BY w.doc_id""".stripMargin)),
+
+    // Dedup clustering: near-dup PAIRS → connected components (min-id
+    // label per component), the step that picks one representative per
+    // duplicate group. Spark runs iterative min-label propagation over
+    // the pair list; the oracle computes the same components with a
+    // recursive transitive-closure walk.
+    Q("q61_dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.nearDuplicatesPortable(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+          minJaccardBp = 2000),
+        "id_a", "id_b")
+        .orderBy("id"),
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |)
+          |SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |ORDER BY id""".stripMargin))
   )
 }

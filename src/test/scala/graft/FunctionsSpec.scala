@@ -32,6 +32,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.wordHits($"text", "the"), "theme theater") == 0)
   }
 
+  test("repetition metrics: run-length fold counts the top word/bigram " +
+    "without a shuffle; one-word docs get NULL bigram fraction") {
+    def metrics(text: String) = Seq(text).toDF("text")
+      .withColumn("ws", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim($"text"), "\\s+"))
+      .select(TextAnalysis.repetitionMetrics($"ws"): _*)
+      .collect().head
+    val m1 = metrics("a b a b a c")
+    assert(m1.getLong(0) == 6 && m1.getLong(1) == 3)
+    assert(m1.getDouble(2) == 0.5)      // "a" 3/6
+    assert(m1.getDouble(3) == 0.4)      // "a b" 2/5
+    val m2 = metrics("x x x x")
+    assert(m2.getDouble(2) == 1.0 && m2.getDouble(3) == 1.0)
+    val m3 = metrics("solo")
+    assert(m3.getLong(0) == 1 && m3.isNullAt(3))
+  }
+
+  test("maxSortedRunLength: empty array is 0, distinct elements 1") {
+    import org.apache.spark.sql.functions._
+    val r = Seq(Seq("a", "a", "b"), Seq("a", "b", "c"), Seq.empty[String])
+      .toDF("arr")
+      .select(TextAnalysis.maxSortedRunLength(sort_array($"arr")).as("m"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(2, 1, 0))
+  }
+
   test("fingerprint is md5 hex") {
     assert(one(TextAnalysis.fingerprint($"text"), "abc")
       == "900150983cd24fb0d6963f7d28e17f72")
@@ -232,6 +258,23 @@ class DedupSpec extends AnyFunSuite {
       spark.sql("SELECT sorted_intersect_count('abc', array(1L))").collect()
     }
     assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("connected components: chains, separate components, and " +
+    "convergence beyond one propagation round") {
+    // component {1..7} is a CHAIN (diameter 6 → needs multiple rounds);
+    // {10,11,12} is a triangle; {20,21} a lone pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(comp(_) == 1L), comp)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L), comp)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 12)
   }
 
   test("portable md5 simhash: identical docs equal, near-dups closer, " +
