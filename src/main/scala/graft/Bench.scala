@@ -73,7 +73,8 @@ object Bench {
           s"$wdir/orders_by_day", Seq("order_date"))),
       "w_bucketed_write" -> timedOp(
         graft.sources.Sinks.writeBucketed(ordersW, "graft_bench_orders_b",
-          Seq("product_id"), 8, sortCols = Seq("product_id"))),
+          Seq("product_id"), 8, sortCols = Seq("product_id"),
+          path = Some(s"$wdir/orders_bucketed"))),
       "w_compaction" -> timedOp(
         graft.sources.Sinks.compact(spark, s"$wdir/orders_by_day")))
     val ws = writes.map { case (k, v) => "\"" + k + "\":" + v }

@@ -84,6 +84,8 @@ object GraftSession {
           org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("char_class_counts", classOf[CharClassCounts],
       (e: Seq[Expression]) => CharClassCounts(e(0))),
+    ("repetition_stats", classOf[graft.plans.RepetitionStats],
+      (e: Seq[Expression]) => graft.plans.RepetitionStats(e(0))),
     ("minhash_agg", classOf[MinHashAgg],
       (e: Seq[Expression]) =>
         MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()))

@@ -282,23 +282,29 @@ object Dedup {
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with the ONE-HOP minimum (id vs smallest neighbor): same
+    // shuffle as a plain distinct-nodes init, but the first propagation
+    // round comes free
+    var persisted = sym.groupBy(col("src").as("id"))
+      .agg(min("dst").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min("comp").as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+      // carry the previous label through the update so convergence is
+      // read off the same frame — one join + one job per round
+      val step = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.filter(col("comp") =!= col("prev")).count()
+      persisted.unpersist()
+      persisted = step
+      labels = step.select("id", "comp")
       converged = changed == 0
       iters += 1
     }

@@ -154,6 +154,25 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
   }
 
+  /** Repetition metrics via the native one-pass census kernel
+    * (graft.plans.RepetitionStats): same four columns/values as
+    * repetitionMetrics, but a single hash-count pass over the row's
+    * tokens replaces the per-row sorts + interpreted lambda folds —
+    * the hot-path variant (the two are cross-checked in FunctionsSpec). */
+  def repetitionMetricsFast(text: Column): Seq[Column] = {
+    val st = org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.RepetitionStats(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
+    val n = element_at(st, 1)
+    Seq(
+      n.as("n_words"),
+      element_at(st, 2).as("n_distinct"),
+      round(element_at(st, 3).cast("double") / n, 6).as("top_word_frac"),
+      when(n >= 2,
+        round(element_at(st, 4).cast("double") / (n - 1), 6))
+        .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
+  }
+
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 

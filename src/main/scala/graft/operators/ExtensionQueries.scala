@@ -987,19 +987,16 @@ object ExtensionQueries {
              |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // Gopher-style repetition metrics, entirely map-side: per-row token
-    // sort + run-length fold replace the explode → groupBy(doc, word)
-    // shuffle of the naive formulation (which the oracle uses — same
-    // values, different plan).
+    // Gopher-style repetition metrics, entirely map-side via the native
+    // one-pass census kernel (RepetitionStats; the sort+run-length HOF
+    // twin is cross-checked in FunctionsSpec). The oracle uses the naive
+    // explode → GROUP BY formulation — same values, different plan.
     Q("q60_repetition_metrics",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .filter(length(trim(col("text"))) > 0)
-          .withColumn("ws", split(trim(col("text")), "\\s+"))
-        d.select(col("doc_id") +:
-            TextAnalysis.repetitionMetrics(col("ws")): _*)
-          .orderBy("doc_id")
-      },
+      (s, dir) => Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id") +:
+          TextAnalysis.repetitionMetricsFast(col("text")): _*)
+        .orderBy("doc_id"),
       Some("""WITH d AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
              |  FROM documents WHERE length(trim(text)) > 0

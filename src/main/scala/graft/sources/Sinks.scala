@@ -42,11 +42,16 @@ object Sinks {
     * never again at read time. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int,
-                    sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+                    sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    // explicit path → external table: callers owning a fresh location can
+    // recreate the table in a new session without tripping over a managed
+    // location left in the warehouse by an earlier JVM
+    val w0 = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
-     else w).format("parquet").saveAsTable(table)
+    val w1 = path.fold(w0)(p => w0.option("path", p))
+    (if (sortCols.nonEmpty) w1.sortBy(sortCols.head, sortCols.tail: _*)
+     else w1).format("parquet").saveAsTable(table)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

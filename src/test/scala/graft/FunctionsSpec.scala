@@ -49,6 +49,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m3.getLong(0) == 1 && m3.isNullAt(3))
   }
 
+  test("repetition census kernel equals the sort+run-length HOF twin on " +
+    "real documents") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(length(trim($"text")) > 0)
+    def m(cols: Seq[org.apache.spark.sql.Column]) = docs
+      .select($"doc_id" +: cols: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val fast = m(TextAnalysis.repetitionMetricsFast($"text"))
+    val hof = m(TextAnalysis.repetitionMetrics(
+      split(trim($"text"), "\\s+")))
+    assert(fast == hof)
+    assert(fast.nonEmpty)
+  }
+
   test("maxSortedRunLength: empty array is 0, distinct elements 1") {
     import org.apache.spark.sql.functions._
     val r = Seq(Seq("a", "a", "b"), Seq("a", "b", "c"), Seq.empty[String])

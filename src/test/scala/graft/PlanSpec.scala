@@ -64,6 +64,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toString.contains("Window"), p.toString.take(2000))
   }
 
+  test("repetition metrics are map-side: no explode, no aggregation " +
+    "exchange — the only shuffle is the presentation sort") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val qe = SparkEntry.queries("q60_repetition_metrics")(spark, dir)
+      .queryExecution
+    val p = qe.sparkPlan
+    def shuffles(n: SparkPlan): Int =
+      (if (n.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+        n.children.map(shuffles).sum
+    // at most the ORDER BY's range exchange (none at all when the tiny
+    // test scan is a single partition)
+    assert(shuffles(p) <= 1, p.toString.take(2000))
+    assert(!p.toString.contains("Generate"), p.toString.take(2000))
+    assert(!p.toString.contains("HashAggregate"), p.toString.take(2000))
+  }
+
   test("SQL-dialect net demand equals the DataFrame plan's results") {
     val ps = new ProcurementSpec
     ps.orders.createOrReplaceTempView("orders")
