@@ -189,6 +189,39 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Idempotent per-batch write for exactly-once file ingestion: every
+    * micro-batch lands in its own `batch_id=<n>` partition directory,
+    * OVERWRITTEN on replay — a batch retried after a crash between write
+    * and checkpoint commit converges to the same bytes instead of
+    * appending duplicates. Readers see one consistent tree via partition
+    * discovery (`batch_id` is just another partition column and prunes
+    * like one). This is the standard Structured Streaming exactly-once
+    * recipe for non-transactional file sinks: the sink's idempotence +
+    * the checkpoint's at-least-once replay = exactly-once output. */
+  def idempotentBatchWrite(batch: DataFrame, batchId: Long,
+                           path: String): Unit =
+    batch
+      .withColumn("event_date",
+        org.apache.spark.sql.functions.to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(s"$path/batch_id=$batchId")
+
+  /** Exactly-once streaming ingestion (contrast ingestToWarehouse's plain
+    * append): each micro-batch goes through idempotentBatchWrite. Pass a
+    * durable `checkpoint` for restartability. */
+  def ingestExactlyOnce(events: DataFrame, path: String,
+                        checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) => idempotentBatchWrite(batch.toDF(), batchId, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Run a streaming frame to completion against a bounded source and
     * return the materialized result (memory sink; for tests/smoke). */
   def runToMemory(streaming: DataFrame, name: String,

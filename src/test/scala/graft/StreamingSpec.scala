@@ -223,6 +223,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactly-once ingestion: batch replay overwrites its own " +
+    "partition instead of appending duplicates; restart with the same " +
+    "checkpoint reprocesses nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-eo").toString
+    val out = s"$base/events"
+    val ckpt = s"$base/ckpt"
+
+    val stream = EventStreams.readEvents(spark, streamDir)
+    EventStreams.ingestExactlyOnce(stream, out, ckpt)
+      .awaitTermination(60000)
+    val afterFirst = spark.read.option("basePath", out).parquet(out)
+    assert(afterFirst.count() == 1000)
+
+    // simulate the crash-between-write-and-commit replay: re-run an
+    // already-written batch id by hand — the partition is overwritten,
+    // not appended
+    val batchTwin = graft.sources.Tables.events(spark, dir)
+    EventStreams.idempotentBatchWrite(batchTwin, batchId = 0, out)
+    EventStreams.idempotentBatchWrite(batchTwin, batchId = 0, out)
+    spark.catalog.refreshByPath(out)
+    val afterReplay = spark.read.option("basePath", out).parquet(out)
+    assert(afterReplay.count() == 1000, "replayed batch duplicated rows")
+
+    // restart against the SAME checkpoint: the source has no new files,
+    // so nothing is reprocessed and the output is unchanged
+    EventStreams.ingestExactlyOnce(
+      EventStreams.readEvents(spark, streamDir), out, ckpt)
+      .awaitTermination(60000)
+    spark.catalog.refreshByPath(out)
+    assert(spark.read.option("basePath", out).parquet(out).count() == 1000)
+
+    // content equality with the batch source (exactly-once, not just
+    // same-count)
+    val got = spark.read.option("basePath", out).parquet(out)
+      .select("event_id", "user_id", "event_type")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = batchTwin.select("event_id", "user_id", "event_type")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want))
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
