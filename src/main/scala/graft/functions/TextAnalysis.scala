@@ -147,8 +147,10 @@ object TextAnalysis {
     Seq(
       nWords.as("n_words"),
       size(array_distinct(ws)).cast("long").as("n_distinct"),
-      round(maxSortedRunLength(sort_array(ws)).cast("double") / nWords, 6)
-        .as("top_word_frac"),
+      // zero-word guard: NULL instead of an ANSI divide-by-zero error
+      when(nWords > 0,
+        round(maxSortedRunLength(sort_array(ws)).cast("double") / nWords, 6))
+        .otherwise(lit(null).cast("double")).as("top_word_frac"),
       when(size(bg) > 0,
         round(maxSortedRunLength(sort_array(bg)).cast("double") / size(bg), 6))
         .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
@@ -167,7 +169,9 @@ object TextAnalysis {
     Seq(
       n.as("n_words"),
       element_at(st, 2).as("n_distinct"),
-      round(element_at(st, 3).cast("double") / n, 6).as("top_word_frac"),
+      // zero-word guard: NULL instead of an ANSI divide-by-zero error
+      when(n > 0, round(element_at(st, 3).cast("double") / n, 6))
+        .otherwise(lit(null).cast("double")).as("top_word_frac"),
       when(n >= 2,
         round(element_at(st, 4).cast("double") / (n - 1), 6))
         .otherwise(lit(null).cast("double")).as("top_bigram_frac"))

@@ -121,4 +121,82 @@ class PropertySpec extends AnyFunSuite {
         .compareTo(expect) == 0)
     }
   }
+
+  test("repetition census kernel == Scala-model counts on 300 seeded " +
+    "random token strings") {
+    val word: Gen[String] = Gen.oneOf("a", "b", "ab", "xyz", "q1", "!", "aa")
+    val textGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 30)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t")
+    } yield ws.mkString(sep)
+    val texts: List[String] =
+      Gen.listOfN(300, textGen).apply(Gen.Parameters.default, Seed(7L)).get
+
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(($"id" +: graft.functions.TextAnalysis.repetitionMetricsFast(
+        $"text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      val r = got(i.toLong)
+      assert(r.getLong(1) == ws.length, s"n_words of '$t'")
+      assert(r.getLong(2) == ws.distinct.length, s"n_distinct of '$t'")
+      if (ws.nonEmpty) {
+        val topW = ws.groupBy(identity).values.map(_.length).max
+        assert(r.getDouble(3) ==
+          BigDecimal(topW.toDouble / ws.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"top_word_frac of '$t'")
+      }
+      if (ws.length >= 2) {
+        val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+        val topB = bgs.groupBy(identity).values.map(_.length).max
+        assert(r.getDouble(4) ==
+          BigDecimal(topB.toDouble / bgs.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"top_bigram_frac of '$t'")
+      } else assert(r.isNullAt(4), s"bigram of '$t'")
+    }
+  }
+
+  test("connected components == union-find model on 50 seeded random " +
+    "graphs") {
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.chooseNum(0L, 14L)
+      b <- Gen.chooseNum(0L, 14L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphs: List[List[(Long, Long)]] = Gen.listOfN(50,
+      Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, edgeGen)))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+
+    // run ALL graphs through one Spark job each is slow; model-check the
+    // distributed answer per graph
+    graphs.zipWithIndex.foreach { case (edges, gi) =>
+      val got = graft.functions.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // union-find model
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { n =>
+        // canonical label = min node of the component
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      assert(got == want, s"graph #$gi: $edges")
+    }
+  }
 }
