@@ -141,6 +141,40 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank", "cell")
   }
 
+  /** Multi-probe IVF ANN: each query probes its `nprobe` nearest cells
+    * (the standard recall knob — a query near a cell boundary also
+    * searches the adjacent cells) and exact cosine re-ranks the union.
+    * The corpus stays single-cell-assigned and map-side (ivfAssign); only
+    * the broadcast-sized QUERY set fans out ×nprobe, so the join volume
+    * grows with nprobe·|corpus∩probed|, never corpus×cells. nprobe=1
+    * degenerates to ivfTopK minus the self-cell shortcut. */
+  def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, cells: Int,
+                    k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cells)
+    // rank all centroids per query map-side (same broadcast centroid
+    // array as ivfAssign), keep the nprobe best cells
+    val centroids = broadcast(corpus.filter(col("vec_id") < cells)
+      .select(struct(col("vec_id").as("centroid_id"),
+        col("embedding").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs")))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .crossJoin(centroids)
+      .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
+        struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
+          c.getField("centroid_id").as("cell")))), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("ranked.cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "sim", "rank", "cell")
+  }
+
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
     * exact cosine re-ranks within the bucket. Trades recall for turning the
     * corpus×corpus cross join into a per-bucket equi-join. */

@@ -692,6 +692,60 @@ object ExtensionQueries {
              |SELECT query_id, vec_id, sim, rank, cell FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Multi-probe IVF: each query searches its 2 nearest cells (the
+    // recall knob for vectors near cell boundaries); corpus stays
+    // single-cell map-side assigned, only the broadcast query set fans
+    // out ×nprobe. Full pipeline — assignment, cell ranking, probing,
+    // re-rank — reproduced in the oracle.
+    Q("q62_ivf_multiprobe",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") < 5),
+          cells = 8, k = 10, nprobe = 2).orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+             |), scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored WHERE rk = 1
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), cellrank AS (
+             |  SELECT q.query_id, q.qv, c.centroid_id AS cell,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             |           list_dot_product(q.qv, c.cv)
+             |             / (sqrt(list_dot_product(q.qv, q.qv))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS prk
+             |  FROM q CROSS JOIN c
+             |), pr AS (
+             |  SELECT query_id, qv, cell FROM cellrank WHERE prk <= 2
+             |), sims AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_dot_product(p.qv, a.v)
+             |           / (sqrt(list_dot_product(p.qv, p.qv))
+             |              * sqrt(list_dot_product(a.v, a.v))), 6) AS sim,
+             |         a.cell
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
+             |), ranked AS (
+             |  SELECT query_id, vec_id, sim, cell,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM sims
+             |)
+             |SELECT query_id, vec_id, sim, rank, cell FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // Embedding-cosine near-dup via hyperplane LSH: vectors sharing a
     // random-hyperplane sign signature are candidates, exact cosine
     // re-ranks. The plane coefficients are dyadic rationals baked into

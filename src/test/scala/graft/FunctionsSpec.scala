@@ -388,5 +388,19 @@ class SimilaritySpec extends AnyFunSuite {
     // nprobe=1 coarse search: sane shape + non-trivial overlap with exact
     assert(ivf.nonEmpty && ivf.size <= 30)
     assert((ivf intersect exact).nonEmpty)
+
+    // multi-probe recall DOMINATES single-probe: probing 2 cells can only
+    // widen each query's candidate set
+    val probed = Similarity.ivfTopKProbed(real, queries, cells = 4,
+        k = 10, nprobe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert((probed intersect exact).size >= (ivf intersect exact).size,
+      s"nprobe=2 recall ${(probed intersect exact).size} < " +
+        s"nprobe=1 ${(ivf intersect exact).size}")
+    // nprobe = all cells ≡ brute force (the probe union covers the corpus)
+    val full = Similarity.ivfTopKProbed(real, queries, cells = 4,
+        k = 10, nprobe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(full == exact, s"full-probe should equal brute force")
   }
 }

@@ -76,6 +76,44 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(rows > 0 && rows <= nProducts, s"rows=$rows")
   }
 
+  test("near-dup LSH at 100k docs: planted pairs recovered at the " +
+    "theoretical banding rate, no false-positive flood, no hot-bucket " +
+    "blowup") {
+    // 100k docs: doc i and doc i+50000 share a 30-word body (keyed on
+    // id % 50000) and differ only in one appended word → 3-shingle
+    // Jaccard ≈ 0.8, caught by a 4×4 banding with P ≈ 0.9. Unrelated
+    // docs are independent word-soup over a 50-word vocabulary.
+    val vocab = array((0 until 50).map(w => lit(s"w$w")): _*)
+    val n = 100000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          element_at(vocab,
+            (pmod(hash(pmod(col("id"), lit(n / 2)), i, lit("w")),
+              lit(50)) + 1).cast("int")))),
+        lit(" "),
+        element_at(vocab,
+          (pmod(hash(col("id"), lit("tail")), lit(50)) + 1).cast("int")))
+        .as("text"))
+
+    val pairs = graft.functions.Dedup.nearDuplicatesPortable(
+      docs, "doc_id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 5000)
+      .collect()
+
+    val planted = pairs.count(r =>
+      r.getLong(1) - r.getLong(0) == n / 2)
+    // banding theory: P(catch) = 1-(1-J^4)^4 ≈ 0.9 at J≈0.8 → expect
+    // ~45k of the 50k planted pairs; anything under 40k means the
+    // pipeline lost recall, anything near 0 means banding broke
+    assert(planted > 40000, s"planted recovered=$planted")
+    // false positives must be rare: random 30-word soup over 50 words
+    // shares few 3-shingles, so ≥95% of emitted pairs are planted ones
+    assert(planted.toDouble / pairs.length >= 0.95,
+      s"${pairs.length - planted} false positives of ${pairs.length}")
+  }
+
   test("300x-scale netDemand spot-check: one product's MRP output equals " +
     "the independently-computed inputs") {
     // pick a product that actually appears in the output
