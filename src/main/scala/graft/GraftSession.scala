@@ -61,6 +61,8 @@ object GraftSession {
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity", classOf[CosineSimilarity],
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("dot_product", classOf[graft.plans.DotProduct],
+      (e: Seq[Expression]) => graft.plans.DotProduct(e(0), e(1))),
     ("shingle_hashes", classOf[ShingleHashes],
       (e: Seq[Expression]) => ShingleHashes(e(0), litInt(e(1), "n"))),
     ("shingle_minhash", classOf[ShingleMinHash],

@@ -23,6 +23,14 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
+  /** Dot product via the native codegen'd kernel (graft.plans.DotProduct)
+    * — bit-identical to `dot` (same sequential fold), one fused loop. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(b)))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine via higher-order built-ins (reference formulation; same
@@ -85,7 +93,10 @@ object Similarity {
   def hyperplaneSignature(v: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = array((0 until dim).map(d => lit(hyperplaneCoeff(p, d))): _*)
-      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+      // native kernel: one fused loop per plane instead of an interpreted
+      // zip_with+fold; same sequential accumulation, so the sign — and
+      // the q53 oracle hash — are unchanged
+      when(dotFast(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -180,8 +191,10 @@ object Similarity {
     * corpus×corpus cross join into a per-bucket equi-join. */
   def lshNeighbors(corpus: DataFrame, planes: Int, dim: Int,
                    threshold: Double): DataFrame = {
-    val sig = corpus.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+    // raw float arrays throughout: the native dot/cosine kernels widen
+    // exactly per element, so there's no asDouble transform pass and the
+    // bucket-join shuffle moves half the bytes — same doubles out
+    val sig = corpus.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", hyperplaneSignature(col("v"), planes, dim))
     val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("va"))

@@ -377,6 +377,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(r => r.getAs[Long]("cell") == cells(0L)))
   }
 
+  test("native dot kernel is bit-identical to the zip_with+fold on real " +
+    "embeddings (incl. float widening)") {
+    import org.apache.spark.sql.functions._
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val plane = array((0 until 64).map(d =>
+      lit(Similarity.hyperplaneCoeff(1, d))): _*)
+    val both = real.select(
+      Similarity.dotFast(Similarity.asDouble($"embedding"), plane).as("fast"),
+      Similarity.dot(Similarity.asDouble($"embedding"), plane).as("hof"),
+      Similarity.dotFast($"embedding", $"embedding").as("fastf"),
+      Similarity.dot(Similarity.asDouble($"embedding"),
+        Similarity.asDouble($"embedding")).as("hoff"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("ivf recall against brute force on real embeddings") {
     val spark2 = spark
     val real = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
