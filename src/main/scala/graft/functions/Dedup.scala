@@ -314,6 +314,24 @@ object Dedup {
     labels
   }
 
+  /** The corpus-level dedup materialization: everything EXCEPT
+    * non-representative near-duplicate cluster members (each connected
+    * component keeps its min-id doc). The drop list is cluster-membership
+    * sized — orders of magnitude below the corpus — so the anti-join's
+    * build side is tiny and the corpus itself passes through one
+    * broadcast anti-join probe with no shuffle (AQE falls back to SMJ if
+    * a pathological corpus ever makes the drop list fact-sized). */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                  minJaccardBp: Long = 5000): DataFrame = {
+    val clusters = connectedComponents(
+      nearDuplicatesPortable(docs, idCol, textCol, shingleN, bands,
+        rowsPerBand, minJaccardBp))
+    val drop = clusters.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Content-defined chunk fingerprints (Rabin-Karp rolling-hash
     * boundaries + FNV chunk hashes, graft.plans.ContentChunkHashes):
     * sub-document dedup primitive — shared paragraphs share fingerprints

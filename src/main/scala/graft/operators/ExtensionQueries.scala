@@ -1108,6 +1108,38 @@ object ExtensionQueries {
           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
           |)
           |SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
-          |ORDER BY id""".stripMargin))
+          |ORDER BY id""".stripMargin)),
+
+    // The dedup MATERIALIZATION: corpus in → deduplicated corpus out.
+    // Non-representative cluster members (component ≠ own id) are
+    // anti-joined away; every unclustered doc and each cluster's min-id
+    // representative survive. Fingerprint instead of full text keeps the
+    // compare channel small.
+    Q("q63_dedup_corpus",
+      (s, dir) => Dedup.dedupCorpus(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+        minJaccardBp = 2000)
+        .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |)
+          |SELECT d.doc_id, md5(d.text) AS fingerprint
+          |FROM documents d
+          |LEFT JOIN (SELECT id FROM comp WHERE id <> comp) drop_ids
+          |  ON d.doc_id = drop_ids.id
+          |WHERE drop_ids.id IS NULL
+          |ORDER BY d.doc_id""".stripMargin))
   )
 }
