@@ -177,6 +177,27 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
   }
 
+  /** Deterministic sampling bucket 0-99 from a key column: md5-prefix
+    * hash, so the same key lands in the same bucket on ANY engine and
+    * every rerun — the scale-correct way to subsample/mix training
+    * corpora (RNG sampling is neither reproducible nor push-downable;
+    * a hash bucket is a plain filter). */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+
+  /** Stratified deterministic sample: keep rows whose bucket falls under
+    * the stratum's keep-percentage (`rates`: stratum value → percent;
+    * `defaultRate` otherwise). Reproducible, join-free, map-side. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       stratumCol: String, rates: Map[String, Int],
+                       defaultRate: Int): org.apache.spark.sql.DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (value, pct)) =>
+      when(col(stratumCol) === value, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < rate)
+  }
+
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -1140,6 +1140,24 @@ object ExtensionQueries {
           |LEFT JOIN (SELECT id FROM comp WHERE id <> comp) drop_ids
           |  ON d.doc_id = drop_ids.id
           |WHERE drop_ids.id IS NULL
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling for corpus mixing: md5-prefix
+    // hash buckets (reproducible on any engine, any rerun — unlike RNG
+    // sampling) with per-language keep rates; a plain map-side filter,
+    // no shuffle, no join.
+    Q("q64_stratified_sample",
+      (s, dir) => TextAnalysis.stratifiedSample(
+        Tables.load(s, dir, "documents"), keyCol = "doc_id",
+        stratumCol = "lang", rates = Map("en" -> 40, "de" -> 70),
+        defaultRate = 100)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |        ::BIGINT % 100
+             |      < (CASE WHEN lang = 'en' THEN 40
+             |              WHEN lang = 'de' THEN 70 ELSE 100 END)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

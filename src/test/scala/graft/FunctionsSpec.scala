@@ -74,6 +74,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r == Seq(2, 1, 0))
   }
 
+  test("stratified hash sampling: deterministic across runs, rates " +
+    "approximately honored, bucket is engine-portable md5 math") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def sample() = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 40), defaultRate = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = sample()
+    assert(s1 == sample()) // same keys every run — no RNG
+    val en = docs.filter($"lang" === "en").count().toDouble
+    val enKept = docs.filter($"lang" === "en")
+      .filter(TextAnalysis.hashBucket($"doc_id") < 40).count()
+    assert(math.abs(enKept / en - 0.4) < 0.15, s"$enKept of $en")
+    val other = docs.filter($"lang" =!= "en").count()
+    val otherKept = s1.size - enKept
+    assert(otherKept == other) // default rate 100 keeps everything
+  }
+
   test("fingerprint is md5 hex") {
     assert(one(TextAnalysis.fingerprint($"text"), "abc")
       == "900150983cd24fb0d6963f7d28e17f72")
