@@ -65,6 +65,10 @@ object Replay {
           w.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
             .sortBy(bucketCols.head, bucketCols.tail: _*)
          else w).saveAsTable(table)
+        // row-count + size stats: the optimizer then sizes joins from
+        // real numbers instead of file-size heuristics (one cheap scan
+        // at materialization time, amortized over every consumer)
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
       }
       spark.table(table)
     })
