@@ -312,6 +312,16 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 12)
   }
 
+  test("connected components: pointer jumping closes a 100-node chain " +
+    "within the default round budget (plain propagation would need " +
+    "~50 rounds)") {
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain) // default maxIters = 25
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 100)
+    assert(comp.values.forall(_ == 1L), comp.filter(_._2 != 1L))
+  }
+
   test("portable md5 simhash: identical docs equal, near-dups closer, " +
     "60-bit range") {
     val sh = Dedup.simhash60Md5(docs, "doc_id", "text").collect()
