@@ -28,4 +28,14 @@ class RegistrySpec extends AnyFunSuite {
   test("entry() returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  test("DESCRIBE FUNCTION reports each kernel's real implementing class") {
+    val spark = TestSpark.spark
+    GraftSession.registerFunctions(spark)
+    for ((name, cls, _) <- GraftSession.functions) {
+      val desc = spark.sql(s"DESCRIBE FUNCTION `$name`")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains(cls.getName), s"$name described as:\n$desc")
+    }
+  }
 }
