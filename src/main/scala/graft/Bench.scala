@@ -76,7 +76,8 @@ object Bench {
           Seq("product_id"), 8, sortCols = Seq("product_id"),
           path = Some(s"$wdir/orders_bucketed"))),
       "w_compaction" -> timedOp(
-        graft.sources.Sinks.compact(spark, s"$wdir/orders_by_day")))
+        graft.sources.Sinks.compact(spark, s"$wdir/orders_by_day",
+          partitionCols = Seq("order_date"))))
     val ws = writes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"writes":$ws,"sf":"$sfDir"}""")

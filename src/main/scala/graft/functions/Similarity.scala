@@ -24,7 +24,11 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** Dot product via the native codegen'd kernel (graft.plans.DotProduct)
-    * — bit-identical to `dot` (same sequential fold), one fused loop. */
+    * — bit-identical to `dot` for equal-length arrays with no null
+    * elements (same sequential fold), one fused loop. On malformed
+    * inputs the two diverge by design: the kernel min-length-scans and
+    * zero-substitutes null elements (graceful), while the HOF fold
+    * null-poisons to NULL. */
   def dotFast(a: Column, b: Column): Column =
     org.apache.spark.sql.graftops.ColumnBridge.column(
       graft.plans.DotProduct(
@@ -95,7 +99,10 @@ object Similarity {
       val plane = array((0 until dim).map(d => lit(hyperplaneCoeff(p, d))): _*)
       // native kernel: one fused loop per plane instead of an interpreted
       // zip_with+fold; same sequential accumulation, so the sign — and
-      // the q53 oracle hash — are unchanged
+      // the q53 oracle hash — are unchanged for well-formed vectors.
+      // Contract for malformed rows: a vector shorter than `dim` or with
+      // null elements gets the sign of its partial dot (kernel
+      // min-scan), not a NULL-driven '0' bit — deterministic either way
       when(dotFast(v, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
@@ -111,21 +118,30 @@ object Similarity {
     * (no RNG; a production build would k-means-refine them — same
     * plumbing).
     */
+  /** The k centroids collapsed to ONE broadcast row holding a SORTED
+    * struct array — the shared contract between corpus cell assignment
+    * (ivfAssign) and query cell ranking (ivfTopKProbed): both sides must
+    * fold over the identical array or queries probe cells the corpus was
+    * never assigned under. */
+  private def centroidArray(corpus: DataFrame, k: Int): DataFrame =
+    broadcast(corpus.filter(col("vec_id") < k)
+      .select(struct(col("vec_id").as("centroid_id"),
+        col("embedding").as("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs")))
+
   def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
-    // Collapse the k centroids to ONE broadcast row holding a sorted
-    // struct array, then pick each vector's cell with a map-side argmax
-    // over that array — corpus rows never enter an exchange (the only
+    // Pick each vector's cell with a map-side argmax over the broadcast
+    // centroid array — corpus rows never enter an exchange (the only
     // shuffle in the plan is the k-row centroid collapse feeding the
     // broadcast). The argmax is array_max over (sim, -centroid_id)
     // structs: lexicographic struct ordering gives highest sim first,
     // lowest centroid_id on ties — same ordering the previous
     // row_number()-over-window formulation (and the q42 oracle) pins.
-    val centroids = broadcast(corpus.filter(col("vec_id") < k)
-      .select(struct(col("vec_id").as("centroid_id"),
-        col("embedding").as("cv")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cs")))
+    // A corpus with NO centroid rows (nothing under vec_id < k) yields
+    // zero output rows, as the join formulation did — not NULL cells.
     corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(centroids)
+      .crossJoin(centroidArray(corpus, k))
+      .filter(size(col("cs")) > 0)
       .withColumn("best", array_max(transform(col("cs"), c =>
         struct(cosine(col("embedding"), c.getField("cv")).as("sim"),
           (-c.getField("centroid_id")).as("neg_id"),
@@ -162,15 +178,11 @@ object Similarity {
   def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, cells: Int,
                     k: Int, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, cells)
-    // rank all centroids per query map-side (same broadcast centroid
-    // array as ivfAssign), keep the nprobe best cells
-    val centroids = broadcast(corpus.filter(col("vec_id") < cells)
-      .select(struct(col("vec_id").as("centroid_id"),
-        col("embedding").as("cv")).as("c"))
-      .agg(sort_array(collect_list(col("c"))).as("cs")))
+    // rank all centroids per query map-side over the SAME broadcast
+    // centroid array the assignment used, keep the nprobe best cells
     val probes = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"))
-      .crossJoin(centroids)
+      .crossJoin(centroidArray(corpus, cells))
       .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
         struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
           c.getField("centroid_id").as("cell")))), 1, nprobe))

@@ -136,9 +136,13 @@ object TextAnalysis {
     * count, distinct-word count, top-word fraction (count of the most
     * frequent word / words), top-bigram fraction — high values flag the
     * degenerate repetitive documents a training corpus drops (reference
-    * has no analogue; standard training-data quality gate). `ws` is the
-    * split token array; bigram fraction is NULL for one-word docs. */
-  def repetitionMetrics(ws: Column): Seq[Column] = {
+    * has no analogue; standard training-data quality gate). Takes the
+    * raw text and tokenizes internally (filtering the empty token that
+    * split returns for blank text) so blank documents report n_words=0
+    * and NULL fractions — the SAME contract as the census kernel twin,
+    * on any input. Bigram fraction is NULL for one-word docs. */
+  def repetitionMetrics(text: Column): Seq[Column] = {
+    val ws = filter(split(trim(text), "\\s+"), w => length(w) > 0)
     val nWords = size(ws).cast("long")
     val bg = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),

@@ -195,20 +195,27 @@ object Procurement {
     */
   def missingSupplierMapping(orders: DataFrame, productSuppliers: DataFrame,
                              when: Column): DataFrame =
-    // The anti-join only tests key EXISTENCE, so collapse the mapping to
-    // distinct product_ids and broadcast them: the build side is
-    // products-master cardinality — the same dim-sized contract under
-    // which netDemand broadcasts products/suppliers/ranked-mapping — and
-    // the distinct costs no exchange when the dim is materialized
-    // clustered on product_id. Without the hint AQE judges the build side
-    // by the FULL mapping's stats (the distinct fuses into the dim's
-    // cached stage) and flips to a sort-merge join that shuffles the
-    // fact for a key set that fits in memory by definition.
+    missingSupplierMapping(orders, productSuppliers, when,
+      broadcastKeys = true)
+
+  /** @param broadcastKeys the anti-join only tests key EXISTENCE, so the
+    *   build side collapses to DISTINCT product_ids — products-master
+    *   cardinality, which the reference keeps in a Postgres master table
+    *   (inherently bounded). With `true` (default) those keys are
+    *   broadcast-hinted: AQE otherwise judges the build side by the FULL
+    *   mapping's stage stats (the distinct fuses into the dim's stage)
+    *   and flips to a fact-shuffling sort-merge join. Deployments whose
+    *   distinct key set genuinely outgrows a broadcast (billions of
+    *   products) pass `false` and get the shuffled anti-join. */
+  def missingSupplierMapping(orders: DataFrame, productSuppliers: DataFrame,
+                             when: Column, broadcastKeys: Boolean): DataFrame = {
+    val keys = productSuppliers.select("product_id").distinct()
     orders.filter(when)
-      .join(broadcast(productSuppliers.select("product_id").distinct()),
+      .join(if (broadcastKeys) broadcast(keys) else keys,
         Seq("product_id"), "left_anti")
       .groupBy("product_id")
       .agg(count(lit(1)).as("order_count"))
+  }
 
   def missingSupplierMapping(orders: DataFrame, productSuppliers: DataFrame,
                              d: LocalDate): DataFrame =

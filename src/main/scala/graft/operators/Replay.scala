@@ -55,8 +55,11 @@ object Replay {
       val safe = s"${dir}_$name".replaceAll("[^A-Za-z0-9]", "_")
       val table = s"graft_dim$safe"
       if (!spark.catalog.tableExists(table)) {
-        val path =
-          s"${System.getProperty("java.io.tmpdir")}/graft-dims/$safe"
+        // path is per-JVM (pid suffix): a fixed shared location would let
+        // a second JVM's mode-overwrite delete files this JVM's catalog
+        // relation is still reading
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-dims-" +
+          s"${ProcessHandle.current().pid()}/$safe"
         val w = build.write.mode("overwrite").option("path", path)
         // bucketed layout preserves the clustering contract a cached
         // repartition used to give: scans report HashPartitioning on the

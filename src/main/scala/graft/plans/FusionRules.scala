@@ -95,7 +95,10 @@ object HofCosineFusion extends Rule[LogicalPlan] {
           case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
               if a.semanticEquals(a1) && a.semanticEquals(a2) &&
                 b.semanticEquals(b1) && b.semanticEquals(b2) &&
-                doubles(a) && doubles(b) =>
+                doubles(a) && doubles(b) &&
+                // the rewrite duplicates a/b into guards + kernel, which
+                // is only sound if every evaluation sees the same value
+                a.deterministic && b.deterministic =>
             val sameLen = EqualTo(Size(a, legacySizeOfNull = false),
               Size(b, legacySizeOfNull = false))
             val guards = Seq(a, b).collect {

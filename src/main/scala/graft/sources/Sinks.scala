@@ -57,16 +57,26 @@ object Sinks {
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. At scale, streaming/minibatch
     * ingestion fragments partitions; compaction restores scan efficiency
-    * (fewer tasks, bigger sequential reads). */
+    * (fewer tasks, bigger sequential reads). For a Hive-partitioned
+    * directory, pass `partitionCols` — the rewrite then PRESERVES the
+    * partition layout (repartitioned on the partition columns, one
+    * rewrite per run) instead of flattening it into plain files. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Nil): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val compacted =
+      if (partitionCols.isEmpty) df.coalesce(files)
+      else df.repartition(partitionCols.map(
+        org.apache.spark.sql.functions.col): _*)
+    val w = compacted.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(tmp)
     fs.delete(hPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
     spark.catalog.refreshByPath(path)

@@ -33,11 +33,10 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("repetition metrics: run-length fold counts the top word/bigram " +
-    "without a shuffle; one-word docs get NULL bigram fraction") {
+    "without a shuffle; one-word docs get NULL bigram fraction; blank " +
+    "docs report zero words like the kernel twin") {
     def metrics(text: String) = Seq(text).toDF("text")
-      .withColumn("ws", org.apache.spark.sql.functions.split(
-        org.apache.spark.sql.functions.trim($"text"), "\\s+"))
-      .select(TextAnalysis.repetitionMetrics($"ws"): _*)
+      .select(TextAnalysis.repetitionMetrics($"text"): _*)
       .collect().head
     val m1 = metrics("a b a b a c")
     assert(m1.getLong(0) == 6 && m1.getLong(1) == 3)
@@ -47,6 +46,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m2.getDouble(2) == 1.0 && m2.getDouble(3) == 1.0)
     val m3 = metrics("solo")
     assert(m3.getLong(0) == 1 && m3.isNullAt(3))
+    val m4 = metrics("   ")
+    assert(m4.getLong(0) == 0 && m4.isNullAt(2) && m4.isNullAt(3))
   }
 
   test("repetition census kernel equals the sort+run-length HOF twin on " +
@@ -54,13 +55,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter(length(trim($"text")) > 0)
     def m(cols: Seq[org.apache.spark.sql.Column]) = docs
       .select($"doc_id" +: cols: _*)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     val fast = m(TextAnalysis.repetitionMetricsFast($"text"))
-    val hof = m(TextAnalysis.repetitionMetrics(
-      split(trim($"text"), "\\s+")))
+    val hof = m(TextAnalysis.repetitionMetrics($"text"))
     assert(fast == hof)
     assert(fast.nonEmpty)
   }
