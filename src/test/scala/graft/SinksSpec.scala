@@ -99,4 +99,29 @@ class SinksSpec extends AnyFunSuite {
     assert(after < before)
     assert(spark.read.parquet(dir).count() == 100000)
   }
+
+  test("compact with partitionCols preserves the Hive partition layout " +
+    "and the data") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pcomp").toString
+    val dir = s"$tmp/days"
+    spark.range(30000)
+      .withColumn("day", (col("id") % 3).cast("int"))
+      .repartition(16) // each task writes into every partition → 48 files
+      .write.partitionBy("day").parquet(dir)
+    def dayDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("day=")).sortBy(_.getName)
+    val filesBefore = dayDirs.map(_.listFiles()
+      .count(_.getName.endsWith(".parquet"))).sum
+    assert(dayDirs.length == 3 && filesBefore > 3)
+    Sinks.compact(spark, dir, partitionCols = Seq("day"))
+    assert(dayDirs.length == 3, "partition directories lost")
+    val filesAfter = dayDirs.map(_.listFiles()
+      .count(_.getName.endsWith(".parquet"))).sum
+    assert(filesAfter < filesBefore)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 30000)
+    assert(back.groupBy("day").count().collect()
+      .forall(_.getLong(1) == 10000))
+  }
 }
