@@ -304,21 +304,26 @@ object Dedup {
       val step = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump (path halving): comp ← label(comp). Labels are
-      // always node ids, so the self-join always matches; at fixpoint
-      // label(comp) == comp and the jump is the identity, so the
-      // convergence test on the pre-jump frame stays exact.
-      val jumped = step
-        .join(step.select(col("id").as("jid"), col("comp").as("jcomp")),
-          step("comp") === col("jid"), "left")
-        .select(step("id"), step("prev"),
-          coalesce(col("jcomp"), step("comp")).as("comp"))
-        // LAZY checkpoint: the convergence count right below is the
-        // materializing action, so each round is ONE job — and the next
-        // round's plan still starts from a leaf
-        .localCheckpoint(false)
-      val changed = jumped.filter(col("comp") =!= col("prev")).count()
-      labels = jumped.select("id", "comp")
+      // pointer jump (path halving) from round 2 on: comp ← label(comp).
+      // Labels are always node ids, so the self-join always matches; at
+      // fixpoint label(comp) == comp and the jump is the identity, so
+      // the convergence test stays exact. Round 1 skips the jump —
+      // cliquish near-dup graphs converge right there (the common case
+      // saves a join), while deep chains still get O(log diameter)
+      // halving from every later round.
+      val jumped =
+        if (iters == 0) step
+        else step
+          .join(step.select(col("id").as("jid"), col("comp").as("jcomp")),
+            step("comp") === col("jid"), "left")
+          .select(step("id"), step("prev"),
+            coalesce(col("jcomp"), step("comp")).as("comp"))
+      // LAZY checkpoint: the convergence count right below is the
+      // materializing action, so each round is ONE job — and the next
+      // round's plan still starts from a leaf
+      val next = jumped.localCheckpoint(false)
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("id", "comp")
       converged = changed == 0
       iters += 1
       // superseded checkpoint RDDs are reclaimed by the ContextCleaner
