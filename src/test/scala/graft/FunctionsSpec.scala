@@ -311,6 +311,26 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 12)
   }
 
+  test("dedupCorpus keeps one representative per near-dup cluster plus " +
+    "every unclustered doc") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val kept = Dedup.dedupCorpus(real, "doc_id", "text",
+      minJaccardBp = 2000)
+    val clusters = Dedup.connectedComponents(
+      Dedup.nearDuplicatesPortable(real, "doc_id", "text",
+        minJaccardBp = 2000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = real.select("doc_id").collect().map(_.getLong(0)).toSet
+    // dropped = exactly the non-representative members
+    val expectedDropped = clusters.filter { case (id, comp) => id != comp }
+      .keySet
+    assert(all -- keptIds == expectedDropped)
+    assert(expectedDropped.nonEmpty) // the corpus does contain near-dups
+  }
+
   test("connected components: pointer jumping closes a 100-node chain " +
     "within the default round budget (plain propagation would need " +
     "~50 rounds)") {
