@@ -83,7 +83,11 @@ object ExtensionQueries {
       org.apache.spark.sql.DataFrame]
 
   private def clustersTable(s: org.apache.spark.sql.SparkSession,
-                            dir: String): org.apache.spark.sql.DataFrame =
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    // same stopped-session sweep as Tables.load: a long-lived JVM cycling
+    // sessions must not retain persisted frames (and their plans) forever
+    clusterCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(clusterCache.remove)
     clusterCache.getOrElseUpdate((s, dir),
       Dedup.connectedComponents(
         Dedup.nearDuplicatesPortable(Tables.load(s, dir, "documents"),
@@ -91,6 +95,7 @@ object ExtensionQueries {
           minJaccardBp = 2000),
         "id_a", "id_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -1072,7 +1077,9 @@ object ExtensionQueries {
           TextAnalysis.repetitionMetricsFast(col("text")): _*)
         .orderBy("doc_id"),
       Some("""WITH d AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     w -> len(w) > 0) AS ws
              |  FROM documents WHERE length(trim(text)) > 0
              |), tok AS (
              |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
@@ -1099,10 +1106,13 @@ object ExtensionQueries {
              |           AS top_bigram_frac
              |  FROM bgc GROUP BY doc_id
              |)
-             |SELECT w.doc_id, w.n_words, w.n_distinct, w.top_word_frac,
-             |       b.top_bigram_frac
-             |FROM words w LEFT JOIN bigr b ON w.doc_id = b.doc_id
-             |ORDER BY w.doc_id""".stripMargin)),
+             |SELECT d.doc_id,
+             |       CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+             |       CAST(COALESCE(w.n_distinct, 0) AS BIGINT) AS n_distinct,
+             |       w.top_word_frac, b.top_bigram_frac
+             |FROM d LEFT JOIN words w ON d.doc_id = w.doc_id
+             |       LEFT JOIN bigr b ON d.doc_id = b.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // Dedup clustering: near-dup PAIRS → connected components (min-id
     // label per component), the step that picks one representative per

@@ -86,9 +86,21 @@ case class MinHashAgg(
     bb.array()
   }
 
+  /** Wire format is k+1 longs (signature + fold flag). A k-long payload
+    * from the pre-flag format is accepted as folded=1 legacy — the old
+    * format had no empty-group representation, so every serialized buffer
+    * it produced had folded at least once. Keeps spilled/checkpointed
+    * aggregate state readable across the format change. */
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(k + 1)(bb.getLong)
+    val n = bytes.length / 8
+    require(n == k || n == k + 1,
+      s"minhash_agg buffer has $n longs, expected $k (legacy) or ${k + 1}")
+    val buf = Array.fill(k + 1)(Long.MaxValue)
+    var i = 0
+    while (i < n) { buf(i) = bb.getLong; i += 1 }
+    if (n == k) buf(k) = 1L
+    buf
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =

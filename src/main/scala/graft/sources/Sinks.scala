@@ -70,10 +70,26 @@ object Sinks {
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, spark_partition_id}
     val compacted =
       if (partitionCols.isEmpty) df.coalesce(files)
-      else df.repartition(partitionCols.map(
-        org.apache.spark.sql.functions.col): _*)
+      else {
+        // repartition(partitionCols) alone writes ONE file per partition
+        // value — a partition bigger than targetFileBytes would become a
+        // single oversized file. Salt with ceil(files / numPartitions)
+        // buckets (hash of the data columns, uniform within a partition)
+        // so each partition dir splits into ~target-sized files. The
+        // distinct count over partition columns is footer-only metadata
+        // (column pruning reads no data pages).
+        val nParts = math.max(1L,
+          df.select(partitionCols.map(col): _*).distinct().count())
+        val perPart = math.max(1, math.ceil(files.toDouble / nParts).toInt)
+        val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+        val keys = partitionCols.map(col) :+
+          (if (perPart == 1) lit(0)
+           else pmod(hash(dataCols :+ spark_partition_id(): _*), lit(perPart)))
+        df.repartition(files, keys: _*)
+      }
     val w = compacted.write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp)
