@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture construction: pack documents into fixed token-budget
+  * context windows and weighted-interleave corpus shards into a
+  * deterministic training order. These are the two steps between a cleaned
+  * corpus (dedup/quality output) and the tokenizer: decide each document's
+  * position in the token stream, and decide how often each shard appears.
+  *
+  * Both are exact integer arithmetic end-to-end (no RNG, no floats), so
+  * reruns are reproducible shard-by-shard and results are verifiable in any
+  * SQL engine. Scale posture: one shuffle on the shard column each (the
+  * per-shard window), nothing global — the 100 TB shape is "each shard's
+  * token stream is independent", which is also what lets a 1000-executor
+  * cluster write shards concurrently.
+  */
+object Mixing {
+
+  /** Contiguous (GPT-style) sequence packing: within each shard, documents
+    * are laid out back-to-back in `orderCol` order into one token stream;
+    * window w of that stream holds tokens [w*budget, (w+1)*budget).
+    * Documents straddle window boundaries — nothing is padded or dropped.
+    * Emits per doc: token count, stream start offset, the window the doc
+    * starts in (`seq_id`), and the offset inside that window.
+    *
+    * Plan: one shuffle on `shardCol`, then a running-sum window and four
+    * map-side projections. No global sort — shards pack independently,
+    * which is the property that keeps this embarrassingly parallel at
+    * cluster scale.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    shardCol: String = "source",
+                    orderCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    docs
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer div/mod, not floating division: start_tok is a token
+      // offset that reaches ~1e13 on a 100 TB corpus shard.
+      .withColumn("seq_id", expr(s"start_tok div ${budget}L"))
+      .withColumn("seq_offset", expr(s"start_tok % ${budget}L"))
+  }
+
+  /** Deterministic weighted corpus mixture (The-Pile-style sampling
+    * weights): each shard gets a weight in hundredths of an epoch
+    * (250 = 2.5 passes, 50 = half a pass). Every document is emitted
+    * floor(w/100) times always; the fractional epoch keeps the documents
+    * whose md5 bucket of (key ":" epoch) falls under w%100 — the same
+    * hash-bucket discipline as [[TextAnalysis.stratifiedSample]], so the
+    * subset is reproducible and rerun-stable.
+    *
+    * Each copy carries a stride-scheduling key `sched_t`: the k-th emission
+    * of a shard is scheduled at virtual time (k+1)*10000/w, so shards
+    * appear in the merged order with frequency proportional to their
+    * weight, and a document's epoch copies land maximally far apart
+    * (k = epoch*shardSize + rankInShard). Ordering the union by
+    * (sched_t, shard, key) IS the training order — no global row_number is
+    * materialized, so producing sharded output stays a local sort per
+    * output partition rather than a global total-order shuffle.
+    *
+    * Plan: one shuffle on `shardCol` (rank + count windows), then the
+    * epoch fan-out is a generator and the keep/schedule logic is per-row
+    * projections — map-side, RNG-free.
+    */
+  def mixCorpus(docs: DataFrame, weightsHundredths: Map[String, Int],
+                defaultWeightHundredths: Int = 100,
+                shardCol: String = "source",
+                keyCol: String = "doc_id"): DataFrame = {
+    require(defaultWeightHundredths > 0, "default weight must be positive")
+    weightsHundredths.foreach { case (s, w) =>
+      require(w > 0, s"weight for $s must be positive, got $w")
+    }
+    val weight = weightsHundredths.foldLeft(lit(defaultWeightHundredths)) {
+      case (acc, (value, w)) =>
+        when(col(shardCol) === value, lit(w)).otherwise(acc)
+    }
+    val byShard = Window.partitionBy(shardCol).orderBy(keyCol)
+    docs
+      .withColumn("w", weight)
+      .withColumn("rn0", row_number().over(byShard).cast("long") - 1L)
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(shardCol)))
+      // epochs 0 .. ceil(w/100)-1; the last (fractional) epoch is filtered
+      // per-document below.
+      .withColumn("epoch",
+        explode(sequence(lit(0), expr("cast((w + 99) div 100 - 1 as int)"))))
+      .filter(expr("epoch < w div 100").or(
+        TextAnalysis.hashBucket(
+          concat_ws(":", col(keyCol), col("epoch"))) < expr("w % 100")))
+      .withColumn("sched_t",
+        expr("(epoch * n + rn0 + 1) * 10000L div w"))
+      .drop("w", "rn0", "n")
+  }
+}

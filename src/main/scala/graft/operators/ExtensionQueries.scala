@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Mixing, Similarity, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -1193,6 +1193,73 @@ object ExtensionQueries {
              |        ::BIGINT % 100
              |      < (CASE WHEN lang = 'en' THEN 40
              |              WHEN lang = 'de' THEN 70 ELSE 100 END)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Contiguous sequence packing (tokenizer feed): per-source token
+    // stream, 512-token context windows, docs straddle boundaries. One
+    // shuffle on source + a running-sum window; integer div/mod so the
+    // layout is exact at any corpus size. Shards pack independently —
+    // the property that keeps this embarrassingly parallel at 100 TB.
+    Q("q65_pack_sequences",
+      (s, dir) => Mixing.packSequences(
+        Tables.load(s, dir, "documents"), budget = 512)
+        .select("doc_id", "source", "n_tokens", "start_tok",
+          "seq_id", "seq_offset")
+        .orderBy("source", "doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE length(string_split_regex(trim(text),
+             |                                             '\s+')) END
+             |           AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), cum AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
+             |  FROM toks
+             |)
+             |SELECT doc_id, source, n_tokens, start_tok,
+             |       start_tok // 512 AS seq_id,
+             |       start_tok % 512 AS seq_offset
+             |FROM cum ORDER BY source, doc_id""".stripMargin)),
+
+    // Weighted corpus mixture: per-shard epoch weights in hundredths
+    // (src0 2.5 epochs, src1 0.5, src3 1.3), fractional epochs kept by
+    // md5 hash bucket (reproducible, RNG-free), stride-scheduling key
+    // interleaves shards proportionally to weight without materializing
+    // a global row_number. One shuffle on source; fan-out is a
+    // generator; keep/schedule logic is map-side integer arithmetic.
+    Q("q66_corpus_mix",
+      (s, dir) => Mixing.mixCorpus(Tables.load(s, dir, "documents"),
+        weightsHundredths =
+          Map("src0" -> 250, "src1" -> 50, "src3" -> 130),
+        defaultWeightHundredths = 100)
+        .select("doc_id", "source", "epoch", "sched_t")
+        .orderBy("sched_t", "source", "doc_id", "epoch"),
+      Some("""WITH rn AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN source = 'src0' THEN 250
+             |              WHEN source = 'src1' THEN 50
+             |              WHEN source = 'src3' THEN 130
+             |              ELSE 100 END AS w,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY doc_id) - 1 AS rn0,
+             |         COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM documents
+             |), cop AS (
+             |  SELECT rn.*, unnest(generate_series(0,
+             |           (w + 99) // 100 - 1)) AS epoch
+             |  FROM rn
+             |)
+             |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch,
+             |       CAST((epoch * n + rn0 + 1) * 10000 // w AS BIGINT)
+             |         AS sched_t
+             |FROM cop
+             |WHERE epoch < w // 100
+             |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |         CAST(epoch AS VARCHAR)), 1, 8))::BIGINT % 100
+             |      < w % 100
+             |ORDER BY sched_t, source, doc_id, epoch""".stripMargin))
   )
 }
