@@ -221,21 +221,11 @@ object Dedup {
                              shingleN: Int = 3, bands: Int = 4,
                              rowsPerBand: Int = 4,
                              minJaccardBp: Long = 5000): DataFrame = {
-    val k = bands * rowsPerBand
     // cache-free multi-consumer shape (see nearDuplicates): aliased
     // self-joins + identical shuffles → ReusedExchange, instead of a
     // corpus-wide persist
-    val bandRows = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-          .as("band_key"))
-    }
-    val banded = docs
-      .select(col(idCol),
-        minhashSignatureFast(col(textCol), shingleN, k).as("sig"))
-      .filter(size(col("sig")) > 0)
-      .select(col(idCol), explode(array(bandRows: _*)).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+    val banded =
+      nearDupBandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
     val candidates = banded.as("a").hint("shuffle_hash")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.band_id") === col("b.band_id") &&
@@ -243,9 +233,7 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val hs = docs.select(col(idCol),
-        shingleHashesFast(col(textCol), shingleN).as("hs"))
-      .filter(size(col("hs")) > 0)
+    val hs = shingleSets(docs, idCol, textCol, shingleN)
     candidates
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -333,6 +321,122 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds")
     labels
+  }
+
+  /** LSH band rows of the portable md5 minhash signature — one
+    * (id, band_id, band_key) row per band per doc. This is the standing
+    * near-dup INDEX artifact: materialize it (bucketed on the band key)
+    * over the historical corpus once, and each new batch joins against it
+    * in O(batch) instead of re-running LSH over the whole corpus. */
+  def nearDupBandRows(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_key"))
+    }
+    docs
+      .select(col(idCol),
+        minhashSignatureFast(col(textCol), shingleN, k).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col(idCol), explode(array(bandRows: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Sorted shingle-hash sets, (id, hs) — the verify-stage index artifact
+    * (exact Jaccard needs the sets, not just the signatures). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        shingleHashesFast(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Incremental near-duplicate detection: score a NEW batch against a
+    * standing index (nearDupBandRows + shingleSets of the historical
+    * corpus) plus the batch itself — the production shape for daily
+    * ingestion, where re-running corpus×corpus LSH per day would be
+    * O(corpus) instead of O(batch).
+    *
+    * Emits (new_id, dup_id, jaccard_bp): for each new doc, every partner
+    * with exact Jaccard ≥ threshold among (a) all indexed docs and (b)
+    * earlier new docs (dup_id < new_id — keep-first within the batch).
+    *
+    * Scale posture: the batch's band rows BROADCAST to the index join, so
+    * the corpus-sized index is probed map-side and never shuffles; the
+    * verify stage probes the shingle index the same way (broadcast semi-
+    * join of candidate ids). Every shuffled frame is batch- or
+    * candidate-sized. If a batch is ever too big to broadcast, drop the
+    * explicit broadcast and bucket the index on (band_id, band_key) —
+    * then only the batch side shuffles.
+    */
+  def incrementalNearDups(newDocs: DataFrame, indexBands: DataFrame,
+                          indexShingles: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, bands: Int = 4,
+                          rowsPerBand: Int = 4,
+                          minJaccardBp: Long = 5000): DataFrame = {
+    val nb = nearDupBandRows(newDocs, idCol, textCol, shingleN, bands,
+      rowsPerBand)
+    val ns = shingleSets(newDocs, idCol, textCol, shingleN)
+    // new × indexed: the index side stays unshuffled (broadcast probe)
+    val candOld = indexBands.as("o")
+      .join(broadcast(nb.as("n")),
+        col("o.band_id") === col("n.band_id") &&
+          col("o.band_key") === col("n.band_key"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"o.$idCol").as("dup_id"))
+    // new × new, keep-first orientation (partner id < new id)
+    val candNew = nb.as("a")
+      .join(broadcast(nb.as("b")),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as("new_id"), col(s"a.$idCol").as("dup_id"))
+    val cand = candOld.unionByName(candNew).distinct()
+    // verify: exact Jaccard over the shingle sets. dup-side sets come out
+    // of the index via a broadcast probe of the candidate ids — again no
+    // index shuffle; every joined frame below is candidate-sized.
+    val dupHs = indexShingles.unionByName(ns).as("hsd")
+      .join(broadcast(cand.select(col("dup_id")).distinct().as("ids")),
+        col(s"hsd.$idCol") === col("ids.dup_id"))
+      .select(col("ids.dup_id"), col("hsd.hs").as("hs_dup"))
+    cand
+      .join(ns.select(col(idCol).as("new_id"), col("hs").as("hs_new")),
+        Seq("new_id"))
+      .join(dupHs, Seq("dup_id"))
+      .withColumn("ninter", sortedIntersectCount(col("hs_new"), col("hs_dup")))
+      .withColumn("jaccard_bp",
+        floor(col("ninter") * lit(10000.0)
+          / (size(col("hs_new")) + size(col("hs_dup")) - col("ninter")))
+          .cast("long"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select("new_id", "dup_id", "jaccard_bp")
+  }
+
+  /** Benchmark decontamination: per-document count of distinct shingles
+    * that also occur in an evaluation set — the standard "is my training
+    * corpus contaminated with my benchmark?" check.
+    *
+    * The eval set collapses to ONE sorted array of distinct shingle
+    * hashes broadcast to every task (a real eval suite is ~10⁶ n-grams
+    * ≈ 8 MB — comfortably broadcastable), so the corpus side is scored
+    * entirely map-side by the sorted-merge intersect kernel: zero corpus
+    * shuffle, zero explode of corpus tokens. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3): DataFrame = {
+    val evalArr = evalDocs
+      .select(explode(shingleHashesFast(col(textCol), shingleN)).as("h"))
+      .agg(sort_array(collect_set(col("h"))).as("eval_hs"))
+    docs
+      .select(col(idCol), shingleHashesFast(col(textCol), shingleN).as("hs"))
+      .crossJoin(broadcast(evalArr))
+      .select(col(idCol),
+        size(col("hs")).cast("long").as("n_shingles"),
+        sortedIntersectCount(col("hs"), col("eval_hs")).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
   /** The corpus-level dedup materialization: everything EXCEPT

@@ -97,6 +97,29 @@ object ExtensionQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Incremental-dedup fixture split: docs with doc_id % 10 == 7 play
+    * "today's batch"; the rest are the historical corpus whose standing
+    * index (band rows bucketed on the join key + shingle sets) is
+    * materialized ONCE per (session, dir) as catalog tables — the same
+    * standing-infrastructure pattern as the Replay dims and the cluster
+    * table. q67 then measures what production pays daily: the O(batch)
+    * incremental join, not the O(corpus) index build. */
+  private def newBatchPred = col("doc_id") % 10 === 7
+
+  private def ndxBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.memoTable(s, dir, "ndx_bands", Seq("band_id", "band_key")) {
+      Dedup.nearDupBandRows(
+        Tables.load(s, dir, "documents").filter(!newBatchPred),
+        "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4)
+    }
+
+  private def ndxShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.memoTable(s, dir, "ndx_shingles", Seq("doc_id")) {
+      Dedup.shingleSets(
+        Tables.load(s, dir, "documents").filter(!newBatchPred),
+        "doc_id", "text", shingleN = 3)
+    }
+
   val all: Seq[Q] = Seq(
 
     Q("q20_dedup_exact",
@@ -1260,6 +1283,77 @@ object ExtensionQueries {
              |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
              |         CAST(epoch AS VARCHAR)), 1, 8))::BIGINT % 100
              |      < w % 100
-             |ORDER BY sched_t, source, doc_id, epoch""".stripMargin))
+             |ORDER BY sched_t, source, doc_id, epoch""".stripMargin)),
+
+    // Incremental near-dup: today's batch (doc_id%10==7) scored against
+    // the standing corpus index + earlier batch docs. The index side is
+    // probed by broadcast and never shuffles — the daily cost is
+    // O(batch), not O(corpus). Oracle = the full-corpus LSH pipeline
+    // restricted to pairs touching the batch, which is semantically
+    // identical because band collision is symmetric.
+    Q("q67_incremental_neardup",
+      (s, dir) => Dedup.incrementalNearDups(
+        Tables.load(s, dir, "documents").filter(newBatchPred),
+        ndxBands(s, dir), ndxShingles(s, dir),
+        "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+        minJaccardBp = 2000)
+        .orderBy("new_id", "dup_id"),
+      Some(neardupScoredCtes +
+        """SELECT CASE WHEN id_b % 10 = 7 THEN id_b ELSE id_a END
+          |         AS new_id,
+          |       CASE WHEN id_b % 10 = 7 THEN id_a ELSE id_b END
+          |         AS dup_id,
+          |       jaccard_bp
+          |FROM scored
+          |WHERE jaccard_bp >= 2000
+          |  AND (id_a % 10 = 7 OR id_b % 10 = 7)
+          |ORDER BY new_id, dup_id""".stripMargin)),
+
+    // Benchmark decontamination: distinct-shingle overlap of every
+    // corpus doc against the eval set (doc_id%17==0). The eval set
+    // collapses to one sorted hash array broadcast everywhere; the
+    // corpus is scored map-side by the sorted-merge intersect kernel —
+    // no corpus shuffle, no token explode.
+    Q("q68_decontamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contamination(docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+          shingleN = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS tok, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+             |), evalh AS (
+             |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+             |), cnt AS (
+             |  SELECT d.doc_id, COUNT(*) AS n_shingles,
+             |         COUNT(e.shingle) AS n_contaminated
+             |  FROM sh d LEFT JOIN evalh e ON d.shingle = e.shingle
+             |  WHERE d.doc_id % 17 <> 0
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id,
+             |       CAST(COALESCE(c.n_shingles, 0) AS BIGINT)
+             |         AS n_shingles,
+             |       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT)
+             |         AS n_contaminated,
+             |       COALESCE(c.n_contaminated, 0) > 0 AS contaminated
+             |FROM documents d
+             |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+             |WHERE d.doc_id % 17 <> 0
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -45,44 +45,10 @@ object Replay {
     * mirrors the reference, where master data lives in real tables
     * (ddl_postgres.sql), not in a session cache.
     */
-  private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
   private def memoDim(spark: SparkSession, dir: String, name: String,
                       bucketCols: Seq[String] = Nil)
-                     (build: => DataFrame): DataFrame = {
-    dimCache.keys.filter(_._1.sparkContext.isStopped).foreach(dimCache.remove)
-    dimCache.getOrElseUpdate((spark, dir, name), {
-      // readable prefix from the lossy normalization + md5 suffix of the RAW
-      // (dir, name): distinct dirs that normalize identically (/data/sf.01
-      // vs /data/sf_01) must NOT collide on one catalog table
-      val raw = s"$dir/$name"
-      val safe = s"${dir}_$name".replaceAll("[^A-Za-z0-9]", "_")
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val table = s"graft_dim${safe}_$fp"
-      if (!spark.catalog.tableExists(table)) {
-        // path is per-JVM (pid suffix): a fixed shared location would let
-        // a second JVM's mode-overwrite delete files this JVM's catalog
-        // relation is still reading
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft-dims-" +
-          s"${ProcessHandle.current().pid()}/${safe}_$fp"
-        val w = build.write.mode("overwrite").option("path", path)
-        // bucketed layout preserves the clustering contract a cached
-        // repartition used to give: scans report HashPartitioning on the
-        // bucket key, so per-key windows/joins plan with no exchange
-        (if (bucketCols.nonEmpty)
-          w.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
-            .sortBy(bucketCols.head, bucketCols.tail: _*)
-         else w).saveAsTable(table)
-        // row-count + size stats: the optimizer then sizes joins from
-        // real numbers instead of file-size heuristics (one cheap scan
-        // at materialization time, amortized over every consumer)
-        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
-      }
-      spark.table(table)
-    })
-  }
+                     (build: => DataFrame): DataFrame =
+    graft.sources.Tables.memoTable(spark, dir, s"dim_$name", bucketCols)(build)
 
   /** orders fact ← lineitem (reference orders: trino_init_tables_dag.py:39-51). */
   def orders(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,53 @@ object Tables {
   private val relCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Materialize-once: builds `build` a single time per (session, dir,
+    * name), saves it as a Parquet catalog table (optionally bucketed,
+    * with computed stats) and returns the catalog relation — a LEAF in
+    * every consumer's plan, unlike .persist() which drags the full
+    * derivation tree through each consumer's analysis/optimization.
+    * This is the standing-infrastructure pattern: dims, dedup indexes
+    * and cluster tables are computed once by a pipeline, and queries
+    * consume the result table.
+    *
+    * The table/path name embeds an md5 of the raw (dir, name) (NUL-joined
+    * so no (dir, name) pair can alias another) because the readable
+    * prefix's character normalization is lossy. The path is per-JVM: a
+    * fixed shared location would let a second JVM's mode-overwrite delete
+    * files this JVM's catalog relation is still reading.
+    */
+  private val matCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  def memoTable(spark: SparkSession, dir: String, name: String,
+                bucketCols: Seq[String] = Nil)
+               (build: => DataFrame): DataFrame = {
+    matCache.keys.filter(_._1.sparkContext.isStopped).foreach(matCache.remove)
+    matCache.getOrElseUpdate((spark, dir, name), {
+      val raw = dir + "\u0000" + name
+      val safe = s"${dir}_$name".replaceAll("[^A-Za-z0-9]", "_")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val table = s"graft_${safe}_$fp"
+      if (!spark.catalog.tableExists(table)) {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft-mat-" +
+          s"${ProcessHandle.current().pid()}/${safe}_$fp"
+        val w = build.write.mode("overwrite").option("path", path)
+        // bucketed layout gives scans HashPartitioning on the bucket key:
+        // per-key joins/windows then plan with no exchange on this side
+        (if (bucketCols.nonEmpty)
+          w.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+            .sortBy(bucketCols.head, bucketCols.tail: _*)
+         else w).saveAsTable(table)
+        // real row/size stats so the optimizer sizes joins from numbers,
+        // not file-size heuristics
+        spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+      }
+      spark.table(table)
+    })
+  }
+
   /** One Parquet file/dir per table: `<dir>/<name>.parquet`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     relCache.keys.filter(_._1.sparkContext.isStopped)

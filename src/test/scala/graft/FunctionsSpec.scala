@@ -374,6 +374,57 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFast == viaAgg)
   }
+
+  test("incremental near-dup against a standing index equals the full " +
+    "corpus pipeline restricted to batch-touching pairs (incl. planted " +
+    "new-old and new-new exact dups)") {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // plant: 1007 and 2007 (both % 10 == 7 -> "new") copy doc 3's text,
+    // so the batch must flag 1007~3 (new-old), 2007~3 (new-old) and
+    // 2007~1007 (new-new, keep-first orientation)
+    val copy = base.filter($"doc_id" === 3)
+    val corpus = base
+      .unionByName(copy.select(lit(1007L).as("doc_id"), $"text"))
+      .unionByName(copy.select(lit(2007L).as("doc_id"), $"text"))
+    val isNew = $"doc_id" % 10 === 7
+    val inc = Dedup.incrementalNearDups(
+      corpus.filter(isNew),
+      Dedup.nearDupBandRows(corpus.filter(!isNew), "doc_id", "text"),
+      Dedup.shingleSets(corpus.filter(!isNew), "doc_id", "text"),
+      "doc_id", "text", minJaccardBp = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.nearDuplicatesPortable(corpus, "doc_id", "text",
+      minJaccardBp = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.flatMap { case (a, b, j) =>
+      if (b % 10 == 7) Some((b, a, j))       // b new (covers both-new: b>a)
+      else if (a % 10 == 7) Some((a, b, j))  // a new, b old
+      else None                              // old-old: not the batch's job
+    }.toSet
+    assert(inc == expected)
+    assert(inc.contains((1007L, 3L, 10000L)))
+    assert(inc.contains((2007L, 3L, 10000L)))
+    assert(inc.contains((2007L, 1007L, 10000L)))
+  }
+
+  test("contamination: distinct-shingle overlap vs the eval set; short " +
+    "docs have zero shingles and are clean") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde; eval has abc bcd
+      (2L, "x y z w"),     // disjoint from eval
+      (3L, "a b")          // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, eval)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 2L, true)))
+    assert(out(2L) == ((2L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

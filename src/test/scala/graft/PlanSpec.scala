@@ -97,4 +97,39 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaSql == viaDf && viaSql.nonEmpty)
   }
+
+  test("incremental near-dup probes the index in place: no shuffle sits " +
+    "directly over an index-table scan (the only shuffles move " +
+    "candidate-pair-sized join outputs)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = SparkEntry.queries("q67_incremental_neardup")(spark, dir)
+      .queryExecution.sparkPlan
+    def hasJoin(n: SparkPlan): Boolean =
+      n.collect { case j: BaseJoinExec => j }.nonEmpty
+    val offenders = p.collect {
+      case s: ShuffleExchangeLike
+        if s.child.toString.contains("ndx_") && !hasJoin(s.child) => s
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n").take(2000))
+  }
+
+  test("decontamination scores the corpus map-side: every exchange sits " +
+    "inside the broadcast eval-set subtree") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val p = graft.functions.Dedup.contamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0))
+      .queryExecution.sparkPlan
+    def offenders(n: SparkPlan): Seq[SparkPlan] = n match {
+      case _: BroadcastExchangeLike => Nil
+      case s: ShuffleExchangeLike => Seq(s)
+      case other => other.children.flatMap(offenders)
+    }
+    assert(offenders(p).isEmpty, p.toString.take(2000))
+  }
 }
