@@ -83,6 +83,20 @@ object Bench {
       "w_compaction" -> timedOp(
         graft.sources.Sinks.compact(spark, s"$wdir/orders_by_day",
           partitionCols = Seq("order_date"))))
+    // files/bytes alongside seconds: write throughput without layout
+    // numbers is half a measurement (a fast write that sprays 10k small
+    // files is not fast at 100 TB)
+    def layout(path: String): (Long, Long) = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): (Long, Long) =
+        if (f.isDirectory) f.listFiles().map(walk).fold((0L, 0L)) {
+          case ((a, b), (c, d)) => (a + c, b + d)
+        }
+        else if (f.getName.endsWith(".parquet")) (1L, f.length())
+        else (0L, 0L)
+      walk(root)
+    }
+    val (nFiles, nBytes) = layout(s"$wdir/orders_by_day")
     val ws = writes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Stop Spark BEFORE printing so no shutdown log line lands after the
@@ -90,7 +104,18 @@ object Bench {
     // last: the harness tails output, so the line it parses must be the
     // final (and shortest possible) thing on stdout.
     spark.stop()
-    println(s"""{"metric":"writes","unit":"sec","writes":$ws}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"writes","unit":"sec","writes":$ws,""" +
+      s""""partitioned_files":$nFiles,"partitioned_bytes":$nBytes}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // hard safety: the tail window is ~2000 chars; if the query set ever
+    // grows the line past 1900, drop to 2 decimals (noise floor is ±15%
+    // cross-run anyway — centiseconds lose nothing)
+    if (line.length <= 1900) println(line)
+    else {
+      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}""")
+    }
   }
 }
