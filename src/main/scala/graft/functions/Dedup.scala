@@ -394,17 +394,19 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"b.$idCol").as("new_id"), col(s"a.$idCol").as("dup_id"))
     val cand = candOld.unionByName(candNew).distinct()
-    // verify: exact Jaccard over the shingle sets. dup-side sets come out
-    // of the index via a broadcast probe of the candidate ids — again no
-    // index shuffle; every joined frame below is candidate-sized.
-    val dupHs = indexShingles.unionByName(ns).as("hsd")
-      .join(broadcast(cand.select(col("dup_id")).distinct().as("ids")),
-        col(s"hsd.$idCol") === col("ids.dup_id"))
-      .select(col("ids.dup_id"), col("hsd.hs").as("hs_dup"))
-    cand
+    // verify: exact Jaccard over the shingle sets. Attach the new side's
+    // set first (batch-sized join), then broadcast the candidate frame to
+    // ONE probe of the shingle index — again no index shuffle, and the
+    // candidate pipeline (which itself probes the band index) appears
+    // once in the plan instead of being recomputed for a separate
+    // dup-id semi-join.
+    val withNew = cand
       .join(ns.select(col(idCol).as("new_id"), col("hs").as("hs_new")),
         Seq("new_id"))
-      .join(dupHs, Seq("dup_id"))
+    indexShingles.unionByName(ns).as("hsd")
+      .join(broadcast(withNew), col(s"hsd.$idCol") === col("dup_id"))
+      .select(col("new_id"), col("dup_id"), col("hs_new"),
+        col("hsd.hs").as("hs_dup"))
       .withColumn("ninter", sortedIntersectCount(col("hs_new"), col("hs_dup")))
       .withColumn("jaccard_bp",
         floor(col("ninter") * lit(10000.0)
