@@ -267,13 +267,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          assumeDistinctPairs: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e0 = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = e0
+    // oriented (a<b) unique pairs — the near-dup pipelines' contract —
+    // cannot collide with their own swaps, so the dedup shuffle before
+    // the loop is pure waste for those callers; generic callers keep it
+    val symRaw = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val sym = (if (assumeDistinctPairs) symRaw else symRaw.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with the ONE-HOP minimum (id vs smallest neighbor): same
     // shuffle as a plain distinct-nodes init, but the first propagation
@@ -453,7 +457,8 @@ object Dedup {
                   minJaccardBp: Long = 5000): DataFrame = {
     val clusters = connectedComponents(
       nearDuplicatesPortable(docs, idCol, textCol, shingleN, bands,
-        rowsPerBand, minJaccardBp))
+        rowsPerBand, minJaccardBp),
+      assumeDistinctPairs = true)
     val drop = clusters.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")

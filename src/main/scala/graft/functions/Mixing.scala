@@ -81,20 +81,22 @@ object Mixing {
         when(col(shardCol) === value, lit(w)).otherwise(acc)
     }
     val byShard = Window.partitionBy(shardCol).orderBy(keyCol)
+    // internals carry a prefix so user columns named w/rn0/n survive
     docs
-      .withColumn("w", weight)
-      .withColumn("rn0", row_number().over(byShard).cast("long") - 1L)
-      .withColumn("n", count(lit(1))
+      .withColumn("_mix_w", weight)
+      .withColumn("_mix_rn0", row_number().over(byShard).cast("long") - 1L)
+      .withColumn("_mix_n", count(lit(1))
         .over(Window.partitionBy(shardCol)))
       // epochs 0 .. ceil(w/100)-1; the last (fractional) epoch is filtered
       // per-document below.
       .withColumn("epoch",
-        explode(sequence(lit(0), expr("cast((w + 99) div 100 - 1 as int)"))))
-      .filter(expr("epoch < w div 100").or(
+        explode(sequence(lit(0),
+          expr("cast((_mix_w + 99) div 100 - 1 as int)"))))
+      .filter(expr("epoch < _mix_w div 100").or(
         TextAnalysis.hashBucket(
-          concat_ws(":", col(keyCol), col("epoch"))) < expr("w % 100")))
+          concat_ws(":", col(keyCol), col("epoch"))) < expr("_mix_w % 100")))
       .withColumn("sched_t",
-        expr("(epoch * n + rn0 + 1) * 10000L div w"))
-      .drop("w", "rn0", "n")
+        expr("(epoch * _mix_n + _mix_rn0 + 1) * 10000L div _mix_w"))
+      .drop("_mix_w", "_mix_rn0", "_mix_n")
   }
 }

@@ -93,7 +93,7 @@ object ExtensionQueries {
         Dedup.nearDuplicatesPortable(Tables.load(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
           minJaccardBp = 2000),
-        "id_a", "id_b")
+        "id_a", "id_b", assumeDistinctPairs = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -1147,7 +1147,7 @@ object ExtensionQueries {
         Dedup.nearDuplicatesPortable(Tables.load(s, dir, "documents"),
           "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
           minJaccardBp = 2000),
-        "id_a", "id_b")
+        "id_a", "id_b", assumeDistinctPairs = true)
         .orderBy("id"),
       Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, pairs AS (
