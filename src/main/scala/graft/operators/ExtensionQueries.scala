@@ -1354,6 +1354,27 @@ object ExtensionQueries {
              |FROM documents d
              |LEFT JOIN cnt c ON d.doc_id = c.doc_id
              |WHERE d.doc_id % 17 <> 0
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // REAL image codec round trip (JDK javax.imageio, no external libs):
+    // encode one solid-RGB PNG per document (dims + color derived from
+    // the row), then genuinely decode it, walk the raster for channel
+    // means, and bilinear-resize to a 4x4 thumbnail. Solid fills make
+    // every decoded statistic computable in plain SQL, so the oracle
+    // hash-checks the whole encode→decode→resize chain. Both stages are
+    // partition-local; payload bytes never shuffle.
+    Q("q69_image_decode",
+      (s, dir) => graft.functions.Multimodal.decodePngs(
+        graft.functions.Multimodal.syntheticPngs(s, dir))
+        .toDF().orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(n_chars % 64 + 8 AS INTEGER) AS width,
+             |       CAST(n_chars % 48 + 8 AS INTEGER) AS height,
+             |       CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_r,
+             |       CAST((doc_id * 53) % 256 AS DOUBLE) AS mean_g,
+             |       CAST((doc_id * 71) % 256 AS DOUBLE) AS mean_b,
+             |       ((doc_id * 37) % 256 + (doc_id * 53) % 256
+             |          + (doc_id * 71) % 256) / 3.0 AS thumb_mean
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -48,4 +48,49 @@ class MultimodalSpec extends AnyFunSuite {
     val videoIds = media.filter(_.kind == "video").collect().map(_.media_id).toSet
     assert(frames.map(_.media_id).toSet.subsetOf(videoIds))
   }
+
+  test("real PNG codec: a gradient image survives the encode→decode round " +
+    "trip bit-for-bit (PNG is lossless), not just in solid-color stats") {
+    import spark.implicits._
+    // gradient raster: every pixel distinct-ish, exercises the full
+    // scanline path of the codec
+    val w = 37; val h = 23
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      src.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 11) % 256 << 8) |
+        ((x + y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val decoded = Seq(Multimodal.ImageRow(1L, bos.toByteArray)).toDS()
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.png))
+          val pix = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            yield img.getRGB(x, y) & 0xffffff
+          (img.getWidth, img.getHeight, pix.toArray)
+        }
+      }.head()
+    val expected =
+      (for (y <- 0 until h; x <- 0 until w) yield src.getRGB(x, y) & 0xffffff)
+        .toArray
+    assert(decoded._1 == w && decoded._2 == h)
+    assert(decoded._3.toSeq == expected.toSeq)
+  }
+
+  test("decodePngs extracts exact channel means and thumbnail mean for " +
+    "the synthetic corpus (the q69 oracle contract)") {
+    val feats = Multimodal.decodePngs(
+      Multimodal.syntheticPngs(spark, dir)).collect()
+    assert(feats.length == 500)
+    assert(feats.forall { f =>
+      f.mean_r == (f.media_id * 37 % 256).toDouble &&
+        f.mean_g == (f.media_id * 53 % 256).toDouble &&
+        f.mean_b == (f.media_id * 71 % 256).toDouble
+    })
+    assert(feats.forall(f =>
+      f.thumb_mean == (f.media_id * 37 % 256 + f.media_id * 53 % 256 +
+        f.media_id * 71 % 256) / 3.0))
+  }
 }
