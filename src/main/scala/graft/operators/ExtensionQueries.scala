@@ -1375,6 +1375,24 @@ object ExtensionQueries {
              |       CAST((doc_id * 71) % 256 AS DOUBLE) AS mean_b,
              |       ((doc_id * 37) % 256 + (doc_id * 53) % 256
              |          + (doc_id * 71) % 256) / 3.0 AS thumb_mean
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL audio codec round trip (JDK javax.sound.sampled): encode one
+    // mono 16-bit PCM WAV per document (square wave, amplitude + length
+    // derived from the row), genuinely parse it back (header + frame
+    // stream), fold sample statistics. Constant amplitude makes every
+    // decoded stat computable in plain SQL — the oracle hash-checks the
+    // whole encode→parse→fold chain. Partition-local; payloads never
+    // shuffle. Video remains the one stubbed kind (no JDK codec).
+    Q("q70_audio_decode",
+      (s, dir) => graft.functions.Multimodal.decodeWavs(
+        graft.functions.Multimodal.syntheticWavs(s, dir))
+        .toDF().orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |       CAST(16000 AS INTEGER) AS sample_rate,
+             |       CAST(n_chars + 64 AS BIGINT) AS n_frames,
+             |       CAST((doc_id * 97) % 8192 + 1 AS DOUBLE) AS mean_abs,
+             |       CAST((doc_id * 97) % 8192 + 1 AS INTEGER) AS peak
              |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

@@ -79,6 +79,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded._3.toSeq == expected.toSeq)
   }
 
+  test("real WAV codec: an arbitrary PCM signal survives the " +
+    "encode→parse round trip sample-for-sample (PCM WAV is lossless)") {
+    import spark.implicits._
+    val samples = Array.tabulate(977)(i =>
+      (((i * 2654435761L) >> 7) % 32768).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val decoded = Seq(Multimodal.AudioRow(1L, bos.toByteArray)).toDS()
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.wav))
+          val b = ais.readAllBytes()
+          (ais.getFormat.getSampleRate.toInt,
+            Array.tabulate(b.length / 2)(i =>
+              ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort))
+        }
+      }.head()
+    assert(decoded._1 == 16000)
+    assert(decoded._2.toSeq == samples.toSeq)
+  }
+
+  test("decodeWavs extracts exact frame counts and amplitudes for the " +
+    "synthetic corpus (the q70 oracle contract)") {
+    val feats = Multimodal.decodeWavs(
+      Multimodal.syntheticWavs(spark, dir)).collect()
+    assert(feats.length == 500)
+    assert(feats.forall { f =>
+      val amp = (f.media_id * 97 % 8192 + 1).toInt
+      f.sample_rate == 16000 && f.mean_abs == amp.toDouble && f.peak == amp
+    })
+  }
+
   test("decodePngs extracts exact channel means and thumbnail mean for " +
     "the synthetic corpus (the q69 oracle contract)") {
     val feats = Multimodal.decodePngs(
