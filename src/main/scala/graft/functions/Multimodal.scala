@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample are per-partition batch
   * transforms.
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries — see `decodeStub`): the stub is a deterministic fake that
-  * derives pixel/sample features from the payload bytes. Everything
-  * Spark-side is real and tested: the schema contract, the partition-batch
-  * execution shape (`mapPartitions` over iterator batches — the Scala
-  * analogue of arrow-batched pandas UDFs), partitioning behavior, and the
-  * typed output schemas a real decoder would fill in.
+  * Codec status: image (PNG, via JDK javax.imageio) and audio (16-bit PCM
+  * WAV, via JDK javax.sound.sampled) are REAL encode/decode paths —
+  * see syntheticPngs/decodePngs and syntheticWavs/decodeWavs below, both
+  * oracle-hash-checked end-to-end (q69/q70). Video decode is the one
+  * remaining STUB (`decodeStub` — the JDK ships no video codec): a
+  * deterministic fake deriving features from payload bytes, behind the
+  * same real, tested Spark plumbing (schema contract, partition-batch
+  * `mapPartitions` execution — the Scala analogue of arrow-batched pandas
+  * UDFs — partitioning behavior, typed output schemas).
   *
   * Scale posture: payloads never pass through a shuffle — decode/extract
   * are map-side; only small derived features (embeddings, stats) flow into
@@ -171,6 +173,9 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        // memory-backed ImageIO streams: the default write path spools
+        // every image through a temp FILE, which dominates codec cost
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, n) =>
           val w = (n % 64).toInt + 8
           val h = (n % 48).toInt + 8
@@ -178,12 +183,12 @@ object Multimodal {
             (((id * 53) % 256).toInt << 8) | ((id * 71) % 256).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
+          // bulk fill — per-pixel setRGB costs a colormodel conversion per
+          // call and dominated the encode at bench scale
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color(rgb))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           ImageRow(id, bos.toByteArray)
@@ -200,20 +205,19 @@ object Multimodal {
                  thumbSize: Int = 4): Dataset[ImageFeatures] = {
     import imgs.sparkSession.implicits._
     imgs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(row.png))
         val (w, h) = (img.getWidth, img.getHeight)
+        // bulk raster fetch (one array copy) instead of per-pixel getRGB
+        val pixels = img.getRGB(0, 0, w, h, null, 0, w)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < pixels.length) {
+          val p = pixels(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
         }
         val n = w.toLong * h
         val thumb = new java.awt.image.BufferedImage(thumbSize, thumbSize,
