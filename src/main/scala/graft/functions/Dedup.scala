@@ -286,10 +286,22 @@ object Dedup {
       .agg(min("dst").as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(false)
+    // DELTA iteration: labels only ever decrease, so a node can improve
+    // in round r only through a neighbor whose label changed in round
+    // r-1 (if v's label is older, u already saw it the round after v
+    // last changed). Joining the edges against just that frontier —
+    // instead of the full label table — shrinks each round's edge work
+    // from O(E) to O(edges touching the frontier), which at real scale
+    // collapses fast: most of a near-dup graph settles in round 1 and
+    // later rounds only chase the deep chains. Round 1's frontier is
+    // everyone (the seed changed every label). Pointer-jump changes
+    // enter the frontier like any other change (prev vs comp below is
+    // measured across the whole round including the jump).
+    var frontier = labels
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+      val neighborMin = sym.join(frontier, sym("dst") === frontier("id"))
         .groupBy(sym("src").as("nid")).agg(min("comp").as("nmin"))
       // carry the previous label through the update so convergence is
       // read off the same frame
@@ -316,6 +328,10 @@ object Dedup {
       val next = jumped.localCheckpoint(false)
       val changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select("id", "comp")
+      // next round's frontier: nodes whose label improved this round
+      // (a filter over the checkpointed frame — no extra materialization)
+      frontier = next.filter(col("comp") =!= col("prev"))
+        .select("id", "comp")
       converged = changed == 0
       iters += 1
       // superseded checkpoint RDDs are reclaimed by the ContextCleaner
