@@ -243,10 +243,21 @@ object Procurement {
   def exceptions(orders: DataFrame, inventory: DataFrame,
                  productSuppliers: DataFrame, ordersWhen: Column,
                  inventoryWhen: Column): DataFrame = {
-    val q1 = missingSupplierMapping(orders, productSuppliers, ordersWhen)
+    // the union only reports product SETS (the per-product order counts of
+    // q05 are not part of the exception record), so both checks can share
+    // ONE distinct pass over the day's ordered products — identical
+    // subplans on both union branches mean the fact scan + distinct
+    // exchange run once (ReusedExchange) and each check is a broadcast
+    // anti-join probe on a master-data-sized key set
+    val ordered = orders.filter(ordersWhen).select("product_id").distinct()
+    val q1 = ordered
+      .join(broadcast(productSuppliers.select("product_id").distinct()),
+        Seq("product_id"), "left_anti")
       .select(lit("MISSING_SUPPLIER_MAPPING").as("type"),
         lit("HIGH").as("severity"), col("product_id"))
-    val q2 = missingInventory(orders, inventory, ordersWhen, inventoryWhen)
+    val q2 = ordered
+      .join(inventory.filter(inventoryWhen).select("product_id").distinct(),
+        Seq("product_id"), "left_anti")
       .select(lit("MISSING_INVENTORY").as("type"),
         lit("MEDIUM").as("severity"), col("product_id"))
     q1.unionByName(q2)
