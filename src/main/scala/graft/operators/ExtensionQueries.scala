@@ -1393,6 +1393,34 @@ object ExtensionQueries {
              |       CAST(n_chars + 64 AS BIGINT) AS n_frames,
              |       CAST((doc_id * 97) % 8192 + 1 AS DOUBLE) AS mean_abs,
              |       CAST((doc_id * 97) % 8192 + 1 AS INTEGER) AS peak
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // REAL frame sampling over an indexed video container (GVID: header
+    // index + PNG frames): parse the index, SEEK to every 2nd frame,
+    // decode only those through the genuine PNG codec — skipped frames
+    // are never decompressed. Per-frame colors drift with the frame
+    // index, so a wrong seek or misread index produces hash-detectable
+    // wrong output. Partition-local; payloads never shuffle.
+    Q("q71_video_frames",
+      (s, dir) => graft.functions.Multimodal.sampleGvidFrames(
+        graft.functions.Multimodal.syntheticGvids(s, dir), every = 2)
+        .toDF().orderBy("media_id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |         unnest(generate_series(0,
+             |           CAST(n_chars % 5 + 1 AS INTEGER))) AS fi
+             |  FROM documents
+             |)
+             |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+             |       CAST(n_chars % 32 + 8 AS INTEGER) AS width,
+             |       CAST(n_chars % 24 + 8 AS INTEGER) AS height,
+             |       CAST((doc_id * 37 + fi * 11) % 256 AS DOUBLE)
+             |         AS mean_r,
+             |       CAST((doc_id * 53 + fi * 13) % 256 AS DOUBLE)
+             |         AS mean_g,
+             |       CAST((doc_id * 71 + fi * 17) % 256 AS DOUBLE)
+             |         AS mean_b
+             |FROM f WHERE fi % 2 = 0
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

@@ -121,6 +121,43 @@ class MultimodalSpec extends AnyFunSuite {
     })
   }
 
+  test("GVID frame sampling seeks via the index: variable-size frames " +
+    "decode with their own dims/colors, and every=2 is exactly the " +
+    "even-index subset of every=1") {
+    import spark.implicits._
+    // three frames with DIFFERENT dimensions (different PNG byte sizes)
+    // so any index/seek arithmetic error lands in the wrong frame
+    val dims = Seq((9, 5, 0xff0000), (31, 17, 0x00ff00), (3, 21, 0x0000ff))
+    val frames = dims.map { case (w, h, rgb) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47564944); out.writeInt(frames.length)
+    frames.foreach(f => out.writeInt(f.length))
+    frames.foreach(out.write); out.flush()
+    val vids = Seq(Multimodal.VideoRow(7L, bos.toByteArray)).toDS()
+    val all = Multimodal.sampleGvidFrames(vids, every = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(all.length == 3)
+    assert(all.map(f => (f.width, f.height)).toSeq ==
+      dims.map(d => (d._1, d._2)))
+    assert(all(0).mean_r == 255.0 && all(0).mean_g == 0.0)
+    assert(all(1).mean_g == 255.0 && all(1).mean_b == 0.0)
+    assert(all(2).mean_b == 255.0 && all(2).mean_r == 0.0)
+    val sampled = Multimodal.sampleGvidFrames(vids, every = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(sampled.map(f => (f.width, f.height, f.mean_r, f.mean_b)).toSeq ==
+      all.filter(_.frame_idx % 2 == 0)
+        .map(f => (f.width, f.height, f.mean_r, f.mean_b)).toSeq)
+  }
+
   test("decodePngs extracts exact channel means and thumbnail mean for " +
     "the synthetic corpus (the q69 oracle contract)") {
     val feats = Multimodal.decodePngs(
