@@ -107,10 +107,10 @@ object Bench {
     println(s"""{"metric":"writes","unit":"sec","writes":$ws,""" +
       s""""partitioned_files":$nFiles,"partitioned_bytes":$nBytes}""")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // hard safety: the tail window is ~2000 chars; if the query set ever
-    // grows the line past 1900, drop to 2 decimals (noise floor is ±15%
-    // cross-run anyway — centiseconds lose nothing)
-    if (line.length <= 1900) println(line)
+    // hard safety: the tail window is ~2000 chars and sbt appends its own
+    // [success] line after us; past 1800 drop to 2 decimals (noise floor
+    // is ±15% cross-run anyway — centiseconds lose nothing)
+    if (line.length <= 1800) println(line)
     else {
       def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
