@@ -9,15 +9,16 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample are per-partition batch
   * transforms.
   *
-  * Codec status: image (PNG, via JDK javax.imageio) and audio (16-bit PCM
-  * WAV, via JDK javax.sound.sampled) are REAL encode/decode paths —
-  * see syntheticPngs/decodePngs and syntheticWavs/decodeWavs below, both
-  * oracle-hash-checked end-to-end (q69/q70). Video decode is the one
-  * remaining STUB (`decodeStub` — the JDK ships no video codec): a
-  * deterministic fake deriving features from payload bytes, behind the
-  * same real, tested Spark plumbing (schema contract, partition-batch
-  * `mapPartitions` execution — the Scala analogue of arrow-batched pandas
-  * UDFs — partitioning behavior, typed output schemas).
+  * Codec status: image (PNG, via JDK javax.imageio), audio (16-bit PCM
+  * WAV, via JDK javax.sound.sampled) and indexed-container frame sampling
+  * (GVID: seek + decode only sampled frames) are REAL encode/decode
+  * paths — syntheticPngs/decodePngs, syntheticWavs/decodeWavs,
+  * syntheticGvids/sampleGvidFrames below, each oracle-hash-checked
+  * end-to-end (q69/q70/q71). Only the generic-kind `decodeStub` path
+  * remains a deterministic fake (the JDK ships no H.264/VP9 codec):
+  * it keeps the same real, tested Spark plumbing (schema contract,
+  * partition-batch `mapPartitions` execution — the Scala analogue of
+  * arrow-batched pandas UDFs — partitioning behavior, typed schemas).
   *
   * Scale posture: payloads never pass through a shuffle — decode/extract
   * are map-side; only small derived features (embeddings, stats) flow into
@@ -152,12 +153,42 @@ object Multimodal {
   // statistics are computable in plain SQL (solid RGB derived from the
   // doc row), so the encode→decode→extract ROUND TRIP is oracle-checkable
   // end-to-end: if the codec, the raster walk, or the resize were wrong,
-  // the hashes would not match. Audio/video remain stubs (the JDK ships
-  // no codec for them) — decodeStub above stays the honestly-labeled
-  // placeholder for those kinds.
+  // the hashes would not match.
   // ---------------------------------------------------------------------
 
   case class ImageRow(media_id: Long, png: Array[Byte])
+
+  /** Per-partition PNG codec instances: the static `ImageIO.write/read`
+    * entry points scan the plugin registry and allocate a fresh
+    * writer/reader per image; reusing one instance per task (they are
+    * single-threaded by contract, which matches one-instance-per-
+    * partition-iterator) removes that per-image overhead. */
+  private def newPngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  private def newPngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  private def encodePng(writer: javax.imageio.ImageWriter,
+                        img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.flush()
+    bos.toByteArray
+  }
+
+  private def decodePng(reader: javax.imageio.ImageReader,
+                        bytes: Array[Byte], off: Int,
+                        len: Int): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes, off, len))
+    reader.setInput(iis)
+    val img = reader.read(0)
+    iis.close()
+    img
+  }
 
   case class ImageFeatures(media_id: Long, width: Int, height: Int,
                            mean_r: Double, mean_g: Double, mean_b: Double,
@@ -173,9 +204,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        // memory-backed ImageIO streams: the default write path spools
-        // every image through a temp FILE, which dominates codec cost
-        javax.imageio.ImageIO.setUseCache(false)
+        val writer = newPngWriter()
         it.map { case (id, n) =>
           val w = (n % 64).toInt + 8
           val h = (n % 48).toInt + 8
@@ -189,9 +218,7 @@ object Multimodal {
           g.setColor(new java.awt.Color(rgb))
           g.fillRect(0, 0, w, h)
           g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          ImageRow(id, bos.toByteArray)
+          ImageRow(id, encodePng(writer, img))
         }
       }
   }
@@ -205,10 +232,9 @@ object Multimodal {
                  thumbSize: Int = 4): Dataset[ImageFeatures] = {
     import imgs.sparkSession.implicits._
     imgs.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val reader = newPngReader()
       it.map { row =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(row.png))
+        val img = decodePng(reader, row.png, 0, row.png.length)
         val (w, h) = (img.getWidth, img.getHeight)
         // bulk raster fetch (one array copy) instead of per-pixel getRGB
         val pixels = img.getRGB(0, 0, w, h, null, 0, w)
@@ -345,7 +371,7 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
+        val writer = newPngWriter()
         it.map { case (id, n) =>
           val w = (n % 32).toInt + 8
           val h = (n % 24).toInt + 8
@@ -360,9 +386,7 @@ object Multimodal {
             g.setColor(new java.awt.Color(rgb))
             g.fillRect(0, 0, w, h)
             g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            bos.toByteArray
+            encodePng(writer, img)
           }
           val bos = new java.io.ByteArrayOutputStream()
           val out = new java.io.DataOutputStream(bos)
@@ -385,7 +409,7 @@ object Multimodal {
     require(every > 0, s"every must be positive, got $every")
     import vids.sparkSession.implicits._
     vids.mapPartitions { it =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val reader = newPngReader()
       it.flatMap { v =>
         val in = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(v.gvid))
@@ -394,8 +418,7 @@ object Multimodal {
         val lens = Array.fill(nf)(in.readInt())
         val offsets = lens.scanLeft(8 + 4 * nf)(_ + _)
         (0 until nf).iterator.filter(_ % every == 0).map { f =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(v.gvid, offsets(f), lens(f)))
+          val img = decodePng(reader, v.gvid, offsets(f), lens(f))
           val (w, h) = (img.getWidth, img.getHeight)
           val pixels = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg, sb) = (0L, 0L, 0L)
