@@ -181,6 +181,39 @@ object TextAnalysis {
         .otherwise(lit(null).cast("double")).as("top_bigram_frac"))
   }
 
+  /** Composed quality-filter verdict (the C4/Gopher-style keep/drop
+    * stage): word-count window, alphabetic-ratio floor, top-word
+    * repetition cap — evaluated in ONE map-side projection over the two
+    * census kernels (repetition stats + char classes), with the FIRST
+    * failing rule as the machine-readable drop reason. This is the
+    * composition payoff of the kernel design: the whole filter is a
+    * single scan-stage pass, no shuffle, no explode.
+    */
+  def qualityVerdict(docs: org.apache.spark.sql.DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     minWords: Int = 10, maxWords: Int = 5000,
+                     minAlphaBp: Int = 5000,
+                     maxTopWordFrac: Double = 0.3)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val cc = charClassCountsFast(t)
+    val bp = when(cc.getItem(0) === 0, lit(0L))
+      .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
+      .cast("long")
+    docs
+      .select(col(idCol) +:
+        (repetitionMetricsFast(t) :+ bp.as("alpha_bp")): _*)
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_short")
+          .when(col("n_words") > maxWords, "too_long")
+          .when(col("alpha_bp") < minAlphaBp, "low_alpha")
+          .when(col("top_word_frac") > maxTopWordFrac, "repetitive")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("reason").isNull)
+      .select(idCol, "n_words", "alpha_bp", "top_word_frac", "keep",
+        "reason")
+  }
+
   /** Deterministic sampling bucket 0-99 from a key column: md5-prefix
     * hash, so the same key lands in the same bucket on ANY engine and
     * every rerun — the scale-correct way to subsample/mix training

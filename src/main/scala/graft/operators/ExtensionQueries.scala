@@ -1421,6 +1421,51 @@ object ExtensionQueries {
              |       CAST((doc_id * 71 + fi * 17) % 256 AS DOUBLE)
              |         AS mean_b
              |FROM f WHERE fi % 2 = 0
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // The composed quality-filter stage (C4/Gopher-style): word-count
+    // window + alpha-ratio floor + top-word repetition cap in ONE
+    // map-side projection over the census kernels, first failing rule
+    // as the machine-readable drop reason. No shuffle, no explode —
+    // the whole keep/drop decision rides the scan stage.
+    Q("q72_quality_filter",
+      (s, dir) => TextAnalysis.qualityVerdict(
+        Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS w FROM d
+             |), wc AS (
+             |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+             |), words AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+             |           AS top_word_frac
+             |  FROM wc GROUP BY doc_id
+             |), sig AS (
+             |  SELECT d.doc_id,
+             |         CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+             |         CAST(CASE WHEN length(text) = 0 THEN 0
+             |              ELSE floor(length(regexp_replace(text,
+             |                     '[^A-Za-z]', '', 'g')) * 10000.0
+             |                   / length(text)) END AS BIGINT) AS alpha_bp,
+             |         w.top_word_frac
+             |  FROM d LEFT JOIN words w ON d.doc_id = w.doc_id
+             |), verdict AS (
+             |  SELECT sig.*,
+             |         CASE WHEN n_words < 10 THEN 'too_short'
+             |              WHEN n_words > 5000 THEN 'too_long'
+             |              WHEN alpha_bp < 5000 THEN 'low_alpha'
+             |              WHEN top_word_frac > 0.3 THEN 'repetitive'
+             |         END AS reason
+             |  FROM sig
+             |)
+             |SELECT doc_id, n_words, alpha_bp, top_word_frac,
+             |       reason IS NULL AS keep, reason
+             |FROM verdict ORDER BY doc_id""".stripMargin))
   )
 }

@@ -26,6 +26,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.alphaRatioBp($"text"), "abcd !!!") == 5000L)
   }
 
+  test("qualityVerdict: first failing rule wins; clean docs keep") {
+    val docs = Seq(
+      (1L, "short doc"),                                    // 2 words
+      (2L, ("ok " * 4) + "1234 5678 9012 3456 7890 !!!! " * 3), // low alpha
+      (3L, "spam " * 20),                                   // repetitive
+      (4L, "a sensible document with plenty of distinct " +
+        "alphabetic words to pass every single quality rule"),
+      (5L, "   ")                                           // blank
+    ).toDF("doc_id", "text")
+    val v = graft.functions.TextAnalysis.qualityVerdict(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(4), if (r.isNullAt(5)) null else r.getString(5))))
+      .toMap
+    assert(v(1L) == ((false, "too_short")))
+    assert(v(2L) == ((false, "low_alpha")))
+    assert(v(3L) == ((false, "repetitive")))
+    assert(v(4L) == ((true, null)))
+    assert(v(5L) == ((false, "too_short")))
+  }
+
   test("wordHits counts standalone tokens only") {
     assert(one(TextAnalysis.wordHits($"text", "the"),
       "the cat theory the end") == 2)

@@ -115,6 +115,19 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n").take(2000))
   }
 
+  test("quality-filter verdict is one map-side pass: no Generate, no " +
+    "aggregation exchange — at most the presentation sort shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val p = SparkEntry.queries("q72_quality_filter")(spark, dir)
+      .queryExecution.sparkPlan
+    def shuffles(n: SparkPlan): Int =
+      (if (n.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+        n.children.map(shuffles).sum
+    assert(shuffles(p) <= 1, p.toString.take(2000))
+    assert(!p.toString.contains("Generate"), p.toString.take(2000))
+  }
+
   test("decontamination scores the corpus map-side: every exchange sits " +
     "inside the broadcast eval-set subtree") {
     import org.apache.spark.sql.execution.SparkPlan
