@@ -1466,6 +1466,85 @@ object ExtensionQueries {
              |)
              |SELECT doc_id, n_words, alpha_bp, top_word_frac,
              |       reason IS NULL AS keep, reason
-             |FROM verdict ORDER BY doc_id""".stripMargin))
+             |FROM verdict ORDER BY doc_id""".stripMargin)),
+
+    // CAPSTONE — the full curation pipeline composed end to end:
+    // quality verdict → near-dup cluster representative → benchmark
+    // decontamination → curated corpus. Stage predicates are per-doc
+    // independent, so cost-wise the plan filters early (quality first,
+    // contamination last over the survivors) while the oracle states
+    // each predicate over the full corpus and intersects. Clusters come
+    // from the memoized cluster table (computed over ALL docs — a
+    // near-dup of an eval doc is absorbed by it and thus dropped, which
+    // is exactly right: those ARE contamination). Every stage's
+    // formulation is individually oracle-pinned (q72/q61/q68); this
+    // hash-checks their COMPOSITION.
+    Q("q73_curated_corpus",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nonEval = docs.filter(col("doc_id") % 17 =!= 0)
+        val quality = TextAnalysis.qualityVerdict(nonEval)
+          .filter(col("keep")).select("doc_id")
+        val drop = clustersTable(s, dir)
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+        val survivors = quality.join(broadcast(drop), Seq("doc_id"),
+          "left_anti")
+        Dedup.contamination(
+          docs.join(survivors, Seq("doc_id"), "left_semi"),
+          docs.filter(col("doc_id") % 17 === 0))
+          .filter(col("n_contaminated") === 0)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), qd AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(text, '\s+'),
+          |                     x -> len(x) > 0) AS ws
+          |  FROM documents
+          |), qtok AS (
+          |  SELECT doc_id, unnest(ws) AS w FROM qd
+          |), qwc AS (
+          |  SELECT doc_id, w, COUNT(*) AS c FROM qtok GROUP BY doc_id, w
+          |), qwords AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+          |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+          |           AS top_word_frac
+          |  FROM qwc GROUP BY doc_id
+          |), qkeep AS (
+          |  SELECT qd.doc_id
+          |  FROM qd LEFT JOIN qwords qw ON qd.doc_id = qw.doc_id
+          |  WHERE COALESCE(qw.n_words, 0) >= 10
+          |    AND COALESCE(qw.n_words, 0) <= 5000
+          |    AND CASE WHEN length(qd.text) = 0 THEN 0
+          |         ELSE floor(length(regexp_replace(qd.text,
+          |                '[^A-Za-z]', '', 'g')) * 10000.0
+          |              / length(qd.text)) END >= 5000
+          |    AND NOT COALESCE(qw.top_word_frac > 0.3, false)
+          |), evalh AS (
+          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+          |), dirty AS (
+          |  SELECT DISTINCT d.doc_id
+          |  FROM sh d JOIN evalh e ON d.shingle = e.shingle
+          |  WHERE d.doc_id % 17 <> 0
+          |)
+          |SELECT d0.doc_id FROM documents d0
+          |WHERE d0.doc_id % 17 <> 0
+          |  AND d0.doc_id IN (SELECT doc_id FROM qkeep)
+          |  AND d0.doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+          |  AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)
+          |ORDER BY d0.doc_id""".stripMargin))
   )
 }
