@@ -47,6 +47,21 @@ object Mixing {
       .withColumn("seq_offset", expr(s"start_tok % ${budget}L"))
   }
 
+  /** Sub-sharding column for skewed corpora: when one source holds most
+    * of the data, packing (or any per-shard window) serializes on that
+    * shard's partition. Deriving the shard as (source, md5-bucket mod n)
+    * bounds every shard to ~1/n of its source with full determinism —
+    * the token streams stay contiguous WITHIN each sub-shard, which is
+    * what training shards need; there is deliberately no cross-sub-shard
+    * order to preserve. Usage:
+    * `packSequences(docs.withColumn("shard", subShard(col("source"),
+    * col("doc_id"), 16)), budget, shardCol = "shard")`. */
+  def subShard(shardCol: Column, keyCol: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    concat_ws("#", shardCol,
+      pmod(TextAnalysis.hashBucket(keyCol), lit(buckets)))
+  }
+
   /** Deterministic weighted corpus mixture (The-Pile-style sampling
     * weights): each shard gets a weight in hundredths of an epoch
     * (250 = 2.5 passes, 50 = half a pass). Every document is emitted

@@ -85,6 +85,64 @@ class MixingSpec extends AnyFunSuite {
     assert(e0 == 30)
   }
 
+  test("packSequences == model: random token counts, per-shard cumsum, " +
+    "window and offset arithmetic (200 docs, 3 shards, seeded)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val nTok = rnd.nextInt(40) // 0..39 tokens
+      (i.toLong, s"s${i % 3}", Seq.fill(nTok)("w").mkString(" "))
+    }
+    val budget = 17
+    val got = Mixing.packSequences(rows.toDF("doc_id", "source", "text"),
+      budget)
+      .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_offset")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // model: scan-left cumsum per shard in doc_id order
+    val model = rows.groupBy(_._2).flatMap { case (_, docs) =>
+      docs.sortBy(_._1).foldLeft((0L, List.empty[(Long, (Long, Long, Long,
+        Long))])) { case ((cum, acc), (id, _, text)) =>
+        val n = if (text.trim.isEmpty) 0L
+          else text.trim.split("\\s+").length.toLong
+        (cum + n, (id -> ((n, cum, cum / budget, cum % budget))) :: acc)
+      }._2
+    }.toMap
+    assert(got == model)
+  }
+
+  test("subShard bounds skewed shards deterministically and packing " +
+    "stays contiguous within each sub-shard") {
+    // 90% of docs in one source — the skew case subShard exists for
+    val d = docs((0 until 100).map(i =>
+      (i.toLong, if (i < 90) "big" else "small", "a b c")): _*)
+      .withColumn("shard",
+        Mixing.subShard(col("source"), col("doc_id"), 4))
+    val out = Mixing.packSequences(d, budget = 6, shardCol = "shard")
+    // sub-shards of "big" each hold a bounded fraction
+    val sizes = out.filter($"source" === "big").groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length > 1 && sizes.max < 90)
+    // within every sub-shard the stream is contiguous: sorted by doc_id,
+    // start_tok is the running sum of preceding n_tokens
+    val rows = out.select("shard", "doc_id", "n_tokens", "start_tok")
+      .collect()
+      .groupBy(_.getString(0))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.foldLeft(0L) { (cum, r) =>
+        assert(r.getLong(3) == cum, s"shard ${r.getString(0)}")
+        cum + r.getLong(2)
+      }
+    }
+    // determinism across reruns
+    val again = Mixing.packSequences(d, budget = 6, shardCol = "shard")
+      .select("doc_id", "seq_id", "seq_offset").collect().toSeq.toString
+    val first = out.select("doc_id", "seq_id", "seq_offset")
+      .collect().toSeq.toString
+    assert(first == again)
+  }
+
   test("mixCorpus schedule interleaves proportionally: in any prefix of " +
     "the merged order, shard frequency tracks weight") {
     val d = docs((0 until 60).map(i =>
