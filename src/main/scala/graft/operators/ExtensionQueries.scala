@@ -120,6 +120,17 @@ object ExtensionQueries {
         "doc_id", "text", shingleN = 3)
     }
 
+  /** Media payloads are STANDING DATA — a real pipeline decodes what
+    * storage already holds; it does not re-encode the corpus per query.
+    * Materialize the synthetic PNG/WAV/GVID payloads once per (session,
+    * dir) as parquet tables (opaque binary columns through real storage
+    * round-trips), so q69–q71 measure the decode operators themselves.
+    */
+  private def mediaTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                         name: String)
+                        (build: => org.apache.spark.sql.DataFrame) =
+    Tables.memoTable(s, dir, name)(build)
+
   val all: Seq[Q] = Seq(
 
     Q("q20_dedup_exact",
@@ -1364,9 +1375,14 @@ object ExtensionQueries {
     // hash-checks the whole encode→decode→resize chain. Both stages are
     // partition-local; payload bytes never shuffle.
     Q("q69_image_decode",
-      (s, dir) => graft.functions.Multimodal.decodePngs(
-        graft.functions.Multimodal.syntheticPngs(s, dir))
-        .toDF().orderBy("media_id"),
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Multimodal.decodePngs(
+          mediaTable(s, dir, "media_png") {
+            graft.functions.Multimodal.syntheticPngs(s, dir).toDF()
+          }.as[graft.functions.Multimodal.ImageRow])
+          .toDF().orderBy("media_id")
+      },
       Some("""SELECT doc_id AS media_id,
              |       CAST(n_chars % 64 + 8 AS INTEGER) AS width,
              |       CAST(n_chars % 48 + 8 AS INTEGER) AS height,
@@ -1385,9 +1401,14 @@ object ExtensionQueries {
     // whole encode→parse→fold chain. Partition-local; payloads never
     // shuffle. Video remains the one stubbed kind (no JDK codec).
     Q("q70_audio_decode",
-      (s, dir) => graft.functions.Multimodal.decodeWavs(
-        graft.functions.Multimodal.syntheticWavs(s, dir))
-        .toDF().orderBy("media_id"),
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Multimodal.decodeWavs(
+          mediaTable(s, dir, "media_wav") {
+            graft.functions.Multimodal.syntheticWavs(s, dir).toDF()
+          }.as[graft.functions.Multimodal.AudioRow])
+          .toDF().orderBy("media_id")
+      },
       Some("""SELECT doc_id AS media_id,
              |       CAST(16000 AS INTEGER) AS sample_rate,
              |       CAST(n_chars + 64 AS BIGINT) AS n_frames,
@@ -1402,9 +1423,14 @@ object ExtensionQueries {
     // index, so a wrong seek or misread index produces hash-detectable
     // wrong output. Partition-local; payloads never shuffle.
     Q("q71_video_frames",
-      (s, dir) => graft.functions.Multimodal.sampleGvidFrames(
-        graft.functions.Multimodal.syntheticGvids(s, dir), every = 2)
-        .toDF().orderBy("media_id", "frame_idx"),
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Multimodal.sampleGvidFrames(
+          mediaTable(s, dir, "media_gvid") {
+            graft.functions.Multimodal.syntheticGvids(s, dir).toDF()
+          }.as[graft.functions.Multimodal.VideoRow], every = 2)
+          .toDF().orderBy("media_id", "frame_idx")
+      },
       Some("""WITH f AS (
              |  SELECT doc_id, n_chars,
              |         unnest(generate_series(0,
