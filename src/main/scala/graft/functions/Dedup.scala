@@ -404,7 +404,10 @@ object Dedup {
     val candOld = indexBands.as("o")
       .join(broadcast(nb.as("n")),
         col("o.band_id") === col("n.band_id") &&
-          col("o.band_key") === col("n.band_key"))
+          col("o.band_key") === col("n.band_key") &&
+          // batch and index are disjoint by contract; the guard keeps a
+          // caller who violates it from scoring docs against themselves
+          col(s"o.$idCol") =!= col(s"n.$idCol"))
       .select(col(s"n.$idCol").as("new_id"), col(s"o.$idCol").as("dup_id"))
     // new × new, keep-first orientation (partner id < new id)
     val candNew = nb.as("a")
