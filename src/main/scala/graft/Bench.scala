@@ -34,7 +34,14 @@ object Bench {
     // steady-state execution (codegen class cache, parquet footers, JIT),
     // not first-run compilation.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(run)
+    // Isolation: iterative queries (per-round localCheckpoint loops) run
+    // LAST within each pass. Even with eager in-loop unpersist, an
+    // iterative query's final checkpoint + its burst of small jobs leave
+    // GC/cleaner residue; ordering them last means that residue can only
+    // bill the pass boundary, never the next query's timing window.
+    val iterative = Set("q61_dedup_clusters")
+    val execOrder = names.filterNot(iterative) ++ names.filter(iterative)
+    execOrder.foreach(run)
 
     // Two timed passes, report the min per query: single-pass numbers on a
     // shared 32-thread box carry ±30% GC/scheduling noise that drowns real
@@ -44,9 +51,10 @@ object Bench {
       run(name)
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timed(n)).toMap
+    val pass1 = execOrder.map(n => n -> timed(n)).toMap
+    val pass2 = execOrder.map(n => n -> timed(n)).toMap
     val results = names.map { name =>
-      name -> math.min(pass1(name), timed(name))
+      name -> math.min(pass1(name), pass2(name))
     }
     // 3-decimal rounding: the harness reading this line keeps only the last
     // ~2000 chars of output, and 60+ entries at full double precision push
@@ -89,7 +97,10 @@ object Bench {
     def layout(path: String): (Long, Long) = {
       val root = new java.io.File(path)
       def walk(f: java.io.File): (Long, Long) =
-        if (f.isDirectory) f.listFiles().map(walk).fold((0L, 0L)) {
+        // listFiles() returns null on I/O error or a dir vanishing mid-walk
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(walk).fold((0L, 0L)) {
           case ((a, b), (c, d)) => (a + c, b + d)
         }
         else if (f.getName.endsWith(".parquet")) (1L, f.length())

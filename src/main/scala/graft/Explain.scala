@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * filters, and whole-stage-codegen spans can be iterated on without a
   * full bench run.
   *
-  * Usage: runMain graft.Explain <query_name|all> [sfDir] [-run]
+  * Usage: runMain graft.Explain <query_name[,query_name…]|all> [sfDir] [-run]
+  * A comma-separated list runs the queries in the given order in ONE JVM —
+  * the tool for measuring cross-query interaction (cleanup bleed, cache
+  * pressure) that per-query invocations can't see.
   * With -run the query is executed (timed) and the FINAL adaptive plan is
   * printed — the only way to see AQE's runtime decisions (stage reuse,
   * join strategy switches, coalesced partitions).
@@ -29,7 +32,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (name == "all") SparkEntry.queries.keys.toSeq.sorted
-      else Seq(name)
+      else name.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
       println(s"========== $n ==========")

@@ -286,6 +286,19 @@ object Dedup {
       .agg(min("dst").as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint(false)
+    // Each round's localCheckpoint leaves its predecessor's blocks behind;
+    // waiting for GC + ContextCleaner to reclaim them lets one query's
+    // cleanup bill whoever runs next in the same JVM (observed as bench
+    // bleed into the following query). Track each round's checkpoint RDD
+    // and unpersist it EAGERLY the moment the next round has materialized
+    // — safe because a superseded round's frame is never re-executed
+    // (unpersisting a localCheckpoint'd RDD forfeits recomputation).
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    var prevCkpt = ckptRdd(labels)
     // DELTA iteration: labels only ever decrease, so a node can improve
     // in round r only through a neighbor whose label changed in round
     // r-1 (if v's label is older, u already saw it the round after v
@@ -327,6 +340,10 @@ object Dedup {
       // round's plan still starts from a leaf
       val next = jumped.localCheckpoint(false)
       val changed = next.filter(col("comp") =!= col("prev")).count()
+      // the count above fully materialized `next`, so the previous
+      // round's checkpoint blocks are dead — release them now
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = ckptRdd(next)
       labels = next.select("id", "comp")
       // next round's frontier: nodes whose label improved this round
       // (a filter over the checkpointed frame — no extra materialization)
@@ -334,8 +351,9 @@ object Dedup {
         .select("id", "comp")
       converged = changed == 0
       iters += 1
-      // superseded checkpoint RDDs are reclaimed by the ContextCleaner
-      // once unreferenced; label tables are pair-list-sized
+      // only the CURRENT round's checkpoint stays persisted — the final
+      // one backs the returned frame (label-table-sized) and is released
+      // when the caller drops/unpersists the result
     }
     sym.unpersist()
     if (!converged) throw new IllegalStateException(
@@ -426,7 +444,13 @@ object Dedup {
     val withNew = cand
       .join(ns.select(col(idCol).as("new_id"), col("hs").as("hs_new")),
         Seq("new_id"))
-    indexShingles.unionByName(ns).as("hsd")
+    // If a caller violates the disjoint-ids contract, an id present in
+    // both sides would appear twice in the union and emit duplicate
+    // (new_id, dup_id) rows; the batch copy wins (broadcast anti-join —
+    // batch-sized build side, index stays unshuffled).
+    indexShingles
+      .join(broadcast(ns.select(col(idCol))), Seq(idCol), "left_anti")
+      .unionByName(ns).as("hsd")
       .join(broadcast(withNew), col(s"hsd.$idCol") === col("dup_id"))
       .select(col("new_id"), col("dup_id"), col("hs_new"),
         col("hsd.hs").as("hs_dup"))
@@ -493,6 +517,17 @@ object Dedup {
       graft.plans.ContentChunkHashes(
         org.apache.spark.sql.graftops.ColumnBridge.expression(text),
         window, maskBits))
+
+  /** Fixed-boundary FNV-1a chunk fingerprints
+    * (graft.plans.FixedChunkFnv): the portable, oracle-checkable twin of
+    * [[contentChunks]] — identical fnv kernel, boundaries every
+    * `chunkSize` bytes so an external SQL engine can recompute the
+    * fingerprints exactly. */
+  def fixedChunks(text: Column, chunkSize: Int = 64): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.FixedChunkFnv(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text),
+        chunkSize))
 
   /** SimHash via the native one-pass kernel (graft.plans.SimHash64): same
     * bits as simhash64's explode+groupBy plan, but map-side only — tokens

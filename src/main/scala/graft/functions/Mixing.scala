@@ -35,7 +35,14 @@ object Mixing {
                     shardCol: String = "source",
                     orderCol: String = "doc_id"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // ROWS frame, not the default RANGE frame: with RANGE, rows tied on
+    // `orderCol` would all receive the full peer-group sum and silently
+    // overlap their start_tok offsets. With ROWS the layout is still
+    // deterministic only if `orderCol` is unique within a shard (ties
+    // would pack in an engine-chosen order) — callers must pass a
+    // per-shard-unique order column such as the default doc_id.
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text")).cast("long"))

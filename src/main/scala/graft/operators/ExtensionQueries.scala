@@ -1571,6 +1571,49 @@ object ExtensionQueries {
           |  AND d0.doc_id IN (SELECT doc_id FROM qkeep)
           |  AND d0.doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
           |  AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)
-          |ORDER BY d0.doc_id""".stripMargin))
+          |ORDER BY d0.doc_id""".stripMargin)),
+
+    // Fixed-boundary FNV chunk fingerprints: the oracle-checkable face of
+    // the q49 chunking kernel. q49's rolling-hash BOUNDARIES are
+    // engine-specific (rows-only), but its FNV-1a fingerprint function is
+    // not — this twin recomputes the exact fingerprints in DuckDB via a
+    // recursive per-byte FNV fold (HUGEINT mod-2^64 arithmetic; the
+    // fixture is ASCII so ascii(substring(…)) IS the UTF-8 byte), pinning
+    // the kernel the way q52 pins SimHash. RollingHashSpec additionally
+    // ties the two expressions to the same fnv() on boundary-free docs.
+    Q("q74_chunk_fnv_portable",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(Dedup.fixedChunks(col("text"), chunkSize = 64)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH RECURSIVE idx AS (
+             |  SELECT doc_id, text,
+             |         CAST(unnest(generate_series(0,
+             |           (length(text) - 1) // 64)) AS BIGINT) AS chunk_idx
+             |  FROM documents WHERE length(text) > 0
+             |), chunks AS (
+             |  SELECT doc_id, chunk_idx,
+             |         substring(text, chunk_idx * 64 + 1, 64) AS chunk
+             |  FROM idx
+             |), fnv(doc_id, chunk_idx, chunk, pos, h) AS (
+             |  SELECT doc_id, chunk_idx, chunk, 0,
+             |         14695981039346656037::HUGEINT FROM chunks
+             |  UNION ALL
+             |  SELECT doc_id, chunk_idx, chunk, pos + 1,
+             |    (xor(h::UBIGINT,
+             |         ascii(substring(chunk, pos + 1, 1))::UBIGINT)::HUGEINT
+             |       * 1099511628211::HUGEINT)
+             |      % 18446744073709551616::HUGEINT
+             |  FROM fnv WHERE pos < length(chunk)
+             |)
+             |SELECT doc_id, chunk_idx,
+             |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+             |            THEN h - 18446744073709551616::HUGEINT
+             |            ELSE h END AS BIGINT) AS chunk_hash
+             |FROM fnv WHERE pos = length(chunk)
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -86,20 +86,20 @@ case class MinHashAgg(
     bb.array()
   }
 
-  /** Wire format is k+1 longs (signature + fold flag). A k-long payload
-    * from the pre-flag format is accepted as folded=1 legacy — the old
-    * format had no empty-group representation, so every serialized buffer
-    * it produced had folded at least once. Keeps spilled/checkpointed
-    * aggregate state readable across the format change. */
+  /** Wire format is exactly k+1 longs (signature + fold flag). No legacy
+    * path: the pre-flag format serialized never-folded buffers as k
+    * Long.MaxValue values too, so a k-long payload is ambiguous — guessing
+    * folded=1 would turn legacy empty-group state into an all-MaxValue
+    * signature (the exact band-collision bug the flag fixed). Spilled
+    * state never crosses library versions here, so fail fast instead. */
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bytes.length / 8
-    require(n == k || n == k + 1,
-      s"minhash_agg buffer has $n longs, expected $k (legacy) or ${k + 1}")
-    val buf = Array.fill(k + 1)(Long.MaxValue)
+    require(n == k + 1,
+      s"minhash_agg buffer has $n longs, expected ${k + 1}")
+    val buf = new Array[Long](k + 1)
     var i = 0
     while (i < n) { buf(i) = bb.getLong; i += 1 }
-    if (n == k) buf(k) = 1L
     buf
   }
 

@@ -58,6 +58,26 @@ object RollingHashKernel {
     if (chunkStart < bytes.length) out += fnv(bytes, chunkStart, bytes.length)
     out.toArray
   }
+
+  /** FNV-1a fingerprints over FIXED chunk boundaries (every `chunkSize`
+    * bytes; last chunk is the remainder). Shares the exact `fnv` kernel
+    * with content-defined chunking — this is the cross-engine-checkable
+    * face of that kernel: fixed boundaries are expressible in plain SQL
+    * (a recursive FNV fold per chunk), so an external oracle can pin the
+    * fingerprint function itself, while the rolling-hash BOUNDARIES stay
+    * engine-specific. */
+  def fnvFixedChunks(bytes: Array[Byte], chunkSize: Int): Array[Long] = {
+    if (bytes.isEmpty) return Array.emptyLongArray
+    val n = (bytes.length + chunkSize - 1) / chunkSize
+    val out = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      out(c) = fnv(bytes, c * chunkSize,
+        math.min((c + 1) * chunkSize, bytes.length))
+      c += 1
+    }
+    out
+  }
 }
 
 case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
@@ -79,5 +99,31 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
        """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): ContentChunkHashes =
+    copy(child = c)
+}
+
+/** FNV-1a chunk fingerprints at fixed `chunkSize`-byte boundaries over the
+  * UTF-8 bytes of the input string — the oracle-checkable twin of
+  * [[ContentChunkHashes]] (same fnv kernel, SQL-expressible boundaries). */
+case class FixedChunkFnv(child: Expression, chunkSize: Int)
+    extends UnaryExpression {
+  require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fixed_chunk_fnv"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(RollingHashKernel.fnvFixedChunks(
+      input.asInstanceOf[UTF8String].getBytes, chunkSize))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.plans.RollingHashKernel.fnvFixedChunks($c.getBytes(), $chunkSize));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): FixedChunkFnv =
     copy(child = c)
 }

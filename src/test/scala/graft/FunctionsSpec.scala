@@ -263,6 +263,34 @@ class DedupSpec extends AnyFunSuite {
     assert(chunks(1L) != chunks(2L)) // the differing prefixes do differ
   }
 
+  test("fixed-chunk FNV: known FNV-1a vectors; shares the fnv kernel with " +
+    "content-defined chunking on boundary-free docs") {
+    // published FNV-1a test vectors pin the kernel to the real algorithm
+    val known = Seq((10L, "a"), (11L, ""), (12L, "foobar"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.fixedChunks($"text", 64).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(known(10L) == Seq(0xaf63dc4c8601ec8cL))
+    assert(known(11L).isEmpty) // empty doc → no chunks
+    assert(known(12L) == Seq(0x85944171f73967e8L))
+    // a doc whose rolling hash never hits a boundary is ONE content-defined
+    // chunk = FNV of the whole doc = the single fixed chunk at
+    // chunkSize >= length: ties both expressions to the identical kernel
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val both = docs.select($"doc_id",
+        Dedup.contentChunks($"text").as("cd"),
+        Dedup.fixedChunks($"text", 100000).as("fx"),
+        length($"text").as("len"))
+      .collect()
+    val oneChunk = both.filter(_.getSeq[Long](1).size == 1)
+    assert(oneChunk.nonEmpty, "fixture has no boundary-free doc")
+    oneChunk.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"kernel mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("group minhash aggregate: partition-invariant, equals elementwise " +
     "min of per-doc signatures") {
     val real = spark.read
