@@ -114,22 +114,69 @@ object Similarity {
     * scale path: at 100 TB the corpus is bucketed once and each query
     * touches 1/k of it (nprobe=1 here; union more cells for recall).
     *
-    * Centroids are taken deterministically as the first `k` corpus vectors
-    * (no RNG; a production build would k-means-refine them — same
-    * plumbing).
+    * Centroids SEED deterministically as the first `k` corpus vectors (no
+    * RNG) and are then k-means-refined with `lloydIters` Lloyd rounds
+    * (assign → elementwise mean; empty cells keep their previous
+    * centroid), making the quantizer adapt to the data instead of being a
+    * fixture of its first rows. Everything stays exact-arithmetic
+    * deterministic, so an external SQL engine reproduces the same
+    * centroids and the same cell assignment.
     */
+  /** One Lloyd round per iteration. Scale posture: each round is one
+    * map-side assignment pass over the corpus (broadcast centroids,
+    * identical plan to ivfAssign) plus an elementwise-mean aggregation —
+    * posexplode fans each row to `dim` entries but partial aggregation
+    * collapses every task to ≤ k·dim partial sums before the exchange, so
+    * the shuffle moves k·dim·tasks rows, never corpus·dim. Centroids are
+    * double from the seed on (k rows — the float-array shuffle saving is
+    * irrelevant here and the means are double anyway). */
+  private def lloydCentroids(corpus: DataFrame, k: Int,
+                             lloydIters: Int): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        asDouble(col("embedding")).as("cv"))
+    var it = 0
+    while (it < lloydIters) {
+      val carr = broadcast(cents
+        .select(struct(col("centroid_id"), col("cv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cs")))
+      val assigned = corpus.select(col("embedding"))
+        .crossJoin(carr)
+        .filter(size(col("cs")) > 0)
+        .withColumn("best", array_max(transform(col("cs"), c =>
+          struct(cosine(col("embedding"), c.getField("cv")).as("sim"),
+            (-c.getField("centroid_id")).as("neg_id"),
+            c.getField("centroid_id").as("cell")))))
+        .select(col("best").getField("cell").as("cell"), col("embedding"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ms"))
+        .select(col("cell").as("centroid_id"),
+          col("ms").getField("mx").as("mcv"))
+      cents = cents.as("p")
+        .join(means.as("m"), Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mcv"), col("p.cv")).as("cv"))
+      it += 1
+    }
+    cents
+  }
+
   /** The k centroids collapsed to ONE broadcast row holding a SORTED
     * struct array — the shared contract between corpus cell assignment
     * (ivfAssign) and query cell ranking (ivfTopKProbed): both sides must
     * fold over the identical array or queries probe cells the corpus was
     * never assigned under. */
-  private def centroidArray(corpus: DataFrame, k: Int): DataFrame =
-    broadcast(corpus.filter(col("vec_id") < k)
-      .select(struct(col("vec_id").as("centroid_id"),
-        col("embedding").as("cv")).as("c"))
+  private def centroidArray(corpus: DataFrame, k: Int,
+                            lloydIters: Int): DataFrame =
+    broadcast(lloydCentroids(corpus, k, lloydIters)
+      .select(struct(col("centroid_id"), col("cv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cs")))
 
-  def ivfAssign(corpus: DataFrame, k: Int): DataFrame = {
+  def ivfAssign(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame = {
     // Pick each vector's cell with a map-side argmax over the broadcast
     // centroid array — corpus rows never enter an exchange (the only
     // shuffle in the plan is the k-row centroid collapse feeding the
@@ -140,7 +187,7 @@ object Similarity {
     // A corpus with NO centroid rows (nothing under vec_id < k) yields
     // zero output rows, as the join formulation did — not NULL cells.
     corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(centroidArray(corpus, k))
+      .crossJoin(centroidArray(corpus, k, lloydIters))
       .filter(size(col("cs")) > 0)
       .withColumn("best", array_max(transform(col("cs"), c =>
         struct(cosine(col("embedding"), c.getField("cv")).as("sim"),
@@ -153,8 +200,8 @@ object Similarity {
   /** ANN search over the IVF cells: exact cosine within the query's cell
     * only. Returns top-k per query from its cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cells: Int,
-              k: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, cells)
+              k: Int, lloydIters: Int = 1): DataFrame = {
+    val assigned = ivfAssign(corpus, cells, lloydIters)
     val q = assigned.join(queries.select("vec_id"), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"),
         col("embedding").as("qv"))
@@ -176,13 +223,13 @@ object Similarity {
     * grows with nprobe·|corpus∩probed|, never corpus×cells. nprobe=1
     * degenerates to ivfTopK minus the self-cell shortcut. */
   def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, cells: Int,
-                    k: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, cells)
+                    k: Int, nprobe: Int, lloydIters: Int = 1): DataFrame = {
+    val assigned = ivfAssign(corpus, cells, lloydIters)
     // rank all centroids per query map-side over the SAME broadcast
     // centroid array the assignment used, keep the nprobe best cells
     val probes = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"))
-      .crossJoin(centroidArray(corpus, cells))
+      .crossJoin(centroidArray(corpus, cells, lloydIters))
       .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
         struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
           c.getField("centroid_id").as("cell")))), 1, nprobe))

@@ -17,6 +17,40 @@ object ExtensionQueries {
 
   private val Money = DecimalType(18, 2)
 
+  /** Oracle CTE chain producing the k-means-refined IVF centroids `c`
+    * (plus the corpus `e`) — shared by q42 and q62. Mirrors
+    * Similarity.lloydCentroids exactly: seed = first 8 vectors, ONE Lloyd
+    * round (argmax-cosine assignment → elementwise mean per cell; an
+    * empty cell keeps its seed centroid). Embedding dim is 64 (the
+    * fixture's), baked into the constant series because DuckDB 1.0 has no
+    * lateral generate_series. */
+  private val ivfLloydCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+      |), s0 AS (
+      |  SELECT e.vec_id, e.v, k.centroid_id,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |           list_dot_product(e.v, k.cv)
+      |             / (sqrt(list_dot_product(e.v, e.v))
+      |                * sqrt(list_dot_product(k.cv, k.cv))) DESC,
+      |           k.centroid_id) AS rk
+      |  FROM e CROSS JOIN c0 k
+      |), a0 AS (
+      |  SELECT vec_id, v, centroid_id AS cell FROM s0 WHERE rk = 1
+      |), m1 AS (
+      |  SELECT cell, i, avg(v[i]) AS mx
+      |  FROM a0, (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |  GROUP BY cell, i
+      |), cm AS (
+      |  SELECT cell AS centroid_id, list(mx ORDER BY i) AS cv
+      |  FROM m1 GROUP BY cell
+      |), c AS (
+      |  SELECT c0.centroid_id, COALESCE(cm.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN cm ON cm.centroid_id = c0.centroid_id
+      |)""".stripMargin
+
   /** Oracle CTE chain of the portable near-dup pipeline up to `scored`
     * (candidate pairs + exact Jaccard in basis points) — shared by q44
     * and the dedup-clustering oracle q61, which extends it with a
@@ -716,13 +750,9 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-          cells = 8, k = 10).orderBy("query_id", "rank")
+          cells = 8, k = 10, lloydIters = 1).orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-             |), c AS (
-             |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
-             |), scored AS (
+      Some(ivfLloydCtes + """, scored AS (
              |  SELECT e.vec_id, e.v, c.centroid_id,
              |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              |           list_dot_product(e.v, c.cv)
@@ -760,13 +790,10 @@ object ExtensionQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") < 5),
-          cells = 8, k = 10, nprobe = 2).orderBy("query_id", "rank")
+          cells = 8, k = 10, nprobe = 2, lloydIters = 1)
+          .orderBy("query_id", "rank")
       },
-      Some("""WITH e AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-             |), c AS (
-             |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
-             |), scored AS (
+      Some(ivfLloydCtes + """, scored AS (
              |  SELECT e.vec_id, e.v, c.centroid_id,
              |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              |           list_dot_product(e.v, c.cv)

@@ -114,6 +114,54 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"${pairs.length - planted} false positives of ${pairs.length}")
   }
 
+  test("IVF recall: k-means-refined centroids beat the first-k seed on a " +
+    "clustered corpus where the seed is pathological") {
+    // 5000 vectors in 10 true clusters of 500, ids BLOCKED by cluster
+    // (cluster = id / 500) — so the deterministic first-k seed picks all
+    // 10 centroids inside cluster 0. Near-identical centroids scatter
+    // each true cluster's members across cells and nprobe=1 recall
+    // collapses; Lloyd rounds must differentiate the centroids toward
+    // the real clusters and recover it.
+    val dim = 16
+    val n = 5000L
+    def u(salt: String, a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+      (pmod(hash(a, b, lit(salt)), lit(1000)).cast("double") / 500.0) - 1.0
+    val corpus = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (u("ctr", (col("id") / 500).cast("long"), d)
+          + u("nz", col("id"), d) * 0.08).cast("float")).as("embedding"))
+    val queries = corpus.filter(col("vec_id") % 167 === 13)
+
+    def recall(lloydIters: Int): Double = {
+      val ivf = graft.functions.Similarity.ivfTopK(
+        corpus, queries, cells = 10, k = 10, lloydIters = lloydIters)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      val brute = graft.functions.Similarity.bruteForceTopK(
+        corpus, queries, k = 10)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+      val hits = brute.map { case (q, truth) =>
+        (ivf.getOrElse(q, Set.empty) intersect truth).size }.sum
+      hits.toDouble / brute.map(_._2.size).sum
+    }
+
+    // deterministic fixture → fixed numbers: 0.910 → 0.963 recall, i.e.
+    // the refined quantizer cuts the missed-neighbor rate 2.4× (clusters
+    // mostly survive even a bad seed because members share their
+    // center's centroid preference; the misses ARE the boundary cases
+    // k-means fixes). Assert the miss rate at least halves.
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 > r0, f"lloyd=2 recall $r2%.3f not above seed $r0%.3f")
+    assert(1.0 - r2 < 0.5 * (1.0 - r0),
+      f"miss rate ${1 - r2}%.3f not halved from ${1 - r0}%.3f")
+  }
+
   test("300x-scale netDemand spot-check: one product's MRP output equals " +
     "the independently-computed inputs") {
     // pick a product that actually appears in the output
