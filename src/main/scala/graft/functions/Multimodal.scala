@@ -435,4 +435,213 @@ object Multimodal {
       }
     }
   }
+
+  // ---------------------------------------------------------------------
+  // REAL compressed video: MJPEG in a REAL AVI container (RIFF), pure
+  // JDK. MJPEG-AVI is an actual production format (many cameras and
+  // capture pipelines emit it) and the JDK ships a genuine JPEG codec —
+  // so unlike GVID this is an industry container AND a lossy DCT codec,
+  // end to end, with zero external libraries. The muxer writes standard
+  // RIFF 'AVI ' structure (hdrl with avih/strh/strf, movi with 00dc
+  // chunks, idx1 index); the demuxer walks TOP-LEVEL chunks only, finds
+  // the idx1 index without touching movi data, and seeks straight to the
+  // sampled frames — skipped frames are never Huffman-decoded. H.264/VP9
+  // would need an external decoder (no JDK codec exists); it would slot
+  // behind these exact signatures.
+  //
+  // Oracle-gating split: frame DIMENSIONS survive JPEG exactly (they
+  // come out of the real SOF parse), and they drift per frame index —
+  // so (media_id, frame_idx, width, height) is hash-checkable in SQL
+  // and a wrong seek produces wrong dims. Channel means are DCT-lossy
+  // (deterministic, but not SQL-derivable), so they are pinned by a
+  // tolerance spec instead (MultimodalSpec).
+  // ---------------------------------------------------------------------
+
+  case class AviRow(media_id: Long, avi: Array[Byte])
+
+  case class AviFrame(media_id: Long, frame_idx: Int, width: Int,
+                      height: Int, mean_r: Double, mean_g: Double,
+                      mean_b: Double)
+
+  private def newJpegWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+
+  private def newJpegReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+
+  /** Per-frame geometry: drifts with the frame index so a wrong seek or
+    * a misread index yields hash-detectably wrong dimensions. */
+  private def aviFrameDims(nChars: Long, f: Int): (Int, Int) =
+    (((nChars % 32) + 8).toInt + f, ((nChars % 24) + 8).toInt + f % 3)
+
+  private def wle32(bos: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+    bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+  }
+  private def wtag(bos: java.io.ByteArrayOutputStream, s: String): Unit =
+    s.foreach(c => bos.write(c.toInt))
+
+  /** Minimal standard-conformant MJPEG-AVI muxer: RIFF('AVI ') →
+    * LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFO)) →
+    * LIST movi ('00dc' chunks, even-padded) → idx1 (keyframe entries,
+    * offsets relative to the 'movi' fourcc — the classic convention). */
+  private def muxAvi(frames: Seq[Array[Byte]], w0: Int, h0: Int,
+                     fps: Int): Array[Byte] = {
+    val nf = frames.size
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      wtag(bos, tag); wle32(bos, payload.length); bos.write(payload)
+      if (payload.length % 2 == 1) bos.write(0)
+      bos.toByteArray
+    }
+    def list(ltype: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      wtag(bos, "LIST"); wle32(bos, payload.length + 4); wtag(bos, ltype)
+      bos.write(payload)
+      bos.toByteArray
+    }
+    val maxLen = frames.map(_.length).max
+    val avih = { // MainAVIHeader, 56 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      wle32(b, 1000000 / fps)   // dwMicroSecPerFrame
+      wle32(b, maxLen * fps)    // dwMaxBytesPerSec
+      wle32(b, 0)               // dwPaddingGranularity
+      wle32(b, 0x10)            // dwFlags: AVIF_HASINDEX
+      wle32(b, nf); wle32(b, 0) // totalFrames, initialFrames
+      wle32(b, 1)               // streams
+      wle32(b, maxLen)          // suggestedBufferSize
+      wle32(b, w0); wle32(b, h0)
+      (0 until 4).foreach(_ => wle32(b, 0)) // reserved
+      b.toByteArray
+    }
+    val strh = { // AVIStreamHeader, 56 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      wtag(b, "vids"); wtag(b, "MJPG")
+      wle32(b, 0); wle32(b, 0)  // flags, prio+language
+      wle32(b, 0)               // initialFrames
+      wle32(b, 1); wle32(b, fps)// scale, rate → fps
+      wle32(b, 0); wle32(b, nf) // start, length (frames)
+      wle32(b, maxLen)          // suggestedBufferSize
+      wle32(b, -1)              // quality (default)
+      wle32(b, 0)               // sampleSize (0 = varies)
+      wle32(b, (h0 << 16) | w0) // rcFrame right/bottom packed
+      wle32(b, 0)
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER, 40 bytes
+      val b = new java.io.ByteArrayOutputStream()
+      wle32(b, 40); wle32(b, w0); wle32(b, h0)
+      wle32(b, (24 << 16) | 1)  // planes=1, bitCount=24
+      wtag(b, "MJPG")           // biCompression
+      wle32(b, w0 * h0 * 3)     // biSizeImage (nominal)
+      wle32(b, 0); wle32(b, 0); wle32(b, 0); wle32(b, 0)
+      b.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    // movi chunks + idx1 entries (offset → position of the chunk's ckid
+    // measured from the 'movi' fourcc itself)
+    val moviBody = new java.io.ByteArrayOutputStream()
+    val idx = new java.io.ByteArrayOutputStream()
+    var off = 4 // first ckid sits right after the 'movi' fourcc
+    frames.foreach { fb =>
+      wtag(idx, "00dc"); wle32(idx, 0x10) // AVIIF_KEYFRAME
+      wle32(idx, off); wle32(idx, fb.length)
+      val ck = chunk("00dc", fb)
+      moviBody.write(ck)
+      off += ck.length
+    }
+    val movi = list("movi", moviBody.toByteArray)
+    val body = hdrl ++ movi ++ chunk("idx1", idx.toByteArray)
+    val out = new java.io.ByteArrayOutputStream()
+    wtag(out, "RIFF"); wle32(out, body.length + 4); wtag(out, "AVI ")
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Real MJPEG-AVI payloads: n_chars%5+2 solid-RGB JPEG frames per
+    * document, per-frame DIMENSIONS and color drifting with the frame
+    * index. Encoding (DCT + Huffman, the real JDK JPEG writer) and
+    * muxing are partition-local. */
+  def syntheticMjpegAvis(spark: SparkSession, dir: String): Dataset[AviRow] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = newJpegWriter()
+        it.map { case (id, n) =>
+          val nf = (n % 5).toInt + 2
+          val frames = (0 until nf).map { f =>
+            val (w, h) = aviFrameDims(n, f)
+            val rgb = (((id * 37 + f * 11) % 256).toInt << 16) |
+              (((id * 53 + f * 13) % 256).toInt << 8) |
+              ((id * 71 + f * 17) % 256).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(rgb))
+            g.fillRect(0, 0, w, h)
+            g.dispose()
+            encodePng(writer, img) // generic ImageWriter encode — JPEG here
+          }
+          val (w0, h0) = aviFrameDims(n, 0)
+          AviRow(id, muxAvi(frames, w0, h0, fps = 25))
+        }
+      }
+  }
+
+  /** Real AVI frame sampling: walk TOP-LEVEL RIFF chunks to find movi +
+    * idx1 (movi data is never scanned), then for every `every`-th index
+    * entry seek directly to its 00dc chunk and decode just that JPEG.
+    * Partition-local flatMap; payload bytes never shuffle; skipped
+    * frames are never entropy-decoded. */
+  def sampleAviFrames(avis: Dataset[AviRow], every: Int): Dataset[AviFrame] = {
+    require(every > 0, s"every must be positive, got $every")
+    import avis.sparkSession.implicits._
+    avis.mapPartitions { it =>
+      val reader = newJpegReader()
+      it.flatMap { v =>
+        val b = v.avi
+        def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        def tag(o: Int): String =
+          new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        require(tag(0) == "RIFF" && tag(8) == "AVI ", "not an AVI file")
+        var pos = 12
+        var moviPos = -1
+        var idxPos = -1
+        var idxLen = 0
+        while (pos + 8 <= b.length) {
+          val t = tag(pos)
+          val size = le32(pos + 4)
+          if (t == "LIST" && tag(pos + 8) == "movi") moviPos = pos + 8
+          else if (t == "idx1") { idxPos = pos + 8; idxLen = size }
+          pos += 8 + size + (size & 1)
+        }
+        require(moviPos >= 0 && idxPos >= 0, "AVI lacks movi or idx1")
+        val nf = idxLen / 16
+        (0 until nf).iterator.filter(_ % every == 0).map { f =>
+          val e = idxPos + 16 * f
+          require(tag(e) == "00dc", s"unexpected index ckid ${tag(e)}")
+          val ckPos = moviPos + le32(e + 8)
+          require(tag(ckPos) == "00dc", "index offset does not hit a chunk")
+          val len = le32(ckPos + 4)
+          val img = decodePng(reader, b, ckPos + 8, len) // JPEG reader
+          val (w, h) = (img.getWidth, img.getHeight)
+          val pixels = img.getRGB(0, 0, w, h, null, 0, w)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < pixels.length) {
+            val p = pixels(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          val n = w.toLong * h
+          AviFrame(v.media_id, f, w, h,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      }
+    }
+  }
 }

@@ -1476,6 +1476,38 @@ object ExtensionQueries {
              |FROM f WHERE fi % 2 = 0
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // REAL compressed video: MJPEG frames (genuine JDK JPEG codec — DCT
+    // + Huffman) in a REAL RIFF/AVI container with an idx1 index. The
+    // demuxer finds idx1 from top-level chunks only and seeks straight
+    // to every 2nd frame; skipped frames are never entropy-decoded.
+    // Frame DIMENSIONS drift with the frame index and survive the lossy
+    // codec exactly (they come out of the real SOF parse), so the
+    // seek+decode path is hash-checked here; the DCT-lossy channel means
+    // are pinned by tolerance in MultimodalSpec instead.
+    Q("q75_mjpeg_frames",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Multimodal.sampleAviFrames(
+          mediaTable(s, dir, "media_avi") {
+            graft.functions.Multimodal.syntheticMjpegAvis(s, dir).toDF()
+          }.as[graft.functions.Multimodal.AviRow], every = 2)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"), col("width"),
+            col("height"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, n_chars,
+             |         unnest(generate_series(0,
+             |           CAST(n_chars % 5 + 1 AS INTEGER))) AS fi
+             |  FROM documents
+             |)
+             |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+             |       CAST(n_chars % 32 + 8 + fi AS INTEGER) AS width,
+             |       CAST(n_chars % 24 + 8 + fi % 3 AS INTEGER) AS height
+             |FROM f WHERE fi % 2 = 0
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // The composed quality-filter stage (C4/Gopher-style): word-count
     // window + alpha-ratio floor + top-word repetition cap in ONE
     // map-side projection over the census kernels, first failing rule

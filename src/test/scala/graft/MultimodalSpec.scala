@@ -158,6 +158,48 @@ class MultimodalSpec extends AnyFunSuite {
         .map(f => (f.width, f.height, f.mean_r, f.mean_b)).toSeq)
   }
 
+  test("MJPEG-AVI: a real RIFF container round-trips through the real " +
+    "JDK JPEG codec — exact dims per frame, lossy-but-close colors, and " +
+    "every=2 seeks to exactly the even-index frames") {
+    val avis = Multimodal.syntheticMjpegAvis(spark, dir)
+    val one = avis.filter(_.media_id == 3L).collect().head
+    // genuine RIFF/AVI structure, hand-checkable at the byte level
+    assert(new String(one.avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(one.avi, 8, 4, "US-ASCII") == "AVI ")
+    val all = Multimodal.sampleAviFrames(avis, every = 1).collect()
+    val byId = all.groupBy(_.media_id)
+    val nchars = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == nchars.keySet)
+    byId.foreach { case (id, fs) =>
+      val n = nchars(id)
+      assert(fs.length == (n % 5).toInt + 2, s"media $id frame count")
+      fs.foreach { f =>
+        // dimensions survive the lossy codec exactly — and drift per
+        // frame, so a wrong seek cannot produce these
+        assert(f.width == (n % 32) + 8 + f.frame_idx, s"$id/${f.frame_idx}")
+        assert(f.height == (n % 24) + 8 + f.frame_idx % 3)
+        // solid-color frames are DC-only: JPEG quantization may shift
+        // the decoded level a few counts, never more
+        val (er, eg, eb) = ((id * 37 + f.frame_idx * 11) % 256,
+          (id * 53 + f.frame_idx * 13) % 256,
+          (id * 71 + f.frame_idx * 17) % 256)
+        assert(math.abs(f.mean_r - er) <= 6.0, s"$id r ${f.mean_r} vs $er")
+        assert(math.abs(f.mean_g - eg) <= 6.0, s"$id g ${f.mean_g} vs $eg")
+        assert(math.abs(f.mean_b - eb) <= 6.0, s"$id b ${f.mean_b} vs $eb")
+      }
+    }
+    val sampled = Multimodal.sampleAviFrames(avis, every = 2).collect()
+      .groupBy(_.media_id)
+    sampled.foreach { case (id, fs) =>
+      val full = byId(id).filter(_.frame_idx % 2 == 0)
+        .map(f => (f.frame_idx, f.width, f.height, f.mean_r)).sorted
+      assert(fs.map(f => (f.frame_idx, f.width, f.height, f.mean_r))
+        .sorted.toSeq == full.toSeq, s"media $id sampled mismatch")
+    }
+  }
+
   test("decodePngs extracts exact channel means and thumbnail mean for " +
     "the synthetic corpus (the q69 oracle contract)") {
     val feats = Multimodal.decodePngs(
