@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Streaming near-duplicate ingestion: the composition of the two proven
+  * pieces — exactly-once micro-batch landing (idempotent per-batch
+  * overwrite, EventStreams.idempotentBatchWrite's recipe) and the
+  * incremental near-dup probe against a STANDING band/shingle index
+  * (Dedup.incrementalNearDups). Each micro-batch:
+  *
+  *   1. probes the standing index (batch bands BROADCAST to the index —
+  *      the index never reshuffles, O(batch) per micro-batch);
+  *   2. lands its duplicate pairs under `out/batch_id=N` (overwrite);
+  *   3. appends its own band rows + shingle sets to the index under
+  *      `index/{bands,shingles}/batch_id=N` (overwrite).
+  *
+  * All three writes are keyed by batch_id and OVERWRITTEN on replay, so
+  * the at-least-once foreachBatch replay converges to the same bytes —
+  * exactly-once output AND exactly-once index growth. Because a crashed
+  * batch may have written its index rows before the checkpoint committed,
+  * the probe first anti-joins the batch's own ids out of the loaded index
+  * (broadcast, batch-sized): a replayed batch sees exactly the index
+  * state the original attempt saw, making replay ≡ first run.
+  *
+  * At 100 TB the index is the corpus-sized artifact; it stays parquet on
+  * disk, partitioned by the batch that contributed each row, and only
+  * the batch side of every join is broadcast.
+  */
+object DocumentStreams {
+
+  /** Load one standing-index side, tolerating the empty bootstrap (no
+    * directory yet → empty frame with the right schema, derived from the
+    * builder run on a zero-row batch). */
+  private def loadIndex(spark: SparkSession, path: String,
+                        schemaOf: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schemaOf.schema).parquet(path)
+      // batch_id arrives as a discovered partition column — keep only
+      // the logical columns so downstream unions line up
+      .select(schemaOf.columns.map(col): _*)
+    else schemaOf
+  }
+
+  /** One micro-batch of the streaming near-dup ingest (public so the
+    * batch twin in tests — and any foreachBatch caller — runs the exact
+    * same code path). */
+  def nearDupBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                   outPath: String, idCol: String, textCol: String,
+                   shingleN: Int, bands: Int, rowsPerBand: Int,
+                   minJaccardBp: Long): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol))
+    val emptyDocs = docs.limit(0)
+    val idxBands = loadIndex(spark, s"$indexDir/bands",
+      Dedup.nearDupBandRows(emptyDocs, idCol, textCol, shingleN, bands,
+        rowsPerBand))
+    val idxShingles = loadIndex(spark, s"$indexDir/shingles",
+      Dedup.shingleSets(emptyDocs, idCol, textCol, shingleN))
+    // a replayed batch may already have contributed index rows (crash
+    // between index write and checkpoint commit) — remove its own ids so
+    // replay probes the same index state the first attempt did
+    val ownIds = docs.select(col(idCol)).distinct()
+    val pairs = Dedup.incrementalNearDups(docs,
+      idxBands.join(broadcast(ownIds), Seq(idCol), "left_anti"),
+      idxShingles.join(broadcast(ownIds), Seq(idCol), "left_anti"),
+      idCol, textCol, shingleN, bands, rowsPerBand, minJaccardBp)
+    pairs.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    Dedup.nearDupBandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/bands/batch_id=$batchId")
+    Dedup.shingleSets(docs, idCol, textCol, shingleN)
+      .write.mode("overwrite")
+      .parquet(s"$indexDir/shingles/batch_id=$batchId")
+  }
+
+  /** Start the streaming ingest: every micro-batch of `docs` probes and
+    * then grows the standing index at `indexDir`, landing duplicate
+    * pairs under `outPath`. Pass a durable `checkpoint` for restart. */
+  def ingestNearDups(docs: DataFrame, indexDir: String, outPath: String,
+                     checkpoint: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     shingleN: Int = 3, bands: Int = 4,
+                     rowsPerBand: Int = 4, minJaccardBp: Long = 5000):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          nearDupBatch(batch.toDF(), batchId, indexDir, outPath, idCol,
+            textCol, shingleN, bands, rowsPerBand, minJaccardBp)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

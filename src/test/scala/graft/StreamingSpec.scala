@@ -266,6 +266,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming near-dup ingestion: each micro-batch probes then grows " +
+    "the standing index; the accumulated pairs equal a one-shot " +
+    "corpus-wide LSH; replay and restart add nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snd").toString
+    val src = s"$base/src"
+    val index = s"$base/index"
+    val out = s"$base/pairs"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // three arrival waves; each staged file becomes one micro-batch
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-snd-w$i").toString
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.DocumentStreams.ingestNearDups(
+        spark.readStream.schema(docs.schema).parquet(src),
+        index, out, ckpt, minJaccardBp = 2000)
+        .awaitTermination(120000)
+    def countIf(path: String): Long = {
+      spark.catalog.refreshByPath(path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+    }
+
+    stageWave(0)
+    runOnce()
+    val bands0 = countIf(s"$index/bands")
+    assert(bands0 > 0, "wave 0 contributed no index rows")
+
+    stageWave(1)
+    runOnce()
+    val bands1 = countIf(s"$index/bands")
+    assert(bands1 > bands0, "index did not grow on wave 1")
+
+    stageWave(2)
+    runOnce()
+    val bands2 = countIf(s"$index/bands")
+    assert(bands2 > bands1, "index did not grow on wave 2")
+
+    def pairSet(): Set[(Long, Long, Long)] = {
+      spark.catalog.refreshByPath(out)
+      spark.read.parquet(out)
+        .select("new_id", "dup_id", "jaccard_bp").collect()
+        .map { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          (math.min(a, b), math.max(a, b), r.getLong(2))
+        }.toSet
+    }
+    val streamed = pairSet()
+    // the incremental accumulation must discover exactly the pairs a
+    // one-shot LSH over the whole corpus finds (every pair coexists once
+    // its later wave arrives), with identical exact-Jaccard scores
+    val oneShot = graft.functions.Dedup.nearDuplicatesPortable(
+      docs, "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+      minJaccardBp = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == oneShot,
+      s"streamed ${streamed.size} vs one-shot ${oneShot.size}; " +
+        s"missing=${(oneShot -- streamed).take(3)} " +
+        s"extra=${(streamed -- oneShot).take(3)}")
+
+    // restart with the same checkpoint and no new files: nothing replays
+    runOnce()
+    assert(pairSet() == streamed)
+    assert(countIf(s"$index/bands") == bands2)
+
+    // crash-replay of the LAST batch (index rows already written when
+    // the attempt died): rerunning the batch by hand converges — the
+    // own-id anti-join hides its index rows, the overwrite re-lands the
+    // same bytes
+    graft.streaming.DocumentStreams.nearDupBatch(
+      docs.filter(col("doc_id") % 3 === 2), batchId = 2, index, out,
+      "doc_id", "text", 3, 4, 4, 2000)
+    assert(pairSet() == streamed, "replayed batch changed the pair set")
+    assert(countIf(s"$index/bands") == bands2,
+      "replayed batch duplicated index rows")
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
