@@ -121,4 +121,32 @@ object Mixing {
         expr("(epoch * _mix_n + _mix_rn0 + 1) * 10000L div _mix_w"))
       .drop("_mix_w", "_mix_rn0", "_mix_n")
   }
+
+  /** The skew lever for [[mixCorpus]]: its rank/count windows serialize
+    * on a dominant shard exactly the way packing does, so this variant
+    * runs them on [[subShard]]-split shards (each bounded to ~1/n of its
+    * source) while weights stay keyed on the ORIGINAL shard value.
+    *
+    * What is preserved exactly — the WEIGHT semantics: a document's
+    * replication count and fractional-epoch keep decision depend only on
+    * (key, epoch, weight), so the emitted (shard, key, epoch) multiset is
+    * IDENTICAL to the unsharded run (MixingSpec pins this). What changes:
+    * `sched_t` is a per-sub-shard stride schedule — each sub-shard is its
+    * own independent training stream, the same contract sub-sharded
+    * packing has (there is deliberately no cross-sub-shard order). */
+  def mixCorpusSharded(docs: DataFrame, weightsHundredths: Map[String, Int],
+                       subShards: Int,
+                       defaultWeightHundredths: Int = 100,
+                       shardCol: String = "source",
+                       keyCol: String = "doc_id"): DataFrame = {
+    require(subShards > 0, s"subShards must be positive, got $subShards")
+    val expanded = weightsHundredths.flatMap { case (s, w) =>
+      (0 until subShards).map(b => s"$s#$b" -> w)
+    }
+    mixCorpus(
+      docs.withColumn("_mix_subshard",
+        subShard(col(shardCol), col(keyCol), subShards)),
+      expanded, defaultWeightHundredths, "_mix_subshard", keyCol)
+      .drop("_mix_subshard")
+  }
 }

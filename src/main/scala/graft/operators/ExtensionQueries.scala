@@ -1291,6 +1291,9 @@ object ExtensionQueries {
     // interleaves shards proportionally to weight without materializing
     // a global row_number. One shuffle on source; fan-out is a
     // generator; keep/schedule logic is map-side integer arithmetic.
+    // Skew lever: Mixing.mixCorpusSharded runs the same model over
+    // subShard-split shards (identical emissions, MixingSpec-pinned)
+    // when one source dominates the per-shard windows.
     Q("q66_corpus_mix",
       (s, dir) => Mixing.mixCorpus(Tables.load(s, dir, "documents"),
         weightsHundredths =

@@ -143,6 +143,39 @@ class MixingSpec extends AnyFunSuite {
     assert(first == again)
   }
 
+  test("mixCorpusSharded preserves the weight model exactly: the emitted " +
+    "(source, doc, epoch) multiset equals the unsharded run on a skewed " +
+    "corpus, and sub-shards actually split the dominant source") {
+    // 90% of docs in one source, fractional weights on both
+    val d = docs((0 until 200).map(i =>
+      (i.toLong, if (i < 180) "big" else "small", "a b c")): _*)
+    val weights = Map("big" -> 230, "small" -> 80)
+    def emissions(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "doc_id", "epoch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = emissions(Mixing.mixCorpus(d, weights))
+    val sharded = Mixing.mixCorpusSharded(d, weights, subShards = 4)
+    assert(emissions(sharded) == plain,
+      "sub-sharding changed replication or keep decisions")
+    // the dominant source's window work is genuinely split: its docs
+    // fan out over >1 sub-shard key (the serialization bound)
+    val nShards = Mixing
+      .mixCorpusSharded(d, weights, subShards = 4)
+      .filter($"source" === "big")
+      .withColumn("ss", Mixing.subShard($"source", $"doc_id", 4))
+      .select("ss").distinct().count()
+    assert(nShards > 1, "dominant source not split across sub-shards")
+    // each sub-shard still stride-schedules: sched_t is monotone in the
+    // per-sub-shard emission rank (spot-check determinism across reruns)
+    val a = sharded.orderBy("sched_t", "source", "doc_id", "epoch")
+      .select("doc_id", "epoch", "sched_t").collect().toSeq.toString
+    val b = Mixing.mixCorpusSharded(d, weights, subShards = 4)
+      .orderBy("sched_t", "source", "doc_id", "epoch")
+      .select("doc_id", "epoch", "sched_t").collect().toSeq.toString
+    assert(a == b)
+  }
+
   test("mixCorpus schedule interleaves proportionally: in any prefix of " +
     "the merged order, shard frequency tracks weight") {
     val d = docs((0 until 60).map(i =>
