@@ -410,19 +410,57 @@ object ExtensionQueries {
              |       CAST(MAX(n_chars * 10) AS BIGINT) AS max_duration_ms
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Multimodal decode/feature-extract path (stubbed codec, real
-    // partition-batched plumbing) → rows-only. The float feature vector is
-    // serialized to a CSV string for the verify surface: the driver's
-    // pandas comparator sorts rows by every column and ndarray cells crash
-    // that sort (the typed Dataset[DecodedFeatures] API still returns the
-    // real array — see MultimodalSpec).
+    // The GENERIC multimodal decode on REAL codecs (round 5 — this was
+    // the last stub-backed query): a mixed-kind table whose image rows
+    // are genuine PNG, audio rows genuine WAV, video rows genuine GVID
+    // containers, and ONE dispatching decoder that routes each row
+    // through the real codec for its kind. Every output value comes out
+    // of an actual parse; all stats are exact integers (pixel r+g+b
+    // sums, |sample| sums, sampled-frame pixel sums), so the whole
+    // mixed-kind decode is oracle-hash-checked. width/height are NULL
+    // for audio.
     Q("q32_media_features",
-      (s, dir) => graft.functions.Multimodal.decodeFeatures(
-        graft.functions.Multimodal.syntheticMedia(s, dir))
-        .toDF()
-        .withColumn("feature", array_join(col("feature"), ","))
-        .orderBy("media_id"),
-      None),
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.Multimodal.decodeMedia(
+          mediaTable(s, dir, "media_mixed") {
+            graft.functions.Multimodal.syntheticMediaReal(s, dir).toDF()
+          }.as[graft.functions.Multimodal.MediaRow])
+          .toDF().orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE CAST(doc_id % 3 AS INTEGER)
+             |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS kind,
+             |  CASE CAST(doc_id % 3 AS INTEGER)
+             |    WHEN 0 THEN CAST(n_chars % 64 + 8 AS INTEGER)
+             |    WHEN 1 THEN CAST(NULL AS INTEGER)
+             |    ELSE CAST(n_chars % 32 + 8 AS INTEGER) END AS width,
+             |  CASE CAST(doc_id % 3 AS INTEGER)
+             |    WHEN 0 THEN CAST(n_chars % 48 + 8 AS INTEGER)
+             |    WHEN 1 THEN CAST(NULL AS INTEGER)
+             |    ELSE CAST(n_chars % 24 + 8 AS INTEGER) END AS height,
+             |  CASE CAST(doc_id % 3 AS INTEGER)
+             |    WHEN 0 THEN CAST((n_chars % 64 + 8) * (n_chars % 48 + 8)
+             |                     AS BIGINT)
+             |    WHEN 1 THEN CAST(n_chars + 64 AS BIGINT)
+             |    ELSE CAST((n_chars % 5 + 2 + 1) // 2 AS BIGINT)
+             |    END AS n_units,
+             |  CASE CAST(doc_id % 3 AS INTEGER)
+             |    WHEN 0 THEN CAST(((doc_id * 37) % 256 + (doc_id * 53) % 256
+             |        + (doc_id * 71) % 256)
+             |      * (n_chars % 64 + 8) * (n_chars % 48 + 8) AS BIGINT)
+             |    WHEN 1 THEN CAST(((doc_id * 97) % 8192 + 1)
+             |      * (n_chars + 64) AS BIGINT)
+             |    ELSE (SELECT CAST((n_chars % 32 + 8) * (n_chars % 24 + 8)
+             |        * SUM((doc_id * 37 + fi * 11) % 256
+             |            + (doc_id * 53 + fi * 13) % 256
+             |            + (doc_id * 71 + fi * 17) % 256) AS BIGINT)
+             |      FROM (SELECT unnest(generate_series(0,
+             |        CAST(n_chars % 5 + 1 AS INTEGER))) AS fi) fr
+             |      WHERE fi % 2 = 0)
+             |    END AS stat_sum
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Sessionization: gap>30min starts a new session; lag + running-sum
     // windows, whole-second arithmetic on both sides so boundary events

@@ -200,6 +200,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeMedia dispatches each kind through its real codec: exact " +
+    "integer stats for PNG pixels, WAV samples, and sampled GVID frames") {
+    val rows = Multimodal.decodeMedia(
+      Multimodal.syntheticMediaReal(spark, dir)).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.kind).toSet == Set("image", "audio", "video"))
+    val nchars = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { m =>
+      val id = m.media_id
+      val n = nchars(id)
+      id % 3 match {
+        case 0 =>
+          val (w, h) = ((n % 64 + 8).toInt, (n % 48 + 8).toInt)
+          assert(m.width.contains(w) && m.height.contains(h))
+          assert(m.n_units == w.toLong * h)
+          assert(m.stat_sum ==
+            (id * 37 % 256 + id * 53 % 256 + id * 71 % 256) * w * h)
+        case 1 =>
+          assert(m.width.isEmpty && m.height.isEmpty)
+          assert(m.n_units == n + 64)
+          assert(m.stat_sum == (id * 97 % 8192 + 1) * (n + 64))
+        case _ =>
+          val (w, h) = ((n % 32 + 8).toInt, (n % 24 + 8).toInt)
+          val nf = (n % 5 + 2).toInt
+          assert(m.width.contains(w) && m.height.contains(h))
+          assert(m.n_units == (nf + 1) / 2)
+          val expected = (0 until nf).filter(_ % 2 == 0).map { f =>
+            ((id * 37 + f * 11) % 256 + (id * 53 + f * 13) % 256 +
+              (id * 71 + f * 17) % 256) * w.toLong * h
+          }.sum
+          assert(m.stat_sum == expected, s"video $id")
+      }
+    }
+  }
+
   test("decodePngs extracts exact channel means and thumbnail mean for " +
     "the synthetic corpus (the q69 oracle contract)") {
     val feats = Multimodal.decodePngs(
