@@ -90,7 +90,11 @@ object GraftSession {
       (e: Seq[Expression]) => graft.plans.RepetitionStats(e(0))),
     ("minhash_agg", classOf[MinHashAgg],
       (e: Seq[Expression]) =>
-        MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()))
+        MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()),
+    ("min_k", classOf[graft.plans.MinKAgg],
+      (e: Seq[Expression]) =>
+        graft.plans.MinKAgg(e(0), litInt(e(1), "k"))
+          .toAggregateExpression()))
 
   private def info(name: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getName, name)

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval / lexical-statistics operators: BM25 scoring, a
+  * bounded-postings inverted index, and PMI collocation mining. These are
+  * the "search over the training corpus" surface that sits next to the
+  * embedding ANN operators (Similarity) — lexical rather than dense.
+  *
+  * Tokenization matches the rest of the text suite (q35/q72):
+  * lower(trim(text)) split on whitespace, empty tokens dropped — and the
+  * DuckDB oracles restate the same normalization.
+  */
+object Retrieval {
+
+  /** Whitespace tokens, lowercased, empties dropped — map-side HOF, no
+    * explode. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * (k1/b are the classic Robertson defaults).
+    *
+    * Shuffle-free scoring: per-term tf and doc length are HOF projections
+    * over the token array (no explode), and the ONLY aggregation is a
+    * single global one-row reduce (N, avgdl, per-term df) that is
+    * broadcast back via a one-row cross join — the A5 scalar-subquery
+    * pattern. The corpus is scanned twice (once for stats, once for
+    * scoring) but never exchanged: at 100 TB this is two map passes,
+    * versus the naive explode→join formulation whose (term, doc) shuffle
+    * materializes the full posting matrix.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("ws"))
+      .select(
+        col(idCol) +: size(col("ws")).cast("long").as("dl") +:
+          queryTerms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("ws"), w => w === lit(t))).cast("long")
+              .as(s"tf$i")
+          }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl") +:
+        queryTerms.indices.map { i =>
+          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")
+        }: _*)
+    val score = queryTerms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df$i") + lit(0.5))
+        / (col(s"df$i") + lit(0.5)))
+      idf * col(s"tf$i") * lit(k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val hits = queryTerms.indices
+      .map(i => (col(s"tf$i") > 0).cast("long")).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("n_hits", hits)
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("dl"), col("n_hits"),
+        round(score, 6).as("score"))
+  }
+
+  /** Inverted index over the corpus: per term, document frequency, total
+    * term frequency, and a BOUNDED posting list (the `maxPostings`
+    * smallest doc ids, comma-joined).
+    *
+    * The posting cap is the scale lever: a Zipf-head term appears in
+    * nearly every document, and collect_list would stream its entire
+    * posting set into one reducer. MinKAgg keeps every partial buffer at
+    * `maxPostings` longs — hot terms cost the same as rare ones through
+    * the shuffle, and df/total_tf stay exact via ordinary partial
+    * aggregation. (A full production index shards hot postings by range;
+    * the cap is the primitive that bounds any single reduce.)
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        Sketches.minK(col(idCol), maxPostings).as("post_arr"))
+      .select(col("term"), col("df"), col("total_tf"),
+        array_join(transform(col("post_arr"), _.cast("string")), ",")
+          .as("postings"))
+
+  /** Adjacent-bigram PMI (pointwise mutual information) — the phrase-
+    * mining / collocation primitive: ln(p(ab) / (p(a)·p(b))) with
+    * probabilities over the corpus bigram and unigram multisets.
+    *
+    * Bigrams are built map-side by zipping the token array against its
+    * own tail (no self-join, no window): one explode→groupBy shuffle for
+    * bigram counts. Unigram counts join back in — vocabulary-sized, so
+    * broadcast — and the two corpus totals ride the same one-row
+    * broadcast pattern as bm25's stats.
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long,
+                 textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val bigrams = docs
+      .select(when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")).as("bs"))
+      .select(explode(col("bs")).as("bigram"))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val totals = uni.agg(sum(col("cw")).as("n1")).crossJoin(
+      bigrams.agg(count(lit(1)).as("n2")))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n"),
+        round(log((col("n") / col("n2"))
+          / ((col("c1") / col("n1")) * (col("c2") / col("n1")))), 6)
+          .as("pmi"))
+  }
+}

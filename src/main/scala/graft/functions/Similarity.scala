@@ -245,6 +245,35 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank", "cell")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space (the k-means-refined
+    * IVF cells), then within each cluster drop every vector that has a
+    * LOWER-id near-twin at cosine ≥ tau. Returns the DROP list — each
+    * dropped vec with its cell, its representative (the smallest such
+    * lower id), and how many in-cell near-twins it had.
+    *
+    * This is the whole point of the clustering: pairwise cosine runs
+    * per-CELL (one equi-join shuffle on the cell key, pair volume
+    * Σ|cell|²), never corpus×corpus. Cell sizes are bounded by k in
+    * expectation; a pathologically hot cell sub-splits the same way the
+    * LSH bucket join does (sub-shard the join key) — the lever exists,
+    * the default path stays a plain equi-join.
+    */
+  def semanticDedup(corpus: DataFrame, cells: Int, tau: Double,
+                    lloydIters: Int = 1): DataFrame = {
+    val assigned = ivfAssign(corpus, cells, lloydIters)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("vec_id"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_twins"))
+  }
+
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
     * exact cosine re-ranks within the bucket. Trades recall for turning the
     * corpus×corpus cross join into a per-bucket equi-join. */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Mixing, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Graph, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -1714,6 +1714,316 @@ object ExtensionQueries {
              |            THEN h - 18446744073709551616::HUGEINT
              |            ELSE h END AS BIGINT) AS chunk_hash
              |FROM fnv WHERE pos = length(chunk)
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // BM25 lexical retrieval — shuffle-free scoring: per-term tf and doc
+    // length are HOF projections over the token array (no explode), the
+    // only aggregation is ONE global one-row reduce (N, Σdl, per-term df)
+    // broadcast back via the scalar-subquery pattern. avgdl enters as
+    // Σdl/N — two exact integers divided once — so the double math is a
+    // fixed sequence of IEEE ops both engines perform identically.
+    Q("q76_bm25",
+      (s, dir) => Retrieval.bm25(Tables.load(s, dir, "documents"),
+          Seq("spark", "table", "query"))
+        .orderBy(desc("score"), asc("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+             |         CAST(len(list_filter(ws, x -> x = 'spark'))
+             |           AS BIGINT) AS tf0,
+             |         CAST(len(list_filter(ws, x -> x = 'table'))
+             |           AS BIGINT) AS tf1,
+             |         CAST(len(list_filter(ws, x -> x = 'query'))
+             |           AS BIGINT) AS tf2
+             |  FROM d
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(dl) AS BIGINT) AS sdl,
+             |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df0,
+             |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df1,
+             |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df2
+             |  FROM base
+             |)
+             |SELECT doc_id, dl,
+             |       CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_hits,
+             |       round(
+             |           ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0
+             |             * (1.2 + 1.0) / (tf0 + 1.2 * ((1.0 - 0.75)
+             |               + 0.75 * dl / (sdl / n)))
+             |         + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+             |             * (1.2 + 1.0) / (tf1 + 1.2 * ((1.0 - 0.75)
+             |               + 0.75 * dl / (sdl / n)))
+             |         + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+             |             * (1.2 + 1.0) / (tf2 + 1.2 * ((1.0 - 0.75)
+             |               + 0.75 * dl / (sdl / n))), 6) AS score
+             |FROM base CROSS JOIN stats
+             |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             |ORDER BY score DESC, doc_id""".stripMargin)),
+
+    // Inverted index with BOUNDED posting lists: df/total_tf exact via
+    // ordinary partial aggregation; the posting list is MinKAgg's k
+    // smallest doc ids — a hot Zipf-head term crosses the shuffle as k
+    // longs, not its full posting set (the collect_list failure mode).
+    Q("q77_inverted_index",
+      (s, dir) => Retrieval.invertedIndex(
+          Tables.load(s, dir, "documents"), maxPostings = 32)
+        .orderBy("term"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS c
+             |  FROM tok GROUP BY term, doc_id
+             |)
+             |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             |       CAST(SUM(c) AS BIGINT) AS total_tf,
+             |       array_to_string(
+             |         list_transform((list(doc_id ORDER BY doc_id))[1:32],
+             |           x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal — k-means
+    // cells (the q42 Lloyd-refined quantizer), pairwise cosine WITHIN
+    // cells only, drop everything with a lower-id twin at sim ≥ τ. The
+    // oracle reuses the q42/q62 Lloyd CTE chain so the clustering is
+    // pinned identically, then restates the in-cell pair scan.
+    Q("q78_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(
+          Tables.load(s, dir, "embeddings"), cells = 8, tau = 0.35)
+        .orderBy("vec_id"),
+      Some(ivfLloydCtes +
+        """, s1 AS (
+          |  SELECT e.vec_id, e.v, k.centroid_id,
+          |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          |           list_dot_product(e.v, k.cv)
+          |             / (sqrt(list_dot_product(e.v, e.v))
+          |                * sqrt(list_dot_product(k.cv, k.cv))) DESC,
+          |           k.centroid_id) AS rk
+          |  FROM e CROSS JOIN c k
+          |), asn AS (
+          |  SELECT vec_id, v, centroid_id AS cell FROM s1 WHERE rk = 1
+          |), prs AS (
+          |  SELECT a.cell, a.vec_id AS id_a, b.vec_id,
+          |         round(list_dot_product(a.v, b.v)
+          |           / (sqrt(list_dot_product(a.v, a.v))
+          |              * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+          |  FROM asn a JOIN asn b
+          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |)
+          |SELECT vec_id, cell, CAST(MIN(id_a) AS BIGINT) AS dup_of,
+          |       CAST(COUNT(*) AS BIGINT) AS n_twins
+          |FROM prs WHERE sim >= 0.35
+          |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin)),
+
+    // SCD2 history build — the warehouse-side upsert primitive: compress
+    // each customer's order-status sequence into validity intervals
+    // (change rows via lag, valid_to via lead over the change rows,
+    // open-ended current row). One shuffle on the partition key.
+    Q("q79_scd2_status",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.load(s, dir, "orders")
+        val w1 = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = o
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(w1))
+          .filter(col("prev").isNull
+            || col("prev") =!= col("o_orderstatus"))
+        changes
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w1))
+          .select(col("o_custkey").as("customer_id"),
+            col("o_orderkey").as("change_key"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"),
+            col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy("customer_id", "valid_from", "change_key")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders
+             |), runs AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
+             |)
+             |SELECT o_custkey AS customer_id, o_orderkey AS change_key,
+             |       o_orderstatus AS status, o_orderdate AS valid_from,
+             |       valid_to, valid_to IS NULL AS is_current
+             |FROM runs
+             |ORDER BY customer_id, valid_from, change_key""".stripMargin)),
+
+    // KMV distinct-count sketch per source over trigram shingles: the
+    // bounded-state alternative to exact COUNT(DISTINCT) — k longs per
+    // group cross the shuffle instead of every distinct value. The k-th
+    // minimum hash is an exact integer (the oracle-pinnable core); the
+    // estimate is one fixed IEEE multiply+divide from it.
+    Q("q80_kmv_distinct",
+      (s, dir) => Sketches.kmvDistinct(
+          Tables.load(s, dir, "documents")
+            .select(col("source"),
+              explode(Dedup.shingles(col("text"), 3)).as("shingle")),
+          "source", "shingle", k = 64)
+        .orderBy("source"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, source, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS t, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, source, i, n,
+             |         t || ' ' || lead(t, 1) OVER win || ' ' ||
+             |           lead(t, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), h AS (
+             |  SELECT DISTINCT source,
+             |         ('0x'||substr(md5(shingle),1,15))::BIGINT AS hv
+             |  FROM sh0 WHERE i <= n - 2
+             |), rk AS (
+             |  SELECT source, hv,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY hv) AS r
+             |  FROM h
+             |), agg AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nd,
+             |         MAX(CASE WHEN r = 64 THEN hv END) AS kth
+             |  FROM rk GROUP BY source
+             |)
+             |SELECT source,
+             |       CAST(CASE WHEN nd < 64 THEN nd ELSE 64 END
+             |         AS BIGINT) AS n_mins,
+             |       kth AS kth_hash,
+             |       CASE WHEN kth IS NOT NULL
+             |            THEN round(63.0 * 1152921504606846976.0
+             |                   / CAST(kth AS DOUBLE), 3)
+             |            ELSE CAST(nd AS DOUBLE) END AS est_distinct
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // Adjacent-bigram PMI collocations (phrase mining): bigrams built
+    // map-side by zipping the token array against its own tail, ONE
+    // explode→groupBy shuffle; vocabulary-sized unigram counts broadcast
+    // back; corpus totals ride the one-row broadcast. ln() of a ratio of
+    // exact integer counts — a fixed IEEE op sequence.
+    Q("q81_pmi_bigrams",
+      (s, dir) => Retrieval.pmiBigrams(
+          Tables.load(s, dir, "documents"), minCount = 20L)
+        .orderBy(desc("pmi"), asc("bigram")),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg AS (
+             |  SELECT t AS w1,
+             |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
+             |           AS w2, i, n
+             |  FROM tr
+             |), bgs AS (
+             |  SELECT w1 || ' ' || w2 AS bigram, w1, w2
+             |  FROM bg WHERE i <= n - 1
+             |), uni AS (
+             |  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS cw
+             |  FROM tr GROUP BY t
+             |), bic AS (
+             |  SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2,
+             |         CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM bgs GROUP BY bigram HAVING COUNT(*) >= 20
+             |), tot AS (
+             |  SELECT CAST((SELECT SUM(cw) FROM uni) AS BIGINT) AS n1,
+             |         CAST((SELECT COUNT(*) FROM bgs) AS BIGINT) AS n2
+             |)
+             |SELECT b.bigram, b.n,
+             |       round(ln((b.n / t.n2)
+             |         / ((u1.cw / t.n1) * (u2.cw / t.n1))), 6) AS pmi
+             |FROM bic b
+             |JOIN uni u1 ON u1.w = b.w1
+             |JOIN uni u2 ON u2.w = b.w2
+             |CROSS JOIN tot t
+             |ORDER BY pmi DESC, bigram""".stripMargin)),
+
+    // Fixed-point PageRank over the portable near-dup graph: ranks as
+    // BIGINT micro-units, every step integer multiply/floor-div/sum —
+    // exact, so an ITERATIVE computation hash-matches across engines
+    // (float PageRank would diverge on SUM(double) order). Oracle unrolls
+    // the same three rounds over the shared scored-pairs CTE chain.
+    Q("q82_pagerank",
+      (s, dir) => Graph.pagerank(
+          Dedup.nearDuplicatesPortable(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 2000)
+            .select("id_a", "id_b"),
+          iters = 3)
+        .orderBy("id"),
+      Some(neardupScoredCtes +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), deg AS (
+          |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          |  FROM edges GROUP BY src
+          |), nn AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+          |), pr0 AS (
+          |  SELECT src AS id, 1000000000000 // n_nodes AS pr
+          |  FROM deg, nn
+          |), it1 AS (
+          |  SELECT e.dst AS id, SUM(p.pr // d.deg) AS s
+          |  FROM edges e
+          |  JOIN pr0 p ON p.id = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |), pr1 AS (
+          |  SELECT p.id, ((15 * 1000000000000 // 100) // nn.n_nodes)
+          |           + ((85 * COALESCE(i.s, 0)) // 100) AS pr
+          |  FROM pr0 p LEFT JOIN it1 i ON i.id = p.id, nn
+          |), it2 AS (
+          |  SELECT e.dst AS id, SUM(p.pr // d.deg) AS s
+          |  FROM edges e
+          |  JOIN pr1 p ON p.id = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |), pr2 AS (
+          |  SELECT p.id, ((15 * 1000000000000 // 100) // nn.n_nodes)
+          |           + ((85 * COALESCE(i.s, 0)) // 100) AS pr
+          |  FROM pr1 p LEFT JOIN it2 i ON i.id = p.id, nn
+          |), it3 AS (
+          |  SELECT e.dst AS id, SUM(p.pr // d.deg) AS s
+          |  FROM edges e
+          |  JOIN pr2 p ON p.id = e.src
+          |  JOIN deg d ON d.src = e.src
+          |  GROUP BY e.dst
+          |), pr3 AS (
+          |  SELECT p.id, ((15 * 1000000000000 // 100) // nn.n_nodes)
+          |           + ((85 * COALESCE(i.s, 0)) // 100) AS pr
+          |  FROM pr2 p LEFT JOIN it3 i ON i.id = p.id, nn
+          |)
+          |SELECT id, CAST(pr AS BIGINT) AS pr_fp FROM pr3
+          |ORDER BY id""".stripMargin))
   )
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Graph, Retrieval, Similarity, Sketches}
+import graft.plans.{MinKAgg, MinKBuffer}
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b a"), (2L, "b c"), (3L, "c c c c")).toDF("doc_id", "text")
+
+  test("bm25 matches the textbook formula on a hand-sized corpus") {
+    val got = Retrieval.bm25(corpus, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // N=3, avgdl=3; df(a)=1, df(b)=2
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def part(tf: Double, dl: Double, df: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(got(1L) == r6(part(2, 3, 1) + part(1, 3, 2)))
+    assert(got(2L) == r6(part(1, 2, 2)))
+  }
+
+  test("bm25 scoring plan has no shuffle outside the one-row stats agg") {
+    val plan = Retrieval.bm25(corpus, Seq("a"))
+      .queryExecution.executedPlan.toString
+    // one Exchange pair for the global scalar agg (partial→final) plus
+    // the broadcast back; the corpus-side projection must not exchange
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles == 0, s"corpus rows entered a hash exchange:\n$plan")
+  }
+
+  test("invertedIndex: df/total_tf exact, postings capped at k smallest") {
+    val ix = Retrieval.invertedIndex(corpus, maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(ix("a") == ((1L, 2L, "1")))
+    assert(ix("b") == ((2L, 2L, "1,2")))
+    assert(ix("c") == ((2L, 5L, "2,3")))
+    val capped = Retrieval.invertedIndex(corpus, maxPostings = 1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(capped == Map("a" -> "1", "b" -> "1", "c" -> "2"))
+  }
+
+  test("pmiBigrams matches the ln(p(ab)/(p(a)p(b))) model") {
+    // bigrams: doc1 [a b, b a], doc2 [b c], doc3 [c c, c c, c c]
+    // unigrams: a=2 b=2 c=5 (n1=9), bigram total n2=6
+    val got = Retrieval.pmiBigrams(corpus, minCount = 1L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pmi(nab: Double, ca: Double, cb: Double) =
+      r6(math.log((nab / 6.0) / ((ca / 9.0) * (cb / 9.0))))
+    assert(got("a b") == ((1L, pmi(1, 2, 2))))
+    assert(got("b a") == ((1L, pmi(1, 2, 2))))
+    assert(got("b c") == ((1L, pmi(1, 2, 5))))
+    assert(got("c c") == ((3L, pmi(3, 5, 5))))
+    assert(got.size == 4)
+  }
+
+  test("pmiBigrams: single-token and empty docs contribute no bigrams") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val got = Retrieval.pmiBigrams(docs, 1L).collect()
+    assert(got.map(_.getString(0)).toSet == Set("x y"))
+  }
+
+  test("MinKBuffer: distinct, capped, sorted; serialize round-trips") {
+    val agg = MinKAgg(org.apache.spark.sql.graftops.ColumnBridge
+      .expression(lit(0L)), 3)
+    val buf = new MinKBuffer(3)
+    Seq(5L, 5L, 9L, 1L, 7L, 1L, 3L).foreach(buf.insert)
+    assert(buf.vals.take(buf.n).toSeq == Seq(1L, 3L, 5L))
+    buf.insert(2L)
+    assert(buf.vals.take(buf.n).toSeq == Seq(1L, 2L, 3L))
+    buf.insert(8L) // above current max of a full buffer: ignored
+    assert(buf.vals.take(buf.n).toSeq == Seq(1L, 2L, 3L))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.vals.take(back.n).toSeq == Seq(1L, 2L, 3L))
+    val empty = agg.deserialize(agg.serialize(new MinKBuffer(3)))
+    assert(empty.n == 0)
+  }
+
+  test("minK distributed: merge across partitions equals global k-min; " +
+    "all-null group is NULL") {
+    val vals = (1L to 1000L).map(i => ("g", (i * 2654435769L) % 10007))
+    val df = vals.toDF("g", "v").repartition(7)
+    val got = df.groupBy("g").agg(Sketches.minK(col("v"), 16).as("m"))
+      .collect().head.getSeq[Long](1)
+    val want = vals.map(_._2).distinct.sorted.take(16)
+    assert(got == want)
+    val nulls = Seq(("g", Option.empty[Long]), ("g", None)).toDF("g", "v")
+      .groupBy("g").agg(Sketches.minK(col("v"), 4).as("m")).collect().head
+    assert(nulls.isNullAt(1))
+  }
+
+  test("kmvDistinct: exact below k, estimate near exact above k") {
+    val rows = (1 to 5000).map(i => ("big", s"value-$i")) ++
+      (1 to 10).map(i => ("small", s"v$i")) ++
+      (1 to 10).map(i => ("small", s"v$i")) // duplicates must not count
+    val got = Sketches.kmvDistinct(rows.toDF("g", "v"), "g", "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.isNullAt(2), r.getDouble(3)))).toMap
+    assert(got("small") == ((10L, true, 10.0)))
+    val (nMins, kthNull, est) = got("big")
+    assert(nMins == 64L && !kthNull)
+    // deterministic (md5-based), so this is a fixed value; the assert
+    // documents the sketch accuracy class rather than a flaky bound
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.25, s"est=$est")
+  }
+
+  test("pagerank: integer fixed-point matches a hand model on a path " +
+    "graph and conserves total rank up to floor truncation") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.pagerank(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model: deg(1)=deg(3)=1, deg(2)=2, n=3, SCALE=1e12
+    val S = 1000000000000L
+    var pr = Map(1L -> S / 3, 2L -> S / 3, 3L -> S / 3)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val base = (15L * S / 100) / 3
+    val in = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    (1 to 3).foreach { _ =>
+      pr = pr.map { case (v, _) =>
+        v -> (base + 85L * in(v).map(u => pr(u) / deg(u)).sum / 100)
+      }
+    }
+    assert(got == pr)
+    val total = got.values.sum
+    assert(total <= S && total > S - 1000, s"total=$total")
+  }
+
+  test("semanticDedup drops exactly the lower-id-twinned vectors, " +
+    "within cells only") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),         // the two cell seeds
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)), // near v0
+      (4L, Seq(0.01f, 0.99f))                        // near v1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, cells = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // cell 0 holds {0,2,3}: 2 twins 0; 3 twins 0 and 2. cell 1 holds
+    // {1,4}: 4 twins 1. Seeds 0 and 1 survive (no lower id).
+    assert(got == Map(2L -> ((0L, 1L)), 3L -> ((0L, 2L)),
+      4L -> ((1L, 1L))))
+  }
+}
