@@ -90,6 +90,49 @@ object Retrieval {
         array_join(transform(col("post_arr"), _.cast("string")), ",")
           .as("postings"))
 
+  /** Bigram language-model fluency score per document (the CCNet-style
+    * perplexity-proxy quality signal): score = Σ ln p(w_i | w_{i-1}) over
+    * the document's bigrams, with p(b|a) = c(ab) / c(a·) estimated from
+    * the corpus itself (c(a·) = bigrams starting with a, so every
+    * probability is well-defined and ≤ 1).
+    *
+    * Each bigram's log-probability is QUANTIZED to integer micro-nats
+    * (floor(ln p · 1e6)) before the per-document sum — the fixed-point
+    * trick: summing doubles is order-dependent and would hash-diverge
+    * across engines/partitionings, summing longs is exact. The double →
+    * ln → floor happens once per DISTINCT bigram via the broadcast count
+    * tables, so the map side adds integers only.
+    *
+    * Shuffles: bigram counts (one explode→groupBy), the per-doc sum (one
+    * groupBy doc) — count tables are vocabulary²-sized and broadcast.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val ws = tokens(col(textCol))
+    val docBigrams = docs
+      .select(col(idCol), when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")).as("bs"))
+      .select(col(idCol), explode(col("bs")).as("bigram"))
+    val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val starts = bi.groupBy("w1").agg(sum(col("cab")).as("ca"))
+    val unats = bi.join(broadcast(starts), Seq("w1"))
+      .select(col("bigram"),
+        floor(log(col("cab") / col("ca")) * lit(1e6)).cast("long")
+          .as("lp_unats"))
+    docBigrams.join(broadcast(unats), Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_unats")).as("sum_unats"))
+      .select(col(idCol), col("n_bigrams"), col("sum_unats"),
+        round(col("sum_unats") / col("n_bigrams") / lit(1e6), 6)
+          .as("avg_logprob"))
+  }
+
   /** Adjacent-bigram PMI (pointwise mutual information) — the phrase-
     * mining / collocation primitive: ln(p(ab) / (p(a)·p(b))) with
     * probabilities over the corpus bigram and unigram multisets.

@@ -20,6 +20,49 @@ object Sketches {
         org.apache.spark.sql.graftops.ColumnBridge.expression(values), k)
         .toAggregateExpression())
 
+  /** Single-pass multi-column data profiler (the Deequ/DataSketches-
+    * shaped operator a pipeline runs before trusting a new drop of
+    * data): for every requested column — row count, non-null count,
+    * min/max (as strings, one schema for any column type), and a KMV
+    * distinct-count estimate.
+    *
+    * ONE aggregation pass over the table computes every metric for every
+    * column simultaneously: per-column state is (two scalars + a k-long
+    * MinK buffer), so profiling C columns costs one scan and
+    * C·(k+2) values of agg state — not C separate COUNT(DISTINCT)
+    * subqueries each with its own shuffle of the column's full distinct
+    * set. The one-row result explodes into a per-column report at the
+    * end (driver-side cost zero; it's a single row).
+    */
+  def profile(table: DataFrame, cols: Seq[String],
+              k: Int = 256): DataFrame = {
+    val space = math.pow(2.0, 60)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        minK(Dedup.md5Hash64(col(c).cast("string")), k).as(s"mins_$c"))
+    }
+    val one = table.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"cnt_$c").as("n_nonnull"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+        col(s"mins_$c").as("mins"))
+    }: _*)
+    one.select(col("n_rows"), explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_nonnull").as("n_nonnull"),
+        col("e.min_val").as("min_val"), col("e.max_val").as("max_val"),
+        coalesce(size(col("e.mins")), lit(0)).cast("long").as("n_mins"),
+        when(coalesce(size(col("e.mins")), lit(0)) === k,
+          element_at(col("e.mins"), k)).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("kth_hash").isNotNull,
+          round(lit((k - 1).toDouble) * lit(space)
+            / col("kth_hash").cast("double"), 3))
+          .otherwise(col("n_mins").cast("double")))
+  }
+
   /** KMV (k minimum values) distinct-count estimate per group, over the
     * portable 60-bit md5 hash family (Dedup.md5Hash64) so the whole
     * computation — hashes, k-th minimum, estimate arithmetic — is

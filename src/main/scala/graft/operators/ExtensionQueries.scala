@@ -2024,6 +2024,100 @@ object ExtensionQueries {
           |  FROM pr2 p LEFT JOIN it3 i ON i.id = p.id, nn
           |)
           |SELECT id, CAST(pr AS BIGINT) AS pr_fp FROM pr3
-          |ORDER BY id""".stripMargin))
+          |ORDER BY id""".stripMargin)),
+
+    // Bigram-LM fluency score (CCNet-style perplexity proxy): each
+    // bigram's corpus log-probability is quantized to integer micro-nats
+    // BEFORE the per-document sum — summing doubles is order-dependent
+    // and would hash-diverge across engines; summing longs is exact.
+    // The ln/floor runs once per DISTINCT bigram in the broadcast count
+    // table, so the per-row path adds integers only.
+    Q("q83_lm_score",
+      (s, dir) => Retrieval.lmScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg0 AS (
+             |  SELECT doc_id, t AS w1,
+             |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
+             |           AS w2, i, n
+             |  FROM tr
+             |), bgs AS (
+             |  SELECT doc_id, w1 || ' ' || w2 AS bigram, w1
+             |  FROM bg0 WHERE i <= n - 1
+             |), bi AS (
+             |  SELECT bigram, MIN(w1) AS w1,
+             |         CAST(COUNT(*) AS BIGINT) AS cab
+             |  FROM bgs GROUP BY bigram
+             |), st AS (
+             |  SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca
+             |  FROM bi GROUP BY w1
+             |), un AS (
+             |  SELECT b.bigram,
+             |         CAST(floor(ln(b.cab / s.ca) * 1000000.0)
+             |           AS BIGINT) AS lp
+             |  FROM bi b JOIN st s ON s.w1 = b.w1
+             |), agg AS (
+             |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
+             |  FROM bgs g JOIN un u ON u.bigram = g.bigram
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT doc_id, n_bigrams, sum_unats,
+             |       round(sum_unats / n_bigrams / 1000000.0, 6)
+             |         AS avg_logprob
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Single-pass multi-column profiler: row/non-null counts, min/max,
+    // and a KMV distinct estimate for four lineitem columns of four
+    // different types, computed in ONE aggregation pass (per-column
+    // state = two scalars + a bounded MinK buffer) — not C separate
+    // COUNT(DISTINCT) plans. The oracle recomputes each column's k-th
+    // minimum hash via DISTINCT + ORDER BY + OFFSET scalar subqueries.
+    Q("q84_profile",
+      (s, dir) => Sketches.profile(Tables.load(s, dir, "lineitem"),
+          Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"),
+          k = 256)
+        .orderBy("col_name"),
+      Some(profileOracle("lineitem",
+        Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"),
+        k = 256)))
   )
+
+  /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
+    * the KMV k-th minimum via DISTINCT hash + ORDER BY + OFFSET k-1
+    * (NULL when the column has fewer than k distinct values — exactly
+    * the sketch's degenerate-to-exact case). */
+  private def profileOracle(table: String, cols: Seq[String],
+                            k: Int): String = {
+    val blocks = cols.map { c =>
+      val hv = s"('0x'||substr(md5(CAST($c AS VARCHAR)),1,15))::BIGINT"
+      val dh = s"(SELECT DISTINCT $hv AS hv FROM $table " +
+        s"WHERE $c IS NOT NULL)"
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table) AS n_rows,
+         |  (SELECT CAST(COUNT($c) AS BIGINT) FROM $table) AS n_nonnull,
+         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM $table) AS min_val,
+         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM $table) AS max_val,
+         |  (SELECT CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |     ELSE $k END AS BIGINT) FROM $dh t) AS n_mins,
+         |  (SELECT hv FROM $dh t ORDER BY hv
+         |     LIMIT 1 OFFSET ${k - 1}) AS kth_hash""".stripMargin
+    }
+    s"""SELECT col_name, n_rows, n_nonnull, min_val, max_val, n_mins,
+       |  kth_hash,
+       |  CASE WHEN kth_hash IS NOT NULL
+       |       THEN round(${(k - 1).toDouble} * 1152921504606846976.0
+       |              / CAST(kth_hash AS DOUBLE), 3)
+       |       ELSE CAST(n_mins AS DOUBLE) END AS est_distinct
+       |FROM (${blocks.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
 }

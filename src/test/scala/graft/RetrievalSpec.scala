@@ -137,6 +137,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(total <= S && total > S - 1000, s"total=$total")
   }
 
+  test("lmScore: quantized bigram log-probs match the hand model; " +
+    "short docs drop out") {
+    val got = Retrieval.lmScore(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bi: "a b":1 "b a":1 "b c":1 "c c":3; starts: a·=1 b·=2 c·=3
+    val half = math.floor(math.log(0.5) * 1e6).toLong // -693148
+    assert(got(1L) == ((2L, half, -0.346574))) // 0 + ln(1/2)
+    assert(got(2L) == ((1L, half, -0.693148)))
+    assert(got(3L) == ((3L, 0L, 0.0)))        // ln(3/3) three times
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Retrieval.lmScore(short).count() == 0)
+  }
+
+  test("profile: one pass yields counts, min/max, and KMV estimates " +
+    "per column; below-k columns report exact distincts") {
+    val df = Seq(
+      (1L, Some("a"), Option.empty[Long]),
+      (2L, Some("b"), Option.empty[Long]),
+      (3L, Some("a"), Option.empty[Long]),
+      (4L, None, Option.empty[Long])
+    ).toDF("id", "s", "z")
+    val got = Sketches.profile(df, Seq("id", "s", "z"), k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val idRow = got("id") // 4 distincts > k=3: estimate branch
+    assert(idRow.getLong(1) == 4L && idRow.getLong(2) == 4L)
+    assert(idRow.getString(3) == "1" && idRow.getString(4) == "4")
+    assert(idRow.getLong(5) == 3L && !idRow.isNullAt(6))
+    assert(idRow.getDouble(7) > 0.0)
+    val sRow = got("s") // 2 distincts < k: exact branch, null kth
+    assert(sRow.getLong(2) == 3L && sRow.getLong(5) == 2L)
+    assert(sRow.isNullAt(6) && sRow.getDouble(7) == 2.0)
+    assert(sRow.getString(3) == "a" && sRow.getString(4) == "b")
+    val zRow = got("z") // all-null column
+    assert(zRow.getLong(2) == 0L && zRow.getLong(5) == 0L)
+    assert(zRow.isNullAt(3) && zRow.isNullAt(6) && zRow.getDouble(7) == 0.0)
+  }
+
   test("semanticDedup drops exactly the lower-id-twinned vectors, " +
     "within cells only") {
     val emb = Seq(
