@@ -91,6 +91,11 @@ object GraftSession {
     ("minhash_agg", classOf[MinHashAgg],
       (e: Seq[Expression]) =>
         MinHashAgg(e(0), litInt(e(1), "k")).toAggregateExpression()),
+    ("md5_prefix60", classOf[graft.plans.Md5Prefix60],
+      (e: Seq[Expression]) => graft.plans.Md5Prefix60(e(0))),
+    ("word_ngrams", classOf[graft.plans.WordNgrams],
+      (e: Seq[Expression]) =>
+        graft.plans.WordNgrams(e(0), litInt(e(1), "n"))),
     ("min_k", classOf[graft.plans.MinKAgg],
       (e: Seq[Expression]) =>
         graft.plans.MinKAgg(e(0), litInt(e(1), "k"))

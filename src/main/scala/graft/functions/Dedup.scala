@@ -37,9 +37,14 @@ object Dedup {
   /** Portable 60-bit hash: first 15 hex chars of md5(s) as a long.
     * Identical in any engine with md5 (DuckDB: ('0x'||substr(md5(s),1,15))
     * ::BIGINT) — used where cross-engine-checkable signatures matter;
-    * xxhash64 (faster, Spark-native) elsewhere. */
+    * xxhash64 (faster, Spark-native) elsewhere. Backed by the native
+    * Md5Prefix60 kernel (thread-local digest, no hex round trip) — same
+    * values as the composable conv(substring(md5(s),1,15),16,10), which
+    * RetrievalSpec pins on random strings. */
   def md5Hash64(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.Md5Prefix60(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(s)))
 
   /** Derive hash-family member j from a base hash by a portable integer
     * mix (xor with j·golden-ratio-32; fits 64-bit signed for j < 2^32). */

@@ -19,6 +19,25 @@ object Retrieval {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
 
+  /** One row per adjacent bigram: `extraCols` then "bigram". Backed by
+    * the native word_ngrams kernel (graft.plans.WordNgrams): the
+    * composable tokenize → zip-with-tail formulation runs four
+    * interpreted HOF lambdas per row (no codegen for lambdas), and each
+    * reference to the token-array expression re-runs the tokenizer —
+    * the kernel does the whole thing in one tight loop, same values
+    * (RetrievalSpec pins kernel ≡ HOF formulation). */
+  private def explodedBigrams(docs: DataFrame, textCol: String,
+                              extraCols: Seq[String]): DataFrame =
+    docs.select(extraCols.map(col) :+
+      explode(wordNgrams(col(textCol), 2)).as("bigram"): _*)
+
+  /** Ordered, duplicate-preserving adjacent word n-grams (native
+    * kernel). */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.WordNgrams(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text), n))
+
   /** BM25 relevance of every document against a fixed bag of query terms
     * (k1/b are the classic Robertson defaults).
     *
@@ -35,6 +54,10 @@ object Retrieval {
            idCol: String = "doc_id", textCol: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    // two-step projection: `ws` materializes once per row behind a
+    // Project boundary (CollapseProject keeps non-cheap aliases with
+    // multiple references un-inlined), so the tokenize pipeline runs
+    // once, not once per referencing expression
     val base = docs
       .select(col(idCol), tokens(col(textCol)).as("ws"))
       .select(
@@ -109,14 +132,7 @@ object Retrieval {
     */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    val docBigrams = docs
-      .select(col(idCol), when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1),
-          slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-        .otherwise(array().cast("array<string>")).as("bs"))
-      .select(col(idCol), explode(col("bs")).as("bigram"))
+    val docBigrams = explodedBigrams(docs, textCol, Seq(idCol))
     val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val starts = bi.groupBy("w1").agg(sum(col("cab")).as("ca"))
@@ -145,14 +161,8 @@ object Retrieval {
     */
   def pmiBigrams(docs: DataFrame, minCount: Long,
                  textCol: String = "text"): DataFrame = {
-    val ws = tokens(col(textCol))
-    val bigrams = docs
-      .select(when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-        .otherwise(array().cast("array<string>")).as("bs"))
-      .select(explode(col("bs")).as("bigram"))
-    val uni = docs.select(explode(ws).as("w"))
+    val bigrams = explodedBigrams(docs, textCol, Seq.empty)
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val bi = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

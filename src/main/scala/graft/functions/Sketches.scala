@@ -80,9 +80,18 @@ object Sketches {
     * realistic group cardinality (~2^30 before birthday effects).
     */
   def kmvDistinct(rows: DataFrame, groupCol: String, valueCol: String,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    kmvDistinctHashed(
+      rows.select(col(groupCol), Dedup.md5Hash64(col(valueCol)).as("h")),
+      groupCol, "h", k)
+
+  /** kmvDistinct over an already-hashed 60-bit column — for callers whose
+    * values come out of a fused kernel (e.g. shingleHashesFast) with the
+    * hash computed in the same pass that built the value. */
+  def kmvDistinctHashed(rows: DataFrame, groupCol: String,
+                        hashCol: String, k: Int): DataFrame = {
     val space = math.pow(2.0, 60)
-    rows.select(col(groupCol), Dedup.md5Hash64(col(valueCol)).as("h"))
+    rows.select(col(groupCol), col(hashCol).as("h"))
       .groupBy(col(groupCol))
       .agg(minK(col("h"), k).as("mins"))
       .select(col(groupCol), size(col("mins")).cast("long").as("n_mins"),

@@ -1876,11 +1876,11 @@ object ExtensionQueries {
     // minimum hash is an exact integer (the oracle-pinnable core); the
     // estimate is one fixed IEEE multiply+divide from it.
     Q("q80_kmv_distinct",
-      (s, dir) => Sketches.kmvDistinct(
+      (s, dir) => Sketches.kmvDistinctHashed(
           Tables.load(s, dir, "documents")
             .select(col("source"),
-              explode(Dedup.shingles(col("text"), 3)).as("shingle")),
-          "source", "shingle", k = 64)
+              explode(Dedup.shingleHashesFast(col("text"), 3)).as("h")),
+          "source", "h", k = 64)
         .orderBy("source"),
       Some("""WITH tok AS (
              |  SELECT doc_id, source,

@@ -66,6 +66,33 @@ object ShingleHashKernel {
     out
   }
 
+  /** All adjacent word n-grams of lower(trim(text)), space-joined, IN
+    * ORDER and WITH duplicates (the multiset the LM/PMI counters need —
+    * contrast shingleHashes' distinct set). Mirrors the composable
+    * filter(split(lower(trim(s)),'\s+')) → zip-with-tail formulation
+    * value-for-value; one tight loop instead of four interpreted HOFs. */
+  def wordNgrams(text: UTF8String, n: Int): Array[UTF8String] = {
+    val s = text.trim().toLowerCase.toString
+    val tokens = s.split("\\s+")
+    if (tokens.length < n || (tokens.length == 1 && tokens(0).isEmpty))
+      return Array.empty[UTF8String]
+    val out = new Array[UTF8String](tokens.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   /** |a ∩ b| of two ascending-sorted long arrays via a single merge scan. */
   def sortedIntersectCount(
       a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -110,6 +137,50 @@ object ShingleHashKernel {
     }
     sig
   }
+}
+
+/** long: the portable 60-bit md5-prefix hash of a string — the native
+  * form of conv(substring(md5(s),1,15),16,10). One thread-local digest,
+  * no hex-string round trip: the composable Column formulation allocates
+  * a MessageDigest per row inside Spark's Md5, renders 32 hex chars, and
+  * re-parses 15 of them in conv; this goes bytes → 60-bit long directly.
+  * Same values bit-for-bit, so every DuckDB oracle using the
+  * ('0x'||substr(md5(s),1,15))::BIGINT family is unchanged. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashKernel.md5Prefix60(
+      input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleHashKernel.md5Prefix60($c.getBytes());")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix60 =
+    copy(child = c)
+}
+
+/** array<string>: ordered, duplicate-preserving adjacent word n-grams of
+  * lower(trim(text)) — the explode feed for bigram counting (LM score,
+  * PMI). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashKernel.wordNgrams(
+      input.asInstanceOf[UTF8String], n)
+      .asInstanceOf[Array[Any]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.plans.ShingleHashKernel.wordNgrams($c, $n));
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
 }
 
 /** array<long>: distinct md5-prefix hashes of the word n-gram shingles.

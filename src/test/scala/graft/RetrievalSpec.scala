@@ -137,6 +137,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(total <= S && total > S - 1000, s"total=$total")
   }
 
+  test("native md5Hash64 == composable conv(substring(md5))," +
+    " incl. unicode and empty strings") {
+    val rng = new scala.util.Random(7)
+    val strs = Seq("", " ", "a", "naïve café 日本語", "x" * 300) ++
+      (1 to 200).map(_ => rng.alphanumeric.take(rng.nextInt(40)).mkString)
+    val df = strs.toDF("s")
+    val diff = df.select(
+        graft.functions.Dedup.md5Hash64($"s").as("fast"),
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref" || $"fast".isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("word_ngrams kernel == HOF zip-with-tail formulation, " +
+    "order and duplicates included") {
+    val texts = Seq("a b a", "b c", "c c c c", "", " ", "solo",
+      "  A  B\tc  ", "x " * 50, "Mixed CASE tokens HERE")
+    val df = texts.toDF("text")
+    val ws = filter(split(lower(trim($"text")), "\\s+"),
+      w => length(w) > 0)
+    val hof = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val diff = df.select(
+        Retrieval.wordNgrams($"text", 2).as("fast"), hof.as("ref"))
+      .filter(not($"fast" <=> $"ref"))
+    assert(diff.count() == 0)
+  }
+
   test("lmScore: quantized bigram log-probs match the hand model; " +
     "short docs drop out") {
     val got = Retrieval.lmScore(corpus)
