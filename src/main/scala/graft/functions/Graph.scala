@@ -32,8 +32,15 @@ object Graph {
     */
   def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     val scale = 1000000000000L
+    // localCheckpoint the edge list: every iteration references it twice
+    // (contrib join + degree join), so an un-truncated plan re-embeds —
+    // and re-EXECUTES — the whole upstream candidate pipeline (LSH,
+    // shingling) 2·iters times. The edge frame is candidate-pair-sized,
+    // orders of magnitude below the corpus — same discipline as
+    // Dedup.connectedComponents.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
     var pr = deg.crossJoin(n)
