@@ -176,18 +176,30 @@ object Similarity {
       .select(struct(col("centroid_id"), col("cv")).as("c"))
       .agg(sort_array(collect_list(col("c"))).as("cs")))
 
-  def ivfAssign(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame = {
-    // Pick each vector's cell with a map-side argmax over the broadcast
-    // centroid array — corpus rows never enter an exchange (the only
-    // shuffle in the plan is the k-row centroid collapse feeding the
-    // broadcast). The argmax is array_max over (sim, -centroid_id)
-    // structs: lexicographic struct ordering gives highest sim first,
-    // lowest centroid_id on ties — same ordering the previous
+  /** centroidArray, materialized: the collapsed frame is ONE row, but
+    * its plan carries the whole Lloyd refinement — a query that embeds
+    * the array in two broadcast subtrees (assignment + probe ranking,
+    * or both sides of an in-cell self-join) would otherwise run the
+    * refinement once per subtree. localCheckpoint truncates to a
+    * one-row leaf; the broadcast hint is re-applied because
+    * checkpointing replaces the hinted plan with a LogicalRDD. */
+  private def centroidArrayShared(corpus: DataFrame, k: Int,
+                                  lloydIters: Int): DataFrame =
+    broadcast(lloydCentroids(corpus, k, lloydIters)
+      .select(struct(col("centroid_id"), col("cv")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .localCheckpoint())
+
+  /** Map-side cell assignment against a prebuilt centroid array. */
+  private def assignWith(corpus: DataFrame, carr: DataFrame): DataFrame =
+    // The argmax is array_max over (sim, -centroid_id) structs:
+    // lexicographic struct ordering gives highest sim first, lowest
+    // centroid_id on ties — same ordering the previous
     // row_number()-over-window formulation (and the q42 oracle) pins.
     // A corpus with NO centroid rows (nothing under vec_id < k) yields
     // zero output rows, as the join formulation did — not NULL cells.
     corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(centroidArray(corpus, k, lloydIters))
+      .crossJoin(carr)
       .filter(size(col("cs")) > 0)
       .withColumn("best", array_max(transform(col("cs"), c =>
         struct(cosine(col("embedding"), c.getField("cv")).as("sim"),
@@ -195,13 +207,20 @@ object Similarity {
           c.getField("centroid_id").as("cell")))))
       .select(col("vec_id"), col("best").getField("cell").as("cell"),
         col("embedding"))
-  }
+
+  def ivfAssign(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
+    // Pick each vector's cell with a map-side argmax over the broadcast
+    // centroid array — corpus rows never enter an exchange (the only
+    // shuffle in the plan is the k-row centroid collapse feeding the
+    // broadcast).
+    assignWith(corpus, centroidArray(corpus, k, lloydIters))
 
   /** ANN search over the IVF cells: exact cosine within the query's cell
     * only. Returns top-k per query from its cell. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cells: Int,
               k: Int, lloydIters: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, cells, lloydIters)
+    val assigned = assignWith(corpus,
+      centroidArrayShared(corpus, cells, lloydIters))
     val q = assigned.join(queries.select("vec_id"), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("query_id"),
         col("embedding").as("qv"))
@@ -224,12 +243,13 @@ object Similarity {
     * degenerates to ivfTopK minus the self-cell shortcut. */
   def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, cells: Int,
                     k: Int, nprobe: Int, lloydIters: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, cells, lloydIters)
+    val carr = centroidArrayShared(corpus, cells, lloydIters)
+    val assigned = assignWith(corpus, carr)
     // rank all centroids per query map-side over the SAME broadcast
     // centroid array the assignment used, keep the nprobe best cells
     val probes = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"))
-      .crossJoin(centroidArray(corpus, cells, lloydIters))
+      .crossJoin(carr)
       .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
         struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
           c.getField("centroid_id").as("cell")))), 1, nprobe))
@@ -261,7 +281,8 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, cells: Int, tau: Double,
                     lloydIters: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, cells, lloydIters)
+    val assigned = assignWith(corpus,
+      centroidArrayShared(corpus, cells, lloydIters))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
