@@ -88,6 +88,58 @@ object Retrieval {
         round(score, 6).as("score"))
   }
 
+  /** Multi-query BM25 top-k through the index join path — the other half
+    * of retrieval: q76-style scan scoring reads the whole corpus per
+    * query batch (right when queries are few and wide); this one routes
+    * a query TABLE through the (term, doc) tf relation — the classic
+    * term-at-a-time plan whose cost scales with the postings the queries
+    * actually touch, not the corpus.
+    *
+    * Join discipline: query terms broadcast-semi-filter the tf relation
+    * FIRST (only matching postings survive), the doc-length side joins
+    * on doc_id (at scale: a doc-stats table co-partitioned with the
+    * index), per-term df broadcast. Each (query, term, doc) contribution
+    * is floored to integer micro-units BEFORE the per-(query, doc) sum —
+    * the q83 fixed-point trick — so scores are exact under any summation
+    * order and the rank ordering is integer-deterministic.
+    */
+  def bm25TopKIndexed(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                      topK: Int, idCol: String = "doc_id",
+                      textCol: String = "text", k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(
+      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term"))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .join(qt, Seq("term")) // broadcast: postings the queries touch
+    val dl = docs.select(col(idCol), size(tokens(col(textCol)))
+      .cast("long").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sdl")))
+    val dfq = broadcast(tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df")))
+    val contrib = tf.join(dfq, Seq("term")).join(dl, Seq(idCol))
+      .crossJoin(stats)
+      .withColumn("w",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / (col("sdl") / col("n")))))
+      .select(col("qid"), col(idCol),
+        floor(col("w") * lit(1e6)).cast("long").as("w_unats"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_unats"), asc(idCol))
+    contrib.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("w_unats")).as("score_unats"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col(idCol), col("score_unats"))
+  }
+
   /** Inverted index over the corpus: per term, document frequency, total
     * term frequency, and a BOUNDED posting list (the `maxPostings`
     * smallest doc ids, comma-joined).

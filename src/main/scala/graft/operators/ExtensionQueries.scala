@@ -2088,7 +2088,70 @@ object ExtensionQueries {
         .orderBy("col_name"),
       Some(profileOracle("lineitem",
         Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"),
-        k = 256)))
+        k = 256))),
+
+    // Multi-query BM25 through the INDEX join path (q76 is the scan
+    // path): a broadcast query table semi-filters the (term, doc) tf
+    // relation, doc lengths join on doc_id, per-term df broadcasts.
+    // Each contribution is floored to integer micro-units before the
+    // per-(query, doc) sum, so scores are exact under any summation
+    // order and ranks are integer-deterministic. One query term is
+    // absent from the corpus on purpose (contributes nothing, both
+    // engines agree by inner-join semantics).
+    Q("q85_bm25_multiquery",
+      (s, dir) => Retrieval.bm25TopKIndexed(
+          Tables.load(s, dir, "documents"),
+          Seq("q1" -> Seq("spark", "table"), "q2" -> Seq("query", "data"),
+            "q3" -> Seq("window", "zzz_absent_term")),
+          topK = 10)
+        .orderBy("qid", "rank"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), dl AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(dl) AS BIGINT) AS sdl
+             |  FROM dl
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY term, doc_id
+             |), qt(qid, term) AS (
+             |  VALUES ('q1','spark'),('q1','table'),('q2','query'),
+             |         ('q2','data'),('q3','window'),('q3','zzz_absent_term')
+             |), dfq AS (
+             |  SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+             |           AS df
+             |  FROM tf t JOIN (SELECT DISTINCT term FROM qt) q
+             |    ON q.term = t.term
+             |  GROUP BY t.term
+             |), contrib AS (
+             |  SELECT q.qid, t.doc_id,
+             |         CAST(floor((ln(1.0 + (s.n - f.df + 0.5)
+             |             / (f.df + 0.5)) * t.tf * (1.2 + 1.0)
+             |           / (t.tf + 1.2 * ((1.0 - 0.75)
+             |             + 0.75 * l.dl / (s.sdl / s.n)))) * 1000000.0)
+             |           AS BIGINT) AS w_unats
+             |  FROM qt q
+             |  JOIN tf t ON t.term = q.term
+             |  JOIN dfq f ON f.term = t.term
+             |  JOIN dl l ON l.doc_id = t.doc_id
+             |  CROSS JOIN stats s
+             |), sc AS (
+             |  SELECT qid, doc_id,
+             |         CAST(SUM(w_unats) AS BIGINT) AS score_unats,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |           ORDER BY SUM(w_unats) DESC, doc_id) AS rnk
+             |  FROM contrib GROUP BY qid, doc_id
+             |)
+             |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id,
+             |       score_unats
+             |FROM sc WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -37,6 +37,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(shuffles == 0, s"corpus rows entered a hash exchange:\n$plan")
   }
 
+  test("bm25TopKIndexed: index-path scores match the scan-path formula " +
+    "in micro-units; absent terms and absent queries vanish") {
+    val got = Retrieval.bm25TopKIndexed(corpus,
+        Seq("qA" -> Seq("a", "b"), "qB" -> Seq("zzz")), topK = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def u(tf: Double, dl: Double, df: Double) = math.floor(
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)) * 1e6)
+      .toLong
+    val d1 = u(2, 3, 1) + u(1, 3, 2)
+    val d2 = u(1, 2, 2)
+    assert(got.size == 2) // qB matched nothing
+    assert(got(("qA", 1)) == ((1L, d1)) && got(("qA", 2)) == ((2L, d2)))
+  }
+
   test("invertedIndex: df/total_tf exact, postings capped at k smallest") {
     val ix = Retrieval.invertedIndex(corpus, maxPostings = 2)
       .collect().map(r => r.getString(0) ->

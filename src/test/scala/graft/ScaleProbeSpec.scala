@@ -203,4 +203,30 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(chosen.getInt(0) == best.getInt(0) &&
       chosen.getDecimal(1) == best.getDecimal(1), s"$chosen vs $best")
   }
+
+  test("hot-key bounded aggregation: a 2M-row 95%-skewed key stream " +
+    "through min_k yields the exact k smallest and bounded state") {
+    // the collect_list failure mode this guards: one Zipf-head term
+    // owning 95% of the rows would stream ~1.9M values into a single
+    // reducer; MinKAgg's buffer caps every partial AND the final state
+    // at k longs per group, so the hot key costs the same as the cold
+    // ones. Values are exact (k smallest distinct), not approximate.
+    val k = 64
+    val rows = spark.range(0, 2000000L, 1, 32).toDF("i")
+      .select(
+        when(pmod(col("i"), lit(20)) < 19, lit("hot"))
+          .otherwise(concat(lit("cold"), pmod(col("i"), lit(7))))
+          .as("term"),
+        // value stream in scrambled order so minima arrive late too
+        pmod(col("i") * 2654435769L, lit(1000003L)).as("v"))
+    val got = graft.functions.Sketches.minK(col("v"), k)
+    val out = rows.groupBy("term").agg(got.as("mins")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out.size == 8)
+    // ground truth for the hot key via a plain distinct+sort
+    val want = rows.filter(col("term") === "hot").select("v")
+      .distinct().orderBy("v").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(out("hot") == want)
+    assert(out.values.forall(_.length == k)) // every buffer capped at k
+  }
 }
