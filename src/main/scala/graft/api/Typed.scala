@@ -1,0 +1,83 @@
+package graft.api
+
+import java.sql.Date
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+import graft.operators.{Procurement, Replay}
+
+/** The typed `Dataset[T]` edge of the procurement surface (SURVEY.md §7:
+  * "Dataset[T] at API edges, DataFrame internally"). The case classes
+  * mirror the reference's Python dataclasses
+  * (/root/reference/docker/dags/hdfs_upload_data_dag.py:47-84) and the
+  * Postgres DDL (/root/reference/docker/init-scripts/ddl_postgres.sql);
+  * the conversions are schema-CHECKED `.as[T]` casts over the Replay
+  * frames, so a drifted column name or type is an analysis error at the
+  * edge, not a runtime surprise downstream.
+  *
+  * Internally everything stays DataFrame: typed rows here are for
+  * callers — compile-time field access, exhaustive-match refactors, and
+  * encoder-backed collection to driver code — not for the engine, which
+  * keeps whole-stage codegen and pushdowns by staying columnar.
+  */
+object Typed {
+
+  final case class Order(order_id: Long, product_id: Long, quantity: Int,
+                         status: String, order_date: Date)
+
+  final case class InventorySnapshot(product_id: Long, available_qty: Int,
+                                     reserved_qty: Int, safety_stock: Int,
+                                     warehouse_id: Int, snapshot_date: Date)
+
+  final case class Product(product_id: Long, product_name: String,
+                           safety_stock_level: Int, is_active: Boolean)
+
+  final case class Supplier(supplier_id: Long, supplier_name: String,
+                            is_active: Boolean)
+
+  final case class ProductSupplier(product_id: Long, supplier_id: Long,
+                                   unit_cost: BigDecimal, priority: Int)
+
+  /** One MRP output row (net_demand.sql's projection). */
+  final case class NetDemandRow(product_id: Long, product_name: String,
+                                supplier_id: Long, supplier_name: String,
+                                net_demand: Long, unit_cost: BigDecimal,
+                                estimated_cost: BigDecimal,
+                                supplier_priority: Int)
+
+  def orders(spark: SparkSession, dir: String): Dataset[Order] =
+    Replay.orders(spark, dir).as(Encoders.product[Order])
+
+  def inventory(spark: SparkSession,
+                dir: String): Dataset[InventorySnapshot] =
+    Replay.inventory(spark, dir).as(Encoders.product[InventorySnapshot])
+
+  def products(spark: SparkSession, dir: String): Dataset[Product] =
+    Replay.products(spark, dir).as(Encoders.product[Product])
+
+  def suppliers(spark: SparkSession, dir: String): Dataset[Supplier] =
+    Replay.suppliers(spark, dir).as(Encoders.product[Supplier])
+
+  def productSuppliers(spark: SparkSession,
+                       dir: String): Dataset[ProductSupplier] =
+    Replay.productSuppliers(spark, dir)
+      .as(Encoders.product[ProductSupplier])
+
+  /** The MRP flagship with a typed result — the DataFrame plan is
+    * IDENTICAL to the q03 one (the `.as` is a lazy cast at the edge);
+    * only the caller-facing element type changes. */
+  def netDemand(spark: SparkSession, dir: String,
+                from: LocalDate, until: LocalDate): Dataset[NetDemandRow] = {
+    import org.apache.spark.sql.functions.col
+    def o(d: LocalDate): Date = Date.valueOf(d)
+    Procurement.netDemand(
+        Replay.orders(spark, dir), Replay.inventory(spark, dir),
+        Replay.products(spark, dir), Replay.suppliers(spark, dir),
+        Replay.productSuppliers(spark, dir),
+        col("order_date") >= o(from) && col("order_date") < o(until),
+        col("snapshot_date") >= o(from.minusYears(1))
+          && col("snapshot_date") < o(until.minusYears(1)))
+      .as(Encoders.product[NetDemandRow])
+  }
+}
