@@ -120,13 +120,22 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // hard safety: the tail window is ~2000 chars and sbt appends its own
     // [success] line after us; past 1800 drop to 2 decimals (noise floor
-    // is ±15% cross-run anyway — centiseconds lose nothing)
+    // is ±15% cross-run anyway — centiseconds lose nothing). Past ~80
+    // queries even 2dp full-name entries overflow the window, so the
+    // final tier keys each entry by its qNN prefix (names are unique by
+    // number; the full name ↔ number mapping is SparkEntry's registry):
+    // 83 short-key entries ≈ 1100 chars — parse safety beats key beauty.
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val line2 = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}"""
     if (line.length <= 1800) println(line)
+    else if (line2.length <= 1900) println(line2)
     else {
-      def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}""")
+      val qs3 = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}""")
     }
   }
 }
