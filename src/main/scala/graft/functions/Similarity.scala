@@ -208,6 +208,27 @@ object Similarity {
       .select(col("vec_id"), col("best").getField("cell").as("cell"),
         col("embedding"))
 
+  /** The trained coarse quantizer as a frame (centroid_id, cv) — public
+    * so callers can MATERIALIZE it as a standing table (Tables.memoTable)
+    * and assign future batches against it without retraining. */
+  def centroids(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
+    lloydCentroids(corpus, k, lloydIters)
+
+  /** Incremental ANN indexing: assign a NEW batch of vectors against an
+    * already-trained standing centroid table — the embeddings-side
+    * analogue of Dedup.incrementalNearDups. The historical corpus is
+    * never rescanned: the centroid table is k rows (collapsed and
+    * broadcast), the batch assignment is map-side, so daily ingestion
+    * costs O(batch), not O(corpus). Retraining cadence is the caller's
+    * policy knob (monthly Lloyd refresh vs daily assignment). */
+  def incrementalAssign(centroidTable: DataFrame,
+                        batch: DataFrame): DataFrame =
+    assignWith(batch,
+      broadcast(centroidTable
+        .select(struct(col("centroid_id"), col("cv")).as("c"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))))
+      .select("vec_id", "cell")
+
   def ivfAssign(corpus: DataFrame, k: Int, lloydIters: Int = 1): DataFrame =
     // Pick each vector's cell with a map-side argmax over the broadcast
     // centroid array — corpus rows never enter an exchange (the only

@@ -24,10 +24,19 @@ object ExtensionQueries {
     * empty cell keeps its seed centroid). Embedding dim is 64 (the
     * fixture's), baked into the constant series because DuckDB 1.0 has no
     * lateral generate_series. */
-  private val ivfLloydCtes: String =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |), c0 AS (
+  private lazy val ivfLloydCtes: String = ivfLloydCtesOver("")
+
+  /** Same CTE chain with the training corpus restricted by `eWhere`
+    * (q86: the standing index is trained on the historical corpus only;
+    * the batch is assigned against it without retraining). */
+  private def ivfLloydCtesOver(eWhere: String): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings $eWhere
+      |), c0 AS (""".stripMargin + ivfLloydTail
+
+  private def ivfLloydTail: String =
+    """
       |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
       |), s0 AS (
       |  SELECT e.vec_id, e.v, k.centroid_id,
@@ -2151,7 +2160,42 @@ object ExtensionQueries {
              |)
              |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id,
              |       score_unats
-             |FROM sc WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin))
+             |FROM sc WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    // Incremental ANN indexing — the embeddings-side analogue of q67:
+    // the coarse quantizer is TRAINED once on the historical corpus and
+    // materialized as a standing table (Tables.memoTable); a new batch
+    // is assigned map-side against the broadcast k-row table. Daily
+    // ingestion costs O(batch); the historical corpus is never
+    // rescanned. Retraining cadence is a policy knob, not a per-batch
+    // cost. The oracle re-trains the same Lloyd round over the
+    // historical slice only, then assigns the batch.
+    Q("q86_incremental_assign",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroidTable = Tables.memoTable(s, dir, "ivf_centroids8") {
+          Similarity.centroids(
+            emb.filter(col("vec_id") % 13 =!= 0), k = 8, lloydIters = 1)
+        }
+        Similarity.incrementalAssign(centroidTable,
+          emb.filter(col("vec_id") % 13 === 0))
+          .orderBy("vec_id")
+      },
+      Some(ivfLloydCtesOver("WHERE vec_id % 13 <> 0") +
+        """, b AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id % 13 = 0
+          |), s2 AS (
+          |  SELECT b.vec_id, k.centroid_id,
+          |         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+          |           list_dot_product(b.v, k.cv)
+          |             / (sqrt(list_dot_product(b.v, b.v))
+          |                * sqrt(list_dot_product(k.cv, k.cv))) DESC,
+          |           k.centroid_id) AS rk
+          |  FROM b CROSS JOIN c k
+          |)
+          |SELECT vec_id, centroid_id AS cell FROM s2 WHERE rk = 1
+          |ORDER BY vec_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

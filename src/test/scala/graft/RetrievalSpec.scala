@@ -222,6 +222,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(zRow.isNullAt(3) && zRow.isNullAt(6) && zRow.getDouble(7) == 0.0)
   }
 
+  test("incrementalAssign: a new batch lands in the standing quantizer's " +
+    "cells without retraining") {
+    val hist = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val cents = Similarity.centroids(hist, k = 2, lloydIters = 1)
+    val batch = Seq((10L, Seq(0.95f, 0.05f)), (11L, Seq(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.incrementalAssign(cents, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L))
+    // consistency: assigning the HISTORICAL corpus through the standing
+    // table equals ivfAssign's in-one-go assignment
+    val inc = Similarity.incrementalAssign(cents, hist)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneGo = Similarity.ivfAssign(hist, k = 2, lloydIters = 1)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == oneGo)
+  }
+
   test("semanticDedup drops exactly the lower-id-twinned vectors, " +
     "within cells only") {
     val emb = Seq(
