@@ -266,6 +266,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming ANN ingestion: the first micro-batch bootstraps the " +
+    "quantizer, later batches assign against it; assignments equal the " +
+    "one-shot standing-table assignment; replay and restart add nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sann").toString
+    val src = s"$base/src"
+    val index = s"$base/index"
+    val out = s"$base/cells"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // wave 0 must contain the seed vectors (vec_id < k) so the
+    // bootstrap trains the same quantizer the batch twin does
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sann-w$i").toString
+      vecs.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.EmbeddingStreams.ingestAssignments(
+        spark.readStream.schema(vecs.schema).parquet(src),
+        index, out, ckpt, k = 4, lloydIters = 1)
+        .awaitTermination(120000)
+    def cells(): Map[Long, Long] = {
+      spark.catalog.refreshByPath(out)
+      spark.read.parquet(out).select("vec_id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    stageWave(0)
+    runOnce()
+    val c0 = cells()
+    assert(c0.nonEmpty && c0.keySet.forall(_ % 3 == 0))
+
+    stageWave(1); stageWave(2)
+    runOnce()
+    val all = cells()
+    assert(all.size == vecs.count())
+    // wave-0 assignments were not retrained away
+    assert(c0.forall { case (id, cell) => all(id) == cell })
+
+    // one-shot twin: train on wave 0 (the bootstrap batch), assign all
+    val wave0 = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val cents = graft.functions.Similarity.centroids(wave0, 4, 1)
+    val want = graft.functions.Similarity.incrementalAssign(cents, vecs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == want)
+
+    // restart with no new files: nothing replays
+    runOnce()
+    assert(cells() == all)
+
+    // crash-replay of the bootstrap batch by hand: deterministic
+    // retraining + overwrite converge to the same assignments
+    graft.streaming.EmbeddingStreams.assignBatch(
+      wave0.toDF(), batchId = 0, index, out, k = 4, lloydIters = 1)
+    assert(cells() == all, "replayed bootstrap changed assignments")
+  }
+
   test("streaming near-dup ingestion: each micro-batch probes then grows " +
     "the standing index; the accumulated pairs equal a one-shot " +
     "corpus-wide LSH; replay and restart add nothing") {
