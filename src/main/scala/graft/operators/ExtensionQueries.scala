@@ -2195,7 +2195,182 @@ object ExtensionQueries {
           |  FROM b CROSS JOIN c k
           |)
           |SELECT vec_id, centroid_id AS cell FROM s2 WHERE rk = 1
-          |ORDER BY vec_id""".stripMargin))
+          |ORDER BY vec_id""".stripMargin)),
+
+    // Sequential funnel (view → click → purchase, strictly ordered per
+    // user): each stage's entry time is the user's first qualifying
+    // event AFTER the previous stage — min-timestamp chaining, the
+    // classic product-analytics pattern. Three key-grain aggregations
+    // on user_id; conversion in exact basis points off stage 1.
+    Q("q87_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+          .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+          .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+        val base = s1.agg(count(lit(1)).as("n1"))
+        counts.crossJoin(broadcast(base))
+          .select(col("stage"), col("n"),
+            floor(col("n") * lit(10000) / col("n1")).cast("long")
+              .as("conv_bp"))
+          .orderBy("stage")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2
+             |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+             |  GROUP BY e.user_id
+             |), s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3
+             |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             |  GROUP BY e.user_id
+             |), counts AS (
+             |  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM s1
+             |  UNION ALL
+             |  SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+             |  UNION ALL
+             |  SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+             |), base AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s1
+             |)
+             |SELECT stage, n,
+             |       CAST(floor(n * 10000 / n1) AS BIGINT) AS conv_bp
+             |FROM counts CROSS JOIN base ORDER BY stage""".stripMargin)),
+
+    // Weekly cohort retention: cohort = Monday-truncated week of the
+    // user's first event; the activity matrix counts distinct users per
+    // (cohort, week offset); retention in exact basis points off the
+    // cohort size. Two user-grain aggregations + one (cohort, offset)
+    // aggregation — all integer/date-exact arithmetic.
+    Q("q88_cohort_retention",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val first = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+        val active = ev.select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+          .join(first, Seq("user_id"))
+          .select(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("int")
+              .as("week_offset"))
+        val sizes = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_size"))
+        active.groupBy(col("cohort"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort"))
+          .select(col("cohort"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            floor(col("n_active") * lit(10000) / col("cohort_size"))
+              .cast("long").as("retention_bp"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH first AS (
+             |  SELECT user_id,
+             |         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+             |  FROM events GROUP BY user_id
+             |), act AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events
+             |), active AS (
+             |  SELECT f.cohort,
+             |         CAST(date_diff('day', f.cohort, a.wk) // 7
+             |           AS INTEGER) AS week_offset
+             |  FROM act a JOIN first f ON f.user_id = a.user_id
+             |), sizes AS (
+             |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+             |  FROM first GROUP BY cohort
+             |)
+             |SELECT v.cohort, v.week_offset,
+             |       CAST(COUNT(*) AS BIGINT) AS n_active, s.cohort_size,
+             |       CAST(floor(COUNT(*) * 10000 / s.cohort_size)
+             |         AS BIGINT) AS retention_bp
+             |FROM active v JOIN sizes s ON s.cohort = v.cohort
+             |GROUP BY v.cohort, v.week_offset, s.cohort_size
+             |ORDER BY v.cohort, v.week_offset""".stripMargin)),
+
+    // Quality-aware cluster representative: real curation keeps the
+    // BEST-quality member of each near-dup cluster, not the smallest
+    // id — argmax by (alpha_bp, n_words, id) over the memoized cluster
+    // table joined with the quality census. The oracle recomputes
+    // clusters via the recursive walk and quality via the q72 CTEs.
+    Q("q89_quality_representative",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val members = clustersTable(s, dir)
+        val docs = Tables.load(s, dir, "documents")
+          .join(members.select(col("id").as("doc_id")), Seq("doc_id"),
+            "left_semi")
+        val quality = TextAnalysis.qualityVerdict(docs)
+          .select(col("doc_id").as("id"), col("alpha_bp"), col("n_words"))
+        val w = Window.partitionBy(col("comp"))
+          .orderBy(desc("alpha_bp"), desc("n_words"), asc("id"))
+        members.join(quality, Seq("id"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("id"))).as("rep_id"))
+          .orderBy("comp")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), qd AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(text, '\s+'),
+          |                     x -> len(x) > 0) AS ws
+          |  FROM documents
+          |  WHERE doc_id IN (SELECT id FROM comp)
+          |), qtok AS (
+          |  SELECT doc_id, unnest(ws) AS w FROM qd
+          |), qwc AS (
+          |  SELECT doc_id, w, COUNT(*) AS c FROM qtok GROUP BY doc_id, w
+          |), qwords AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words
+          |  FROM qwc GROUP BY doc_id
+          |), qsig AS (
+          |  SELECT qd.doc_id AS id,
+          |         CAST(COALESCE(qw.n_words, 0) AS BIGINT) AS n_words,
+          |         CAST(CASE WHEN length(qd.text) = 0 THEN 0
+          |              ELSE floor(length(regexp_replace(qd.text,
+          |                     '[^A-Za-z]', '', 'g')) * 10000.0
+          |                   / length(qd.text)) END AS BIGINT) AS alpha_bp
+          |  FROM qd LEFT JOIN qwords qw ON qd.doc_id = qw.doc_id
+          |), ranked AS (
+          |  SELECT c.comp, c.id, s.alpha_bp, s.n_words,
+          |         ROW_NUMBER() OVER (PARTITION BY c.comp
+          |           ORDER BY s.alpha_bp DESC, s.n_words DESC, c.id)
+          |           AS rk
+          |  FROM comp c JOIN qsig s ON s.id = c.id
+          |)
+          |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |       CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT)
+          |         AS rep_id
+          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
