@@ -201,6 +201,39 @@ object Retrieval {
           .as("avg_logprob"))
   }
 
+  /** Frequency-ranked vocabulary: token_id = 1-based rank by (count
+    * desc, term asc) — the deterministic id assignment a tokenizer-feed
+    * pipeline derives from its own corpus. One explode→groupBy shuffle;
+    * the ranking window runs over the vocabulary, which is orders of
+    * magnitude below the corpus. */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(desc("n"), asc("term"))))
+  }
+
+  /** Encode every document as its token-id sequence (comma-joined, in
+    * token order) against the corpus-derived vocabulary — the step that
+    * feeds Mixing.packSequences. The vocabulary joins BROADCAST (a web
+    * corpus's vocabulary is millions of rows — still broadcastable;
+    * past that, the join key is the term and falls back to shuffle);
+    * order is restored by position, per doc, in one aggregation. */
+  def encodeTokens(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val vocab = vocabulary(docs, textCol)
+    docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("token_id")))),
+          p => p.getField("token_id").cast("string")), ",").as("ids"))
+  }
+
   /** Adjacent-bigram PMI (pointwise mutual information) — the phrase-
     * mining / collocation primitive: ln(p(ab) / (p(a)·p(b))) with
     * probabilities over the corpus bigram and unigram multisets.

@@ -2370,7 +2370,40 @@ object ExtensionQueries {
           |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
           |       CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT)
           |         AS rep_id
-          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin))
+          |FROM ranked GROUP BY comp ORDER BY comp""".stripMargin)),
+
+    // Vocabulary build + token encoding — the tokenizer-feed precursor
+    // to q65's sequence packing: ids are frequency ranks (count desc,
+    // term asc — deterministic), documents re-encode as ordered id
+    // sequences via a broadcast vocabulary join, order restored by
+    // position in one aggregation.
+    Q("q90_encode_tokens",
+      (s, dir) => Retrieval.encodeTokens(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t
+             |  FROM d
+             |), tf AS (
+             |  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM tr GROUP BY t
+             |), vocab AS (
+             |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+             |           term) AS INTEGER) AS token_id
+             |  FROM tf
+             |), enc AS (
+             |  SELECT tr.doc_id, tr.i, v.token_id
+             |  FROM tr JOIN vocab v ON v.term = tr.t
+             |)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |       string_agg(CAST(token_id AS VARCHAR), ','
+             |         ORDER BY i) AS ids
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

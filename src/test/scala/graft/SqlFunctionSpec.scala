@@ -163,4 +163,23 @@ class SqlFunctionSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(agg == viaDf)
   }
+
+  test("round-5 SQL surface: md5_prefix60, word_ngrams, min_k reachable " +
+    "from spark.sql with the DataFrame-path values") {
+    import org.apache.spark.sql.functions._
+    GraftSession.registerFunctions(spark)
+    val h = spark.sql("SELECT md5_prefix60('hello') AS h")
+      .collect().head.getLong(0)
+    val hDf = Seq("hello").toDF("s")
+      .select(graft.functions.Dedup.md5Hash64(col("s")))
+      .collect().head.getLong(0)
+    assert(h == hDf && h >= 0)
+    val ng = spark.sql("SELECT word_ngrams(' A b  c ', 2) AS g")
+      .collect().head.getSeq[String](0)
+    assert(ng == Seq("a b", "b c"))
+    Seq(5L, 1L, 5L, 3L, 9L).toDF("v").createOrReplaceTempView("mk_vals")
+    val mk = spark.sql("SELECT min_k(v, 3) AS m FROM mk_vals")
+      .collect().head.getSeq[Long](0)
+    assert(mk == Seq(1L, 3L, 5L))
+  }
 }
