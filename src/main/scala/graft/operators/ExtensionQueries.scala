@@ -2403,7 +2403,73 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              |       string_agg(CAST(token_id AS VARCHAR), ','
              |         ORDER BY i) AS ids
-             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer-feed capstone: q90's encoding joined against q65's
+    // packed layout in ONE plan — each non-empty document carries its
+    // context-window coordinates (seq_id, seq_offset) AND its id
+    // sequence's head. The two independent token counts (pack side:
+    // whitespace tokenCount; encode side: vocabulary-join cardinality)
+    // are both emitted, so the hash check pins their equality — the
+    // invariant that makes the packed offsets valid for the encoded
+    // stream.
+    Q("q91_tokenizer_feed",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val packed = Mixing.packSequences(docs, budget = 512)
+          .select(col("doc_id"), col("source"),
+            col("n_tokens").as("pack_tokens"), col("seq_id"),
+            col("seq_offset"))
+        val enc = Retrieval.encodeTokens(docs)
+        packed.join(enc, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("seq_id"),
+            col("seq_offset"), col("pack_tokens"), col("n_tokens"),
+            split(col("ids"), ",").getItem(0).cast("int").as("first_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE length(string_split_regex(trim(text),
+             |                                             '\s+')) END
+             |           AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), cum AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id) - n_tokens AS BIGINT)
+             |           AS start_tok
+             |  FROM toks
+             |), d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t
+             |  FROM d
+             |), tf AS (
+             |  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM tr GROUP BY t
+             |), vocab AS (
+             |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+             |           term) AS INTEGER) AS token_id
+             |  FROM tf
+             |), enc AS (
+             |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS enc_tokens,
+             |         MIN(CASE WHEN tr.i = 1 THEN v.token_id END)
+             |           AS first_id
+             |  FROM tr JOIN vocab v ON v.term = tr.t
+             |  GROUP BY tr.doc_id
+             |)
+             |SELECT c.doc_id, c.source,
+             |       c.start_tok // 512 AS seq_id,
+             |       c.start_tok % 512 AS seq_offset,
+             |       c.n_tokens AS pack_tokens, e.enc_tokens AS n_tokens,
+             |       CAST(e.first_id AS INTEGER) AS first_id
+             |FROM cum c JOIN enc e ON e.doc_id = c.doc_id
+             |ORDER BY c.doc_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
