@@ -128,6 +128,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toString.contains("Generate"), p.toString.take(2000))
   }
 
+  test("min_k plans as ObjectHashAggregate — the bounded-buffer " +
+    "aggregate must not fall back to sort-based aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+      .groupBy("g").agg(graft.functions.Sketches.minK(col("v"), 4))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(1500))
+  }
+
+  test("incremental ANN assignment is map-side over the batch: the only " +
+    "exchanges are the k-row centroid collapse (inside the broadcast " +
+    "subtree) and the presentation sort") {
+    val p = plan("q86_incremental_assign")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"batch rows entered a hash exchange:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"), p.take(1500))
+  }
+
   test("decontamination scores the corpus map-side: every exchange sits " +
     "inside the broadcast eval-set subtree") {
     import org.apache.spark.sql.execution.SparkPlan
