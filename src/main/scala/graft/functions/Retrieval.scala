@@ -246,15 +246,20 @@ object Retrieval {
     */
   def pmiBigrams(docs: DataFrame, minCount: Long,
                  textCol: String = "text"): DataFrame = {
-    val bigrams = explodedBigrams(docs, textCol, Seq.empty)
+    // totals derive from the GROUPED frames, not the raw explodes: biAll
+    // and uni each back two consumers (counts + their own total), and
+    // deriving both from the same groupBy means the explode→shuffle is
+    // one canonical exchange Spark reuses (ReusedExchange), instead of
+    // re-exploding the corpus once per consumer.
+    val biAll = explodedBigrams(docs, textCol, Seq.empty)
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
     val uni = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-    val bi = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
+    val bi = biAll.filter(col("n") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
     val totals = uni.agg(sum(col("cw")).as("n1")).crossJoin(
-      bigrams.agg(count(lit(1)).as("n2")))
+      biAll.agg(sum(col("n")).as("n2")))
     bi.join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
         Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
