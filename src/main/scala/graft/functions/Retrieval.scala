@@ -155,15 +155,49 @@ object Retrieval {
   def invertedIndex(docs: DataFrame, maxPostings: Int,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
+    renderPostings(invertedIndexArr(docs, maxPostings, idCol, textCol))
+
+  /** invertedIndex with the posting list still an array — the mergeable
+    * form (see mergeIndexes). */
+  def invertedIndexArr(docs: DataFrame, maxPostings: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
         Sketches.minK(col(idCol), maxPostings).as("post_arr"))
-      .select(col("term"), col("df"), col("total_tf"),
-        array_join(transform(col("post_arr"), _.cast("string")), ",")
-          .as("postings"))
+
+  private def renderPostings(ix: DataFrame): DataFrame =
+    ix.select(col("term"), col("df"), col("total_tf"),
+      array_join(transform(col("post_arr"), _.cast("string")), ",")
+        .as("postings"))
+
+  /** Incremental index maintenance: merge a new batch's index into the
+    * standing one WITHOUT touching the historical corpus. Counts are
+    * additive for disjoint doc sets; the bounded posting list merges by
+    * k-min of the union — MinKAgg's semilattice property lifted to the
+    * table level, so merged ≡ rebuilt-from-scratch (which is exactly
+    * what the q92 oracle checks: the full-corpus rebuild SQL). The join
+    * is index-sized (vocabulary rows), never corpus-sized. */
+  def mergeIndexes(standing: DataFrame, batch: DataFrame,
+                   maxPostings: Int): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    val merged = standing.select(col("term"), col("df").as("df_a"),
+        col("total_tf").as("tf_a"), col("post_arr").as("pa"))
+      .join(batch.select(col("term"), col("df").as("df_b"),
+        col("total_tf").as("tf_b"), col("post_arr").as("pb")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_a"), lit(0L))
+          + coalesce(col("df_b"), lit(0L))).as("df"),
+        (coalesce(col("tf_a"), lit(0L))
+          + coalesce(col("tf_b"), lit(0L))).as("total_tf"),
+        slice(array_sort(concat(coalesce(col("pa"), empty),
+          coalesce(col("pb"), empty))), 1, maxPostings).as("post_arr"))
+    renderPostings(merged)
+  }
 
   /** Bigram language-model fluency score per document (the CCNet-style
     * perplexity-proxy quality signal): score = Σ ln p(w_i | w_{i-1}) over

@@ -2469,7 +2469,45 @@ object ExtensionQueries {
              |       c.n_tokens AS pack_tokens, e.enc_tokens AS n_tokens,
              |       CAST(e.first_id AS INTEGER) AS first_id
              |FROM cum c JOIN enc e ON e.doc_id = c.doc_id
-             |ORDER BY c.doc_id""".stripMargin))
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // Incremental inverted-index maintenance: the standing index (built
+    // once over the historical corpus, memoized) merges with a new
+    // batch's index by count addition + k-min posting union — a
+    // vocabulary-sized join, the historical corpus is never re-tokenized.
+    // The ORACLE is the from-scratch full-corpus rebuild (q77's SQL
+    // verbatim): merged ≡ rebuilt, hash-checked — MinKAgg's semilattice
+    // property lifted to the table level.
+    Q("q92_incremental_index",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val standing = Tables.memoTable(s, dir, "inv_index32") {
+          Retrieval.invertedIndexArr(
+            docs.filter(col("doc_id") % 3 =!= 0), maxPostings = 32)
+        }
+        Retrieval.mergeIndexes(standing,
+          Retrieval.invertedIndexArr(
+            docs.filter(col("doc_id") % 3 === 0), maxPostings = 32),
+          maxPostings = 32)
+          .orderBy("term")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS c
+             |  FROM tok GROUP BY term, doc_id
+             |)
+             |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             |       CAST(SUM(c) AS BIGINT) AS total_tf,
+             |       array_to_string(
+             |         list_transform((list(doc_id ORDER BY doc_id))[1:32],
+             |           x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM tf GROUP BY term ORDER BY term""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -65,6 +65,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(capped == Map("a" -> "1", "b" -> "1", "c" -> "2"))
   }
 
+  test("mergeIndexes ≡ from-scratch rebuild: disjoint batches, shared " +
+    "terms, batch-only terms, and posting-cap overflow") {
+    val hist = Seq((1L, "a b a"), (2L, "b c"), (10L, "a")).toDF("doc_id", "text")
+    val batch = Seq((3L, "c c d"), (4L, "a z")).toDF("doc_id", "text")
+    val merged = Retrieval.mergeIndexes(
+      Retrieval.invertedIndexArr(hist, 2),
+      Retrieval.invertedIndexArr(batch, 2), 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val rebuilt = Retrieval.invertedIndex(hist.unionByName(batch), 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(merged == rebuilt)
+    // the cap-overflow case really exercised: 'a' lives in docs 1,10,4
+    assert(merged("a") == ((3L, 4L, "1,4")))
+    assert(merged("z") == ((1L, 1L, "4"))) // batch-only term
+  }
+
   test("pmiBigrams matches the ln(p(ab)/(p(a)p(b))) model") {
     // bigrams: doc1 [a b, b a], doc2 [b c], doc3 [c c, c c, c c]
     // unigrams: a=2 b=2 c=5 (n1=9), bigram total n2=6
