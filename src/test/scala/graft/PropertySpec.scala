@@ -199,4 +199,57 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"graph #$gi: $edges")
     }
   }
+
+  test("fixed-point pagerank == Scala integer model on seeded random " +
+    "graphs; total rank conserved up to floor truncation") {
+    val S = 1000000000000L
+    val graphs = Gen.listOfN(6, Gen.listOfN(12, for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    graphs.zipWithIndex.filter(_._1.nonEmpty).foreach { case (pairs, gi) =>
+      val got = graft.functions.Graph.pagerank(
+          pairs.toDF("id_a", "id_b"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val nodes = sym.map(_._1).distinct.sorted
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val in = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val n = nodes.size.toLong
+      val base = (15L * S / 100) / n
+      var pr = nodes.map(_ -> S / n).toMap
+      (1 to 3).foreach { _ =>
+        pr = nodes.map { v =>
+          v -> (base + 85L * in(v).map(u => pr(u) / deg(u)).sum / 100)
+        }.toMap
+      }
+      assert(got == pr, s"graph #$gi: $pairs")
+      val total = got.values.sum
+      // each node floors at most ~3 units per round; 3 rounds × n nodes
+      assert(total <= S && total > S - 200L * n, s"graph #$gi total=$total")
+    }
+  }
+
+  test("index merge == rebuild on seeded random corpora and splits") {
+    val wordGen = Gen.oneOf("a", "b", "c", "dd", "ee", "fff")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val corpora = Gen.listOfN(4, Gen.listOfN(30, docGen))
+      .apply(Gen.Parameters.default, Seed(23L)).get
+    corpora.zipWithIndex.foreach { case (texts, ci) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val mod = 2 + ci % 3
+      val hist = docs.filter(col("doc_id") % mod =!= 0)
+      val batch = docs.filter(col("doc_id") % mod === 0)
+      val k = 3 + ci
+      def img(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val merged = img(graft.functions.Retrieval.mergeIndexes(
+        graft.functions.Retrieval.invertedIndexArr(hist, k),
+        graft.functions.Retrieval.invertedIndexArr(batch, k), k))
+      val rebuilt = img(graft.functions.Retrieval.invertedIndex(docs, k))
+      assert(merged == rebuilt, s"corpus #$ci (k=$k, mod=$mod)")
+    }
+  }
 }
