@@ -50,9 +50,11 @@ object Retrieval {
     * versus the naive explode→join formulation whose (term, doc) shuffle
     * materializes the full posting matrix.
     */
-  def bm25(docs: DataFrame, queryTerms: Seq[String],
+  def bm25(docs: DataFrame, rawQueryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // a duplicated term would score twice — dedupe, order-preserving
+    val queryTerms = rawQueryTerms.distinct
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     // two-step projection: `ws` materializes once per row behind a
     // Project boundary (CollapseProject keeps non-cheap aliases with
@@ -110,8 +112,10 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
+    // a duplicated (qid, term) pair would contribute twice — dedupe
     val qt = broadcast(
-      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term"))
+      queries.flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+        .distinct.toDF("qid", "term"))
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
