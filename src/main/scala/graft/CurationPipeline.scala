@@ -26,11 +26,14 @@ object CurationPipeline {
       outputDir: String,
       evalModulus: Long = 17, // doc_id % m == 0 → held-out eval set
       minJaccardBp: Long = 2000,
-      packBudget: Int = 512)
+      packBudget: Int = 512,
+      // Pile-style per-source epoch weights in hundredths (250 = 2.5
+      // epochs); empty = every curated doc exactly once, unmixed
+      mixWeightsHundredths: Map[String, Int] = Map.empty)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
-      nCurated: Long, nWindows: Long)
+      nCurated: Long, nMixed: Long, nWindows: Long)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val eval = docs.filter(col("doc_id") % conf.evalModulus === 0)
@@ -70,11 +73,20 @@ object CurationPipeline {
       .select("doc_id")
     val curated = corpus.join(clean, Seq("doc_id"), "left_semi")
 
-    // 4. land the curated corpus + its packed layout (q65) — idempotent
-    //    overwrites, one file tree per run
+    // 4. optional epoch-weight mixture (q66), then the packed layout
+    //    (q65) over the training stream — idempotent overwrites. The
+    //    mixed stream's per-shard order key is sched_t (unique within a
+    //    shard for weights ≤ 100 epochs — the stride schedule is
+    //    strictly increasing), satisfying packSequences' uniqueness
+    //    contract where (doc_id, epoch) duplicates would not.
     curated.write.mode("overwrite")
       .parquet(s"${conf.outputDir}/curated")
-    val packed = Mixing.packSequences(curated, conf.packBudget)
+    val (stream, orderCol) =
+      if (conf.mixWeightsHundredths.isEmpty) (curated, "doc_id")
+      else (Mixing.mixCorpus(curated, conf.mixWeightsHundredths),
+        "sched_t")
+    val packed = Mixing.packSequences(stream, conf.packBudget,
+      orderCol = orderCol)
     packed.write.mode("overwrite")
       .parquet(s"${conf.outputDir}/packed")
 
@@ -82,6 +94,7 @@ object CurationPipeline {
       nInput = docs.count(), nEval = eval.count(),
       nQualityKept = kept.count(), nAfterDedup = deduped.count(),
       nCurated = curated.count(),
+      nMixed = spark.read.parquet(s"${conf.outputDir}/packed").count(),
       nWindows = spark.read.parquet(s"${conf.outputDir}/packed")
         .select(countDistinct(col("source"), col("seq_id")))
         .collect().head.getLong(0))

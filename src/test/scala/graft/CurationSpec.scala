@@ -75,6 +75,28 @@ class CurationSpec extends AnyFunSuite {
       s"non-best survivors: ${(survivingMembers -- best).take(5)}")
   }
 
+  test("epoch-weight mixture: per-doc multiplicity lands in " +
+    "[floor(w/100), ceil(w/100)] and the mixed stream packs") {
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-curation-mix").toString
+    val weights = Map("src0" -> 250, "src1" -> 50)
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = out2, mixWeightsHundredths = weights))
+    assert(r.nCurated == res.nCurated) // mixing doesn't change curation
+    assert(r.nMixed > r.nCurated && r.nWindows > 0)
+    val packed = spark.read.parquet(s"$out2/packed")
+    val mult = packed.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("m"))
+      .collect().map(row => (row.getString(0), row.getLong(2))).toSeq
+    mult.foreach { case (src, m) =>
+      val w = weights.getOrElse(src, 100)
+      assert(m >= w / 100 && m <= (w + 99) / 100, s"$src m=$m w=$w")
+    }
+    // src1 at 0.5 epochs: some docs kept, some dropped — both sides real
+    val src1 = mult.filter(_._1 == "src1").map(_._2)
+    if (src1.size > 3) assert(src1.contains(1L) || src1.isEmpty)
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet
