@@ -241,15 +241,49 @@ object Retrieval {
 
   /** Frequency-ranked vocabulary: token_id = 1-based rank by (count
     * desc, term asc) — the deterministic id assignment a tokenizer-feed
-    * pipeline derives from its own corpus. One explode→groupBy shuffle;
-    * the ranking window runs over the vocabulary, which is orders of
-    * magnitude below the corpus. */
+    * pipeline derives from its own corpus.
+    *
+    * The rank is TWO-PHASE — a global `row_number` window would funnel
+    * the whole vocabulary through one task (on a web corpus whitespace
+    * tokenization yields tens of millions of terms), which was the
+    * `WindowExec: No Partition Defined` single-partition sort this
+    * replaced. Phase 1 range-partitions on the sort key and ranks
+    * locally per partition; phase 2 turns the per-partition row counts
+    * into prefix-sum offsets on a ONE-ROW frame (a HOF fold over at
+    * most `shuffle.partitions` structs — no driver collect, no global
+    * window) and broadcast-joins them back. token_id values are
+    * identical to the global window's: range partition i holds exactly
+    * the rows ranked between offset(i) and offset(i+1), whatever
+    * boundaries the range sampler picked. */
   def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(tokens(col(textCol))).as("term"))
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(desc("n"), asc("term"))))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val bucketed = counts
+      .repartitionByRange(parts, desc("n"), asc("term"))
+      .withColumn("bucket", spark_partition_id())
+    val local = bucketed.withColumn("local_rk", row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(desc("n"), asc("term"))))
+    val accType = "struct<run:bigint,out:array<struct<bucket:int,off:bigint>>>"
+    val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("pc"))
+      .select(explode(aggregate(
+        col("pc"),
+        struct(lit(0L).as("run"),
+          array().cast("array<struct<bucket:int,off:bigint>>").as("out"))
+          .cast(accType),
+        (acc, x) => struct(
+          (acc.getField("run") + x.getField("cnt")).as("run"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("bucket").as("bucket"),
+            acc.getField("run").as("off")))).as("out")).cast(accType),
+        acc => acc.getField("out"))).as("bo"))
+      .select(col("bo.bucket").as("bucket"), col("bo.off").as("off"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("term"), col("n"),
+        (col("off") + col("local_rk")).cast("int").as("token_id"))
   }
 
   /** Encode every document as its token-id sequence (comma-joined, in

@@ -73,9 +73,11 @@ object ShingleHashKernel {
     * value-for-value; one tight loop instead of four interpreted HOFs. */
   def wordNgrams(text: UTF8String, n: Int): Array[UTF8String] = {
     val s = text.trim().toLowerCase.toString
-    val tokens = s.split("\\s+")
-    if (tokens.length < n || (tokens.length == 1 && tokens(0).isEmpty))
-      return Array.empty[UTF8String]
+    // UTF8String.trim strips only 0x20, so text leading with \t/\n yields
+    // a leading "" from split — drop empties to match the HOF/oracle
+    // formulation filter(split(lower(trim(s)), '\s+'), len > 0)
+    val tokens = s.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n) return Array.empty[UTF8String]
     val out = new Array[UTF8String](tokens.length - n + 1)
     val sb = new java.lang.StringBuilder(64)
     var i = 0

@@ -187,7 +187,10 @@ class RetrievalSpec extends AnyFunSuite {
   test("word_ngrams kernel == HOF zip-with-tail formulation, " +
     "order and duplicates included") {
     val texts = Seq("a b a", "b c", "c c c c", "", " ", "solo",
-      "  A  B\tc  ", "x " * 50, "Mixed CASE tokens HERE")
+      "  A  B\tc  ", "x " * 50, "Mixed CASE tokens HERE",
+      // leading NON-SPACE whitespace: trim strips only 0x20, so split
+      // yields a leading "" the kernel must drop like the HOF filter does
+      "\tab cd", "\nx y z", "\t \t", "a\t\tb")
     val df = texts.toDF("text")
     val ws = filter(split(lower(trim($"text")), "\\s+"),
       w => length(w) > 0)
