@@ -18,7 +18,22 @@ import graft.functions.{Dedup, Mixing, TextAnalysis}
   * shuffle at the end. Every stage's formulation is individually
   * oracle-pinned (q72 / q61+q89 / q68 / q65); this object is their
   * production composition — the q73 capstone, upgraded to the
-  * keep-the-BEST-duplicate policy and wired to sinks.
+  * keep-the-best-KEEPABLE-duplicate policy and wired to sinks.
+  *
+  * Execution discipline (the 100 TB posture):
+  *  - each stage runs ONCE: the narrow quality-verdict frame and the
+  *    deduped id set are persisted across their consumers, and the
+  *    mixing/packing stage plus all output metrics read the LANDED
+  *    parquet instead of re-executing the upstream chain;
+  *  - the near-dup drop list is corpus-proportional (every
+  *    non-representative member of every cluster — tens of percent of
+  *    all ids on a web corpus), so it anti-joins as a plain shuffled
+  *    join on the narrow id column, never a forced broadcast;
+  *  - a dominant source serializes per-shard windows — `subShardBuckets`
+  *    routes mixing and packing through the [[Mixing.subShard]] /
+  *    [[Mixing.mixCorpusSharded]] levers, which bound every stream to
+  *    ~1/n of its source while keeping the emitted (source, doc, epoch)
+  *    multiset identical (CurationSpec pins this).
   */
 object CurationPipeline {
 
@@ -29,74 +44,113 @@ object CurationPipeline {
       packBudget: Int = 512,
       // Pile-style per-source epoch weights in hundredths (250 = 2.5
       // epochs); empty = every curated doc exactly once, unmixed
-      mixWeightsHundredths: Map[String, Int] = Map.empty)
+      mixWeightsHundredths: Map[String, Int] = Map.empty,
+      // skew lever: split every source into this many deterministic
+      // md5-bucket sub-shards before mixing/packing, so one dominant
+      // source cannot serialize the per-shard windows. None = one
+      // stream per source.
+      subShardBuckets: Option[Int] = None)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
       nCurated: Long, nMixed: Long, nWindows: Long)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
-    val eval = docs.filter(col("doc_id") % conf.evalModulus === 0)
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
 
-    // 1. quality gate — one map-side census-kernel pass (q72)
-    val kept = TextAnalysis.qualityVerdict(corpus)
-      .filter(col("keep")).select("doc_id")
+    // 1. quality gate — one map-side census-kernel pass (q72). The
+    //    verdict frame is narrow (ids + three small numerics, no text);
+    //    persisting it lets the keep gate, the representative ranking,
+    //    and the nQualityKept metric share one execution.
+    val quality = TextAnalysis.qualityVerdict(corpus)
+      .select("doc_id", "alpha_bp", "n_words", "keep").persist()
+    val kept = quality.filter(col("keep")).select("doc_id")
 
     // 2. near-dup clusters over the FULL corpus; representative = the
-    //    best-quality member (q89's argmax policy), so a low-quality
-    //    min-id twin never shadows a keepable one
+    //    best-quality KEEPABLE member (argmax over kept ∩ members):
+    //    ranking ALL members would let a best-but-unkeepable twin win
+    //    the cluster, fail the quality gate, and lose the cluster
+    //    entirely despite a keepable member
     val clusters = Dedup.connectedComponents(
       Dedup.nearDuplicatesPortable(corpus, "doc_id", "text",
         shingleN = 3, bands = 4, rowsPerBand = 4,
         minJaccardBp = conf.minJaccardBp),
       assumeDistinctPairs = true)
-    val memberQuality = TextAnalysis.qualityVerdict(
-        corpus.join(clusters.select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_semi"))
-      .select(col("doc_id").as("id"), col("alpha_bp"), col("n_words"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
       .orderBy(desc("alpha_bp"), desc("n_words"), asc("id"))
-    val drop = clusters.join(memberQuality, Seq("id"))
+    val drop = clusters
+      .join(quality.filter(col("keep")).select(col("doc_id").as("id"),
+        col("alpha_bp"), col("n_words")), Seq("id"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") =!= 1)
       .select(col("id").as("doc_id"))
 
-    val deduped = kept.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    // shuffled anti-join, deliberately un-hinted: the drop list is
+    // corpus-proportional, far past broadcast range at scale (AQE will
+    // still pick a broadcast when it happens to be small)
+    val deduped = kept.join(drop, Seq("doc_id"), "left_anti").persist()
 
     // 3. decontamination — eval shingles collapse to one broadcast
     //    array, survivors scored map-side (q68)
+    val eval = docs.filter(col("doc_id") % conf.evalModulus === 0)
     val survivorDocs = corpus.join(deduped, Seq("doc_id"), "left_semi")
     val clean = Dedup.contamination(survivorDocs, eval)
       .filter(col("n_contaminated") === 0)
       .select("doc_id")
     val curated = corpus.join(clean, Seq("doc_id"), "left_semi")
 
-    // 4. optional epoch-weight mixture (q66), then the packed layout
-    //    (q65) over the training stream — idempotent overwrites. The
-    //    mixed stream's per-shard order key is sched_t (unique within a
-    //    shard for weights ≤ 100 epochs — the stride schedule is
-    //    strictly increasing), satisfying packSequences' uniqueness
-    //    contract where (doc_id, epoch) duplicates would not.
+    // 4. land the curated corpus, then mix/pack the LANDED parquet —
+    //    the quality→cluster→decontaminate chain executes exactly once
+    //    (for the write); everything downstream re-reads the sink.
     curated.write.mode("overwrite")
       .parquet(s"${conf.outputDir}/curated")
-    val (stream, orderCol) =
-      if (conf.mixWeightsHundredths.isEmpty) (curated, "doc_id")
-      else (Mixing.mixCorpus(curated, conf.mixWeightsHundredths),
-        "sched_t")
-    val packed = Mixing.packSequences(stream, conf.packBudget,
-      orderCol = orderCol)
-    packed.write.mode("overwrite")
-      .parquet(s"${conf.outputDir}/packed")
+    val landed = spark.read.parquet(s"${conf.outputDir}/curated")
 
-    Result(
-      nInput = docs.count(), nEval = eval.count(),
+    // optional epoch-weight mixture (q66), then the packed layout (q65)
+    // over the training stream — the mixed stream's per-shard order key
+    // is sched_t (unique within a (sub-)shard for weights ≤ 100 epochs —
+    // the stride schedule is strictly increasing), satisfying
+    // packSequences' uniqueness contract where (doc_id, epoch)
+    // duplicates would not.
+    val packShard = conf.subShardBuckets.map(b =>
+      Mixing.subShard(col("source"), col("doc_id"), b))
+    val (stream, shardCol, orderCol) =
+      (conf.mixWeightsHundredths.isEmpty, packShard) match {
+        case (true, None) => (landed, "source", "doc_id")
+        case (true, Some(sh)) =>
+          (landed.withColumn("pack_shard", sh), "pack_shard", "doc_id")
+        case (false, None) =>
+          (Mixing.mixCorpus(landed, conf.mixWeightsHundredths),
+            "source", "sched_t")
+        case (false, Some(sh)) =>
+          // sched_t comes from the sub-sharded stride schedule, and the
+          // pack shard recomputes the same deterministic bucket — so
+          // sched_t is unique within each pack_shard
+          (Mixing.mixCorpusSharded(landed, conf.mixWeightsHundredths,
+            conf.subShardBuckets.get).withColumn("pack_shard", sh),
+            "pack_shard", "sched_t")
+      }
+    Mixing.packSequences(stream, conf.packBudget, shardCol = shardCol,
+        orderCol = orderCol)
+      .write.mode("overwrite").parquet(s"${conf.outputDir}/packed")
+    val packed = spark.read.parquet(s"${conf.outputDir}/packed")
+
+    // metrics: one scan of the input for the two input-side counts, the
+    // persisted frames for the mid-pipeline counts, the landed parquet
+    // for the output-side counts — nothing re-executes a stage
+    val io = docs.agg(count(lit(1)).as("n"),
+      sum((col("doc_id") % conf.evalModulus === 0).cast("long")).as("ne"))
+      .collect().head
+    val res = Result(
+      nInput = io.getLong(0), nEval = io.getLong(1),
       nQualityKept = kept.count(), nAfterDedup = deduped.count(),
-      nCurated = curated.count(),
-      nMixed = spark.read.parquet(s"${conf.outputDir}/packed").count(),
-      nWindows = spark.read.parquet(s"${conf.outputDir}/packed")
-        .select(countDistinct(col("source"), col("seq_id")))
+      nCurated = landed.count(), nMixed = packed.count(),
+      nWindows = packed
+        .select(countDistinct(col(shardCol), col("seq_id")))
         .collect().head.getLong(0))
+    quality.unpersist()
+    deduped.unpersist()
+    res
   }
 }

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
   val dir = "/root/testdata/sf0.001"
 
   lazy val docs = graft.sources.Tables.load(spark, dir, "documents")
@@ -46,16 +47,19 @@ class CurationSpec extends AnyFunSuite {
     assert(dirty.count() == 0)
   }
 
-  test("per cluster the survivor is the best-quality member (not " +
-    "necessarily the min id)") {
+  test("per cluster the survivor is the best-quality KEEPABLE member " +
+    "(not necessarily the min id)") {
     val curated = spark.read.parquet(s"$out/curated").select("doc_id")
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
     val clusters = graft.functions.Dedup.connectedComponents(
       graft.functions.Dedup.nearDuplicatesPortable(corpus, "doc_id",
         "text", 3, 4, 4, conf.minJaccardBp), assumeDistinctPairs = true)
+    // the argmax runs over quality-KEPT members only: a best-but-
+    // unkeepable twin must not win the cluster and then fail the gate
     val q = graft.functions.TextAnalysis.qualityVerdict(
         corpus.join(clusters.select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi"))
+      .filter(col("keep"))
       .select(col("doc_id").as("id"), col("alpha_bp"), col("n_words"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
@@ -69,19 +73,33 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val survivingMembers = curated.collect().map(_.getLong(0)).toSet
       .intersect(members)
-    // every surviving cluster member is its cluster's best — none of the
-    // non-best members slipped through
+    // every surviving cluster member is its cluster's best keepable —
+    // none of the non-best members slipped through
     assert(survivingMembers.subsetOf(best),
       s"non-best survivors: ${(survivingMembers -- best).take(5)}")
+    // and every cluster with at least one keepable, uncontaminated best
+    // member DOES survive — the old all-members argmax lost such
+    // clusters when their global-best member failed the quality gate
+    val eval = docs.filter(col("doc_id") % conf.evalModulus === 0)
+    val cleanBest = graft.functions.Dedup.contamination(
+        corpus.join(best.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        eval)
+      .filter(col("n_contaminated") === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(cleanBest.subsetOf(curated.collect().map(_.getLong(0)).toSet),
+      s"lost keepable representatives: ${
+        (cleanBest -- curated.collect().map(_.getLong(0)).toSet).take(5)}")
   }
+
+  val weights = Map("src0" -> 250, "src1" -> 50)
+  lazy val out2 = java.nio.file.Files
+    .createTempDirectory("graft-curation-mix").toString
+  lazy val mixRes = CurationPipeline.run(spark, docs,
+    conf.copy(outputDir = out2, mixWeightsHundredths = weights))
 
   test("epoch-weight mixture: per-doc multiplicity lands in " +
     "[floor(w/100), ceil(w/100)] and the mixed stream packs") {
-    val out2 = java.nio.file.Files
-      .createTempDirectory("graft-curation-mix").toString
-    val weights = Map("src0" -> 250, "src1" -> 50)
-    val r = CurationPipeline.run(spark, docs,
-      conf.copy(outputDir = out2, mixWeightsHundredths = weights))
+    val r = mixRes
     assert(r.nCurated == res.nCurated) // mixing doesn't change curation
     assert(r.nMixed > r.nCurated && r.nWindows > 0)
     val packed = spark.read.parquet(s"$out2/packed")
@@ -95,6 +113,31 @@ class CurationSpec extends AnyFunSuite {
     // src1 at 0.5 epochs: some docs kept, some dropped — both sides real
     val src1 = mult.filter(_._1 == "src1").map(_._2)
     if (src1.size > 3) assert(src1.contains(1L) || src1.isEmpty)
+  }
+
+  test("sub-sharded run curates identically and emits the same " +
+    "(source, doc, epoch) multiset — the MixingSpec invariant lifted " +
+    "to the driver") {
+    val outS = java.nio.file.Files
+      .createTempDirectory("graft-curation-shard").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outS, mixWeightsHundredths = weights,
+        subShardBuckets = Some(4)))
+    assert(r.nCurated == mixRes.nCurated)
+    assert(r.nMixed == mixRes.nMixed)
+    val curA = spark.read.parquet(s"$out2/curated").select("doc_id")
+    val curB = spark.read.parquet(s"$outS/curated").select("doc_id")
+    assert(curA.except(curB).count() == 0
+      && curB.except(curA).count() == 0)
+    val a = spark.read.parquet(s"$out2/packed")
+      .groupBy("source", "doc_id", "epoch").count()
+    val b = spark.read.parquet(s"$outS/packed")
+      .groupBy("source", "doc_id", "epoch").count()
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // the sub-shard column landed and every stream is a real split
+    val shards = spark.read.parquet(s"$outS/packed")
+      .select("pack_shard").distinct().collect().map(_.getString(0))
+    assert(shards.forall(_.contains("#")))
   }
 
   test("re-running the pipeline is idempotent (same curated set)") {
