@@ -295,20 +295,34 @@ object Similarity {
     *
     * This is the whole point of the clustering: pairwise cosine runs
     * per-CELL (one equi-join shuffle on the cell key, pair volume
-    * Σ|cell|²), never corpus×corpus. Cell sizes are bounded by k in
-    * expectation; a pathologically hot cell sub-splits the same way the
-    * LSH bucket join does (sub-shard the join key) — the lever exists,
-    * the default path stays a plain equi-join.
+    * Σ|cell|²), never corpus×corpus. With fixed `cells` the expected
+    * cell size grows with the corpus, so the DEFAULT path sub-splits
+    * every cell the way the LSH bucket join shards hot keys: side B
+    * lands in a deterministic md5 bucket of its id, side A replicates
+    * once per bucket, and the join key becomes (cell, bucket) — every
+    * in-cell pair still meets EXACTLY once (in the task owning its
+    * b-side bucket), so the drop list is bit-identical for any
+    * `subSplit` (ScaleProbeSpec pins =1 ≡ =8 on a single-cell corpus),
+    * while the per-task pair volume drops from |cell|² to |cell|²/s.
+    * The cost is an s× replication of the probe side's shuffle — the
+    * standard salted-join trade of bytes moved for the elimination of
+    * the quadratic hot task.
     */
   def semanticDedup(corpus: DataFrame, cells: Int, tau: Double,
-                    lloydIters: Int = 1): DataFrame = {
+                    lloydIters: Int = 1, subSplit: Int = 8): DataFrame = {
+    require(subSplit > 0, s"subSplit must be positive, got $subSplit")
     val assigned = assignWith(corpus,
       centroidArrayShared(corpus, cells, lloydIters))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
+        col("embedding").as("va"))
+      .withColumn("__sub",
+        explode(array((0 until subSplit).map(i => lit(i)): _*)))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_id"),
-      col("embedding").as("vb"))
-    a.join(b, Seq("cell"))
+        col("embedding").as("vb"))
+      .withColumn("__sub",
+        pmod(TextAnalysis.hashBucket(col("vec_id")), lit(subSplit))
+          .cast("int"))
+    a.join(b, Seq("cell", "__sub"))
       .filter(col("id_a") < col("vec_id"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= tau)

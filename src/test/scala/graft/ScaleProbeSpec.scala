@@ -204,6 +204,50 @@ class ScaleProbeSpec extends AnyFunSuite {
       chosen.getDecimal(1) == best.getDecimal(1), s"$chosen vs $best")
   }
 
+  test("semanticDedup sub-split: a pathological single-cell corpus " +
+    "yields a bit-identical drop list for any subSplit, every pair " +
+    "met exactly once, and the hot cell's probe side spreads across " +
+    "buckets") {
+    val dim = 8
+    val n = 3000L
+    // every vector is a small perturbation of one direction and cells=1:
+    // the whole corpus lands in ONE cell — the Σ|cell|² worst case. All
+    // pairwise cosines stay above 0.98 (corner-to-corner bound of the
+    // [1.0, 1.2]^8 box), so at tau=0.95 EVERY pair is a twin and
+    // n_twins(v) must equal exactly v — any pair met twice (or missed)
+    // across sub-split buckets breaks that signature.
+    val corpus = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (lit(1.0) + pmod(hash(col("id"), d, lit("nz")), lit(1000))
+          .cast("double") / 5000.0).cast("float")).as("embedding"))
+    val s8 = graft.functions.Similarity.semanticDedup(
+      corpus, cells = 1, tau = 0.95, subSplit = 8)
+    val got8 = s8.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got8.length == n - 1)
+    got8.foreach { case (v, dupOf, twins) =>
+      assert(dupOf == 0L && twins == v, s"vec $v: $dupOf/$twins")
+    }
+    // sub-split invariance: the default path ≡ the unsplit join
+    val got1 = graft.functions.Similarity.semanticDedup(
+        corpus, cells = 1, tau = 0.95, subSplit = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got1.toSeq == got8.toSeq)
+    // the join really keys on (cell, bucket) — the quadratic task is
+    // physically split
+    assert(s8.queryExecution.sparkPlan.toString.contains("__sub"))
+    // and the md5 bucketing spreads the hot cell's build side: no bucket
+    // holds more than ~2/8 of the cell (expectation 1/8)
+    val hot = corpus.select(pmod(
+        graft.functions.TextAnalysis.hashBucket(col("vec_id")), lit(8))
+        .as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(max("c")).collect().head.getLong(0)
+    assert(hot.toDouble / n < 0.25, s"hot bucket holds $hot of $n")
+  }
+
   test("hot-key bounded aggregation: a 2M-row 95%-skewed key stream " +
     "through min_k yields the exact k smallest and bounded state") {
     // the collect_list failure mode this guards: one Zipf-head term
