@@ -35,10 +35,21 @@ object EmbeddingStreams {
     val centPath = s"$indexDir/centroids"
     val p = new org.apache.hadoop.fs.Path(centPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // gate on the committer's _SUCCESS marker, not the bare directory: a
+    // crash mid-write leaves a partial directory that would pass a
+    // directory-exists check on replay and feed a corrupt or empty
+    // quantizer; an uncommitted directory retrains (overwrite converges)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       Similarity.centroids(vecs, k, lloydIters)
         .write.mode("overwrite").parquet(centPath)
     val cents = spark.read.parquet(centPath)
+    // fail fast on a short quantizer (e.g. a bootstrap batch with fewer
+    // than k vectors trains fewer centroids) instead of silently
+    // assigning against the wrong-k table
+    val nCents = cents.count()
+    require(nCents == k,
+      s"standing quantizer at $centPath has $nCents centroids, expected " +
+        s"$k — bootstrap with at least k vectors or remove the directory")
     Similarity.incrementalAssign(cents, vecs)
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }

@@ -280,12 +280,15 @@ class StreamingSpec extends AnyFunSuite {
 
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
-    // wave 0 must contain the seed vectors (vec_id < k) so the
-    // bootstrap trains the same quantizer the batch twin does
+    // wave 0 must contain the FULL seed set (all vec_id < k): the
+    // bootstrap gate fails fast on a short quantizer, and the batch
+    // twin must train the same one — so waves split on (vec_id div 4)
+    // to keep ids 0..3 together in wave 0
+    def waveOf = pmod(expr("vec_id div 4"), lit(3))
     def stageWave(i: Int): Unit = {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft-sann-w$i").toString
-      vecs.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+      vecs.filter(waveOf === i).coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -306,7 +309,7 @@ class StreamingSpec extends AnyFunSuite {
     stageWave(0)
     runOnce()
     val c0 = cells()
-    assert(c0.nonEmpty && c0.keySet.forall(_ % 3 == 0))
+    assert(c0.nonEmpty && c0.keySet.forall(id => (id / 4) % 3 == 0))
 
     stageWave(1); stageWave(2)
     runOnce()
@@ -316,7 +319,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(c0.forall { case (id, cell) => all(id) == cell })
 
     // one-shot twin: train on wave 0 (the bootstrap batch), assign all
-    val wave0 = vecs.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val wave0 = vecs.filter(waveOf === 0)
     val cents = graft.functions.Similarity.centroids(wave0, 4, 1)
     val want = graft.functions.Similarity.incrementalAssign(cents, vecs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -331,6 +334,42 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.EmbeddingStreams.assignBatch(
       wave0.toDF(), batchId = 0, index, out, k = 4, lloydIters = 1)
     assert(cells() == all, "replayed bootstrap changed assignments")
+  }
+
+  test("streaming ANN bootstrap hardening: an uncommitted centroid dir " +
+    "retrains instead of reading a partial quantizer; a short bootstrap " +
+    "batch fails fast") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sann-boot").toString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val wave0 = vecs.filter(col("vec_id") < 40) // carries seeds 0..3
+
+    // a crash mid-write leaves the directory without the committer's
+    // _SUCCESS marker — the bootstrap gate must retrain, not read it
+    val index = s"$base/index"
+    new java.io.File(s"$index/centroids").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$index/centroids/part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated junk, no _SUCCESS
+    graft.streaming.EmbeddingStreams.assignBatch(
+      wave0.toDF(), batchId = 0, index, s"$base/cells", k = 4,
+      lloydIters = 1)
+    assert(new java.io.File(s"$index/centroids/_SUCCESS").exists())
+    spark.catalog.refreshByPath(s"$index/centroids")
+    assert(spark.read.parquet(s"$index/centroids").count() == 4)
+    assert(spark.read.parquet(s"$base/cells").count() == wave0.count())
+
+    // a bootstrap batch with fewer than k vectors trains a short
+    // quantizer — fail fast rather than silently assigning against it
+    val short2 = vecs.filter(col("vec_id") < 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.EmbeddingStreams.assignBatch(
+        short2.toDF(), batchId = 0, s"$base/index2", s"$base/cells2",
+        k = 4, lloydIters = 1)
+    }
+    assert(e.getMessage.contains("expected 4"))
   }
 
   test("streaming near-dup ingestion: each micro-batch probes then grows " +
