@@ -306,6 +306,56 @@ object Retrieval {
           p => p.getField("token_id").cast("string")), ",").as("ids"))
   }
 
+  /** Hybrid retrieval capstone: reciprocal-rank fusion (RRF, Cormack et
+    * al. 2009) of the two retrieval stacks — the lexical index path
+    * ([[bm25TopKIndexed]]) and the dense IVF multi-probe path
+    * ([[Similarity.ivfTopKProbed]]). Each query carries a term bag AND
+    * a query vector id; each stack produces its top-k ranking; the
+    * fused score is Σ 1/(rrfK + rank) over the lists a document
+    * appears in.
+    *
+    * The reciprocal is computed in integer micro-units via integral
+    * division (1000000 div (rrfK + rank)) — ranks are small integers,
+    * so the fusion is EXACT integer arithmetic in any engine and the
+    * final ordering is deterministic (micro-units desc, id asc), which
+    * is what makes the whole two-stack pipeline DuckDB-oracle-able.
+    *
+    * Scale posture: both stacks keep their own disciplines (broadcast
+    * query tables, map-side IVF assignment); the fusion itself joins
+    * two ≤ |queries|·topK frames — a full-outer join on (qid, id) that
+    * is negligible next to either stack. */
+  def hybridTopK(docs: DataFrame, vecs: DataFrame,
+                 queries: Seq[(String, Seq[String], Long)],
+                 topK: Int, cells: Int, nprobe: Int, rrfK: Int = 60,
+                 lloydIters: Int = 1, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = bm25TopKIndexed(docs, queries.map(q => (q._1, q._2)),
+        topK, idCol, textCol)
+      .select(col("qid"), col(idCol).as("id"),
+        col("rank").as("rank_lex"))
+    val qmap = broadcast(queries.map(q => (q._1, q._3)).toDF("qid", "qvec"))
+    val qvecs = vecs.join(qmap.select(col("qvec").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val dense = Similarity.ivfTopKProbed(vecs, qvecs, cells, topK,
+        nprobe, lloydIters)
+      .join(qmap, col("query_id") === col("qvec"))
+      .select(col("qid"), col("vec_id").as("id"),
+        col("rank").as("rank_dense"))
+    val fused = lex.join(dense, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf_unats",
+        coalesce(expr(s"1000000 div ($rrfK + rank_lex)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($rrfK + rank_dense)"), lit(0L)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("rrf_unats"), asc("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("id"), col("rrf_unats"),
+        col("rank_lex"), col("rank_dense"))
+  }
+
   /** Adjacent-bigram PMI (pointwise mutual information) — the phrase-
     * mining / collocation primitive: ln(p(ab) / (p(a)·p(b))) with
     * probabilities over the corpus bigram and unigram multisets.

@@ -2526,7 +2526,129 @@ object ExtensionQueries {
              |       o_orderstatus AS status, o_orderdate AS valid_from,
              |       valid_to, valid_to IS NULL AS is_current
              |FROM runs
-             |ORDER BY customer_id, valid_from, change_key""".stripMargin))
+             |ORDER BY customer_id, valid_from, change_key""".stripMargin)),
+
+    // Hybrid retrieval capstone — reciprocal-rank fusion of the two
+    // round-5 retrieval stacks: BM25 through the index join path (q85)
+    // and dense IVF multi-probe ANN (q62), fused per query by
+    // Σ 1/(60 + rank) in EXACT integer micro-units (1000000 div
+    // (60+rank)), so the two-stack composition is fully oracle-able.
+    // The oracle restates BOTH rankings (the q85 and q62 chains,
+    // non-colliding CTE names) plus the fusion.
+    Q("q94_hybrid_rrf",
+      (s, dir) => Retrieval.hybridTopK(
+          Tables.load(s, dir, "documents"),
+          Tables.load(s, dir, "embeddings"),
+          Seq(("q1", Seq("spark", "table"), 1L),
+            ("q2", Seq("query", "data"), 2L),
+            ("q3", Seq("window", "stream"), 3L)),
+          topK = 10, cells = 8, nprobe = 2)
+        .orderBy("qid", "rank"),
+      Some(ivfLloydCtes + """, qmap(qid, qvec) AS (
+             |  VALUES ('q1', 1), ('q2', 2), ('q3', 3)
+             |), qh AS (
+             |  SELECT m.qid, e.vec_id AS query_id, e.v AS qv
+             |  FROM e JOIN qmap m ON e.vec_id = m.qvec
+             |), cellrank AS (
+             |  SELECT q.query_id, q.qv, c.centroid_id AS cell,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             |           list_dot_product(q.qv, c.cv)
+             |             / (sqrt(list_dot_product(q.qv, q.qv))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS prk
+             |  FROM qh q CROSS JOIN c
+             |), pr AS (
+             |  SELECT query_id, qv, cell FROM cellrank WHERE prk <= 2
+             |), scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored
+             |  WHERE rk = 1
+             |), sims AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_dot_product(p.qv, a.v)
+             |           / (sqrt(list_dot_product(p.qv, p.qv))
+             |              * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
+             |), dranked AS (
+             |  SELECT query_id, vec_id,
+             |         ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS drk
+             |  FROM sims
+             |), denser AS (
+             |  SELECT m.qid, r.vec_id AS id,
+             |         CAST(r.drk AS INTEGER) AS rank_dense
+             |  FROM dranked r JOIN qmap m ON r.query_id = m.qvec
+             |  WHERE r.drk <= 10
+             |), d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), dl AS (
+             |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(dl) AS BIGINT) AS sdl
+             |  FROM dl
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM tok GROUP BY term, doc_id
+             |), qt(qid, term) AS (
+             |  VALUES ('q1','spark'),('q1','table'),('q2','query'),
+             |         ('q2','data'),('q3','window'),('q3','stream')
+             |), dfq AS (
+             |  SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+             |           AS df
+             |  FROM tf t JOIN (SELECT DISTINCT term FROM qt) q
+             |    ON q.term = t.term
+             |  GROUP BY t.term
+             |), contrib AS (
+             |  SELECT q.qid, t.doc_id,
+             |         CAST(floor((ln(1.0 + (s.n - f.df + 0.5)
+             |             / (f.df + 0.5)) * t.tf * (1.2 + 1.0)
+             |           / (t.tf + 1.2 * ((1.0 - 0.75)
+             |             + 0.75 * l.dl / (s.sdl / s.n)))) * 1000000.0)
+             |           AS BIGINT) AS w_unats
+             |  FROM qt q
+             |  JOIN tf t ON t.term = q.term
+             |  JOIN dfq f ON f.term = t.term
+             |  JOIN dl l ON l.doc_id = t.doc_id
+             |  CROSS JOIN stats s
+             |), sc AS (
+             |  SELECT qid, doc_id,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |           ORDER BY SUM(w_unats) DESC, doc_id) AS rnk
+             |  FROM contrib GROUP BY qid, doc_id
+             |), lexr AS (
+             |  SELECT qid, doc_id AS id, CAST(rnk AS INTEGER) AS rank_lex
+             |  FROM sc WHERE rnk <= 10
+             |), fused AS (
+             |  SELECT COALESCE(l.qid, dn.qid) AS qid,
+             |         COALESCE(l.id, dn.id) AS id,
+             |         l.rank_lex, dn.rank_dense,
+             |         CAST(COALESCE(1000000 // (60 + l.rank_lex), 0)
+             |            + COALESCE(1000000 // (60 + dn.rank_dense), 0)
+             |           AS BIGINT) AS rrf_unats
+             |  FROM lexr l FULL OUTER JOIN denser dn
+             |    ON l.qid = dn.qid AND l.id = dn.id
+             |), fr AS (
+             |  SELECT qid, id, rrf_unats, rank_lex, rank_dense,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             |           ORDER BY rrf_unats DESC, id) AS INTEGER) AS rank
+             |  FROM fused
+             |)
+             |SELECT qid, rank, id, rrf_unats, rank_lex, rank_dense
+             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -53,6 +53,38 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(("qA", 1)) == ((1L, d1)) && got(("qA", 2)) == ((2L, d2)))
   }
 
+  test("hybridTopK: RRF fusion is exact integer micro-units over the " +
+    "two stacks' ranks, lex-only and dense-only docs included") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(corpus, vecs,
+        Seq(("h1", Seq("a", "b"), 1L)), topK = 10, cells = 1, nprobe = 1)
+      .collect().map(r => r.getLong(2) -> ((r.getInt(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Int]),
+        Option(r.get(5)).map(_.asInstanceOf[Int])))).toMap
+    val lex = Retrieval.bm25TopKIndexed(corpus,
+        Seq("h1" -> Seq("a", "b")), topK = 10)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val dense = Similarity.ivfTopKProbed(vecs,
+        vecs.filter($"vec_id" === 1), cells = 1, k = 10, nprobe = 1)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val ids = lex.keySet ++ dense.keySet
+    assert(got.keySet == ids && lex.keySet != dense.keySet)
+    ids.foreach { id =>
+      val want = lex.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        dense.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(got(id)._2 == want, s"doc $id unats")
+      assert(got(id)._3 == lex.get(id) && got(id)._4 == dense.get(id))
+    }
+    // fused rank order = (rrf desc, id asc), ranks 1..n
+    val byRank = got.toSeq.sortBy(_._2._1).map(_._1)
+    val expect = ids.toSeq.sortBy(id => (-got(id)._2, id))
+    assert(byRank == expect)
+    assert(got.values.map(_._1).toSeq.sorted == (1 to ids.size))
+  }
+
   test("invertedIndex: df/total_tf exact, postings capped at k smallest") {
     val ix = Retrieval.invertedIndex(corpus, maxPostings = 2)
       .collect().map(r => r.getString(0) ->
