@@ -35,21 +35,57 @@ object Sketches {
     * end (driver-side cost zero; it's a single row).
     */
   def profile(table: DataFrame, cols: Seq[String],
-              k: Int = 256): DataFrame = {
-    val space = math.pow(2.0, 60)
+              k: Int = 256): DataFrame =
+    renderProfile(profileState(table, cols, k), cols, k)
+
+  /** The MERGEABLE form of [[profile]]: one row of per-column typed
+    * state — non-null count, min/max on the NATIVE column type (kept
+    * unrendered: a string-typed min of "10" vs "9" would merge wrong
+    * for numerics), and the MinK hash buffer. Land it as a standing
+    * table and fold new drops in with [[mergeProfileStates]]. */
+  def profileState(table: DataFrame, cols: Seq[String],
+                   k: Int): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"cnt_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
         minK(Dedup.md5Hash64(col(c).cast("string")), k).as(s"mins_$c"))
     }
-    val one = table.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    table.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Merge two profile states over DISJOINT row sets: counts add,
+    * min/max combine on the native types, and the MinK buffers merge
+    * by k smallest DISTINCT of their union (both inputs are ascending
+    * distinct k-mins, so sort→distinct→slice of the concatenation IS
+    * the union sketch — MinKAgg's semilattice lifted to the table
+    * level, the q92 pattern applied to profiling). The distinct step
+    * matters: a value present in both slices sits in both buffers, and
+    * keeping the duplicate would shift the k-th minimum. */
+  def mergeProfileStates(a: DataFrame, b: DataFrame, cols: Seq[String],
+                         k: Int): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(s"cnt_$c")).as(s"cnt_$c"),
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        slice(array_distinct(array_sort(flatten(
+          collect_list(col(s"mins_$c"))))), 1, k).as(s"mins_$c"))
+    }
+    a.unionByName(b).agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+  }
+
+  /** Explode a profile state into the per-column report ([[profile]]'s
+    * output shape; min/max stringify HERE, after any merging). */
+  def renderProfile(state: DataFrame, cols: Seq[String],
+                    k: Int): DataFrame = {
+    val space = math.pow(2.0, 60)
     val entries = array(cols.map { c =>
       struct(lit(c).as("col_name"), col(s"cnt_$c").as("n_nonnull"),
-        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+        col(s"min_$c").cast("string").as("min_val"),
+        col(s"max_$c").cast("string").as("max_val"),
         col(s"mins_$c").as("mins"))
     }: _*)
-    one.select(col("n_rows"), explode(entries).as("e"))
+    state.select(col("n_rows"), explode(entries).as("e"))
       .select(col("e.col_name").as("col_name"), col("n_rows"),
         col("e.n_nonnull").as("n_nonnull"),
         col("e.min_val").as("min_val"), col("e.max_val").as("max_val"),

@@ -2648,7 +2648,36 @@ object ExtensionQueries {
              |  FROM fused
              |)
              |SELECT qid, rank, id, rrf_unats, rank_lex, rank_dense
-             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))
+             |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
+    // Incremental profiling — the fourth standing artifact maintained
+    // without re-reading history (near-dup index q67, ANN quantizer
+    // q86, inverted index q92): the one-row profile STATE (typed
+    // min/max + MinK buffers) lands once over the historical slice,
+    // each new drop profiles only itself, and states merge by count
+    // addition + native min/max + k-min-distinct union of the hash
+    // buffers (MinKAgg's semilattice at the table level). The ORACLE
+    // is the from-scratch full-table rebuild (q84's SQL verbatim):
+    // merged ≡ rebuilt, hash-checked.
+    Q("q95_incremental_profile",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val cols = Seq("l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate")
+        val standing = Tables.memoTable(s, dir, "profile_state256") {
+          Sketches.profileState(
+            li.filter(col("l_orderkey") % 4 =!= 0), cols, k = 256)
+        }
+        val batch = Sketches.profileState(
+          li.filter(col("l_orderkey") % 4 === 0), cols, k = 256)
+        Sketches.renderProfile(
+          Sketches.mergeProfileStates(standing, batch, cols, k = 256),
+          cols, k = 256)
+          .orderBy("col_name")
+      },
+      Some(profileOracle("lineitem",
+        Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"),
+        k = 256)))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -251,6 +251,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.lmScore(short).count() == 0)
   }
 
+  test("mergeProfileStates: merged ≡ rebuilt when both slices share " +
+    "values (the union dedups shared hashes); chaining associates") {
+    val cols = Seq("v", "s")
+    val k = 16
+    // id % 100 over a % 3 split: gcd(3,100)=1, so BOTH slices contain
+    // every v value — each shared value sits in both MinK buffers and
+    // a merge without the distinct step would double it
+    val df = spark.range(0, 1000).select(
+      (col("id") % 100).as("v"),
+      concat(lit("x"), col("id") % 37).as("s"))
+    val a = df.filter(col("id") % 3 === 0)
+    val b = df.filter(col("id") % 3 =!= 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val merged = rows(Sketches.renderProfile(
+      Sketches.mergeProfileStates(
+        Sketches.profileState(a, cols, k),
+        Sketches.profileState(b, cols, k), cols, k), cols, k))
+    val rebuilt = rows(Sketches.profile(df, cols, k))
+    assert(merged == rebuilt)
+    // chained three-way merge (a ⊔ b1) ⊔ b2 ≡ rebuilt — a merged state
+    // is itself a valid left operand
+    val b1 = df.filter(col("id") % 3 === 1)
+    val b2 = df.filter(col("id") % 3 === 2)
+    val chained = rows(Sketches.renderProfile(
+      Sketches.mergeProfileStates(
+        Sketches.mergeProfileStates(
+          Sketches.profileState(a, cols, k),
+          Sketches.profileState(b1, cols, k), cols, k),
+        Sketches.profileState(b2, cols, k), cols, k), cols, k))
+    assert(chained == rebuilt)
+  }
+
   test("profile: one pass yields counts, min/max, and KMV estimates " +
     "per column; below-k columns report exact distincts") {
     val df = Seq(
