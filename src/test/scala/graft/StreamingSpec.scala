@@ -463,6 +463,66 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch duplicated index rows")
   }
 
+  test("streaming SCD2 upsert: time-ordered waves fold into the " +
+    "standing dimension; final version ≡ the full-history build; " +
+    "replay and restart add nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sscd").toString
+    val src = s"$base/src"
+    val dim = s"$base/dim"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val orders = graft.sources.Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val cut1 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val cut2 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sscd-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.DimensionStreams.ingestScd2(
+        spark.readStream.schema(orders.schema).parquet(src), dim, ckpt)
+        .awaitTermination(120000)
+    def dimRows(): Set[Seq[Any]] = {
+      spark.catalog.refreshByPath(dim)
+      graft.streaming.DimensionStreams.latestDim(spark, dim)
+        .collect().map(_.toSeq).toSet
+    }
+
+    // three strictly time-ordered waves (the applyBatch contract)
+    stage("w0", orders.filter(col("o_orderdate") < cut1))
+    runOnce()
+    stage("w1", orders.filter(col("o_orderdate") >= cut1
+      && col("o_orderdate") < cut2))
+    runOnce()
+    stage("w2", orders.filter(col("o_orderdate") >= cut2))
+    runOnce()
+
+    val got = dimRows()
+    val want = graft.operators.Scd.build(orders)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+
+    // restart with no new files: nothing replays, dimension unchanged
+    runOnce()
+    assert(dimRows() == want)
+
+    // crash-replay of the final batch by hand: it reads v=1 (the state
+    // its first attempt saw), never its own v=2, and rewrites the same
+    // bytes
+    graft.streaming.DimensionStreams.upsertBatch(
+      orders.filter(col("o_orderdate") >= cut2), batchId = 2, dim)
+    assert(dimRows() == want)
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
