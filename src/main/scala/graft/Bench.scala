@@ -53,8 +53,14 @@ object Bench {
     }
     val pass1 = execOrder.map(n => n -> timed(n)).toMap
     val pass2 = execOrder.map(n => n -> timed(n)).toMap
+    // min-of-3 for sub-second queries: at n-of-2 several flat queries
+    // moved ±25% run-to-run; a third pass over only the cheap ones
+    // tightens their noise floor for ~a quarter of a pass of wall clock
+    // (the expensive queries dominate pass time and keep min-of-2).
+    val sub1 = execOrder.filter(n => math.min(pass1(n), pass2(n)) < 1.0)
+    val pass3 = sub1.map(n => n -> timed(n)).toMap
     val results = names.map { name =>
-      name -> math.min(pass1(name), pass2(name))
+      name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
     }
     // 3-decimal rounding: the harness reading this line keeps only the last
     // ~2000 chars of output, and 60+ entries at full double precision push
