@@ -51,6 +51,37 @@ object Dedup {
   def seedMix(h: Column, seed: Int): Column =
     h.bitwiseXOR(lit(seed.toLong * 2654435769L))
 
+  /** Exact repeated-span audit (the k-gram face of exact-substring
+    * dedup, Lee et al. 2022, arXiv:2107.06499): for every document,
+    * how many of its word n-gram spans (duplicate-preserving — every
+    * position counts) also occur in at least one OTHER document. The
+    * per-doc dup fraction is the signal span-level dedup acts on:
+    * boilerplate and licence blocks light up long before whole-doc
+    * near-dup fires.
+    *
+    * Plan: spans hash to portable 60-bit longs map-side (word_ngrams
+    * kernel + md5 prefix), ONE explode→groupBy shuffle builds the
+    * shared-span set (distinct (doc, hash) first, then spans seen in
+    * ≥ 2 docs), and the per-doc count is a join on the hash followed
+    * by a doc-grain aggregate. Only 8-byte hashes cross any exchange;
+    * dup_bp is integral arithmetic (exact in any engine). */
+  def duplicatedSpans(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spans = docs.select(col(idCol),
+        explode(Retrieval.wordNgrams(col(textCol), n)).as("span"))
+      .select(col(idCol), md5Hash64(col("span")).as("h"))
+    val shared = spans.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"), lit(1).as("_dup"))
+    spans.join(shared, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+      .withColumn("dup_bp", expr("n_dup_spans * 10000 div n_spans"))
+  }
+
   /** MinHash signature on the portable md5 hash family: ONE md5 per
     * shingle (`baseHashes` = transform(sh, md5Hash64)), then k cheap
     * xor-mixed minima — 16× less hashing than md5-per-seed. */

@@ -330,6 +330,44 @@ object Similarity {
       .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_twins"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the vector-DB
+    * compression step (IVF-PQ-lite): per vector, amax = max |x_i|,
+    * codes c_i = floor(x_i·127/amax + 0.5) ∈ [-127, 127] (half-up via
+    * the floor closed form, identical in any engine — round()'s tie
+    * rule is not), and the total reconstruction error in integer
+    * nano-units: each element's |x_i − c_i·amax/127| floors to a long
+    * BEFORE the sum (the fixed-point discipline), so the error metric
+    * is exact under any summation order. Entirely map-side; a zero
+    * vector quantizes to all-zero codes with amax_micro 0.
+    *
+    * At scale the 8-bit codes cut ANN probe shuffle bytes ~4× vs
+    * float32; the emitted error metric is the recall-budget signal for
+    * choosing between code and raw-vector re-ranking. */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    // two-step projection (the bm25 pattern): amax is non-cheap and
+    // referenced by every downstream expression — keep it behind its
+    // own Project boundary so the max runs once per row
+    val base = corpus
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .select(col("vec_id"), col("xd"),
+        array_max(transform(col("xd"), x => abs(x))).as("amax"))
+    base
+      .withColumn("codes", when(col("amax") === 0.0,
+          transform(col("xd"), _ => lit(0L)))
+        .otherwise(transform(col("xd"),
+          x => floor(x * lit(127.0) / col("amax") + lit(0.5)))))
+      .withColumn("err_unano", aggregate(
+        zip_with(col("xd"), col("codes"), (x, c) =>
+          floor(abs(x - c * col("amax") / lit(127.0)) * lit(1e9))),
+        lit(0L), (a, b) => a + b))
+      .select(col("vec_id"),
+        floor(col("amax") * lit(1e6)).cast("long").as("amax_micro"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes"),
+        col("err_unano"))
+  }
+
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
     * exact cosine re-ranks within the bucket. Trades recall for turning the
     * corpus×corpus cross join into a per-bucket equi-join. */

@@ -238,6 +238,39 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint (md5 hex — portable, deterministic). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Feature-hashing (the hashing trick, Weinberger et al. 2009):
+    * every document becomes a `dim`-bucket bag-of-words COUNT vector,
+    * bucket = portable md5 hash of the token mod dim — the vocabulary-
+    * free featurization that feeds linear quality/domain classifiers
+    * at corpus scale (no vocabulary table to build, broadcast, or keep
+    * consistent across batches; the same token lands in the same
+    * bucket in any engine, forever).
+    *
+    * Plan: one explode→(doc, bucket) groupBy shuffle (counts partial-
+    * aggregate map-side), then one doc-grain aggregate pivots the ≤ dim
+    * buckets into the dense csv vector via a map lookup — no per-bucket
+    * joins, no dim-sized explode. Zero-token docs drop out (they have
+    * no feature mass), matching the tokenizer-side convention. */
+  def hashFeatures(docs: org.apache.spark.sql.DataFrame, dim: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val counts = docs.select(col(idCol),
+        explode(Retrieval.tokens(col(textCol))).as("w"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("w")), 1, 8), 16, 10)
+          .cast("long"), lit(dim.toLong)).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        map_from_entries(collect_list(struct(col("b"), col("c"))))
+          .as("m"))
+      .select(col(idCol), col("n_tokens"),
+        array_join(transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("string")), ",").as("features"))
+  }
+
   /** GPT2-style pre-tokenizer pattern (ASCII variant): contractions,
     * space-prefixed letter runs, digit runs, punctuation runs, whitespace.
     * A cheap proxy for BPE token counts without a vocabulary. */

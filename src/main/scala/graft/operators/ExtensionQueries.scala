@@ -2677,7 +2677,120 @@ object ExtensionQueries {
       },
       Some(profileOracle("lineitem",
         Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"),
-        k = 256)))
+        k = 256))),
+
+    // Exact repeated-span audit (the k-gram face of exact-substring
+    // dedup, Lee et al. 2022): per doc, how many of its 8-gram spans
+    // (every position counts) occur in ≥ 2 documents — the boilerplate
+    // signal span-level dedup acts on. Spans cross the shuffle as
+    // portable 60-bit md5 longs; dup_bp is integral division.
+    Q("q96_repeated_spans",
+      (s, dir) => Dedup.duplicatedSpans(
+          Tables.load(s, dir, "documents"), n = 8)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, ws,
+             |         unnest(generate_series(1, len(ws) - 7)) AS i
+             |  FROM d WHERE len(ws) >= 8
+             |), spans AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(array_to_string(ws[i:i+7], ' ')),
+             |           1, 15))::BIGINT AS h
+             |  FROM pos
+             |), shared AS (
+             |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM spans)
+             |  GROUP BY h HAVING COUNT(*) >= 2
+             |)
+             |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |       CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0
+             |         END) AS BIGINT) AS n_dup_spans,
+             |       CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0
+             |         END) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+             |FROM spans s LEFT JOIN shared sh ON sh.h = s.h
+             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // Scalar int8 quantization of the embeddings — the vector-DB
+    // compression step: codes via the floor(x·127/amax + 0.5) half-up
+    // closed form (round()'s tie rule differs per engine, floor's does
+    // not), reconstruction error floored to integer nano-units PER
+    // ELEMENT before the sum so the metric is exact under any
+    // summation order. Entirely map-side.
+    Q("q97_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(
+          Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), a AS (
+             |  SELECT vec_id, v,
+             |         list_max(list_transform(v, x -> abs(x))) AS amax
+             |  FROM e
+             |), c AS (
+             |  SELECT vec_id, v, amax,
+             |         CASE WHEN amax = 0
+             |           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             |           ELSE list_transform(v, x ->
+             |             CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+             |         END AS codes
+             |  FROM a
+             |)
+             |SELECT vec_id,
+             |       CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_micro,
+             |       array_to_string(list_transform(codes,
+             |         x -> CAST(x AS VARCHAR)), ',') AS codes,
+             |       CAST(list_sum(list_transform(range(1, len(v) + 1),
+             |         i -> CAST(floor(abs(v[i] - codes[i] * amax / 127.0)
+             |           * 1000000000.0) AS BIGINT))) AS BIGINT)
+             |         AS err_unano
+             |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // Feature hashing (the hashing trick): vocabulary-free 16-bucket
+    // bag-of-words count vectors over the portable md5 bucket — the
+    // featurization that feeds linear quality/domain classifiers
+    // without building or broadcasting a vocabulary table. Counts are
+    // exact integers; the same token buckets identically in any
+    // engine.
+    Q("q98_hash_features",
+      (s, dir) => TextAnalysis.hashFeatures(
+          Tables.load(s, dir, "documents"), dim = 16)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS w FROM d
+             |), b AS (
+             |  SELECT doc_id,
+             |         ('0x'||substr(md5(w),1,8))::BIGINT % 16 AS b
+             |  FROM tok
+             |), c AS (
+             |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM b GROUP BY doc_id, b
+             |), n AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens
+             |  FROM c GROUP BY doc_id
+             |), grid AS (
+             |  SELECT n.doc_id, g.i
+             |  FROM n CROSS JOIN
+             |    (SELECT unnest(generate_series(0, 15)) AS i) g
+             |), filled AS (
+             |  SELECT grid.doc_id, grid.i, COALESCE(c.c, 0) AS c
+             |  FROM grid LEFT JOIN c
+             |    ON c.doc_id = grid.doc_id AND c.b = grid.i
+             |)
+             |SELECT f.doc_id, n.n_tokens,
+             |       array_to_string(list(CAST(f.c AS VARCHAR)
+             |         ORDER BY f.i), ',') AS features
+             |FROM filled f JOIN n ON n.doc_id = f.doc_id
+             |GROUP BY f.doc_id, n.n_tokens ORDER BY f.doc_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

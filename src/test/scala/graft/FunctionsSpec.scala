@@ -572,4 +572,63 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
     assert(full == exact, s"full-probe should equal brute force")
   }
+
+  test("duplicatedSpans: every position counts, shared span flagged in " +
+    "both holders, span-free docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),   // spans [a..h], [b..x] — 1st shared
+      (2L, "z a b c d e f g h"),   // spans [z..g], [a..h] — 2nd shared
+      (3L, "q r s t u v w x y"),   // 2 spans, none shared
+      (4L, "too short")            // < 8 tokens → no spans, no row
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.duplicatedSpans(docs, n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 5000L)),
+      2L -> ((2L, 1L, 5000L)),
+      3L -> ((2L, 0L, 0L))))
+  }
+
+  test("quantizeInt8: half-up codes, exact nano-unit error, zero-vector " +
+    "degenerate") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity.quantizeInt8(vecs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // amax=1: codes 127, floor(-63.5+0.5)=-63, 0; err = only the middle
+    // element: floor(|−0.5 − (−63/127)|·1e9)
+    val err = math.floor(math.abs(-0.5 - (-63.0 * 1.0 / 127.0)) * 1e9).toLong
+    assert(got(1L) == ((1000000L, "127,-63,0", err)))
+    assert(got(2L) == ((0L, "0,0,0", 0L)))
+  }
+
+  test("hashFeatures: csv vector has dim entries summing to the token " +
+    "count, buckets match the portable md5 formula") {
+    val docs = Seq((1L, "a b a c"), (2L, " "), (3L, "b")).toDF("doc_id", "text")
+    val dim = 8
+    val got = graft.functions.TextAnalysis.hashFeatures(docs, dim)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == Set(1L, 3L)) // blank doc drops out
+    got.foreach { case (_, (n, csv)) =>
+      val fs = csv.split(",").map(_.toLong)
+      assert(fs.length == dim && fs.sum == n)
+    }
+    // independent bucket computation for each distinct token
+    val buckets = Seq("a", "b", "c").map { w =>
+      w -> spark.sql(
+        s"SELECT pmod(cast(conv(substring(md5('$w'),1,8),16,10) as " +
+          s"long), $dim)").collect().head.getLong(0)
+    }.toMap
+    val f1 = got(1L)._2.split(",").map(_.toLong)
+    val want = Array.fill(dim)(0L)
+    Seq("a", "b", "a", "c").foreach(w => want(buckets(w).toInt) += 1)
+    assert(f1.toSeq == want.toSeq)
+    assert(got(3L)._2.split(",").map(_.toLong)
+      .apply(buckets("b").toInt) == 1L)
+  }
 }
