@@ -343,7 +343,17 @@ object Similarity {
     * At scale the 8-bit codes cut ANN probe shuffle bytes ~4× vs
     * float32; the emitted error metric is the recall-budget signal for
     * choosing between code and raw-vector re-ranking. */
-  def quantizeInt8(corpus: DataFrame): DataFrame = {
+  def quantizeInt8(corpus: DataFrame): DataFrame =
+    quantizeInt8Arr(corpus)
+      .select(col("vec_id"),
+        floor(col("amax") * lit(1e6)).cast("long").as("amax_micro"),
+        array_join(transform(col("codes"), _.cast("string")), ",")
+          .as("codes"),
+        col("err_unano"))
+
+  /** quantizeInt8 with the code vector still an array (plus the raw
+    * amax) — the form [[quantizedTopK]] searches over. */
+  def quantizeInt8Arr(corpus: DataFrame): DataFrame = {
     // two-step projection (the bm25 pattern): amax is non-cheap and
     // referenced by every downstream expression — keep it behind its
     // own Project boundary so the max runs once per row
@@ -361,11 +371,44 @@ object Similarity {
         zip_with(col("xd"), col("codes"), (x, c) =>
           floor(abs(x - c * col("amax") / lit(127.0)) * lit(1e9))),
         lit(0L), (a, b) => a + b))
-      .select(col("vec_id"),
-        floor(col("amax") * lit(1e6)).cast("long").as("amax_micro"),
-        array_join(transform(col("codes"), _.cast("string")), ",")
-          .as("codes"),
-        col("err_unano"))
+      .select(col("vec_id"), col("amax"), col("codes"), col("err_unano"))
+  }
+
+  /** Exact top-k search over the int8 CODES — the compressed-index
+    * probe that [[quantizeInt8]]'s 4× byte saving buys: the quantized
+    * cosine is an INTEGER dot product over two code vectors (exact in
+    * any engine, no float fold order to worry about), normalized by
+    * the integer self-dots only at presentation. Same join discipline
+    * as bruteForceTopK: query codes broadcast, corpus never shuffles;
+    * per-row code norms precompute once on each side. Recall vs the
+    * float brute force is the quantization-error trade the q97 error
+    * metric budgets (SimilaritySpec pins it on the fixture). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val selfDot = (c: Column) => aggregate(
+      transform(c, x => x * x), lit(0L), (s, x) => s + x)
+    val codes = quantizeInt8Arr(corpus)
+      .select(col("vec_id"), col("codes"))
+      .withColumn("nrm", selfDot(col("codes")))
+    val qc = codes.join(queries.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"),
+        col("nrm").as("qn"))
+    val dot = aggregate(zip_with(col("codes"), col("qc"),
+      (a, b) => a * b), lit(0L), (s, x) => s + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("sim_q"), asc("vec_id"))
+    codes.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot_q", dot)
+      .withColumn("sim_q",
+        when(col("nrm") === 0L || col("qn") === 0L, lit(0.0))
+          .otherwise(round(col("dot_q")
+            / (sqrt(col("nrm").cast("double"))
+              * sqrt(col("qn").cast("double"))), 6)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("dot_q"), col("sim_q"))
   }
 
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,

@@ -2790,7 +2790,65 @@ object ExtensionQueries {
              |       array_to_string(list(CAST(f.c AS VARCHAR)
              |         ORDER BY f.i), ',') AS features
              |FROM filled f JOIN n ON n.doc_id = f.doc_id
-             |GROUP BY f.doc_id, n.n_tokens ORDER BY f.doc_id""".stripMargin))
+             |GROUP BY f.doc_id, n.n_tokens ORDER BY f.doc_id""".stripMargin)),
+
+    // Top-k search over the int8 codes — the probe the q97 compression
+    // buys: the quantized cosine is an INTEGER dot product (exact in
+    // any engine), normalized by the integer self-dots only at
+    // presentation. Query codes broadcast; the corpus never shuffles.
+    Q("q99_quantized_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+          k = 10).orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), a AS (
+             |  SELECT vec_id, v,
+             |         list_max(list_transform(v, x -> abs(x))) AS amax
+             |  FROM e
+             |), c AS (
+             |  SELECT vec_id,
+             |         CASE WHEN amax = 0
+             |           THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             |           ELSE list_transform(v, x ->
+             |             CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+             |         END AS codes
+             |  FROM a
+             |), nrm AS (
+             |  SELECT vec_id, codes,
+             |         CAST(list_sum(list_transform(codes, x -> x * x))
+             |           AS BIGINT) AS nrm
+             |  FROM c
+             |), qn AS (
+             |  SELECT vec_id AS query_id, codes AS qc, nrm AS qnrm
+             |  FROM nrm WHERE vec_id < 5
+             |), sims AS (
+             |  SELECT q.query_id, n.vec_id,
+             |         CAST(list_sum(list_transform(
+             |           range(1, len(n.codes) + 1),
+             |           i -> n.codes[i] * q.qc[i])) AS BIGINT) AS dot_q,
+             |         n.nrm, q.qnrm
+             |  FROM nrm n CROSS JOIN qn q
+             |  WHERE n.vec_id <> q.query_id
+             |), scored2 AS (
+             |  SELECT query_id, vec_id, dot_q,
+             |         CASE WHEN nrm = 0 OR qnrm = 0 THEN 0.0
+             |              ELSE round(dot_q / (sqrt(CAST(nrm AS DOUBLE))
+             |                * sqrt(CAST(qnrm AS DOUBLE))), 6)
+             |         END AS sim_q
+             |  FROM sims
+             |), rnk2 AS (
+             |  SELECT query_id, vec_id, dot_q, sim_q,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim_q DESC, vec_id) AS INTEGER) AS rank
+             |  FROM scored2
+             |)
+             |SELECT query_id, rank, vec_id, dot_q, sim_q
+             |FROM rnk2 WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

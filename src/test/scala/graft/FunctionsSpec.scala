@@ -606,6 +606,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2L) == ((0L, "0,0,0", 0L)))
   }
 
+  test("quantizedTopK: int8-code search recovers nearly all float " +
+    "brute-force neighbours on the fixture (the trade q97's error " +
+    "metric budgets)") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val quant = graft.functions.Similarity.quantizedTopK(emb, queries,
+        k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val exact = graft.functions.Similarity.bruteForceTopK(emb, queries,
+        k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, truth) =>
+      (quant.getOrElse(q, Set.empty) intersect truth).size }.sum
+    val recall = hits.toDouble / exact.map(_._2.size).sum
+    assert(recall >= 0.9, f"int8 recall $recall%.3f below 0.9")
+  }
+
   test("hashFeatures: csv vector has dim entries summing to the token " +
     "count, buckets match the portable md5 formula") {
     val docs = Seq((1L, "a b a c"), (2L, " "), (3L, "b")).toDF("doc_id", "text")
