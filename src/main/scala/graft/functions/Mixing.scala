@@ -54,6 +54,38 @@ object Mixing {
       .withColumn("seq_offset", expr(s"start_tok % ${budget}L"))
   }
 
+  /** Incremental sequence packing: extend a STANDING packed layout with
+    * a new batch of documents without re-reading (or re-windowing) the
+    * packed history — the packed-layout member of the incremental
+    * standing-artifact family (near-dup index, ANN quantizer, inverted
+    * index, profile state, SCD2 dimension).
+    *
+    * State per shard is ONE number — the total tokens already laid out
+    * (max(start_tok + n_tokens), exact because the stream is
+    * contiguous) — so the batch packs per-shard with that base offset
+    * and unions on: incremental ≡ full rebuild whenever the batch
+    * respects the append contract (every batch `orderCol` greater than
+    * every standing one within its shard — a daily drop). At scale the
+    * union is logical: a caller lands only the batch rows as a new
+    * partition next to the standing parquet.
+    *
+    * Plan: the base-offset aggregate is shard-cardinality (broadcast);
+    * only the BATCH flows through a window. */
+  def applyPackBatch(standing: DataFrame, batch: DataFrame, budget: Int,
+                     shardCol: String = "source",
+                     orderCol: String = "doc_id"): DataFrame = {
+    val base = standing.groupBy(col(shardCol))
+      .agg(max(col("start_tok") + col("n_tokens")).as("_base"))
+    standing.unionByName(
+      packSequences(batch, budget, shardCol, orderCol)
+        .join(broadcast(base), Seq(shardCol), "left")
+        .withColumn("start_tok",
+          col("start_tok") + coalesce(col("_base"), lit(0L)))
+        .withColumn("seq_id", expr(s"start_tok div ${budget}L"))
+        .withColumn("seq_offset", expr(s"start_tok % ${budget}L"))
+        .drop("_base"))
+  }
+
   /** Sub-sharding column for skewed corpora: when one source holds most
     * of the data, packing (or any per-shard window) serializes on that
     * shard's partition. Deriving the shard as (source, md5-bucket mod n)

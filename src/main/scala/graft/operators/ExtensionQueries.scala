@@ -2848,7 +2848,45 @@ object ExtensionQueries {
              |)
              |SELECT query_id, rank, vec_id, dot_q, sim_q
              |FROM rnk2 WHERE rank <= 10
-             |ORDER BY query_id, rank""".stripMargin))
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Incremental sequence packing — the packed layout joins the
+    // incremental standing-artifact family (q67/q86/q92/q93/q95):
+    // per-shard state is ONE number (total tokens laid out), the batch
+    // packs with that base offset, packed history is never re-read or
+    // re-windowed. The ORACLE is the full-corpus rebuild (q65's SQL
+    // verbatim): applied ≡ rebuilt, hash-checked.
+    Q("q100_incremental_pack",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val standing = Tables.memoTable(s, dir, "packed_hist512") {
+          Mixing.packSequences(docs.filter(col("doc_id") < 400),
+            budget = 512)
+        }
+        Mixing.applyPackBatch(standing,
+          docs.filter(col("doc_id") >= 400), budget = 512)
+          .select("doc_id", "source", "n_tokens", "start_tok",
+            "seq_id", "seq_offset")
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE length(string_split_regex(trim(text),
+             |                                             '\s+')) END
+             |           AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), cum AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id) - n_tokens AS BIGINT) AS start_tok
+             |  FROM toks
+             |)
+             |SELECT doc_id, source, n_tokens, start_tok,
+             |       start_tok // 512 AS seq_id,
+             |       start_tok % 512 AS seq_offset
+             |FROM cum ORDER BY source, doc_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -189,4 +189,33 @@ class MixingSpec extends AnyFunSuite {
     val s0 = prefix.count(_ == "s0").toDouble / prefix.length
     assert(s0 > 0.45 && s0 < 0.75, s"s0 share in prefix was $s0")
   }
+
+  test("applyPackBatch ≡ full rebuild: shared shards continue at the " +
+    "standing offset, batch-only shards bootstrap at zero, history " +
+    "rows pass through untouched") {
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e"), (3L, "B", "f"),
+      // batch: A continues, B continues, C is brand new
+      (10L, "A", "g h i j"), (11L, "B", "k l"), (12L, "C", "m")
+    ).toDF("doc_id", "source", "text")
+    val standing = graft.functions.Mixing.packSequences(
+      docs.filter($"doc_id" < 10), budget = 4)
+    val applied = graft.functions.Mixing.applyPackBatch(
+        standing, docs.filter($"doc_id" >= 10), budget = 4)
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_id",
+        "seq_offset")
+      .collect().map(_.toSeq).toSet
+    val rebuilt = graft.functions.Mixing.packSequences(docs, budget = 4)
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_id",
+        "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(applied == rebuilt)
+    // and the standing rows really are byte-identical pass-throughs
+    val histApplied = applied.filter(_.head.asInstanceOf[Long] < 10)
+    val histStanding = standing
+      .select("doc_id", "source", "n_tokens", "start_tok", "seq_id",
+        "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(histApplied == histStanding)
+  }
 }
