@@ -21,7 +21,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("query names follow the qNN_ convention and oracles are non-blank") {
-    assert(registry.forall(_.name.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(registry.forall(_.name.matches("q\\d{2,3}_[a-z0-9_]+")))
     assert(registry.flatMap(_.oracle).forall(_.trim.nonEmpty))
   }
 
