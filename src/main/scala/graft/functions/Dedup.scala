@@ -508,6 +508,48 @@ object Dedup {
     * ≈ 8 MB — comfortably broadcastable), so the corpus side is scored
     * entirely map-side by the sorted-merge intersect kernel: zero corpus
     * shuffle, zero explode of corpus tokens. */
+  /** Fold a batch's new near-dup pairs into a STANDING component table
+    * — incremental clustering, the clustering member of the standing-
+    * artifact family (index q92, quantizer q86, profile q95, SCD2 q93,
+    * packed layout q100). The full pair graph is standing's old-old
+    * pairs ∪ `newPairs` (every pair incident to the batch — exactly
+    * what [[incrementalNearDups]] emits), so components of the union
+    * graph equal components of the CONTRACTED graph where each old
+    * node collapses into its component label: map both endpoints of
+    * every new pair to their representative (standing comp if known,
+    * the id itself otherwise), drop self-loops, and run the iterative
+    * propagation over this contracted edge set — batch-incident-sized,
+    * NOT corpus-sized. Standing rows relabel through one
+    * component-table join; labels stay "min id in component" because
+    * the min over representatives IS the global min. History pairs are
+    * never re-read.
+    */
+  def applyClusterBatch(standing: DataFrame,
+                        newPairs: DataFrame): DataFrame = {
+    val contracted = newPairs
+      .join(standing.select(col("id").as("id_a"), col("comp").as("_ra")),
+        Seq("id_a"), "left")
+      .join(standing.select(col("id").as("id_b"), col("comp").as("_rb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("_ra"), col("id_a")).as("u"),
+        coalesce(col("_rb"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("id_a"),
+        greatest(col("u"), col("v")).as("id_b"))
+      .distinct()
+    val merged = connectedComponents(contracted, assumeDistinctPairs = true)
+    val relabeled = standing
+      .join(merged.select(col("id").as("comp"), col("comp").as("_nc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp"))
+    // endpoints not yet in the standing table (new docs, plus old docs
+    // whose first-ever pair arrived with this batch)
+    val fresh = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+      .join(standing.select("id"), Seq("id"), "left_anti")
+    relabeled.unionByName(fresh.join(merged, Seq("id")))
+  }
+
   def contamination(docs: DataFrame, evalDocs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 3): DataFrame = {

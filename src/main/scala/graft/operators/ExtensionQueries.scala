@@ -2886,7 +2886,48 @@ object ExtensionQueries {
              |SELECT doc_id, source, n_tokens, start_tok,
              |       start_tok // 512 AS seq_id,
              |       start_tok % 512 AS seq_offset
-             |FROM cum ORDER BY source, doc_id""".stripMargin))
+             |FROM cum ORDER BY source, doc_id""".stripMargin)),
+
+    // Incremental clustering — fold the q67 batch's incident pairs into
+    // a standing component table built over the historical corpus only:
+    // endpoints contract to their standing representative, the
+    // iterative propagation runs over the batch-incident-sized
+    // contracted graph, standing rows relabel through one join. History
+    // pairs are never re-read. The ORACLE is the full-corpus rebuild
+    // (q61's recursive transitive-closure SQL verbatim): applied ≡
+    // rebuilt, hash-checked.
+    Q("q101_incremental_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val standing = Tables.memoTable(s, dir, "clusters_hist") {
+          Dedup.connectedComponents(
+            Dedup.nearDuplicatesPortable(docs.filter(!newBatchPred),
+              "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+              minJaccardBp = 2000),
+            "id_a", "id_b", assumeDistinctPairs = true)
+        }
+        val newPairs = Dedup.incrementalNearDups(
+            docs.filter(newBatchPred), ndxBands(s, dir),
+            ndxShingles(s, dir), "doc_id", "text", shingleN = 3,
+            bands = 4, rowsPerBand = 4, minJaccardBp = 2000)
+          .select(least(col("new_id"), col("dup_id")).as("id_a"),
+            greatest(col("new_id"), col("dup_id")).as("id_b"))
+          .distinct()
+        Dedup.applyClusterBatch(standing, newPairs).orderBy("id")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |)
+          |SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |ORDER BY id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

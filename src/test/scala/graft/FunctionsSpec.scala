@@ -359,6 +359,30 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 12)
   }
 
+  test("applyClusterBatch ≡ full rebuild: a batch doc bridging two " +
+    "standing components merges them to the global min; untouched " +
+    "components keep labels; batch-only and first-pair-old docs attach") {
+    // standing components over old-old pairs: {1,2}, {5,6}, {8,9}
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val standing = Dedup.connectedComponents(oldPairs,
+      assumeDistinctPairs = true)
+    // batch doc 10 bridges {1,2} and {5,6} (transitive merge through a
+    // new node); 11-12 form a batch-only component; {8,9} untouched;
+    // 13 pairs with old doc 3 whose first-ever pair arrives now
+    val newPairs = Seq((2L, 10L), (5L, 10L), (11L, 12L), (3L, 13L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.applyClusterBatch(standing, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.connectedComponents(
+        oldPairs.unionByName(newPairs), assumeDistinctPairs = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(Seq(1L, 2L, 5L, 6L, 10L).forall(got(_) == 1L), got)
+    assert(got(8L) == 8L && got(9L) == 8L)
+    assert(got(11L) == 11L && got(12L) == 11L)
+    assert(got(3L) == 3L && got(13L) == 3L)
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster plus " +
     "every unclustered doc") {
     val real = spark.read
