@@ -39,7 +39,7 @@ object Bench {
     // iterative query's final checkpoint + its burst of small jobs leave
     // GC/cleaner residue; ordering them last means that residue can only
     // bill the pass boundary, never the next query's timing window.
-    val iterative = Set("q61_dedup_clusters")
+    val iterative = Set("q61_dedup_clusters", "q101_incremental_clusters")
     val execOrder = names.filterNot(iterative) ++ names.filter(iterative)
     execOrder.foreach(run)
 
