@@ -77,6 +77,69 @@ object DocumentStreams {
       .parquet(s"$indexDir/shingles/batch_id=$batchId")
   }
 
+  /** One micro-batch of the STREAMING CURATION pipeline — the
+    * foreachBatch composition of the batch curation stages over
+    * standing streaming state: quality gate (map-side census kernels),
+    * near-dup with the KEEP-FIRST policy (a batch doc drops when it
+    * duplicates anything already indexed — arrival order — or a
+    * lower-id batch-mate; the index grows by ALL batch docs, kept or
+    * dropped, so a later twin of a dropped doc is dropped too), and
+    * benchmark decontamination against the fixed eval set (one
+    * broadcast shingle array). All writes key by batch_id and
+    * overwrite on replay — the same exactly-once recipe as
+    * [[nearDupBatch]], which this calls for the index step. Driven to
+    * completion on id-ordered waves, the accumulated curated set
+    * equals the one-shot batch policy (StreamingSpec pins it). */
+  def curateBatch(batch: DataFrame, batchId: Long, evalDocs: DataFrame,
+                  indexDir: String, pairsPath: String,
+                  curatedPath: String, idCol: String = "doc_id",
+                  textCol: String = "text", shingleN: Int = 3,
+                  bands: Int = 4, rowsPerBand: Int = 4,
+                  minJaccardBp: Long = 5000): Unit = {
+    nearDupBatch(batch, batchId, indexDir, pairsPath, idCol, textCol,
+      shingleN, bands, rowsPerBand, minJaccardBp)
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol))
+    // the landed pairs ARE this batch's duplicate verdicts (reading the
+    // sink keeps replay ≡ first run — same bytes either way)
+    val dropped = spark.read
+      .parquet(s"$pairsPath/batch_id=$batchId")
+      .select(col("new_id").as(idCol)).distinct()
+    val kept = graft.functions.TextAnalysis.qualityVerdict(docs)
+      .filter(col("keep")).select(idCol)
+    val clean = Dedup.contamination(docs, evalDocs, idCol, textCol,
+        shingleN)
+      .filter(col("n_contaminated") === 0).select(idCol)
+    batch.join(kept, Seq(idCol), "left_semi")
+      .join(clean, Seq(idCol), "left_semi")
+      .join(broadcast(dropped), Seq(idCol), "left_anti")
+      .write.mode("overwrite")
+      .parquet(s"$curatedPath/batch_id=$batchId")
+  }
+
+  /** Start the streaming curation ingest: every micro-batch lands its
+    * curated survivors under `curatedPath/batch_id=N` and grows the
+    * standing near-dup index. Pass a durable `checkpoint` for
+    * restart. */
+  def ingestCurated(docs: DataFrame, evalDocs: DataFrame,
+                    indexDir: String, pairsPath: String,
+                    curatedPath: String, checkpoint: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 3, bands: Int = 4,
+                    rowsPerBand: Int = 4, minJaccardBp: Long = 5000):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          curateBatch(batch.toDF(), batchId, evalDocs, indexDir,
+            pairsPath, curatedPath, idCol, textCol, shingleN, bands,
+            rowsPerBand, minJaccardBp)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Start the streaming ingest: every micro-batch of `docs` probes and
     * then grows the standing index at `indexDir`, landing duplicate
     * pairs under `outPath`. Pass a durable `checkpoint` for restart. */

@@ -463,6 +463,79 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch duplicated index rows")
   }
 
+  test("streaming curation: id-ordered waves accumulate exactly the " +
+    "one-shot keep-first policy (quality ∧ clean ∧ no earlier " +
+    "near-dup); replay and restart add nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scur").toString
+    val src = s"$base/src"
+    new java.io.File(src).mkdirs()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 17 === 0)
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-scur-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.DocumentStreams.ingestCurated(
+        spark.readStream.schema(corpus.schema).parquet(src), eval,
+        s"$base/index", s"$base/pairs", s"$base/curated",
+        s"$base/ckpt", minJaccardBp = 2000)
+        .awaitTermination(180000)
+    def curated(): Set[Long] = {
+      spark.catalog.refreshByPath(s"$base/curated")
+      spark.read.parquet(s"$base/curated")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    // waves split by id RANGE: arrival order = id order, which is what
+    // makes streamed keep-first equal the one-shot lower-id-wins policy
+    val w0 = corpus.filter(col("doc_id") < 150)
+    val w12 = corpus.filter(col("doc_id") >= 150)
+    stage("w0", w0)
+    runOnce()
+    stage("w1", corpus.filter(col("doc_id") >= 150
+      && col("doc_id") < 300))
+    stage("w2", corpus.filter(col("doc_id") >= 300))
+    runOnce()
+
+    // one-shot twin of the policy over the full corpus
+    val kept = graft.functions.TextAnalysis.qualityVerdict(corpus)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clean = graft.functions.Dedup.contamination(corpus, eval)
+      .filter(col("n_contaminated") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupDropped = graft.functions.Dedup.nearDuplicatesPortable(
+        corpus, "doc_id", "text", shingleN = 3, bands = 4,
+        rowsPerBand = 4, minJaccardBp = 2000)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = kept.intersect(clean) -- dupDropped
+    val got = curated()
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty && dupDropped.nonEmpty)
+
+    // restart with no new files: nothing replays
+    runOnce()
+    assert(curated() == want)
+
+    // crash-replay of the final batch by hand: same bytes land
+    graft.streaming.DocumentStreams.curateBatch(w12.toDF(), batchId = 1,
+      eval, s"$base/index", s"$base/pairs", s"$base/curated",
+      minJaccardBp = 2000)
+    assert(curated() == want)
+  }
+
   test("streaming SCD2 upsert: time-ordered waves fold into the " +
     "standing dimension; final version ≡ the full-history build; " +
     "replay and restart add nothing") {
