@@ -614,4 +614,109 @@ object Dedup {
     org.apache.spark.sql.graftops.ColumnBridge.column(
       graft.plans.SimHash64(
         org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
+
+  /** Segment-level exact dedup: split every document into consecutive
+    * `window`-word segments, keep only the corpus-wide FIRST occurrence
+    * of each distinct segment (ordered by (id, segment position)), and
+    * reassemble the surviving text. This is the whole-segment member of
+    * the sub-document dedup family (duplicatedSpans audits overlapping
+    * n-grams; this one acts): boilerplate headers, licence blocks and
+    * quoted paragraphs collapse to one copy while the unique prose
+    * around them survives. Whitespace normalizes to single spaces (the
+    * segments are rebuilt from the token stream).
+    *
+    * Output: one row per input document — n_segs, n_kept, and the
+    * reassembled clean_text ('' when every segment was a duplicate or
+    * the text was empty).
+    *
+    * Scale posture: segments explode map-side; the first-occurrence
+    * choice is ONE hash-aggregate on the 60-bit segment fingerprint
+    * (min (id, seg_idx) struct — narrow rows, map-side partial combine),
+    * the keep decision joins back on the same fingerprint key, and the
+    * reassembly groups by document (per-group state bounded by document
+    * size). Nothing is ever corpus × corpus. */
+  def dedupSegments(docs: DataFrame, window: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val segs = docs
+      .select(col(idCol), toks.as("w"))
+      .select(col(idCol),
+        // guard the empty doc: sequence(0, -1) would infer step -1 and
+        // yield [0, -1] (two phantom segments), not an empty range
+        posexplode(when(size(col("w")) === 0,
+            array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              ceil(size(col("w")) / lit(window.toDouble)).cast("int") - 1),
+            i => concat_ws(" ",
+              slice(col("w"), i * window + 1, lit(window)))))))
+      .select(col(idCol), col("pos").as("seg_idx"),
+        col("col").as("seg_text"))
+      .withColumn("h", md5Hash64(col("seg_text")))
+    val first = segs.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("keep"))
+    val kept = segs.join(first, Seq("h"))
+      .filter(col(s"keep.$idCol") === col(idCol) &&
+        col("keep.seg_idx") === col("seg_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"),
+            col("seg_text")))), _.getField("seg_text")), " ")
+          .as("clean_text"))
+    docs.select(col(idCol),
+        ceil(when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(size(split(trim(col(textCol)), "\\s+")))
+          / lit(window.toDouble)).cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Containment-scored candidate pairs (asymmetric near-dup): for LSH
+    * candidate pairs, containment_ab = |A∩B| / |A| — the signal Jaccard
+    * misses when one document QUOTES another. A short doc fully embedded
+    * in a long one has low Jaccard (the union is large) but
+    * containment_ab = 1.0; span/quote detection keys on the max of the
+    * two directions. Scores are integral basis points (exact in any
+    * engine).
+    *
+    * Same plan as nearDuplicatesPortable (banded LSH bucket join →
+    * sorted-merge intersect verify — never all-pairs); only the scoring
+    * expression differs, so the scale posture is identical. Note the
+    * candidate stage is still symmetric MinHash-LSH: a pair whose
+    * Jaccard is far below the banding threshold can be missed even at
+    * high one-sided containment (production quote-mining lowers the
+    * threshold or bands on the shorter side's shingles). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 4,
+                       rowsPerBand: Int = 4,
+                       minContainmentBp: Long = 5000): DataFrame = {
+    val banded =
+      nearDupBandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+    val candidates = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val hs = shingleSets(docs, idCol, textCol, shingleN)
+    candidates
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("ninter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("contain_ab_bp",
+        floor(col("ninter") * lit(10000.0) / size(col("hs_a"))).cast("long"))
+      .withColumn("contain_ba_bp",
+        floor(col("ninter") * lit(10000.0) / size(col("hs_b"))).cast("long"))
+      .filter(greatest(col("contain_ab_bp"), col("contain_ba_bp"))
+        >= minContainmentBp)
+      .select("id_a", "id_b", "contain_ab_bp", "contain_ba_bp")
+  }
 }

@@ -181,4 +181,46 @@ object Mixing {
       expanded, defaultWeightHundredths, "_mix_subshard", keyCol)
       .drop("_mix_subshard")
   }
+
+  /** Overlapping context windows (the sliding-window chunking long-
+    * context pipelines feed to embedders and rerankers): per document,
+    * token windows of `window` words starting every `stride` words —
+    * consecutive windows overlap by (window − stride) words, so no span
+    * falls on a boundary unseen. The final window may be shorter (the
+    * document's tail is emitted, never dropped); an empty document
+    * yields no windows. Whitespace normalizes to single spaces.
+    *
+    * Emits (id, win_id, start_tok, n_win_tokens, window_text); win_id
+    * counts from 0 in stride order.
+    *
+    * Scale posture: pure map-side — one `sequence`+`posexplode` over
+    * each document's own token array, zero shuffles, zero joins; the
+    * operator is embarrassingly parallel at any corpus size (output
+    * volume is the input × overlap factor, the price the technique
+    * itself chose). */
+  def slidingWindows(docs: DataFrame, window: Int, stride: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val toks = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol), toks.as("w"))
+      .select(col(idCol), col("w"),
+        // starts: 0, stride, 2·stride, … while start < n_tokens
+        // (empty docs guarded — sequence(0,-1) would count backwards)
+        posexplode(when(size(col("w")) === 0,
+            array().cast("array<int>"))
+          .otherwise(sequence(lit(0),
+            floor((size(col("w")) - 1) / lit(stride)).cast("int")
+              * stride, lit(stride)))))
+      .select(col(idCol), col("pos").cast("long").as("win_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(window), size(col("w")) - col("col"))
+          .cast("long").as("n_win_tokens"),
+        concat_ws(" ", slice(col("w"), col("col") + 1, lit(window)))
+          .as("window_text"))
+  }
 }

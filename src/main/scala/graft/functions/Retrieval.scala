@@ -392,4 +392,68 @@ object Retrieval {
           / ((col("c1") / col("n1")) * (col("c2") / col("n1")))), 6)
           .as("pmi"))
   }
+
+  /** Champion-list document-document similarity (the index-pruning
+    * technique of Manning/Raghavan/Schütze IR §7.1.3): each term keeps
+    * only its `c` highest-tf documents (its champion list); candidate
+    * doc pairs arise only within a term's champion list, and score as
+    * Σ over shared champion terms of w_a·w_b with ltc weights
+    * w = (1 + ln tf) · ln(1 + N/df), quantized to integer millinats
+    * before the product so the per-pair sum is exact in any engine and
+    * under any summation order.
+    *
+    * This is the all-pairs-similarity shape that survives a Zipf head:
+    * a stop-word with df = N contributes c²/2 pairs, not N²/2 — the
+    * cap is the SAME bounded-state lever as the inverted index's
+    * posting cap, here bounding the candidate fan-out instead of the
+    * reduce. (Approximate by construction: a pair similar only through
+    * non-champion terms is missed; production raises c or unions a
+    * global-IDF prefix filter — this is the candidate-generation stage
+    * of DISCO/all-pairs pipelines.)
+    *
+    * Plan: ONE explode→groupBy(term, doc) shuffle for tf, ONE
+    * groupBy(term) whose per-group state is bounded at c encoded longs
+    * (MinKAgg over (tf desc, id asc) encoded order — a hot term costs
+    * the same as a rare one), pairs generated MAP-SIDE from each
+    * term's ≤ c champions (flatten/transform HOFs, ≤ c²/2 rows per
+    * term), one final groupBy(id_a, id_b). The corpus never self-joins.
+    *
+    * Encoding contract: doc ids in [0, 2^40), tf capped at 2^20 − 1
+    * (ties above the cap break by doc id, like any impact-ordered
+    * index's quantized tf). */
+  def championPairs(docs: DataFrame, championsPerTerm: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(championsPerTerm > 0,
+      s"championsPerTerm must be positive, got $championsPerTerm")
+    val maxTf = 1L << 20
+    val idMask = (1L << 40) - 1
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val encoded = (lit(maxTf) - least(col("tf"), lit(maxTf - 1)))
+      .multiply(lit(1L << 40))
+      .plus(col(idCol).cast("long"))
+    val terms = tf
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        Sketches.minK(encoded, championsPerTerm).as("champs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .withColumn("idf",
+        log(lit(1.0) + col("n").cast("double") / col("df")))
+      .withColumn("cs", transform(col("champs"), v => struct(
+        v.bitwiseAND(lit(idMask)).as("id"),
+        (lit(maxTf) - shiftright(v, 40)).as("tf"))))
+    def wMillinats(e: Column): Column =
+      floor((lit(1.0) + log(e.getField("tf").cast("double")))
+        * col("idf") * lit(1e3)).cast("long")
+    val pairs = terms.select(explode(flatten(transform(col("cs"), a =>
+      transform(filter(col("cs"), b => b.getField("id") > a.getField("id")),
+        b => struct(a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          (wMillinats(a) * wMillinats(b)).as("c")))))).as("p"))
+    pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("p.c")).as("score_u"))
+  }
 }

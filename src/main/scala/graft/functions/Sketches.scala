@@ -20,6 +20,17 @@ object Sketches {
         org.apache.spark.sql.graftops.ColumnBridge.expression(values), k)
         .toAggregateExpression())
 
+  /** Misra-Gries heavy-hitters summary of a string column: ≤ k
+    * (item, cnt) structs, count-descending (graft.plans.FreqItemsAgg —
+    * mergeable; EXACT whenever the group has ≤ k distinct items,
+    * otherwise every count undercounts by at most n/(k+1) and every
+    * true heavy hitter above that bar is present). */
+  def freqItems(values: Column, k: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.FreqItemsAgg(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(values), k)
+        .toAggregateExpression())
+
   /** Single-pass multi-column data profiler (the Deequ/DataSketches-
     * shaped operator a pipeline runs before trusting a new drop of
     * data): for every requested column — row count, non-null count,

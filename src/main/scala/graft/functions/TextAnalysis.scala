@@ -280,4 +280,99 @@ object TextAnalysis {
   /** BPE-ish token count: number of pre-tokenizer matches. */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpePattern)).cast("int")
+
+  /** Per-stratum QUOTA sampling (corpus balancing): keep at most
+    * `quotas(stratum)` rows per stratum (default `defaultQuota`),
+    * chosen deterministically as the rows with the smallest portable
+    * md5 hash of their key — a reproducible uniform draw, unlike
+    * rate-based stratifiedSample which keeps a PERCENTAGE (quotas cap
+    * the absolute count, the contract language-balancing needs when one
+    * language is 1000× another).
+    *
+    * Scale posture: the selection is a bounded-state aggregate — MinKAgg
+    * keeps the `quota` smallest hashes per stratum (mergeable, map-side
+    * partial combine), so no per-stratum sort and no single-partition
+    * window; the corpus is then semi-joined on (stratum, hash), with
+    * the selected-hash side at most Σ quotas rows (broadcast). Exactness
+    * caveat: selection keys on the 60-bit hash, so two keys colliding
+    * within one stratum could over-admit by one row — negligible below
+    * ~2^30 rows per stratum; production uses the full 128-bit digest. */
+  def quotaSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                  stratumCol: String, quotas: Map[String, Int],
+                  defaultQuota: Int): org.apache.spark.sql.DataFrame = {
+    require(defaultQuota >= 0 && quotas.values.forall(_ >= 0),
+      "quotas must be non-negative")
+    val maxQ = (quotas.values.toSeq :+ defaultQuota).max
+    val quotaOf = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (value, q)) => when(col(stratumCol) === value, lit(q))
+        .otherwise(acc)
+    }
+    val selected = df
+      .groupBy(col(stratumCol))
+      .agg(Sketches.minK(Dedup.md5Hash64(col(keyCol).cast("string")), maxQ)
+        .as("hs"))
+      .select(col(stratumCol), posexplode(col("hs")))
+      // minK is ascending, so pos < quota trims each stratum to ITS cap
+      .filter(col("pos") < quotaOf)
+      .select(col(stratumCol), col("col").as("_sel_hash"))
+    df.withColumn("_sel_hash", Dedup.md5Hash64(col(keyCol).cast("string")))
+      .join(org.apache.spark.sql.functions.broadcast(selected),
+        Seq(stratumCol, "_sel_hash"), "left_semi")
+      .drop("_sel_hash")
+  }
+
+  /** Fuzzy self-join (edit-distance ≤ `maxDist` pairs) via q-gram
+    * blocking + levenshtein verify — the filter-verification shape of
+    * PassJoin/ED-Join (Gravano et al., VLDB 2001): candidate pairs must
+    * share a character q-gram and have length difference ≤ maxDist, and
+    * by the q-gram COUNT filter must share at least
+    * max(|a|,|b|) − q + 1 − maxDist·q of them; only candidates reach
+    * the O(len²) levenshtein, never the full n² cross join.
+    *
+    * COMPLETENESS contract: the blocking provably equals the cross join
+    * it replaces when every string is at least q·(maxDist+1) characters
+    * long (then the count-filter bound max(L)−q+1−d·q ≥ 1, so a true
+    * pair always shares a gram). Shorter strings keep a whole-string
+    * gram (exact-match blocking only) — callers with very short keys
+    * should drop to q=1.
+    *
+    * Scale posture: grams explode map-side (grouped to (id, gram,
+    * multiplicity) — the count filter needs MULTISET intersections, a
+    * distinct-gram-types count violates the bound on gram-repeating
+    * strings like "aaaa"); ONE equi-join on the gram key (hot grams
+    * bound the blocking fan-out — production shards or drops
+    * stop-grams); the Σ min(cnt_a, cnt_b) aggregate applies the count
+    * filter BEFORE any levenshtein runs. Strings ride the gram rows
+    * (short by contract); verify is codegen'd levenshtein. */
+  def fuzzyPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 strCol: String, maxDist: Int,
+                 q: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val grams = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      // greatest(…, 1): a string shorter than q keeps one whole-string
+      // gram (sequence(1, 0) would count backwards, not come up empty)
+      .withColumn("g", explode(transform(
+        sequence(lit(1), greatest(length(col("s")) - q + 1, lit(1))),
+        i => col("s").substr(i, lit(q)))))
+      .groupBy(col("id"), col("s"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val candidates = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
+      // q-gram count filter (multiset form): ed ≤ d strings share
+      // Σ min(cnt_a, cnt_b) ≥ maxL − q + 1 − d·q positional grams
+      .filter(col("shared") >=
+        greatest(length(col("s_a")), length(col("s_b"))) - (q - 1)
+          - maxDist * q)
+    candidates
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        col("dist"))
+  }
 }

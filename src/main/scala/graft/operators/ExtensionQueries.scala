@@ -2927,7 +2927,268 @@ object ExtensionQueries {
           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
           |)
           |SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
-          |ORDER BY id""".stripMargin))
+          |ORDER BY id""".stripMargin)),
+
+    // Segment-level exact dedup (the acting face of q96's repeated-span
+    // audit): consecutive 8-word segments, corpus-wide first occurrence
+    // wins (ordered by (doc_id, position)), surviving text reassembled.
+    // One hash-aggregate on the 60-bit segment fingerprint + a join
+    // back on the same key — never corpus × corpus.
+    Q("q102_dedup_segments",
+      (s, dir) => Dedup.dedupSegments(
+          Tables.load(s, dir, "documents"), window = 8)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(trim(text)) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split_regex(trim(text), '\s+')
+             |         END AS w
+             |  FROM documents
+             |), seg0 AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0,
+             |           CAST(ceil(len(w) / 8.0) AS INT) - 1)) AS seg_idx
+             |  FROM d WHERE len(w) > 0
+             |), seg AS (
+             |  SELECT doc_id, seg_idx,
+             |         array_to_string(w[seg_idx*8 + 1 : seg_idx*8 + 8],
+             |                         ' ') AS seg_text
+             |  FROM seg0
+             |), rk AS (
+             |  SELECT doc_id, seg_idx, seg_text,
+             |         ROW_NUMBER() OVER (PARTITION BY seg_text
+             |           ORDER BY doc_id, seg_idx) AS rk
+             |  FROM seg
+             |), kept AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |         string_agg(seg_text, ' ' ORDER BY seg_idx)
+             |           AS clean_text
+             |  FROM rk WHERE rk = 1 GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |       CAST(ceil(len(d.w) / 8.0) AS BIGINT) AS n_segs,
+             |       COALESCE(k.n_kept, 0) AS n_kept,
+             |       COALESCE(k.clean_text, '') AS clean_text
+             |FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Binned date-range join: shipments falling inside each order's
+    // 14-day fulfillment window. A raw BETWEEN join would plan as
+    // broadcast-nested-loop (no equality key); binning replicates each
+    // interval to its ~1-2 day-bins and equi-joins on the bin — every
+    // true pair meets exactly once (a point lives in ONE bin), so no
+    // dedup and the result is exactly the nested-loop join's.
+    Q("q103_range_join",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+        val ords = Tables.load(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            date_add(col("o_orderdate"), 13).as("o_window_end"))
+        RangeJoin.pointInInterval(li, "l_shipdate",
+            ords, "o_orderdate", "o_window_end", binDays = 14)
+          .filter(col("l_orderkey") =!= col("o_orderkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+             |         AS month,
+             |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT)
+             |         AS n_orders,
+             |       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             |         AS sum_qty
+             |FROM orders o JOIN lineitem l
+             |  ON CAST(l.l_shipdate AS DATE)
+             |       BETWEEN CAST(o.o_orderdate AS DATE)
+             |           AND CAST(o.o_orderdate AS DATE) + INTERVAL 13 DAY
+             | AND l.l_orderkey <> o.o_orderkey
+             |WHERE year(o.o_orderdate) = 1997 AND l.l_quantity >= 48
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fuzzy self-join over part names: q-gram blocking + count filter +
+    // levenshtein verify (the filter-verification shape) — the oracle is
+    // the full n² cross join the blocking provably equals (every name is
+    // ≥ q·(d+1) chars, so the count-filter completeness bound applies).
+    Q("q104_fuzzy_join",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("pid"))
+        TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+            maxDist = 2, q = 2)
+          .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH nm AS (
+             |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
+             |  FROM part GROUP BY p_name
+             |)
+             |SELECT a.pid AS id_a, b.pid AS id_b,
+             |       a.p_name AS s_a, b.p_name AS s_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+             |         AS dist
+             |FROM nm a JOIN nm b ON a.pid < b.pid
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Champion-list doc-doc similarity (index pruning, IR §7.1.3): each
+    // term's c highest-tf docs form its champion list; pairs arise only
+    // within a list (≤ c²/2 per term — a stop-word costs the same as a
+    // rare term) and score as Σ w_a·w_b, ltc weights quantized to
+    // integer millinats before the product. Champion selection is a
+    // BOUNDED aggregate (MinKAgg over (tf desc, id) encoded longs), not
+    // a per-term sort window.
+    Q("q105_champion_pairs",
+      (s, dir) => Retrieval.championPairs(
+          Tables.load(s, dir, "documents"), championsPerTerm = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS c
+             |  FROM tok GROUP BY term, doc_id
+             |), nn AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |), dfc AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), ch AS (
+             |  SELECT term, doc_id, c,
+             |         ROW_NUMBER() OVER (PARTITION BY term
+             |           ORDER BY c DESC, doc_id) AS rk
+             |  FROM tf
+             |), w AS (
+             |  SELECT ch.term, ch.doc_id,
+             |         CAST(floor((1.0 + ln(CAST(ch.c AS DOUBLE)))
+             |           * ln(1.0 + CAST(nn.n AS DOUBLE) / dfc.df)
+             |           * 1000) AS BIGINT) AS wm
+             |  FROM ch JOIN dfc USING (term) CROSS JOIN nn
+             |  WHERE ch.rk <= 8
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |       CAST(SUM(a.wm * b.wm) AS BIGINT) AS score_u
+             |FROM w a JOIN w b
+             |  ON a.term = b.term AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Misra-Gries heavy hitters per event day (graft.plans.FreqItemsAgg,
+    // capacity 16): the group's shuffle state is ≤ 16 counters however
+    // many distinct items the day saw. event_type's domain (< 16) makes
+    // the sketch EXACT here — the oracle-checkable degenerate case
+    // (PropertySpec pins the approximation bounds beyond capacity).
+    Q("q106_heavy_hitters",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(Sketches.freqItems(col("event_type"), 16).as("hh"))
+        .select(col("day"), posexplode(col("hh")))
+        .select(col("day"), col("pos").cast("long").as("rank"),
+          col("col.item").as("event_type"), col("col.cnt").as("cnt"))
+        .orderBy("day", "rank"),
+      Some("""WITH c AS (
+             |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT day,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY day
+             |         ORDER BY cnt DESC, event_type) - 1 AS BIGINT)
+             |         AS rank,
+             |       event_type, cnt
+             |FROM c ORDER BY day, rank""".stripMargin)),
+
+    // Per-language QUOTA sampling (corpus balancing): at most quota(lang)
+    // docs per language, chosen as the smallest portable hashes — an
+    // absolute cap, where q64's rate sampling keeps a percentage. The
+    // selection is a bounded MinKAgg per stratum (mergeable, no
+    // per-stratum sort window), then one broadcast semi-join.
+    Q("q107_quota_sample",
+      (s, dir) => TextAnalysis.quotaSample(
+          Tables.load(s, dir, "documents"), keyCol = "doc_id",
+          stratumCol = "lang", quotas = Map("en" -> 50, "de" -> 30),
+          defaultQuota = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+             |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |             1, 15))::BIGINT, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= CASE WHEN lang = 'en' THEN 50
+             |                 WHEN lang = 'de' THEN 30 ELSE 20 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Sliding context windows (long-context chunking): 32-token windows
+    // every 24 tokens — consecutive windows overlap by 8 so no span
+    // falls on a boundary unseen; the tail window is emitted short.
+    // Pure map-side (sequence + posexplode over each doc's own tokens):
+    // zero shuffles, zero joins.
+    Q("q108_sliding_windows",
+      (s, dir) => Mixing.slidingWindows(
+          Tables.load(s, dir, "documents"), window = 32, stride = 24)
+        .orderBy("doc_id", "win_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(trim(text)) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split_regex(trim(text), '\s+')
+             |         END AS w
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0,
+             |           ((len(w) - 1) // 24) * 24, 24)) AS s
+             |  FROM d WHERE len(w) > 0
+             |)
+             |SELECT doc_id, CAST(s // 24 AS BIGINT) AS win_id,
+             |       CAST(s AS BIGINT) AS start_tok,
+             |       CAST(least(32, len(w) - s) AS BIGINT)
+             |         AS n_win_tokens,
+             |       array_to_string(w[s + 1 : s + 32], ' ')
+             |         AS window_text
+             |FROM st ORDER BY doc_id, win_id""".stripMargin)),
+
+    // Containment-scored pairs (asymmetric near-dup / quote detection):
+    // |A∩B|/|A| in basis points, both directions, over the SAME banded-
+    // LSH candidates as q44 — Jaccard misses a short doc embedded in a
+    // long one (big union); one-sided containment is the signal that
+    // catches it. The oracle reuses the near-dup CTE chain (cand/shc/
+    // inter) with the containment denominators.
+    Q("q109_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, bands = 4, rowsPerBand = 4,
+          minContainmentBp = 3000)
+        .orderBy("id_a", "id_b"),
+      Some(neardupScoredCtes +
+        """SELECT c.id_a, c.id_b,
+          |       CAST(floor(COALESCE(i.ninter, 0) * 10000.0 / ca.nsh)
+          |         AS BIGINT) AS contain_ab_bp,
+          |       CAST(floor(COALESCE(i.ninter, 0) * 10000.0 / cb.nsh)
+          |         AS BIGINT) AS contain_ba_bp
+          |FROM cand c
+          |JOIN shc ca ON ca.doc_id = c.id_a
+          |JOIN shc cb ON cb.doc_id = c.id_b
+          |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          |WHERE greatest(
+          |        floor(COALESCE(i.ninter, 0) * 10000.0 / ca.nsh),
+          |        floor(COALESCE(i.ninter, 0) * 10000.0 / cb.nsh))
+          |      >= 3000
+          |ORDER BY c.id_a, c.id_b""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
