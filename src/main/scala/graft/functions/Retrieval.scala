@@ -186,9 +186,17 @@ object Retrieval {
     * what the q92 oracle checks: the full-corpus rebuild SQL). The join
     * is index-sized (vocabulary rows), never corpus-sized. */
   def mergeIndexes(standing: DataFrame, batch: DataFrame,
-                   maxPostings: Int): DataFrame = {
+                   maxPostings: Int): DataFrame =
+    renderPostings(mergeIndexesArr(standing, batch, maxPostings))
+
+  /** mergeIndexes keeping the posting list an array — the CLOSED form
+    * (arr in, arr out), so merges chain: a streaming maintainer folds
+    * batch after batch into the standing arr-form index and renders
+    * only at read time. */
+  def mergeIndexesArr(standing: DataFrame, batch: DataFrame,
+                      maxPostings: Int): DataFrame = {
     val empty = array().cast("array<bigint>")
-    val merged = standing.select(col("term"), col("df").as("df_a"),
+    standing.select(col("term"), col("df").as("df_a"),
         col("total_tf").as("tf_a"), col("post_arr").as("pa"))
       .join(batch.select(col("term"), col("df").as("df_b"),
         col("total_tf").as("tf_b"), col("post_arr").as("pb")),
@@ -200,7 +208,6 @@ object Retrieval {
           + coalesce(col("tf_b"), lit(0L))).as("total_tf"),
         slice(array_sort(concat(coalesce(col("pa"), empty),
           coalesce(col("pb"), empty))), 1, maxPostings).as("post_arr"))
-    renderPostings(merged)
   }
 
   /** Bigram language-model fluency score per document (the CCNet-style

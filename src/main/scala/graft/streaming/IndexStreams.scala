@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Retrieval
+
+/** Streaming inverted-index maintenance: the retrieval-side member of the
+  * standing-artifact family (near-dup index — DocumentStreams, ANN
+  * quantizer — EmbeddingStreams, SCD2 dimension — DimensionStreams).
+  * Each micro-batch tokenizes ONLY its own documents, builds the batch's
+  * arr-form index, and folds it into the standing index via
+  * [[Retrieval.mergeIndexesArr]] — counts add, bounded posting lists
+  * merge on the k-min semilattice, the historical corpus is never
+  * re-tokenized (the join is vocabulary-sized).
+  *
+  * Exactly-once recipe: the DimensionStreams versioned-artifact pattern —
+  * batch N reads committed v=N−1 (gated on its `_SUCCESS` marker) and
+  * overwrites v=N; a replayed batch folds into exactly the state its
+  * first attempt saw and rewrites the same bytes (the merge is
+  * deterministic). Contract: batches partition the corpus (each doc id
+  * arrives exactly once across the stream) — df/total_tf add only for
+  * disjoint doc sets, the same contract as batch q92.
+  */
+object IndexStreams {
+
+  private def versionPath(indexDir: String, v: Long) = s"$indexDir/v=$v"
+
+  /** One micro-batch of the streaming index merge (public so tests and
+    * any foreachBatch caller run the exact same code path). */
+  def indexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                 maxPostings: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val batchIx = Retrieval.invertedIndexArr(batch, maxPostings, idCol,
+      textCol)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(indexDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(indexDir, batchId - 1))
+      else batchIx.limit(0) // bootstrap: empty standing index
+    Retrieval.mergeIndexesArr(standing, batchIx, maxPostings)
+      .write.mode("overwrite").parquet(versionPath(indexDir, batchId))
+  }
+
+  /** Start the streaming index maintainer. Pass a durable `checkpoint`
+    * for restart. */
+  def ingestIndexed(docs: DataFrame, indexDir: String, checkpoint: String,
+                    maxPostings: Int, idCol: String = "doc_id",
+                    textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          indexBatch(batch.toDF(), batchId, indexDir, maxPostings, idCol,
+            textCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed index version under `indexDir` (arr form —
+    * pass through Retrieval.mergeIndexes/renderPostings for the csv
+    * read-side shape). */
+  def latestIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed index versions under $indexDir")
+    spark.read.parquet(versionPath(indexDir, vs.max))
+  }
+}

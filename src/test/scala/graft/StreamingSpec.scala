@@ -596,6 +596,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(dimRows() == want)
   }
 
+  test("streaming inverted-index maintenance: waves fold into the " +
+    "standing index; final version ≡ the one-shot rebuild; replay " +
+    "and restart add nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sindex").toString
+    val src = s"$base/src"
+    val ix = s"$base/ix"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sindex-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.IndexStreams.ingestIndexed(
+        spark.readStream.schema(docs.schema).parquet(src), ix, ckpt,
+        maxPostings = 16)
+        .awaitTermination(120000)
+    def ixRows(): Set[Seq[Any]] = {
+      spark.catalog.refreshByPath(ix)
+      graft.streaming.IndexStreams.latestIndex(spark, ix)
+        .collect().map(_.toSeq).toSet
+    }
+
+    // three waves partitioning the corpus by id (each doc arrives once)
+    stage("w0", docs.filter(col("doc_id") % 3 === 0))
+    runOnce()
+    stage("w1", docs.filter(col("doc_id") % 3 === 1))
+    runOnce()
+    stage("w2", docs.filter(col("doc_id") % 3 === 2))
+    runOnce()
+
+    val want = graft.functions.Retrieval
+      .invertedIndexArr(docs, maxPostings = 16)
+      .collect().map(_.toSeq).toSet
+    assert(ixRows() == want)
+
+    // restart with no new files: nothing replays, index unchanged
+    runOnce()
+    assert(ixRows() == want)
+
+    // crash-replay of the final batch by hand: it reads v=1, never its
+    // own v=2, and rewrites the same bytes
+    graft.streaming.IndexStreams.indexBatch(
+      docs.filter(col("doc_id") % 3 === 2), batchId = 2, ix,
+      maxPostings = 16)
+    assert(ixRows() == want)
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
