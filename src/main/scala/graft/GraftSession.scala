@@ -99,6 +99,10 @@ object GraftSession {
     ("min_k", classOf[graft.plans.MinKAgg],
       (e: Seq[Expression]) =>
         graft.plans.MinKAgg(e(0), litInt(e(1), "k"))
+          .toAggregateExpression()),
+    ("freq_items", classOf[graft.plans.FreqItemsAgg],
+      (e: Seq[Expression]) =>
+        graft.plans.FreqItemsAgg(e(0), litInt(e(1), "k"))
           .toAggregateExpression()))
 
   private def info(name: String, cls: Class[_]): ExpressionInfo =

@@ -166,4 +166,53 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders(p).isEmpty, p.toString.take(2000))
   }
+
+  test("quota sampling has no window: selection is the bounded min_k " +
+    "aggregate + a broadcast semi-join") {
+    val p = plan("q107_quota_sample")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("champion pairs: bounded champion selection (no per-term sort " +
+    "window), pairs generated map-side (no self-join of the tf relation)") {
+    val p = plan("q105_champion_pairs")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("sliding windows are pure map-side: zero exchanges, zero joins") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val p = graft.functions.Mixing.slidingWindows(docs, 32, 24)
+      .queryExecution.sparkPlan
+    def shuffles(n: org.apache.spark.sql.execution.SparkPlan): Int =
+      (n match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+        n.children.map(shuffles).sum
+    assert(shuffles(p) == 0, p.toString.take(2000))
+    assert(!p.toString.contains("Join"), p.toString.take(2000))
+  }
+
+  test("binned range join plans as an equi-join on the bin key — never " +
+    "a broadcast-nested-loop or cartesian range probe") {
+    val p = plan("q103_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Join"), p.take(1500))
+  }
+
+  test("freq_items plans as ObjectHashAggregate — the bounded-counter " +
+    "aggregate must not fall back to sort-based aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = Seq(("a", "x"), ("b", "y")).toDF("g", "v")
+      .groupBy("g").agg(graft.functions.Sketches.freqItems(col("v"), 4))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(1500))
+  }
 }

@@ -59,6 +59,17 @@ class SqlFunctionSpec extends AnyFunSuite {
     assert(r.getInt(6) == 3) // "the" twice + "over" once
   }
 
+  test("freq_items callable from SQL; exact below capacity") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT freq_items(v, 4) AS hh FROM VALUES
+        |  ('a'), ('b'), ('a'), ('c'), ('a'), ('b') AS t(v)
+        |""".stripMargin).collect().head
+    val hh = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(e => (e.getString(0), e.getLong(1)))
+    assert(hh == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("optimizer fusion rewrites size(array_intersect) over shingle " +
     "hashes into the merge-scan kernel") {
     import org.apache.spark.sql.functions._
