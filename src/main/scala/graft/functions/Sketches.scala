@@ -150,4 +150,42 @@ object Sketches {
             / col("kth_hash").cast("double"), 3))
           .otherwise(col("n_mins").cast("double")))
   }
+
+  /** Sort-free EXACT percentiles over a low-cardinality integer domain
+    * (the value-histogram formulation): instead of sorting the data per
+    * group (the percentile_disc plan — a full shuffle+sort of every
+    * row), aggregate to (group, value, count), take a cumulative sum
+    * over the DOMAIN-sized histogram, and read each percentile as the
+    * smallest value whose cumulative count reaches ceil(n·p/100).
+    *
+    * Exactly percentile_disc semantics, but the sorted frame is the
+    * histogram (|group| × |domain| rows), not the data: quantities,
+    * ratings, ages, status codes — domains of tens to thousands — cost
+    * a map-side countable aggregate however many billions of rows feed
+    * them. The per-group window is domain-bounded by the same argument
+    * (documented contract: this is for BOUNDED domains; continuous
+    * doubles want a t-digest-style sketch instead). The rank threshold
+    * is pure integer arithmetic ((n·p + 99) div 100) — no float
+    * boundary to diverge on. */
+  def percentilesByValue(df: DataFrame, groupCol: String,
+                         valueCol: String,
+                         percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCol)))
+    val pcols = percentiles.map(p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("v")))
+        .as(s"p$p"))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), pcols: _*)
+  }
 }

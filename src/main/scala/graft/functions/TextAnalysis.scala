@@ -321,6 +321,40 @@ object TextAnalysis {
       .drop("_sel_hash")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement, k per stratum
+    * (Efraimidis & Spirakis 2006, A-Res): each row draws
+    * key = −ln(u)/w with u a uniform from the portable md5 hash of its
+    * id, and the k SMALLEST keys win — P(selection) ∝ weight, yet the
+    * draw replays bit-identically anywhere (RNG sampling is neither
+    * reproducible nor auditable; the hash is both). Keys quantize to
+    * integer picounits before comparison so selection order carries no
+    * float-comparison ambiguity across engines.
+    *
+    * Scale posture: same as quotaSample — the per-stratum k-smallest
+    * selection is the bounded mergeable MinKAgg (no per-stratum sort),
+    * the winners semi-join back on (stratum, key). Zero- or
+    * negative-weight rows are excluded up front (their ES key is
+    * +∞ / undefined). */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                     weightCol: String, stratumCol: String,
+                     k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val space = 1.152921504606846976e18 // 2^60
+    val keyQ =
+      floor(-log((Dedup.md5Hash64(col(keyCol).cast("string")) + 1)
+          .cast("double") / lit(space))
+        / col(weightCol).cast("double") * lit(1e12)).cast("long")
+    val eligible = df.filter(col(weightCol) > 0)
+    val selected = eligible
+      .groupBy(col(stratumCol))
+      .agg(Sketches.minK(keyQ, k).as("ks"))
+      .select(col(stratumCol), explode(col("ks")).as("_es_key"))
+    eligible.withColumn("_es_key", keyQ)
+      .join(org.apache.spark.sql.functions.broadcast(selected),
+        Seq(stratumCol, "_es_key"), "left_semi")
+      .drop("_es_key")
+  }
+
   /** Fuzzy self-join (edit-distance ≤ `maxDist` pairs) via q-gram
     * blocking + levenshtein verify — the filter-verification shape of
     * PassJoin/ED-Join (Gravano et al., VLDB 2001): candidate pairs must

@@ -3188,7 +3188,88 @@ object ExtensionQueries {
           |        floor(COALESCE(i.ninter, 0) * 10000.0 / ca.nsh),
           |        floor(COALESCE(i.ninter, 0) * 10000.0 / cb.nsh))
           |      >= 3000
-          |ORDER BY c.id_a, c.id_b""".stripMargin))
+          |ORDER BY c.id_a, c.id_b""".stripMargin)),
+
+    // Triangle enumeration over the near-dup graph (degree-ordered
+    // orientation, Schank & Wagner 2005): wedge volume is Σ out-deg² and
+    // orientation bounds every out-degree at O(√m) — the O(m^1.5)
+    // all-triangles bound. The oracle restates the near-dup chain + the
+    // id-ordered triple join (orientation-independent output: each
+    // triangle once, ascending ids).
+    Q("q110_triangles",
+      (s, dir) => Graph.triangles(
+          Dedup.nearDuplicatesPortable(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4,
+            minJaccardBp = 2000))
+        .orderBy("id_a", "id_b", "id_c"),
+      Some(neardupScoredCtes +
+        """, ed AS (
+          |  SELECT id_a AS a, id_b AS b FROM scored
+          |  WHERE jaccard_bp >= 2000
+          |)
+          |SELECT e1.a AS id_a, e1.b AS id_b, e2.b AS id_c
+          |FROM ed e1
+          |JOIN ed e2 ON e2.a = e1.b
+          |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+          |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Sort-free exact percentiles (value-histogram formulation): the
+    // shipment-quantity distribution per return flag. percentile_disc
+    // semantics without sorting the data — the sorted frame is the
+    // (group × domain)-sized histogram; rank thresholds are integer
+    // (n·p + 99) div 100, no float boundary.
+    Q("q111_value_percentiles",
+      (s, dir) => Sketches.percentilesByValue(
+          Tables.load(s, dir, "lineitem"), groupCol = "l_returnflag",
+          valueCol = "l_quantity", percentiles = Seq(25, 50, 90, 99))
+        .orderBy("l_returnflag"),
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |         CAST(floor(l_quantity) AS BIGINT) AS v,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT l_returnflag, v,
+             |         SUM(cnt) OVER (PARTITION BY l_returnflag
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM c
+             |)
+             |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+             |       CAST(MIN(CASE WHEN cum >= (n * 25 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p25,
+             |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p50,
+             |       CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p90,
+             |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p99
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Deterministic weighted sampling (Efraimidis-Spirakis A-Res over
+    // the portable hash): 5 docs per source, P(selection) ∝ n_chars,
+    // bit-identical on replay in any engine (keys quantized to integer
+    // picounits). Selection is the bounded MinKAgg per stratum — no
+    // per-stratum sort window.
+    Q("q112_weighted_sample",
+      (s, dir) => TextAnalysis.weightedSample(
+          Tables.load(s, dir, "documents"), keyCol = "doc_id",
+          weightCol = "n_chars", stratumCol = "source", k = 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |           CAST(floor(-ln(
+             |             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |               1, 15))::BIGINT + 1)
+             |             / 1152921504606846976.0)
+             |             / CAST(n_chars AS DOUBLE)
+             |             * 1000000000000.0) AS BIGINT),
+             |           doc_id) AS rk
+             |  FROM documents WHERE n_chars > 0)
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -254,6 +254,99 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // --- Graph.triangles ----------------------------------------------------
+
+  test("triangles: equals brute-force enumeration on random graphs; " +
+    "dups, reversed edges and self-loops are absorbed") {
+    val rnd = new scala.util.Random(5)
+    for (density <- Seq(0.05, 0.15, 0.4)) {
+      val n = 30
+      val raw = for {
+        a <- 0L until n; b <- 0L until n
+        if a != b && rnd.nextDouble() < density
+      } yield (a, b) // both orientations + dups possible
+      val edges = raw.toDF("id_a", "id_b")
+        .union(Seq((3L, 3L)).toDF("id_a", "id_b")) // self-loop dropped
+      val got = graft.functions.Graph.triangles(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val und = raw.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val want = (for {
+        (a, b) <- und; c <- 0L until n
+        if c > b && und.contains((a, c)) && und.contains((b, c))
+      } yield (a, b, c)).toSet
+      assert(want.nonEmpty, s"density $density fixture has no triangles")
+      assert(got == want, s"density $density")
+    }
+  }
+
+  // --- Sketches.percentilesByValue ----------------------------------------
+
+  test("percentilesByValue: exact percentile_disc semantics vs a " +
+    "sorted-list reference, including ties and tiny groups") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 400).map(i =>
+      (s"g${i % 3}", rnd.nextInt(12).toLong)) ++ Seq(("tiny", 42L))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(1, 25, 50, 90, 99, 100)
+    val got = Sketches.percentilesByValue(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), ps.indices.map(i => r.getLong(2 + i)))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val nn = sorted.length.toLong
+      val want = ps.map(p =>
+        sorted(((nn * p + 99) / 100 - 1).toInt))
+      assert(got(g) == ((nn, want)), s"group $g")
+    }
+  }
+
+  // --- TextAnalysis.weightedSample ----------------------------------------
+
+  test("weightedSample: matches the window-rank ES formulation; " +
+    "zero-weight rows excluded; small strata kept whole") {
+    val rnd = new scala.util.Random(21)
+    val docs = (0L until 200L).map(i =>
+      (i, s"s${i % 3}", if (i % 50 == 0) 0L else 1L + rnd.nextInt(999)))
+      .toDF("doc_id", "source", "n_chars") // every 50th weight-0
+    val k = 6
+    val got = TextAnalysis.weightedSample(docs, "doc_id", "n_chars",
+        "source", k)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val esKey = floor(-log(
+        (Dedup.md5Hash64(col("doc_id").cast("string")) + 1)
+          .cast("double") / lit(1.152921504606846976e18))
+      / col("n_chars").cast("double") * lit(1e12)).cast("long")
+    val want = docs.filter(col("n_chars") > 0)
+      .withColumn("key", esKey)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("key", "doc_id")))
+      .filter(col("rk") <= k).select("doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == want && got.size == 3 * k)
+    assert(!got.exists(_ % 50 == 0), "a zero-weight row was sampled")
+    // a stratum smaller than k survives whole
+    val small = Seq((1L, "only", 5L), (2L, "only", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    assert(TextAnalysis.weightedSample(small, "doc_id", "n_chars",
+      "source", k).count() == 2)
+  }
+
+  test("weightedSample: heavier rows win proportionally more often " +
+    "(many independent strata as trials)") {
+    // 400 strata of {light w=1, heavy w=9}, k=1: heavy should win ~90%
+    val docs = (0 until 400).flatMap { s =>
+      Seq((s * 2L, s"t$s", 1L), (s * 2L + 1L, s"t$s", 9L))
+    }.toDF("doc_id", "source", "n_chars")
+    val heavyWins = TextAnalysis.weightedSample(docs, "doc_id",
+        "n_chars", "source", 1)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(heavyWins > 320 && heavyWins < 400, // E=360, ±4σ≈24
+      s"heavy rows won $heavyWins/400 — ES weighting broken?")
+  }
+
   // --- Dedup.containmentPairs ---------------------------------------------
 
   test("containmentPairs: an embedded doc scores full one-sided " +
