@@ -49,11 +49,18 @@ object CurationPipeline {
       // md5-bucket sub-shards before mixing/packing, so one dominant
       // source cannot serialize the per-shard windows. None = one
       // stream per source.
-      subShardBuckets: Option[Int] = None)
+      subShardBuckets: Option[Int] = None,
+      // balance lever: absolute per-source caps applied to the CURATED
+      // corpus before mixing/packing (TextAnalysis.quotaSample — the
+      // deterministic smallest-hash draw). Sources absent from the map
+      // pass through uncapped unless defaultSourceQuota is set; both
+      // empty = no balancing.
+      sourceQuotas: Map[String, Int] = Map.empty,
+      defaultSourceQuota: Option[Int] = None)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
-      nCurated: Long, nMixed: Long, nWindows: Long)
+      nCurated: Long, nBalanced: Long, nMixed: Long, nWindows: Long)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -105,7 +112,28 @@ object CurationPipeline {
     //    (for the write); everything downstream re-reads the sink.
     curated.write.mode("overwrite")
       .parquet(s"${conf.outputDir}/curated")
-    val landed = spark.read.parquet(s"${conf.outputDir}/curated")
+    val landed0 = spark.read.parquet(s"${conf.outputDir}/curated")
+
+    // optional per-source balancing (quota caps) over the landed corpus:
+    // listed sources cap at their quota, the rest pass through unless a
+    // default cap is set — the selection is the bounded MinKAgg draw
+    // (no per-source sort), reading only the landed parquet
+    val balancing =
+      conf.sourceQuotas.nonEmpty || conf.defaultSourceQuota.isDefined
+    val landed = (conf.sourceQuotas.isEmpty, conf.defaultSourceQuota) match {
+      case (true, None) => landed0
+      case (_, Some(dq)) => TextAnalysis.quotaSample(landed0, "doc_id",
+        "source", conf.sourceQuotas, dq)
+      case (false, None) =>
+        val listed = conf.sourceQuotas.keys.toSeq
+        landed0.filter(!col("source").isin(listed: _*)).unionByName(
+          TextAnalysis.quotaSample(
+            landed0.filter(col("source").isin(listed: _*)), "doc_id",
+            "source", conf.sourceQuotas, defaultQuota = 0))
+    }
+    // the balanced frame backs both the pack input and its own metric —
+    // persist so the quota draw executes once (stage-once discipline)
+    if (balancing) landed.persist()
 
     // optional epoch-weight mixture (q66), then the packed layout (q65)
     // over the training stream — the mixed stream's per-shard order key
@@ -145,12 +173,14 @@ object CurationPipeline {
     val res = Result(
       nInput = io.getLong(0), nEval = io.getLong(1),
       nQualityKept = kept.count(), nAfterDedup = deduped.count(),
-      nCurated = landed.count(), nMixed = packed.count(),
+      nCurated = landed0.count(), nBalanced = landed.count(),
+      nMixed = packed.count(),
       nWindows = packed
         .select(countDistinct(col(shardCol), col("seq_id")))
         .collect().head.getLong(0))
     quality.unpersist()
     deduped.unpersist()
+    if (balancing) landed.unpersist()
     res
   }
 }

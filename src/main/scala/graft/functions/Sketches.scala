@@ -151,6 +151,48 @@ object Sketches {
           .otherwise(col("n_mins").cast("double")))
   }
 
+  /** Heavy-hitter STATE for a group column: freqItems exploded to
+    * (group, item, cnt) rows — the landable/mergeable form (the array
+    * stays inside the aggregate; state tables on disk want plain
+    * columns). */
+  def freqState(df: DataFrame, groupCol: String, itemCol: String,
+                k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(freqItems(col(itemCol), k).as("hh"))
+      .select(col(groupCol), explode(col("hh")).as("e"))
+      .select(col(groupCol), col("e.item").as("item"),
+        col("e.cnt").as("cnt"))
+
+  /** Merge two heavy-hitter states (the table-level face of
+    * FreqItemsAgg's mergeIn — the PODS-2012 mergeable-summaries step):
+    * counts add pointwise, then the (k+1)-th largest count subtracts
+    * from everything and non-positives drop, restoring the ≤ k bound.
+    * Exact whenever the union stays within k items (both states exact
+    * and same support) — merged ≡ rebuilt, the incremental-family
+    * contract (q92/q93/q95/q100/q101 shape).
+    *
+    * Scale posture: the union/sum is state-sized (≤ 2k rows per group),
+    * and the rank window partitions over those SAME ≤ 2k rows — bounded
+    * by construction, not by data (contrast a per-group window over raw
+    * events). History events are never re-read. */
+  def mergeFreqStates(standing: DataFrame, batch: DataFrame, k: Int,
+                      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val summed = standing.unionByName(batch)
+      .groupBy(col(groupCol), col("item"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc("cnt"), asc("item"))
+    val ranked = summed.withColumn("rk", row_number().over(w))
+    val thresh = ranked.filter(col("rk") === k + 1)
+      .select(col(groupCol), col("cnt").as("thr"))
+    ranked.join(thresh, Seq(groupCol), "left")
+      .withColumn("cnt", col("cnt") - coalesce(col("thr"), lit(0L)))
+      .filter(col("cnt") > 0)
+      .select(col(groupCol), col("item"), col("cnt"))
+  }
+
   /** Sort-free EXACT percentiles over a low-cardinality integer domain
     * (the value-histogram formulation): instead of sorting the data per
     * group (the percentile_disc plan — a full shuffle+sort of every

@@ -3269,7 +3269,34 @@ object ExtensionQueries {
              |             * 1000000000000.0) AS BIGINT),
              |           doc_id) AS rk
              |  FROM documents WHERE n_chars > 0)
-             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin))
+             |WHERE rk <= 5 ORDER BY doc_id""".stripMargin)),
+
+    // Incremental heavy hitters: the frequency face of the incremental
+    // standing-artifact family (q92 index / q95 profile / q100 pack /
+    // q101 clusters). Standing per-day MG state + a batch slice's state
+    // merge on the PODS-2012 step — state-sized work, events history
+    // never re-read. event_type's domain is under capacity, so merged
+    // ≡ rebuilt EXACTLY and the oracle is the full-history rebuild.
+    Q("q113_incremental_hh",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("ts"), col("event_type"), col("event_id"))
+          .withColumn("day", date_trunc("day", col("ts")))
+        val standing = Tables.memoTable(s, dir, "hh_hist") {
+          Sketches.freqState(ev.filter(col("event_id") % 10 =!= 7),
+            "day", "event_type", k = 16)
+        }
+        val batch = Sketches.freqState(
+          ev.filter(col("event_id") % 10 === 7), "day", "event_type",
+          k = 16)
+        Sketches.mergeFreqStates(standing, batch, k = 16, "day")
+          .select(col("day"), col("item").as("event_type"), col("cnt"))
+          .orderBy(col("day"), desc("cnt"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2
+             |ORDER BY day, cnt DESC, event_type""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

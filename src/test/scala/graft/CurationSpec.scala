@@ -140,6 +140,46 @@ class CurationSpec extends AnyFunSuite {
     assert(shards.forall(_.contains("#")))
   }
 
+  test("balance lever: listed sources cap at their quota, unlisted " +
+    "pass through; curation itself is unchanged; the mixed/packed " +
+    "stream is built from the balanced subset") {
+    res // baseline run first
+    // cap the source with the most curated docs at 1 — guaranteed trim
+    val base = spark.read.parquet(s"$out/curated")
+      .groupBy("source").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+    val (bigSrc, bigN) = base.maxBy(_._2)
+    assert(bigN > 1, "fixture has no source with >1 curated doc")
+    val outB = java.nio.file.Files
+      .createTempDirectory("graft-curation-bal").toString
+    val quota = 1
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outB,
+        sourceQuotas = Map(bigSrc -> quota)))
+    assert(r.nCurated == res.nCurated) // balancing is post-curation
+    assert(r.nBalanced == r.nCurated - bigN + quota)
+    assert(r.nMixed == r.nBalanced)
+    val bySrc = spark.read.parquet(s"$outB/packed")
+      .groupBy("source").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(bySrc(bigSrc) == quota.toLong)
+    // unlisted sources pass through whole
+    base.foreach { case (src, n) =>
+      if (src != bigSrc) assert(bySrc(src) == n, s"$src trimmed")
+    }
+    // the balanced draw is the deterministic quota sample of the
+    // landed corpus — replayable byte-for-byte
+    val landed = spark.read.parquet(s"$outB/curated")
+    val expect = graft.functions.TextAnalysis.quotaSample(
+        landed.filter(org.apache.spark.sql.functions.col("source")
+          === bigSrc), "doc_id", "source", Map(bigSrc -> quota), 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotBig = spark.read.parquet(s"$outB/packed")
+      .filter(org.apache.spark.sql.functions.col("source") === bigSrc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotBig == expect)
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -228,6 +228,34 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("mergeFreqStates: merged ≡ rebuilt below capacity; MG bound " +
+    "holds beyond it") {
+    val rnd = new scala.util.Random(17)
+    val items = (0 until 3000).map(_ => s"m${rnd.nextInt(40)}")
+    val df = items.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .withColumn("g", lit("all"))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // below capacity (k=64 > 40 distinct): merged ≡ rebuilt ≡ exact
+    val aE = Sketches.freqState(df.filter(col("id") % 2 === 0), "g", "v", 64)
+    val bE = Sketches.freqState(df.filter(col("id") % 2 === 1), "g", "v", 64)
+    val mergedE = Sketches.mergeFreqStates(aE, bE, 64, "g")
+      .select("item", "cnt").as[(String, Long)].collect().toMap
+    assert(mergedE == exact)
+    // beyond capacity (k=8): counts never overcount, undercount ≤ n/(k+1)
+    val k = 8
+    val a = Sketches.freqState(df.filter(col("id") % 2 === 0), "g", "v", k)
+    val b = Sketches.freqState(df.filter(col("id") % 2 === 1), "g", "v", k)
+    val merged = Sketches.mergeFreqStates(a, b, k, "g")
+      .select("item", "cnt").as[(String, Long)].collect().toMap
+    assert(merged.nonEmpty && merged.size <= k)
+    val bound = items.size.toDouble / (k + 1)
+    merged.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item overcounted")
+      assert(exact(item) - est <= bound, s"$item past the MG bound")
+    }
+  }
+
   // --- RangeJoin.pointInInterval ------------------------------------------
 
   test("pointInInterval: equals the raw range predicate, endpoints " +
