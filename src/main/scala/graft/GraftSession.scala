@@ -103,7 +103,15 @@ object GraftSession {
     ("freq_items", classOf[graft.plans.FreqItemsAgg],
       (e: Seq[Expression]) =>
         graft.plans.FreqItemsAgg(e(0), litInt(e(1), "k"))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    ("bloom_agg", classOf[graft.plans.BloomAgg],
+      (e: Seq[Expression]) =>
+        graft.plans.BloomAgg(e(0), litInt(e(1), "numBits"),
+          litInt(e(2), "numHashes")).toAggregateExpression()),
+    ("bloom_contains", classOf[graft.plans.BloomContains],
+      (e: Seq[Expression]) =>
+        graft.plans.BloomContains(e(0), e(1), litInt(e(2), "numHashes"),
+          litInt(e(3), "numBits"))))
 
   private def info(name: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getName, name)

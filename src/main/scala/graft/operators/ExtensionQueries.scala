@@ -3296,7 +3296,35 @@ object ExtensionQueries {
       Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
              |FROM events GROUP BY 1, 2
-             |ORDER BY day, cnt DESC, event_type""".stripMargin))
+             |ORDER BY day, cnt DESC, event_type""".stripMargin)),
+
+    // Bloom-filter semi-join reduction (the runtime-filter pattern): a
+    // selective month of orders thins the lineitem side MAP-SIDE via a
+    // broadcast 64Kbit Bloom image before any shuffle; the exact
+    // semi-join culls the false positives, so the composition IS the
+    // plain semi-join — which is exactly what the oracle states.
+    Q("q114_bloom_semijoin",
+      (s, dir) => {
+        val sel = Tables.load(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1997 &&
+            month(col("o_orderdate")) === 3)
+          .select("o_orderkey")
+        BloomJoin.reducedSemiJoin(Tables.load(s, dir, "lineitem"),
+            "l_orderkey", sel, "o_orderkey", numBits = 1 << 16,
+            numHashes = 5)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+             |       CAST(SUM(CAST(floor(l_quantity) AS BIGINT))
+             |         AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

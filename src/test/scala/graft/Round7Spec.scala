@@ -375,6 +375,62 @@ class Round7Spec extends AnyFunSuite {
       s"heavy rows won $heavyWins/400 — ES weighting broken?")
   }
 
+  // --- BloomJoin ----------------------------------------------------------
+
+  test("bloom filter: zero false negatives; false-positive rate near " +
+    "theory at 10 bits/key; merge across partitions") {
+    val rnd = new scala.util.Random(29)
+    val keys = (0 until 1000).map(_ => rnd.nextLong()).distinct
+    val numBits = 1 << 14 // ~16 bits/key
+    val df = spark.sparkContext.parallelize(keys, 9).toDF("k")
+    val bits = df.agg(graft.operators.BloomJoin
+        .bloomOf(col("k"), numBits, 5).as("bf"))
+      .collect().head.getSeq[Long](0)
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bits.toArray)
+    keys.foreach { k =>
+      assert(graft.plans.BloomOps.contains(arr, k, 5, numBits),
+        s"false negative for $k")
+    }
+    val probes = (0 until 20000).map(_ => rnd.nextLong())
+      .filterNot(keys.toSet)
+    val fp = probes.count(p =>
+      graft.plans.BloomOps.contains(arr, p, 5, numBits))
+    // theoretical fp at m/n=16, k=5 is ~0.5%; allow generous headroom
+    assert(fp.toDouble / probes.size < 0.03,
+      s"fp rate ${fp.toDouble / probes.size}")
+  }
+
+  test("reducedSemiJoin ≡ the plain semi-join (false positives culled)") {
+    val rnd = new scala.util.Random(31)
+    val big = (0 until 5000).map(i => (rnd.nextInt(800).toLong, i))
+      .toDF("k", "payload")
+    val keys = (0 until 120).map(_ => rnd.nextInt(800).toLong)
+      .distinct.toDF("kk")
+    // tiny filter (512 bits for ~100 keys) to force real false positives
+    val got = graft.operators.BloomJoin.reducedSemiJoin(
+        big, "k", keys, "kk", numBits = 512, numHashes = 3)
+      .select("k", "payload").as[(Long, Int)].collect().sorted.toSeq
+    val want = big.join(keys, col("k") === col("kk"), "left_semi")
+      .select("k", "payload").as[(Long, Int)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloom_contains probes map-side ahead of the exact join " +
+    "(visible in the q114 plan) and is SQL-callable") {
+    val p = SparkEntry.queries("q114_bloom_semijoin")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(p.contains("bloom_contains"), p.take(2000))
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT bloom_contains(bf, 7L, 3, 256) AS hit,
+        |       bloom_contains(bf, 8L, 3, 256) AS miss8
+        |FROM (SELECT bloom_agg(v, 256, 3) AS bf
+        |      FROM VALUES (7L), (9L) AS t(v))""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0)) // no false negatives, ever
+  }
+
   // --- Dedup.containmentPairs ---------------------------------------------
 
   test("containmentPairs: an embedded doc scores full one-sided " +

@@ -654,6 +654,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(ixRows() == want)
   }
 
+  test("streaming heavy-hitter maintenance: waves fold into the " +
+    "standing MG state; under capacity the final version ≡ exact " +
+    "counts; replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shh").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .select("day", "event_type", "event_id")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-shh-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.SketchStreams.ingestHeavyHitters(
+        spark.readStream.schema(ev.schema).parquet(src), st, ckpt,
+        k = 16, groupCol = "day", itemCol = "event_type")
+        .awaitTermination(120000)
+    def stateRows(): Set[(java.sql.Timestamp, String, Long)] = {
+      spark.catalog.refreshByPath(st)
+      graft.streaming.SketchStreams.latestState(spark, st)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2))).toSet
+    }
+
+    stage("w0", ev.filter(col("event_id") % 3 === 0))
+    runOnce()
+    stage("w1", ev.filter(col("event_id") % 3 === 1))
+    runOnce()
+    stage("w2", ev.filter(col("event_id") % 3 === 2))
+    runOnce()
+
+    val want = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(stateRows() == want)
+
+    runOnce() // restart, no new files
+    assert(stateRows() == want)
+    graft.streaming.SketchStreams.hhBatch( // hand-replayed crash
+      ev.filter(col("event_id") % 3 === 2), batchId = 2, st,
+      k = 16, groupCol = "day", itemCol = "event_type")
+    assert(stateRows() == want)
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
