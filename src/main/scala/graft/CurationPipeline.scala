@@ -56,7 +56,14 @@ object CurationPipeline {
       // pass through uncapped unless defaultSourceQuota is set; both
       // empty = no balancing.
       sourceQuotas: Map[String, Int] = Map.empty,
-      defaultSourceQuota: Option[Int] = None)
+      defaultSourceQuota: Option[Int] = None,
+      // decontamination transport: None broadcasts the eval shingles as
+      // an exact sorted array (Dedup.contamination); Some(bits) ships a
+      // Bloom image of that size instead and exact-verifies only the
+      // probable hits (Dedup.contaminationBloom) — same curated set
+      // either way (no false negatives; FPs culled), choose by eval-set
+      // cardinality: ~10 bits/shingle keeps the FP rate ~1%.
+      bloomDecontaminationBits: Option[Int] = None)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -102,7 +109,12 @@ object CurationPipeline {
     //    array, survivors scored map-side (q68)
     val eval = docs.filter(col("doc_id") % conf.evalModulus === 0)
     val survivorDocs = corpus.join(deduped, Seq("doc_id"), "left_semi")
-    val clean = Dedup.contamination(survivorDocs, eval)
+    val scored = conf.bloomDecontaminationBits match {
+      case Some(bits) =>
+        Dedup.contaminationBloom(survivorDocs, eval, numBits = bits)
+      case None => Dedup.contamination(survivorDocs, eval)
+    }
+    val clean = scored
       .filter(col("n_contaminated") === 0)
       .select("doc_id")
     val curated = corpus.join(clean, Seq("doc_id"), "left_semi")

@@ -74,6 +74,12 @@ object GraftSession {
       (e: Seq[Expression]) => SimHash60Md5(e(0))),
     ("sorted_intersect_count", classOf[SortedIntersectCount],
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    ("sorted_struct_dot", classOf[graft.plans.SortedStructDot],
+      (e: Seq[Expression]) => graft.plans.SortedStructDot(e(0), e(1))),
+    ("double_sortable_bits", classOf[graft.plans.DoubleSortableBits],
+      (e: Seq[Expression]) => graft.plans.DoubleSortableBits(e(0))),
+    ("interleave_bits31", classOf[graft.plans.InterleaveBits31],
+      (e: Seq[Expression]) => graft.plans.InterleaveBits31(e(0), e(1))),
     ("content_chunks", classOf[ContentChunkHashes],
       (e: Seq[Expression]) =>
         if (e.length == 1) ContentChunkHashes(e(0), 16, 6)

@@ -566,6 +566,54 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Bloom-thinned decontamination — [[contamination]] for when the
+    * eval shingle set outgrows a comfortably-broadcastable sorted
+    * array: the eval set ships as a ~10-bits-per-shingle Bloom image
+    * (6× smaller than the 64-bit hash array), every corpus doc counts
+    * its PROBABLE hits map-side against the broadcast image, and only
+    * docs with > 0 probable hits — the thinned minority — explode
+    * their candidate shingles into an exact semi-join against the eval
+    * shingle table. Bloom filters have no false negatives, so
+    * 0-probable-hit docs are exactly clean without ever reaching the
+    * shuffle; false positives are culled by the exact verify. Same
+    * result as [[contamination]] row for row (Round8Spec pins it; the
+    * q118 oracle is q68's plain formulation). */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", shingleN: Int = 3,
+                         numBits: Int = 1 << 20,
+                         numHashes: Int = 5): DataFrame = {
+    import graft.operators.BloomJoin
+    val evalSh = evalDocs
+      .select(explode(shingleHashesFast(col(textCol), shingleN)).as("h"))
+      .distinct()
+    val bf = evalSh.agg(
+      BloomJoin.bloomOf(col("h"), numBits, numHashes).as("_bf"))
+    val probed = docs
+      .select(col(idCol), shingleHashesFast(col(textCol), shingleN).as("hs"))
+      .crossJoin(broadcast(bf))
+      .select(col(idCol), size(col("hs")).cast("long").as("n_shingles"),
+        filter(col("hs"), h =>
+          BloomJoin.mightContain(col("_bf"), h, numBits, numHashes))
+          .as("cand"))
+    val cleanFast = probed.filter(size(col("cand")) === 0)
+      .select(col(idCol), col("n_shingles"),
+        lit(0L).as("n_contaminated"))
+    val suspects = probed.filter(size(col("cand")) > 0)
+      .select(col(idCol), col("n_shingles"), col("cand"))
+    val verifiedCounts = suspects
+      .select(col(idCol), explode(col("cand")).as("h"))
+      .join(evalSh, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+    val verified = suspects
+      .join(verifiedCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"))
+    cleanFast.unionByName(verified)
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** The corpus-level dedup materialization: everything EXCEPT
     * non-representative near-duplicate cluster members (each connected
     * component keeps its min-id doc). The drop list is cluster-membership

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout operators (the OPTIMIZE ZORDER face of
+  * table maintenance): at 100 TB the scan you never run is the cheapest,
+  * and what decides whether a predicate prunes files is the LAYOUT —
+  * how rows were clustered when written — not the query plan. Z-order
+  * clustering sorts by the Morton interleave of two key columns so
+  * per-file min/max stats stay tight in BOTH dimensions, where a
+  * single-column sort leaves the second dimension's bounds spanning the
+  * whole domain (zero pruning).
+  */
+object Layout {
+
+  /** 62-bit Morton code of two long columns in [0, 2^31) (native
+    * kernel, graft.plans.InterleaveBits31). */
+  def zOrderKey(x: Column, y: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.InterleaveBits31(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(x),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(y)))
+
+  /** Per-bucket layout-quality report for a FIXED-GRID z-order
+    * bucketing: each dimension first normalizes to a 16-bit fixed-point
+    * fraction of its [min, max] range (pure integer arithmetic — the
+    * min/max pair is a one-row broadcast, the A5 scalar pattern — so
+    * the grid adapts to the actual domain instead of assuming keys fill
+    * 31 bits), rows land in bucket = top `bucketBits` bits of the
+    * 32-bit Morton code of the normalized pair (deterministic — no
+    * sampled range boundaries), and each bucket reports its row count
+    * and per-dimension min/max — the pruning stats a file written from
+    * that bucket would carry. The report itself is ONE
+    * map-side-combinable aggregate (2^bucketBits × 6 longs of state);
+    * nothing sorts and nothing shuffles data rows.
+    *
+    * Reading the report: a z-ordered grid bucket covers a contiguous
+    * Morton range, so its x/y bounding boxes are ~√buckets× tighter per
+    * dimension than a one-dimensional bucketing of either key alone —
+    * which is exactly the file-skipping win. */
+  def zOrderBucketStats(df: DataFrame, xCol: String, yCol: String,
+                        bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val k = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mm = k.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    k.crossJoin(broadcast(mm))
+      .withColumn("xn", expr("CASE WHEN mxx = mnx THEN CAST(0 AS BIGINT) " +
+        "ELSE ((x - mnx) * 65535) DIV (mxx - mnx) END"))
+      .withColumn("yn", expr("CASE WHEN mxy = mny THEN CAST(0 AS BIGINT) " +
+        "ELSE ((y - mny) * 65535) DIV (mxy - mny) END"))
+      .withColumn("z", zOrderKey(col("xn"), col("yn")))
+      .groupBy(shiftrightunsigned(col("z"), 32 - bucketBits)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** Prepare a frame for a z-order-clustered WRITE: range-partition by
+    * the Morton key into `numFiles` partitions and sort within each, so
+    * every written file covers a disjoint z range (and therefore a
+    * tight bounding box in both dimensions). The range boundaries are
+    * Spark's sampled ones — the right tool for a writer, where balance
+    * matters and determinism doesn't; the oracle-checked face of the
+    * layout is [[zOrderBucketStats]]' fixed grid. */
+  def zOrderCluster(df: DataFrame, xCol: String, yCol: String,
+                    numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.withColumn("z",
+        zOrderKey(col(xCol).cast("long"), col(yCol).cast("long")))
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+  }
+}

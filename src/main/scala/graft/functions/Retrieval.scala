@@ -463,4 +463,91 @@ object Retrieval {
     pairs.groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_terms"), sum(col("p.c")).as("score_u"))
   }
+
+  /** Merge-scan sparse dot product of two key-sorted
+    * array&lt;struct&lt;k:long,w:long&gt;&gt; vectors (native kernel,
+    * graft.plans.SortedStructDot). */
+  def sortedStructDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.SortedStructDot(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(b)))
+
+  /** Champion-list candidates RERANKED over all shared terms — the
+    * verify stage of the all-pairs-similarity pipeline that
+    * [[championPairs]] is the candidate-generation stage of. The
+    * champion score undercounts any pair that also shares non-champion
+    * terms; production pipelines therefore join the candidate list back
+    * to the full per-document weight vectors and re-score exactly
+    * (full_score_u ≥ champ_score_u always — weights are non-negative —
+    * and the FULL score is what ranks pairs for downstream use).
+    *
+    * Plan: the (term, doc) tf aggregate is built ONCE and feeds both
+    * branches (candidate generation and weight vectors) — identical
+    * subtrees, so the explode shuffle materializes once (ReusedExchange,
+    * the PMI pattern). Candidate generation is [[championPairs]]'s
+    * bounded-state shape unchanged. The rescore side joins tf to the
+    * vocabulary-sized idf table, packs each document into ONE key-sorted
+    * sparse vector row (keys are the portable md5-prefix60 of the term —
+    * the engine's cross-engine hash family), and the candidate list —
+    * ≤ c²/2 pairs per term, far smaller than the corpus — joins the
+    * vector table twice by doc id and scores MAP-SIDE with one
+    * O(|a|+|b|) merge scan per pair (SortedStructDot kernel). The
+    * corpus never self-joins and nothing explodes per (pair, term).
+    *
+    * Weights are the same ltc millinats as [[championPairs]], computed
+    * from RAW tf (the champion encoding's 2^20 tf cap only orders the
+    * champion pick; at the cap the reconstructed tf is the capped value,
+    * matching any impact-quantized index). */
+  def championPairsRescored(docs: DataFrame, championsPerTerm: Int,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(championsPerTerm > 0,
+      s"championsPerTerm must be positive, got $championsPerTerm")
+    val maxTf = 1L << 20
+    val idMask = (1L << 40) - 1
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val encoded = (lit(maxTf) - least(col("tf"), lit(maxTf - 1)))
+      .multiply(lit(1L << 40))
+      .plus(col(idCol).cast("long"))
+    val terms = tf
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        Sketches.minK(encoded, championsPerTerm).as("champs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .withColumn("idf",
+        log(lit(1.0) + col("n").cast("double") / col("df")))
+    val cs = terms.withColumn("cs", transform(col("champs"), v => struct(
+      v.bitwiseAND(lit(idMask)).as("id"),
+      (lit(maxTf) - shiftright(v, 40)).as("tf"))))
+    def wMillinats(e: Column): Column =
+      floor((lit(1.0) + log(e.getField("tf").cast("double")))
+        * col("idf") * lit(1e3)).cast("long")
+    val pairs = cs.select(explode(flatten(transform(col("cs"), a =>
+      transform(filter(col("cs"), b => b.getField("id") > a.getField("id")),
+        b => struct(a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          (wMillinats(a) * wMillinats(b)).as("c")))))).as("p"))
+    val cand = pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_champ_terms"),
+        sum(col("p.c")).as("champ_score_u"))
+    val w = tf.join(terms.select(col("term"), col("idf")), Seq("term"))
+      .select(col(idCol), Dedup.md5Hash64(col("term")).as("k"),
+        floor((lit(1.0) + log(col("tf").cast("double")))
+          * col("idf") * lit(1e3)).cast("long").as("w"))
+    val vec = w.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("k"), col("w")))).as("vec"))
+    cand
+      .join(vec.select(col(idCol).as("id_a"), col("vec").as("va")),
+        Seq("id_a"))
+      .join(vec.select(col(idCol).as("id_b"), col("vec").as("vb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_champ_terms"),
+        col("champ_score_u"),
+        sortedStructDot(col("va"), col("vb")).as("full_score_u"))
+  }
 }

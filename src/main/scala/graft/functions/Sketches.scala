@@ -230,4 +230,205 @@ object Sketches {
     cum.groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), pcols: _*)
   }
+
+  /** Order-preserving double → unsigned-sortable long (native kernel,
+    * graft.plans.DoubleSortableBits). */
+  def doubleSortableBits(v: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.DoubleSortableBits(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(v)))
+
+  /** Sort-free EXACT percentiles over a CONTINUOUS double domain — the
+    * radix-select companion to [[percentilesByValue]] (which covers
+    * bounded integer domains). percentile_disc semantics: for each p,
+    * the value whose ascending rank is ceil(n·p/100).
+    *
+    * A global percentile_disc plan sorts the whole column through one
+    * range shuffle; this operator never sorts and never shuffles data
+    * rows at all. Each double maps to its unsigned-sortable 64-bit
+    * image (order-preserving bijection, plans/SortableBits.scala); the
+    * quantile is then radix-selected in FOUR aggregation passes, one
+    * per 16-bit digit: each pass histograms the current digit of only
+    * the rows matching each target's resolved prefix (map-side partial
+    * aggregation, ≤ 65 536 counters per open prefix), the driver walks
+    * the ≤ |targets|·65 536 counts to fix the next digit, and after the
+    * last pass the full 64-bit image IS the answer (inverted back to
+    * its double). Selection state on the driver is a few longs per
+    * target — the same bounded-driver-state discipline as the IVF
+    * centroid loop — and the column is scanned 4× with pushed
+    * projection, the trade a 100 TB sort can't offer.
+    *
+    * NULL and NaN rows are excluded (NaN has no defined rank). Returns
+    * one row per requested percentile: (p, rk, n, value). */
+  def bisectQuantiles(df: DataFrame, valueCol: String,
+                      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = df
+      .filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(doubleSortableBits(col(valueCol).cast("double")).as("m"))
+
+    // digit histogram at `depth` (0-based, high digit first) for the
+    // open prefixes; returns (prefix, digit) -> count
+    def digitHist(depth: Int, prefixes: Seq[Long]): Map[(Long, Int), Long] = {
+      val shift = 48 - 16 * depth
+      val pfx =
+        if (depth == 0) lit(0L)
+        else shiftrightunsigned(col("m"), shift + 16)
+      val rows = m.withColumn("pfx", pfx)
+        .filter(if (depth == 0) lit(true) else col("pfx").isin(prefixes: _*))
+        .withColumn("d",
+          shiftrightunsigned(col("m"), shift).bitwiseAND(lit(0xffffL))
+            .cast("int"))
+        .groupBy("pfx", "d").agg(count(lit(1)).as("c"))
+        .collect()
+      rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    }
+
+    val first = digitHist(0, Seq(0L))
+    val n = first.valuesIterator.sum
+    val ps = percentiles.distinct.sorted
+    if (n == 0L) {
+      return ps.map(p => (p.toLong, 0L, 0L, Option.empty[Double]))
+        .toDF("p", "rk", "n", "value")
+    }
+    // state per target: (resolved prefix, rank remaining WITHIN prefix)
+    var state: Map[Int, (Long, Long)] =
+      ps.map(p => p -> (0L, (n * p + 99) / 100)).toMap
+
+    def advance(hist: Map[(Long, Int), Long]): Unit =
+      state = state.map { case (p, (pfx, rem)) =>
+        val buckets = (0 until 65536).iterator
+          .map(d => d -> hist.getOrElse((pfx, d), 0L))
+          .filter(_._2 > 0)
+        var cum = 0L
+        var res: (Long, Long) = null
+        while (res == null && buckets.hasNext) {
+          val (d, c) = buckets.next()
+          if (cum + c >= rem) res = ((pfx << 16) | d.toLong, rem - cum)
+          else cum += c
+        }
+        require(res != null, s"rank $rem not reachable under prefix $pfx")
+        p -> res
+      }
+
+    advance(first)
+    (1 to 3).foreach { depth =>
+      advance(digitHist(depth, state.values.map(_._1).toSeq.distinct))
+    }
+    ps.map { p =>
+      val u = state(p)._1
+      (p.toLong, (n * p + 99) / 100, n,
+        Some(graft.plans.SortableBitsKernel.fromSortable(u)))
+    }.toDF("p", "rk", "n", "value")
+  }
+
+  /** Per-GROUP radix-select exact quantiles over a continuous double
+    * domain — [[bisectQuantiles]] lifted to groups the way
+    * [[percentilesByValue]] is the grouped histogram form. Same four
+    * digit-histogram passes; each pass aggregates (group, prefix,
+    * digit) counts for only the OPEN (group, prefix) pairs (a literal
+    * disjunction — |groups|·|percentiles| terms at most), so the
+    * contract is a BOUNDED group count (dashboard dimensions: return
+    * flags, languages, sources), mirroring percentilesByValue's
+    * bounded-domain contract. Driver state stays a few longs per
+    * (group, percentile). NULL groups and NULL/NaN values are
+    * excluded. Output: (groupCol, p, rk, n, value). */
+  def bisectQuantilesByGroup(df: DataFrame, groupCol: String,
+                             valueCol: String,
+                             percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val spark = df.sparkSession
+    val m = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .select(col(groupCol).as("g"),
+        doubleSortableBits(col(valueCol).cast("double")).as("m"))
+
+    def hist(depth: Int,
+             open: Seq[(Any, Long)]): Map[(Any, Long, Int), Long] = {
+      val shift = 48 - 16 * depth
+      val pfxCol =
+        if (depth == 0) lit(0L)
+        else shiftrightunsigned(col("m"), shift + 16)
+      val base = m.withColumn("pfx", pfxCol)
+      val filtered =
+        if (depth == 0) base
+        else base.filter(open.map { case (gv, p) =>
+          col("g") === lit(gv) && col("pfx") === lit(p)
+        }.reduce(_ || _))
+      filtered
+        .withColumn("d",
+          shiftrightunsigned(col("m"), shift).bitwiseAND(lit(0xffffL))
+            .cast("int"))
+        .groupBy("g", "pfx", "d").agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.get(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+    }
+
+    val gField = df.schema(groupCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(nullable = false),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+    val first = hist(0, Nil)
+    if (first.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val groups = first.keysIterator.map(_._1).toSeq.distinct
+    val nByG = groups.map(g =>
+      g -> first.iterator.collect {
+        case ((gg, _, _), c) if gg == g => c
+      }.sum).toMap
+    val ps = percentiles.distinct.sorted
+    var state: Map[(Any, Int), (Long, Long)] =
+      (for { g <- groups; p <- ps }
+        yield (g, p) -> (0L, (nByG(g) * p + 99) / 100)).toMap
+
+    def advance(h: Map[(Any, Long, Int), Long]): Unit =
+      state = state.map { case ((g, p), (pfx, rem)) =>
+        var cum = 0L
+        var res: (Long, Long) = null
+        var d = 0
+        while (res == null && d < 65536) {
+          val c = h.getOrElse((g, pfx, d), 0L)
+          if (c > 0) {
+            if (cum + c >= rem) res = ((pfx << 16) | d.toLong, rem - cum)
+            else cum += c
+          }
+          d += 1
+        }
+        require(res != null, s"rank $rem unreachable in group $g")
+        (g, p) -> res
+      }
+
+    advance(first)
+    (1 to 3).foreach { depth =>
+      // .toSeq BEFORE mapping: mapping the Map directly would rebuild a
+      // Map keyed by group and silently drop all but one open prefix
+      // per group
+      advance(hist(depth,
+        state.toSeq.map { case ((g, _), (pfx, _)) => (g, pfx) }.distinct))
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for { g <- groups; p <- ps } rows.add(org.apache.spark.sql.Row(
+      g, p.toLong, (nByG(g) * p + 99) / 100, nByG(g),
+      graft.plans.SortableBitsKernel.fromSortable(state((g, p))._1)))
+    spark.createDataFrame(rows, outSchema)
+  }
 }

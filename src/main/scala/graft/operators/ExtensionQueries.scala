@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Graph, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Dedup, Graph, Layout, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -16,6 +16,44 @@ import ParityQueries.Q
 object ExtensionQueries {
 
   private val Money = DecimalType(18, 2)
+
+  /** q68's decontamination oracle — shared verbatim by q118: the Bloom
+    * thin→verify composition has no false negatives and culls false
+    * positives exactly, so its contract IS the plain formulation. */
+  private lazy val decontaminationOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS i,
+      |         unnest(w) AS tok, len(w) AS n
+      |  FROM tok
+      |), sh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+      |           lead(tok, 2) OVER win AS shingle
+      |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+      |), evalh AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+      |), cnt AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_shingles,
+      |         COUNT(e.shingle) AS n_contaminated
+      |  FROM sh d LEFT JOIN evalh e ON d.shingle = e.shingle
+      |  WHERE d.doc_id % 17 <> 0
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(c.n_shingles, 0) AS BIGINT)
+      |         AS n_shingles,
+      |       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT)
+      |         AS n_contaminated,
+      |       COALESCE(c.n_contaminated, 0) > 0 AS contaminated
+      |FROM documents d
+      |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 17 <> 0
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle CTE chain producing the k-means-refined IVF centroids `c`
     * (plus the corpus `e`) — shared by q42 and q62. Mirrors
@@ -1410,39 +1448,24 @@ object ExtensionQueries {
           shingleN = 3)
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-             |  FROM documents
-             |), tr AS (
-             |  SELECT doc_id, generate_subscripts(w, 1) AS i,
-             |         unnest(w) AS tok, len(w) AS n
-             |  FROM tok
-             |), sh0 AS (
-             |  SELECT doc_id, i, n,
-             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
-             |           lead(tok, 2) OVER win AS shingle
-             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-             |), sh AS (
-             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
-             |), evalh AS (
-             |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
-             |), cnt AS (
-             |  SELECT d.doc_id, COUNT(*) AS n_shingles,
-             |         COUNT(e.shingle) AS n_contaminated
-             |  FROM sh d LEFT JOIN evalh e ON d.shingle = e.shingle
-             |  WHERE d.doc_id % 17 <> 0
-             |  GROUP BY d.doc_id
-             |)
-             |SELECT d.doc_id,
-             |       CAST(COALESCE(c.n_shingles, 0) AS BIGINT)
-             |         AS n_shingles,
-             |       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT)
-             |         AS n_contaminated,
-             |       COALESCE(c.n_contaminated, 0) > 0 AS contaminated
-             |FROM documents d
-             |LEFT JOIN cnt c ON d.doc_id = c.doc_id
-             |WHERE d.doc_id % 17 <> 0
-             |ORDER BY d.doc_id""".stripMargin)),
+      Some(decontaminationOracleSql)),
+
+    // Bloom-thinned decontamination: same answer as q68 (the oracle IS
+    // q68's — the Bloom image has no false negatives and the exact
+    // verify culls its false positives), but the eval set broadcasts as
+    // a 4 Kbit Bloom image — small enough here to force a REAL
+    // false-positive rate, so the thin→verify path is materially
+    // exercised, not vacuous — and only probable-hit docs reach the
+    // exact semi-join.
+    Q("q118_bloom_decontamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationBloom(docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+          shingleN = 3, numBits = 1 << 12, numHashes = 3)
+          .orderBy("doc_id")
+      },
+      Some(decontaminationOracleSql)),
 
     // REAL image codec round trip (JDK javax.imageio, no external libs):
     // encode one solid-RGB PNG per document (dims + color derived from
@@ -3324,7 +3347,194 @@ object ExtensionQueries {
              |WHERE l_orderkey IN (
              |  SELECT o_orderkey FROM orders
              |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Champion-list RERANK (the verify stage of q105's candidate
+    // generation): each candidate pair joins back to the full
+    // per-document ltc weight vectors and re-scores over ALL shared
+    // terms — one O(|a|+|b|) merge scan per pair (SortedStructDot
+    // kernel), no per-pair hash map, no (pair × term) explode, and the
+    // (term, doc) tf shuffle materializes once for both branches
+    // (ReusedExchange). full_score_u ≥ champ_score_u by construction.
+    Q("q115_champion_rerank",
+      (s, dir) => Retrieval.championPairsRescored(
+          Tables.load(s, dir, "documents"), championsPerTerm = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS c
+             |  FROM tok GROUP BY term, doc_id
+             |), nn AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+             |), dfc AS (
+             |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |  FROM tf GROUP BY term
+             |), ch AS (
+             |  SELECT term, doc_id, c,
+             |         ROW_NUMBER() OVER (PARTITION BY term
+             |           ORDER BY c DESC, doc_id) AS rk
+             |  FROM tf
+             |), w AS (
+             |  SELECT ch.term, ch.doc_id,
+             |         CAST(floor((1.0 + ln(CAST(ch.c AS DOUBLE)))
+             |           * ln(1.0 + CAST(nn.n AS DOUBLE) / dfc.df)
+             |           * 1000) AS BIGINT) AS wm
+             |  FROM ch JOIN dfc USING (term) CROSS JOIN nn
+             |  WHERE ch.rk <= 8
+             |), cand AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_champ_terms,
+             |         CAST(SUM(a.wm * b.wm) AS BIGINT) AS champ_score_u
+             |  FROM w a JOIN w b
+             |    ON a.term = b.term AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |), kw AS (
+             |  SELECT tf.doc_id,
+             |         ('0x'||substr(md5(tf.term),1,15))::BIGINT AS k,
+             |         CAST(floor((1.0 + ln(CAST(tf.c AS DOUBLE)))
+             |           * ln(1.0 + CAST(nn.n AS DOUBLE) / dfc.df)
+             |           * 1000) AS BIGINT) AS wm
+             |  FROM tf JOIN dfc USING (term) CROSS JOIN nn
+             |)
+             |SELECT c.id_a, c.id_b, c.n_champ_terms, c.champ_score_u,
+             |       CAST(SUM(a.wm * b.wm) AS BIGINT) AS full_score_u
+             |FROM cand c
+             |JOIN kw a ON a.doc_id = c.id_a
+             |JOIN kw b ON b.doc_id = c.id_b AND b.k = a.k
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Radix-select EXACT quantiles over a CONTINUOUS double column
+    // (percentilesByValue's companion for unbounded domains): each
+    // double maps to its unsigned-sortable 64-bit image and the rank is
+    // selected digit-by-digit in FOUR histogram passes (≤ 65 536
+    // map-side counters per open prefix, a few longs of driver state per
+    // target) — no global sort, no row shuffle, ever. The oracle states
+    // the same ranks via one ROW_NUMBER scan.
+    Q("q116_bisect_quantiles",
+      (s, dir) => Sketches.bisectQuantiles(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice",
+          Seq(1, 25, 50, 75, 90, 99))
+        .orderBy("p"),
+      Some("""WITH s AS (
+             |  SELECT l_extendedprice AS v,
+             |         ROW_NUMBER() OVER (ORDER BY l_extendedprice)
+             |           AS rn,
+             |         COUNT(*) OVER () AS n
+             |  FROM lineitem
+             |), t AS (
+             |  SELECT unnest([1, 25, 50, 75, 90, 99]) AS p
+             |)
+             |SELECT CAST(t.p AS BIGINT) AS p,
+             |       CAST(s.rn AS BIGINT) AS rk,
+             |       CAST(s.n AS BIGINT) AS n,
+             |       s.v AS value
+             |FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
+             |ORDER BY p""".stripMargin)),
+
+    // Z-order (Morton) layout quality report: each dimension normalizes
+    // to a 16-bit fixed-point fraction of its [min, max] range (exact
+    // integer arithmetic, one-row broadcast stats), rows land in the
+    // fixed grid bucket = top 6 bits of the 32-bit interleave, and each
+    // bucket reports the min/max pruning stats a file written from it
+    // would carry — tight in BOTH dimensions, the point of z-ordering.
+    // One map-side-combinable aggregate; no sort, no row shuffle. The
+    // oracle restates the interleave as a 32-term sum of shifted bit
+    // tests.
+    Q("q117_zorder_stats",
+      (s, dir) => Layout.zOrderBucketStats(
+          Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bucketBits = 6)
+        .orderBy("bucket"),
+      Some {
+        val z = (0 until 16).flatMap(i => Seq(
+          s"(((xn >> $i) & 1) << ${2 * i})",
+          s"(((yn >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH k AS (
+           |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+           |), mm AS (
+           |  SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+           |         MIN(y) AS mny, MAX(y) AS mxy
+           |  FROM k
+           |), s AS (
+           |  SELECT x, y,
+           |         CASE WHEN mxx = mnx THEN 0
+           |              ELSE ((x - mnx) * 65535) // (mxx - mnx)
+           |         END AS xn,
+           |         CASE WHEN mxy = mny THEN 0
+           |              ELSE ((y - mny) * 65535) // (mxy - mny)
+           |         END AS yn
+           |  FROM k CROSS JOIN mm
+           |), z AS (
+           |  SELECT x, y, ($z) AS zv FROM s
+           |)
+           |SELECT zv >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |       MIN(x) AS min_x, MAX(x) AS max_x,
+           |       MIN(y) AS min_y, MAX(y) AS max_y
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Standing degree table maintained INCREMENTALLY (the node-level
+    // member of the standing-artifact family: index q92, profile q95,
+    // clusters q101, heavy hitters q113 — now degrees): the distinct
+    // order–part edge set splits into three deterministic hash waves,
+    // each folded into the standing table by count addition, and the
+    // result hash-matches the oracle's one-shot degree aggregate over
+    // the full graph. History is never re-aggregated.
+    Q("q119_incremental_degrees",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("long").as("id_a"),
+            (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
+          .distinct()
+        val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
+        val batches = (0 to 2).map(b => e.filter(wave === b))
+        batches.tail
+          .foldLeft(Graph.degrees(batches.head))(Graph.mergeDegrees(_, _))
+          .orderBy("id")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_orderkey AS u,
+             |         l_partkey + 1000000000 AS v
+             |  FROM lineitem
+             |), d AS (
+             |  SELECT u AS id FROM e UNION ALL SELECT v FROM e
+             |)
+             |SELECT CAST(id AS BIGINT) AS id,
+             |       CAST(COUNT(*) AS BIGINT) AS deg
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q116's radix select lifted to GROUPS (bounded group count — the
+    // percentilesByValue contract, continuous domain): exact per-flag
+    // price percentiles in the same four digit-histogram passes, the
+    // open (group, prefix) frontier filtered by a literal disjunction,
+    // driver state a few longs per (group, percentile). No sort, no row
+    // shuffle, any value domain.
+    Q("q120_group_quantiles",
+      (s, dir) => Sketches.bisectQuantilesByGroup(
+          Tables.load(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", Seq(25, 50, 95))
+        .orderBy("l_returnflag", "p"),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag AS g, l_extendedprice AS v,
+             |         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |           ORDER BY l_extendedprice) AS rn,
+             |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem
+             |), t AS (
+             |  SELECT unnest([25, 50, 95]) AS p
+             |)
+             |SELECT s.g AS l_returnflag, CAST(t.p AS BIGINT) AS p,
+             |       CAST(s.rn AS BIGINT) AS rk,
+             |       CAST(s.n AS BIGINT) AS n, s.v AS value
+             |FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
+             |ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -1,0 +1,301 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Graph, Layout, Retrieval, Sketches}
+import graft.plans.{InterleaveBitsKernel, SortableBitsKernel}
+
+/** Round-8 operators: champion-list rerank (SortedStructDot kernel). */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- SortedStructDot kernel --------------------------------------------
+
+  test("sortedStructDot: kernel matches the HOF map-lookup formulation " +
+    "on random sorted sparse vectors") {
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[(Long, Long)] = {
+      val keys = rnd.shuffle((0L until 40L).toList).take(rnd.nextInt(12) + 1)
+      keys.sorted.map(k => k -> (rnd.nextInt(1000) + 1).toLong)
+    }
+    val rows = Seq.fill(50)((vec(), vec()))
+    val df = rows.toDF("va", "vb")
+    val hof = aggregate(col("va"), lit(0L), (acc, x) =>
+      acc + x.getField("_2") * coalesce(
+        element_at(map_from_entries(col("vb")), x.getField("_1")), lit(0L)))
+    val got = df.select(
+      Retrieval.sortedStructDot(col("va"), col("vb")).as("kernel"),
+      hof.as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and against a plain Scala computation
+    val expect = rows.map { case (a, b) =>
+      val bm = b.toMap
+      a.map { case (k, w) => w * bm.getOrElse(k, 0L) }.sum
+    }
+    assert(got.map(_.getLong(0)).toSeq == expect)
+  }
+
+  test("sorted_struct_dot is callable from SQL") {
+    GraftSession.registerFunctions(spark)
+    val out = spark.sql(
+      """SELECT sorted_struct_dot(
+        |  array(struct(1L, 10L), struct(3L, 5L)),
+        |  array(struct(1L, 2L), struct(2L, 100L), struct(3L, 4L))) v
+        |""".stripMargin).collect().head.getLong(0)
+    assert(out == 10L * 2L + 5L * 4L)
+  }
+
+  // --- championPairsRescored ---------------------------------------------
+
+  test("championPairsRescored: full score adds non-champion shared terms; " +
+    "equals champion score when all shared terms are champion-shared") {
+    // c=2: term x champions {d1,d2} -> candidate (1,2); term z champions
+    // {d3,d4} -> candidate (3,4). Pair (1,2) ALSO shares z but neither is
+    // a z-champion, so champ misses z and full includes it; pair (3,4)
+    // shares only z (champion-shared) so full == champ.
+    val docs = Seq(
+      (1L, "x x z"), (2L, "x z"),
+      (3L, "z z z z z"), (4L, "z z z z z z")).toDF("doc_id", "text")
+    val out = Retrieval.championPairsRescored(docs, championsPerTerm = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)))
+
+    def w(tf: Double, idf: Double): Long =
+      math.floor((1.0 + math.log(tf)) * idf * 1000).toLong
+    val idfX = math.log(1.0 + 4.0 / 2.0)
+    val idfZ = math.log(1.0 + 4.0 / 4.0)
+    val champ12 = w(2, idfX) * w(1, idfX)
+    val full12 = champ12 + w(1, idfZ) * w(1, idfZ)
+    assert(out((1L, 2L)) == ((1L, champ12, full12)))
+    assert(full12 > champ12)
+    val c34 = w(6, idfZ) * w(5, idfZ)
+    assert(out((3L, 4L)) == ((1L, c34, c34)))
+  }
+
+  test("championPairsRescored: full_score_u >= champ_score_u everywhere " +
+    "and candidate set matches championPairs") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(rnd.nextInt(20) + 1)(
+        words(rnd.nextInt(words.size))).mkString(" "))).toDF("doc_id", "text")
+    val scored = Retrieval.championPairsRescored(docs, championsPerTerm = 3)
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach(r => assert(r.getLong(4) >= r.getLong(3),
+      s"full < champ on ${r.getLong(0)}-${r.getLong(1)}"))
+    val candGot = scored.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candRef = Retrieval.championPairs(docs, championsPerTerm = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candGot == candRef)
+  }
+
+  // --- SortableBits / bisectQuantiles ------------------------------------
+
+  test("sortable bits: order-preserving, exactly invertible, " +
+    "negatives/zeros/infinities included") {
+    val vals = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -1.0,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue,
+      1.0, 2.5, 1.5e300, Double.PositiveInfinity)
+    val imgs = vals.map(SortableBitsKernel.toSortable)
+    // strictly increasing in UNSIGNED order (-0.0 < +0.0 by design)
+    imgs.sliding(2).foreach { case Seq(a, b) =>
+      assert(java.lang.Long.compareUnsigned(a, b) < 0, s"$a !< $b")
+    }
+    vals.zip(imgs).foreach { case (v, u) =>
+      val back = SortableBitsKernel.fromSortable(u)
+      assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(v))
+    }
+  }
+
+  test("bisectQuantiles: matches sort-based percentile_disc on a mixed " +
+    "random sample with negatives, duplicates, and extreme magnitudes") {
+    val rnd = new scala.util.Random(11)
+    val data = (Seq.fill(500)(rnd.nextGaussian() * 1e6) ++
+      Seq.fill(100)(42.0) ++ Seq(-1e300, 1e300, 0.0, -0.0) ++
+      Seq.fill(50)(rnd.nextDouble() * 1e-10)).map(Tuple1(_))
+    val df = data.toDF("v")
+    val ps = Seq(1, 10, 50, 90, 100)
+    val got = Sketches.bisectQuantiles(df, "v", ps)
+      .orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val sorted = data.map(_._1).sorted
+    val n = sorted.size.toLong
+    val expect = ps.map { p =>
+      val rk = (n * p + 99) / 100
+      (p.toLong, rk, n, sorted((rk - 1).toInt))
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("bisectQuantiles: nulls and NaNs excluded; empty input yields " +
+    "null values with n = 0") {
+    val df = Seq(Some(3.0), None, Some(Double.NaN), Some(1.0), Some(2.0))
+      .toDF("v")
+    val got = Sketches.bisectQuantiles(df, "v", Seq(50, 100))
+      .orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((50L, 2L, 3L, 2.0), (100L, 3L, 3L, 3.0)))
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val e = Sketches.bisectQuantiles(empty, "v", Seq(50)).collect()
+    assert(e.length == 1 && e.head.getLong(2) == 0L && e.head.isNullAt(3))
+  }
+
+  test("bisectQuantilesByGroup: per-group radix select matches the " +
+    "per-group sorted reference; null groups and values excluded") {
+    val rnd = new scala.util.Random(29)
+    val data = (Seq.tabulate(600)(i =>
+      (Some(s"g${i % 3}"), Some(rnd.nextGaussian() * 100))) ++
+      Seq((None, Some(1.0)), (Some("g0"), None))).map {
+      case (g, v) => (g.orNull, v.map(Double.box).orNull)
+    }
+    val df = data.map { case (g, v) =>
+      (g, Option(v).map(_.doubleValue))
+    }.toDF("g", "v")
+    val ps = Seq(10, 50, 90)
+    val got = Sketches.bisectQuantilesByGroup(df, "g", "v", ps)
+      .orderBy("g", "p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val expect = data.collect {
+      case (g, v) if g != null && v != null => (g, v.doubleValue)
+    }.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.size.toLong
+      ps.map { p =>
+        val rk = (n * p + 99) / 100
+        (g, p.toLong, rk, n, sorted((rk - 1).toInt))
+      }
+    }
+    assert(got.toSeq == expect)
+  }
+
+  // --- contaminationBloom -------------------------------------------------
+
+  test("contaminationBloom == contamination row for row, even with a " +
+    "tiny Bloom image forcing heavy false-positive traffic") {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("the", "cat", "sat", "on", "mat", "dog", "ran",
+      "far", "too", "big")
+    def text() = Seq.fill(rnd.nextInt(15) + 3)(
+      words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = (1L to 60L).map(i => (i, text())).toDF("doc_id", "text")
+    val eval = (100L to 110L).map(i => (i, text())).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+    val exact = rows(Dedup.contamination(corpus, eval))
+    // 64-bit image, 2 hashes: nearly every probe is a probable hit —
+    // the verify path carries the whole answer
+    assert(rows(Dedup.contaminationBloom(corpus, eval,
+      numBits = 64, numHashes = 2)) == exact)
+    // realistically-sized image: most clean docs short-circuit map-side
+    assert(rows(Dedup.contaminationBloom(corpus, eval,
+      numBits = 1 << 16, numHashes = 5)) == exact)
+  }
+
+  // --- Layout (z-order) ---------------------------------------------------
+
+  test("interleave31: known codes, monotone locality, rejects range") {
+    assert(InterleaveBitsKernel.interleave31(0L, 0L) == 0L)
+    assert(InterleaveBitsKernel.interleave31(1L, 0L) == 1L)
+    assert(InterleaveBitsKernel.interleave31(0L, 1L) == 2L)
+    assert(InterleaveBitsKernel.interleave31(3L, 3L) == 15L)
+    assert(InterleaveBitsKernel.interleave31(
+      (1L << 31) - 1, (1L << 31) - 1) == (1L << 62) - 1)
+    intercept[IllegalArgumentException](
+      InterleaveBitsKernel.interleave31(1L << 31, 0L))
+    intercept[IllegalArgumentException](
+      InterleaveBitsKernel.interleave31(-1L, 0L))
+  }
+
+  test("zOrderBucketStats: grid buckets match a brute-force reference " +
+    "and bound both dimensions") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(2000)((rnd.nextInt(1 << 20).toLong,
+      rnd.nextInt(1 << 20).toLong))
+    val df = rows.toDF("x", "y")
+    val got = Layout.zOrderBucketStats(df, "x", "y", bucketBits = 4)
+      .orderBy("bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val (mnx, mxx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (mny, mxy) = (rows.map(_._2).min, rows.map(_._2).max)
+    val ref = rows.groupBy { case (x, y) =>
+      val xn = (x - mnx) * 65535 / (mxx - mnx)
+      val yn = (y - mny) * 65535 / (mxy - mny)
+      InterleaveBitsKernel.interleave31(xn, yn) >>> 28
+    }.map { case (b, g) =>
+      b -> ((g.size.toLong, g.map(_._1).min, g.map(_._1).max,
+        g.map(_._2).min, g.map(_._2).max))
+    }
+    assert(got.size > 1 && got == ref)
+  }
+
+  test("zOrderCluster: written files cover disjoint z ranges (tight " +
+    "two-dimensional pruning stats per file)") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(5000)((rnd.nextInt(1 << 15).toLong,
+      rnd.nextInt(1 << 15).toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    Layout.zOrderCluster(df, "x", "y", numFiles = 8)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(back.length > 1)
+    back.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, "file z ranges overlap")
+    }
+  }
+
+  // --- standing degrees / triangles with standing degrees -----------------
+
+  private def randomPairs(seed: Int, n: Int, nodes: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+  }
+
+  test("mergeDegrees: waves folded into the standing table equal the " +
+    "one-shot degree aggregate when batches partition the edges") {
+    val edges = randomPairs(17, 200, 40)
+    val df = edges.toDF("id_a", "id_b")
+    val waves = (0 to 2).map(w =>
+      edges.filter(p => (p._1 * 31 + p._2) % 3 == w).toDF("id_a", "id_b"))
+    val merged = waves.tail
+      .foldLeft(Graph.degrees(waves.head))(Graph.mergeDegrees(_, _))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = Graph.degrees(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+  }
+
+  test("triangles: a standing (even stale) degree table changes the " +
+    "orientation, never the triangle set") {
+    val edges = randomPairs(23, 300, 30)
+    val df = edges.toDF("id_a", "id_b")
+    def tris(d: Option[org.apache.spark.sql.DataFrame]) =
+      Graph.triangles(df, standingDegrees = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = tris(None)
+    assert(base.nonEmpty)
+    // exact standing table
+    assert(tris(Some(Graph.degrees(df))) == base)
+    // stale: degrees from only the first half of the edges — some nodes
+    // missing entirely (orient as degree 0), all counts lagging
+    val stale = Graph.degrees(edges.take(edges.size / 2)
+      .toDF("id_a", "id_b"))
+    assert(tris(Some(stale)) == base)
+  }
+}

@@ -710,6 +710,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows() == want)
   }
 
+  test("streaming degree maintenance: edge waves fold into the standing " +
+    "degree table; final version ≡ one-shot degrees; replay adds " +
+    "nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sdeg").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val edges = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long").as("id_a"),
+        (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
+      .distinct()
+    val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sdeg-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.GraphStreams.ingestDegrees(
+        spark.readStream.schema(edges.schema).parquet(src), st, ckpt)
+        .awaitTermination(120000)
+    def stateRows(): Set[(Long, Long)] = {
+      spark.catalog.refreshByPath(st)
+      graft.streaming.GraphStreams.latestState(spark, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // three waves partitioning the distinct edge set (each edge once)
+    stage("w0", edges.filter(wave === 0))
+    runOnce()
+    stage("w1", edges.filter(wave === 1))
+    runOnce()
+    stage("w2", edges.filter(wave === 2))
+    runOnce()
+
+    val want = graft.functions.Graph.degrees(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stateRows() == want)
+
+    runOnce() // restart, no new files
+    assert(stateRows() == want)
+    graft.streaming.GraphStreams.degreeBatch( // hand-replayed crash
+      edges.filter(wave === 2), batchId = 2, st)
+    assert(stateRows() == want)
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
