@@ -506,8 +506,14 @@ object Retrieval {
       s"championsPerTerm must be positive, got $championsPerTerm")
     val maxTf = 1L << 20
     val idMask = (1L << 40) - 1
+    // the explicit isnotnull filters are semantic no-ops (explode emits
+    // no null terms) that MATCH the filters the optimizer infers from
+    // the rescore side's join keys — without them the two tf subtrees
+    // differ by exactly those inferred filters and the explode exchange
+    // executes once per branch instead of once via ReusedExchange
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col(idCol).isNotNull)
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
     val encoded = (lit(maxTf) - least(col("tf"), lit(maxTf - 1)))

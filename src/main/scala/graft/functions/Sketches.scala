@@ -327,6 +327,52 @@ object Sketches {
     }.toDF("p", "rk", "n", "value")
   }
 
+  /** Population-stability-index (PSI) drift report between two
+    * snapshots of a value distribution — the monitoring operator a
+    * pipeline runs before trusting a new drop of data against the last
+    * one (the drift member of the profiling family: [[profile]] checks
+    * shape, this checks SHIFT). Values land in fixed-width bins; counts
+    * get Laplace +1 smoothing over the union bin set (both sides
+    * defined on every bin); and the per-bin PSI contribution
+    * (p−q)·ln(p/q) is factored so everything but one logarithm is
+    * EXACT integer arithmetic: with x = (cnt_a+1)(n_b+B) and
+    * y = (cnt_b+1)(n_a+B), p−q = (x−y)/D for the bin-independent
+    * D = (n_a+B)(n_b+B), so contrib = (x−y)·floor(1000·ln(x/y)) is an
+    * exact int64 and PSI = Σ contrib / (D·1000). The single ln per bin
+    * is one IEEE operation on an integer-derived ratio — deterministic
+    * in any engine (the q105 millinats discipline).
+    *
+    * Plan: two map-side bin aggregates (bin-domain-sized state), a
+    * full-outer join of the two bin tables, a one-row totals broadcast
+    * — nothing row-sized ever shuffles. Contract: (max count + 1) ×
+    * (n + B) must fit int64 — daily/weekly monitoring slices, not
+    * all-history totals. */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+               binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, cname: String) = df
+      .select(floor(col(valueCol).cast("double") / binWidth)
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cname))
+    val joined = bins(a, "cnt_a")
+      .join(bins(b, "cnt_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt_b")).as("n_b"), count(lit(1)).as("n_bins"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("x", (col("cnt_a") + 1) * (col("n_b") + col("n_bins")))
+      .withColumn("y", (col("cnt_b") + 1) * (col("n_a") + col("n_bins")))
+      .withColumn("delta_num", col("x") - col("y"))
+      .withColumn("ln_milli",
+        floor(log(col("x").cast("double") / col("y").cast("double"))
+          * lit(1e3)).cast("long"))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"), col("n_a"),
+        col("n_b"), col("n_bins"), col("delta_num"), col("ln_milli"),
+        (col("delta_num") * col("ln_milli")).as("contrib"))
+  }
+
   /** Per-GROUP radix-select exact quantiles over a continuous double
     * domain — [[bisectQuantiles]] lifted to groups the way
     * [[percentilesByValue]] is the grouped histogram form. Same four

@@ -3489,12 +3489,17 @@ object ExtensionQueries {
     // the full graph. History is never re-aggregated.
     Q("q119_incremental_degrees",
       (s, dir) => {
-        val e = Tables.load(s, dir, "lineitem")
+        // wave BEFORE distinct: every duplicate of an edge lands in the
+        // same hash wave (the wave is a function of the edge), so
+        // per-wave distinct ≡ partitioned global distinct — and each
+        // wave dedups only its third instead of re-running the full
+        // corpus-wide distinct three times
+        val base = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").cast("long").as("id_a"),
             (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
-          .distinct()
         val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
-        val batches = (0 to 2).map(b => e.filter(wave === b))
+        val batches = (0 to 2).map(b =>
+          base.filter(wave === b).distinct())
         batches.tail
           .foldLeft(Graph.degrees(batches.head))(Graph.mergeDegrees(_, _))
           .orderBy("id")
@@ -3534,7 +3539,57 @@ object ExtensionQueries {
              |       CAST(s.rn AS BIGINT) AS rk,
              |       CAST(s.n AS BIGINT) AS n, s.v AS value
              |FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // PSI drift report between the month's two halves of the event
+    // value distribution: union-bin Laplace smoothing, then the per-bin
+    // (p−q)·ln(p/q) contribution factored so the only non-integer step
+    // is ONE ln per bin on an integer-derived ratio (floored to
+    // millinats) — contrib = (x−y)·floor(1000·ln(x/y)) is exact int64
+    // and PSI = Σ contrib / (D·1000). Two bin-domain aggregates + a
+    // one-row totals broadcast; no row-sized shuffle.
+    Q("q121_psi_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Sketches.psiDrift(
+          ev.filter(dayofmonth(col("ts")) <= 15),
+          ev.filter(dayofmonth(col("ts")) > 15),
+          "value", binWidth = 10.0)
+          .orderBy("bin")
+      },
+      Some("""WITH ea AS (
+             |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             |         COUNT(*) AS c
+             |  FROM events WHERE day(ts) <= 15 GROUP BY 1
+             |), eb AS (
+             |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             |         COUNT(*) AS c
+             |  FROM events WHERE day(ts) > 15 GROUP BY 1
+             |), j AS (
+             |  SELECT COALESCE(ea.bin, eb.bin) AS bin,
+             |         COALESCE(ea.c, 0) AS ca, COALESCE(eb.c, 0) AS cb
+             |  FROM ea FULL OUTER JOIN eb ON ea.bin = eb.bin
+             |), t AS (
+             |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             |         CAST(SUM(cb) AS BIGINT) AS nb,
+             |         CAST(COUNT(*) AS BIGINT) AS n_bins
+             |  FROM j
+             |), f AS (
+             |  SELECT j.bin, j.ca, j.cb, t.na, t.nb, t.n_bins,
+             |         (j.ca + 1) * (t.nb + t.n_bins) AS x,
+             |         (j.cb + 1) * (t.na + t.n_bins) AS y
+             |  FROM j CROSS JOIN t
+             |)
+             |SELECT bin, CAST(ca AS BIGINT) AS cnt_a,
+             |       CAST(cb AS BIGINT) AS cnt_b,
+             |       na AS n_a, nb AS n_b, n_bins,
+             |       CAST(x - y AS BIGINT) AS delta_num,
+             |       CAST(floor(ln(CAST(x AS DOUBLE) / CAST(y AS DOUBLE))
+             |         * 1000) AS BIGINT) AS ln_milli,
+             |       CAST((x - y) * CAST(floor(ln(CAST(x AS DOUBLE)
+             |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
+             |         AS BIGINT) AS contrib
+             |FROM f ORDER BY bin""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

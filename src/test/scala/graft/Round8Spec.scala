@@ -37,7 +37,8 @@ class Round8Spec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSeq == expect)
   }
 
-  test("sorted_struct_dot is callable from SQL") {
+  test("sorted_struct_dot / double_sortable_bits / interleave_bits31 " +
+    "are callable from SQL") {
     GraftSession.registerFunctions(spark)
     val out = spark.sql(
       """SELECT sorted_struct_dot(
@@ -45,6 +46,12 @@ class Round8Spec extends AnyFunSuite {
         |  array(struct(1L, 2L), struct(2L, 100L), struct(3L, 4L))) v
         |""".stripMargin).collect().head.getLong(0)
     assert(out == 10L * 2L + 5L * 4L)
+    val r = spark.sql(
+      """SELECT double_sortable_bits(CAST(2.5 AS DOUBLE)) AS u,
+        |       interleave_bits31(3L, 3L) AS z""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == SortableBitsKernel.toSortable(2.5))
+    assert(r.getLong(1) == 15L)
   }
 
   // --- championPairsRescored ---------------------------------------------
@@ -173,6 +180,34 @@ class Round8Spec extends AnyFunSuite {
       }
     }
     assert(got.toSeq == expect)
+  }
+
+  test("psiDrift: zero for identical distributions; factored integer " +
+    "contribution matches a direct Scala computation on shifted data") {
+    val a = Seq(1.0, 1.5, 12.0, 25.0, 25.5, 3.0).map(Tuple1(_)).toDF("v")
+    // identical multiset → every bin count equal, totals equal → all
+    // contribs exactly zero
+    val same = Sketches.psiDrift(a, a, "v", binWidth = 10.0).collect()
+    assert(same.nonEmpty && same.forall(r =>
+      r.getLong(6) == 0L && r.getLong(8) == 0L))
+
+    val b = Seq(1.0, 14.0, 14.5, 15.0, 38.0).map(Tuple1(_)).toDF("v")
+    val got = Sketches.psiDrift(a, b, "v", binWidth = 10.0)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val ca = Map(0L -> 3L, 1L -> 1L, 2L -> 2L)
+    val cb = Map(0L -> 1L, 1L -> 3L, 3L -> 1L)
+    val binsU = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val (na, nb, nbins) = (6L, 5L, binsU.size.toLong)
+    val expect = binsU.map { bin =>
+      val x = (ca.getOrElse(bin, 0L) + 1) * (nb + nbins)
+      val y = (cb.getOrElse(bin, 0L) + 1) * (na + nbins)
+      val lnm = math.floor(math.log(x.toDouble / y.toDouble) * 1000).toLong
+      (bin, x - y, lnm, (x - y) * lnm)
+    }
+    assert(got.toSeq == expect)
+    // a shifted distribution must register positive total PSI
+    assert(expect.map(_._4).sum > 0)
   }
 
   // --- contaminationBloom -------------------------------------------------
