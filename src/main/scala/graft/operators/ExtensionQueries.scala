@@ -3589,7 +3589,91 @@ object ExtensionQueries {
              |       CAST((x - y) * CAST(floor(ln(CAST(x AS DOUBLE)
              |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
              |         AS BIGINT) AS contrib
-             |FROM f ORDER BY bin""".stripMargin))
+             |FROM f ORDER BY bin""".stripMargin)),
+
+    // ANN recall harness: recall@10 of the IVF multi-probe path (q62)
+    // against the brute-force exact ranking (q28), per query, in
+    // integral basis points — the evaluation loop that decides
+    // cells/nprobe in production. Both rankings are deterministic
+    // (sim rounded to 6, ties by id), so the intersection — and the
+    // recall — is exactly reproducible; the oracle recomputes both
+    // stacks and the overlap count.
+    Q("q122_ann_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, qs, 10)
+          .select(col("query_id"), col("vec_id"))
+        val approx = Similarity.ivfTopKProbed(emb, qs, cells = 8,
+            k = 10, nprobe = 2, lloydIters = 1)
+          .select(col("query_id"), col("vec_id"))
+        val hits = exact.join(approx, Seq("query_id", "vec_id"),
+            "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            expr("CAST(coalesce(n_hit, 0) * 10000 DIV n_exact AS BIGINT)")
+              .as("recall_bp"))
+          .orderBy("query_id")
+      },
+      Some(ivfLloydCtes + """, scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored WHERE rk = 1
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), cellrank AS (
+             |  SELECT q.query_id, q.qv, c.centroid_id AS cell,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             |           list_dot_product(q.qv, c.cv)
+             |             / (sqrt(list_dot_product(q.qv, q.qv))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS prk
+             |  FROM q CROSS JOIN c
+             |), pr AS (
+             |  SELECT query_id, qv, cell FROM cellrank WHERE prk <= 2
+             |), sims AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_dot_product(p.qv, a.v)
+             |           / (sqrt(list_dot_product(p.qv, p.qv))
+             |              * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
+             |), ap AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, vec_id) AS rk
+             |    FROM sims) WHERE rk <= 10
+             |), ex_sims AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_dot_product(q.qv, e.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+             |), ex AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, vec_id) AS rk
+             |    FROM ex_sims) WHERE rk <= 10
+             |)
+             |SELECT x.query_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+             |       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+             |       CAST((COUNT(a.vec_id) * 10000) // COUNT(*) AS BIGINT)
+             |         AS recall_bp
+             |FROM ex x LEFT JOIN ap a
+             |  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
