@@ -75,4 +75,56 @@ object Layout {
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions(col("z"))
   }
+
+  /** Per-FILE pruning stats of a landed parquet table: for each file,
+    * row count and min/max of both dimensions — exactly the footer
+    * stats a reader's file-skipping consults. */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** One-row layout-quality summary of a landed table: file count and
+    * the summed per-file extents/bounding-box areas — the quantity a
+    * point/range predicate's expected file-skip rate is inversely
+    * proportional to. */
+  def layoutReport(spark: org.apache.spark.sql.SparkSession,
+                   path: String, xCol: String, yCol: String,
+                   label: String): DataFrame =
+    fileStats(spark, path, xCol, yCol)
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        sum(col("max_x") - col("min_x")).as("sum_x_extent"),
+        sum(col("max_y") - col("min_y")).as("sum_y_extent"),
+        sum((col("max_x") - col("min_x"))
+          * (col("max_y") - col("min_y"))).as("sum_area"))
+      .select(lit(label).as("layout"), col("n_files"), col("n_rows"),
+        col("sum_x_extent"), col("sum_y_extent"), col("sum_area"))
+
+  /** The OPTIMIZE ZORDER maintenance job: read a landed table, rewrite
+    * it z-order-clustered into `numFiles` files at `outPath`
+    * (idempotent overwrite — re-runs rewrite the same layout), and
+    * return the before/after [[layoutReport]] pair. A clustered
+    * rewrite's per-file bounding boxes cover ~1/files of the plane
+    * instead of ~all of it (Round8Spec pins the area reduction), which
+    * is precisely the file-skipping win a reader gets on BOTH columns.
+    * The rewrite is one range shuffle of the table — the once-per-
+    * maintenance-window cost that every subsequent scan amortizes. */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String, xCol: String,
+                     yCol: String, numFiles: Int): DataFrame = {
+    require(inPath != outPath,
+      "optimizeZOrder rewrites to a NEW path (swap after commit); " +
+        "overwriting the input while reading it would corrupt the table")
+    val before = layoutReport(spark, inPath, xCol, yCol, "before")
+    zOrderCluster(spark.read.parquet(inPath), xCol, yCol, numFiles)
+      .drop("z")
+      .write.mode("overwrite").parquet(outPath)
+    before.unionByName(
+      layoutReport(spark, outPath, xCol, yCol, "after_zorder"))
+  }
 }

@@ -348,14 +348,28 @@ object Sketches {
     * (n + B) must fit int64 — daily/weekly monitoring slices, not
     * all-history totals. */
   def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
-               binWidth: Double): DataFrame = {
+               binWidth: Double): DataFrame =
+    psiFromBins(binCounts(a, valueCol, binWidth),
+      binCounts(b, valueCol, binWidth))
+
+  /** Fixed-width bin histogram of a value column: (bin, cnt) — the
+    * landable/mergeable state behind [[psiDrift]] (two snapshots'
+    * states compare via [[psiFromBins]]; a standing state folds new
+    * batches in by count addition — streaming/MonitorStreams). */
+  def binCounts(df: DataFrame, valueCol: String,
+                binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bins(df: DataFrame, cname: String) = df
-      .select(floor(col(valueCol).cast("double") / binWidth)
+    df.select(floor(col(valueCol).cast("double") / binWidth)
         .cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as(cname))
-    val joined = bins(a, "cnt_a")
-      .join(bins(b, "cnt_b"), Seq("bin"), "full_outer")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[psiDrift]] over two PRE-BINNED (bin, cnt) states — the form a
+    * monitoring pipeline uses against a landed reference histogram. */
+  def psiFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+    val joined = binsA.select(col("bin"), col("cnt").as("cnt_a"))
+      .join(binsB.select(col("bin"), col("cnt").as("cnt_b")),
+        Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Streaming distribution monitoring: the drift member of the versioned
+  * standing-artifact family. The standing artifact is the fixed-width
+  * bin HISTOGRAM of everything streamed so far (Sketches.binCounts
+  * state, folded per micro-batch by count addition — batch-sized work,
+  * history never re-read); at any version, [[Sketches.psiFromBins]]
+  * against a landed reference histogram yields the exact same PSI
+  * report a batch [[Sketches.psiDrift]] over the full stream would
+  * produce (StreamingSpec pins it).
+  *
+  * Exactly-once: the DimensionStreams recipe verbatim — batch N reads
+  * committed v=N−1 (gated on `_SUCCESS`), overwrites v=N; replay folds
+  * into the same predecessor state and rewrites the same bytes.
+  */
+object MonitorStreams {
+
+  private def versionPath(stateDir: String, v: Long) = s"$stateDir/v=$v"
+
+  /** One micro-batch of the histogram fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def binBatch(batch: DataFrame, batchId: Long, stateDir: String,
+               valueCol: String, binWidth: Double): Unit = {
+    val spark = batch.sparkSession
+    val batchBins = Sketches.binCounts(batch, valueCol, binWidth)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchBins.limit(0)
+    standing.unionByName(batchBins)
+      .groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming histogram maintainer. Pass a durable
+    * `checkpoint` for restart. */
+  def ingestBins(rows: DataFrame, stateDir: String, checkpoint: String,
+                 valueCol: String, binWidth: Double):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          binBatch(batch.toDF(), batchId, stateDir, valueCol, binWidth)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed histogram state under `stateDir`. */
+  def latestState(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed histogram versions under $stateDir")
+    spark.read.parquet(versionPath(stateDir, vs.max))
+  }
+}

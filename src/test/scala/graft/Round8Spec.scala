@@ -292,6 +292,36 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("optimizeZOrder: the clustered rewrite shrinks summed per-file " +
+    "bounding-box area by ~the file count; row multiset preserved") {
+    val rnd = new scala.util.Random(41)
+    val df = Seq.fill(8000)((rnd.nextInt(1 << 12).toLong,
+      rnd.nextInt(1 << 12).toLong)).toDF("x", "y")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zopt").toString
+    // baseline: hash-scattered layout (what an un-maintained ingest
+    // leaves behind) — every file's bounding box spans ~the full plane
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/in")
+    val report = graft.functions.Layout.optimizeZOrder(spark,
+        s"$base/in", s"$base/out", "x", "y", numFiles = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val (beforeFiles, beforeRows, beforeArea) = report("before")
+    val (afterFiles, afterRows, afterArea) = report("after_zorder")
+    assert(beforeRows == 8000L && afterRows == 8000L)
+    assert(beforeFiles == 8L && afterFiles >= 2L)
+    // 8 hash-scattered files each cover ~the whole plane; 8 z-buckets
+    // cover ~1/8 each — demand at least a 2x total-area reduction
+    assert(afterArea * 2 < beforeArea,
+      s"area before=$beforeArea after=$afterArea")
+    // multiset equality of the rewritten rows
+    val a = spark.read.parquet(s"$base/in").groupBy("x", "y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = spark.read.parquet(s"$base/out").groupBy("x", "y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   // --- standing degrees / triangles with standing degrees -----------------
 
   private def randomPairs(seed: Int, n: Int, nodes: Int) = {

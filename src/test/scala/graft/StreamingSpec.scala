@@ -764,6 +764,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows() == want)
   }
 
+  test("streaming drift monitoring: histogram waves fold into the " +
+    "standing state; PSI vs a landed reference ≡ the batch psiDrift " +
+    "over the full stream; replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-smon").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "value")
+    val refDf = ev.filter(col("event_id") % 2 === 0)
+    val streamed = ev.filter(col("event_id") % 2 === 1)
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-smon-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.MonitorStreams.ingestBins(
+        spark.readStream.schema(streamed.schema).parquet(src), st, ckpt,
+        "value", binWidth = 25.0)
+        .awaitTermination(120000)
+
+    stage("w0", streamed.filter(col("event_id") % 3 === 0))
+    runOnce()
+    stage("w1", streamed.filter(col("event_id") % 3 === 1))
+    runOnce()
+    stage("w2", streamed.filter(col("event_id") % 3 === 2))
+    runOnce()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bin").collect().map(_.toSeq).toSeq
+    spark.catalog.refreshByPath(st)
+    val latest = graft.streaming.MonitorStreams.latestState(spark, st)
+    assert(rows(latest) ==
+      rows(graft.functions.Sketches.binCounts(streamed, "value", 25.0)))
+    val viaStates = rows(graft.functions.Sketches.psiFromBins(
+      graft.functions.Sketches.binCounts(refDf, "value", 25.0), latest))
+    val batch = rows(graft.functions.Sketches.psiDrift(
+      refDf, streamed, "value", 25.0))
+    assert(viaStates == batch)
+    // drift between the halves is nonzero but every contrib is defined
+    assert(batch.nonEmpty)
+
+    runOnce() // restart, no new files
+    graft.streaming.MonitorStreams.binBatch( // hand-replayed crash
+      streamed.filter(col("event_id") % 3 === 2), batchId = 2, st,
+      "value", binWidth = 25.0)
+    spark.catalog.refreshByPath(st)
+    assert(rows(graft.streaming.MonitorStreams.latestState(spark, st)) ==
+      rows(graft.functions.Sketches.binCounts(streamed, "value", 25.0)))
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
