@@ -633,6 +633,39 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-level train/val/test split — the leakage-safe corpus cut:
+    * a near-duplicate of a training doc sitting in the eval split leaks
+    * training signal straight into evaluation, so the split UNIT is the
+    * near-dup cluster, not the document. Every doc carries its cluster
+    * label (its own id when unclustered — `clusters` is the (id, comp)
+    * table, e.g. the memoized q61 result), the label hashes through the
+    * portable md5-60 family into a bucket in [0, 100), and the whole
+    * cluster lands in one split — a near-dup pair can never straddle,
+    * BY CONSTRUCTION (q123 verifies the zero straddle count anyway).
+    *
+    * Deterministic (re-runs assign identically — the hash is of the
+    * cluster label, not of arrival order), and one narrow left join +
+    * map-side hashing over the corpus: the cluster table is
+    * candidate-pair-sized, the corpus never shuffles. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id", valPct: Int = 10,
+                       testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"val/test percentages must fit in [0, 100): $valPct/$testPct")
+    docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .withColumn("unit", coalesce(col("comp"), col(idCol)))
+      .withColumn("bucket",
+        pmod(md5Hash64(concat(lit("split:"),
+          col("unit").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 100 - valPct - testPct, "train")
+          .when(col("bucket") < 100 - testPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("unit"), col("bucket"), col("split"))
+  }
+
   /** Content-defined chunk fingerprints (Rabin-Karp rolling-hash
     * boundaries + FNV chunk hashes, graft.plans.ContentChunkHashes):
     * sub-document dedup primitive — shared paragraphs share fingerprints

@@ -3673,7 +3673,71 @@ object ExtensionQueries {
              |         AS recall_bp
              |FROM ex x LEFT JOIN ap a
              |  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    // CLUSTER (the memoized q61 table), hashed through the portable
+    // md5-60 family into 80/10/10 buckets — a near-dup pair can never
+    // straddle splits, and the query PROVES it (n_leaky computed from
+    // the candidate pairs = 0) alongside the per-split census. A
+    // doc-level split would leak eval twins of training docs; this is
+    // the decontamination principle applied to the corpus's own cut.
+    Q("q123_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sp = Dedup.leakageSafeSplit(docs, clustersTable(s, dir))
+        val pairs = Dedup.nearDuplicatesPortable(docs, "doc_id", "text",
+          shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 2000)
+        val leaks = pairs
+          .join(sp.select(col("doc_id").as("id_a"),
+            col("split").as("sa")), Seq("id_a"))
+          .join(sp.select(col("doc_id").as("id_b"),
+            col("split").as("sb")), Seq("id_b"))
+          .filter(col("sa") =!= col("sb"))
+          .agg(count(lit(1)).as("n_leaky"))
+        sp.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), spl AS (
+          |  SELECT d.doc_id,
+          |         COALESCE(c.comp, d.doc_id) AS unit,
+          |         ('0x'||substr(md5('split:'
+          |           || COALESCE(c.comp, d.doc_id)),1,15))::BIGINT % 100
+          |           AS bucket
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+          |), named AS (
+          |  SELECT doc_id, unit,
+          |         CASE WHEN bucket < 80 THEN 'train'
+          |              WHEN bucket < 90 THEN 'val'
+          |              ELSE 'test' END AS split
+          |  FROM spl
+          |), leaks AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky
+          |  FROM pairs p
+          |  JOIN named a ON p.id_a = a.doc_id
+          |  JOIN named b ON p.id_b = b.doc_id
+          |  WHERE a.split <> b.split
+          |)
+          |SELECT n.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(COUNT(DISTINCT n.unit) AS BIGINT) AS n_units,
+          |       l.n_leaky
+          |FROM named n CROSS JOIN leaks l
+          |GROUP BY 1, l.n_leaky ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

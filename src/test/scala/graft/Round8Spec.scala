@@ -235,6 +235,34 @@ class Round8Spec extends AnyFunSuite {
       numBits = 1 << 16, numHashes = 5)) == exact)
   }
 
+  test("leakageSafeSplit: whole clusters land in one split; singletons " +
+    "hash independently; assignment is deterministic") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("id", "comp")
+    val sp = graft.functions.Dedup.leakageSafeSplit(docs, clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(sp.size == 40)
+    // cluster members share unit, bucket, and split
+    assert(Set(sp(1L), sp(2L), sp(3L)).size == 1)
+    assert(Set(sp(10L), sp(11L)).size == 1)
+    assert(sp(1L)._1 == 1L && sp(10L)._1 == 10L)
+    // singleton unit = own id
+    assert(sp(25L)._1 == 25L)
+    // all three splits occur across 40 docs at 80/10/10 — statistically
+    // near-certain with the fixed hash; deterministic re-run identical
+    val again = graft.functions.Dedup.leakageSafeSplit(docs, clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == sp)
+    assert(sp.values.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    sp.values.foreach { case (_, b, s) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want)
+    }
+  }
+
   // --- Layout (z-order) ---------------------------------------------------
 
   test("interleave31: known codes, monotone locality, rejects range") {
