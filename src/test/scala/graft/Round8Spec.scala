@@ -153,6 +153,24 @@ class Round8Spec extends AnyFunSuite {
     assert(e.length == 1 && e.head.getLong(2) == 0L && e.head.isNullAt(3))
   }
 
+  test("bisectQuantiles: degenerate shapes — constant column, single " +
+    "row, and p=1 on duplicates-heavy data") {
+    val const = Seq.fill(100)(7.25).map(Tuple1(_)).toDF("v")
+    val gotC = Sketches.bisectQuantiles(const, "v", Seq(1, 50, 100))
+      .orderBy("p").collect()
+    assert(gotC.forall(_.getDouble(3) == 7.25))
+    assert(gotC.map(_.getLong(1)).toSeq == Seq(1L, 50L, 100L))
+    val one = Seq(Tuple1(-3.5)).toDF("v")
+    val gotO = Sketches.bisectQuantiles(one, "v", Seq(1, 100)).collect()
+    assert(gotO.forall(r => r.getLong(2) == 1L && r.getDouble(3) == -3.5))
+    val dups = (Seq.fill(60)(1.0) ++ Seq.fill(40)(2.0))
+      .map(Tuple1(_)).toDF("v")
+    val gotD = Sketches.bisectQuantiles(dups, "v", Seq(1, 60, 61, 100))
+      .orderBy("p").collect().map(r => r.getLong(0) -> r.getDouble(3))
+    assert(gotD.toSeq == Seq(1L -> 1.0, 60L -> 1.0, 61L -> 2.0,
+      100L -> 2.0))
+  }
+
   test("bisectQuantilesByGroup: per-group radix select matches the " +
     "per-group sorted reference; null groups and values excluded") {
     val rnd = new scala.util.Random(29)
