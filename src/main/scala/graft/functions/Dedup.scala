@@ -646,7 +646,15 @@ object Dedup {
     * Deterministic (re-runs assign identically — the hash is of the
     * cluster label, not of arrival order), and one narrow left join +
     * map-side hashing over the corpus: the cluster table is
-    * candidate-pair-sized, the corpus never shuffles. */
+    * candidate-pair-sized, the corpus never shuffles.
+    *
+    * When to use: splitting BEFORE dedup, or any corpus that retains
+    * near-dups (looser dedup threshold than the split threshold,
+    * intentionally-kept duplicates, epoch-mixed corpora). A corpus
+    * already deduped at the same threshold has no surviving pairs, so
+    * a plain doc-hash split of it is equally safe — which is why
+    * CurationPipeline does not re-split; its curated output is safe by
+    * the q73 invariant. */
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
                        idCol: String = "doc_id", valPct: Int = 10,
                        testPct: Int = 10): DataFrame = {

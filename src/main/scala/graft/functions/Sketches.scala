@@ -327,6 +327,56 @@ object Sketches {
     }.toDF("p", "rk", "n", "value")
   }
 
+  /** Count-Min sketch state over the portable md5-60 hash family — the
+    * point-frequency member of the sketch family (Misra-Gries answers
+    * "what are the heavy items", Count-Min answers "about how often is
+    * THIS item" in width×depth cells of memory however many distinct
+    * items exist). Each of the `depth` hash rows buckets every
+    * occurrence into `width` cells; a cell's count is an EXACT sum —
+    * the sketch's CONTENT is deterministic data (only point queries
+    * approximate) — so the table is mergeable by plain count addition
+    * (a standing-artifact candidate like the degree table) and exactly
+    * restatable in any engine with md5 (the q123 hash discipline).
+    *
+    * Plan: one ×depth explode + one (width·depth)-bounded hash
+    * aggregate with map-side combine; nothing row-sized shuffles. */
+  def countMin(df: DataFrame, itemCol: String, width: Int,
+               depth: Int): DataFrame = {
+    require(width > 0 && depth > 0,
+      s"width/depth must be positive, got $width/$depth")
+    df.select(explode(array((0 until depth).map(lit): _*)).as("j"),
+        col(itemCol).cast("string").as("item"))
+      .select(col("j"), cmCell(col("j"), col("item"), width).as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmCell(j: Column, item: Column, width: Int): Column =
+    pmod(Dedup.md5Hash64(concat(lit("cm:"), j.cast("string"), lit(":"),
+      item)), lit(width.toLong))
+
+  /** Merge two Count-Min states built with the same geometry over
+    * disjoint row sets: cell counts add. */
+  def mergeCountMin(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("j", "cell").agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates from a Count-Min state: for each probe
+    * item, min over hash rows of its cell count — always ≥ the true
+    * count (collisions only ever inflate), within εn with probability
+    * 1−δ for width = e/ε, depth = ln(1/δ). The probe side is
+    * probe-set-sized; the sketch is width×depth rows — both tiny. */
+  def cmEstimate(cm: DataFrame, items: DataFrame, itemCol: String,
+                 width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0,
+      s"width/depth must be positive, got $width/$depth")
+    items.select(col(itemCol).cast("string").as("item")).distinct()
+      .select(col("item"),
+        explode(array((0 until depth).map(lit): _*)).as("j"))
+      .withColumn("cell", cmCell(col("j"), col("item"), width))
+      .join(cm, Seq("j", "cell"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Population-stability-index (PSI) drift report between two
     * snapshots of a value distribution — the monitoring operator a
     * pipeline runs before trusting a new drop of data against the last

@@ -3737,7 +3737,64 @@ object ExtensionQueries {
           |       CAST(COUNT(DISTINCT n.unit) AS BIGINT) AS n_units,
           |       l.n_leaky
           |FROM named n CROSS JOIN leaks l
-          |GROUP BY 1, l.n_leaky ORDER BY 1""".stripMargin))
+          |GROUP BY 1, l.n_leaky ORDER BY 1""".stripMargin)),
+
+    // Count-Min sketch (point-frequency member of the sketch family):
+    // 3×256 cells of EXACT deterministic counts over the portable
+    // md5-60 hash rows — the whole state AND every point estimate is
+    // reproducible in any engine with md5, so est (min over rows) and
+    // its guaranteed overcount vs the true count are both hash-checked.
+    // One ×3 explode + one 768-cell bounded aggregate; the probe side
+    // joins the tiny sketch.
+    Q("q124_count_min",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val cm = Sketches.countMin(li, "l_partkey", width = 256,
+          depth = 3)
+        val probes = li.filter(col("l_partkey") <= 20)
+        val exact = probes
+          .groupBy(col("l_partkey").cast("string").as("item"))
+          .agg(count(lit(1)).as("exact"))
+        Sketches.cmEstimate(cm, probes, "l_partkey", width = 256,
+            depth = 3)
+          .join(exact, Seq("item"))
+          .select(col("item"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy("item")
+      },
+      Some("""WITH js AS (
+             |  SELECT unnest([0, 1, 2]) AS j
+             |), cells AS (
+             |  SELECT js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'
+             |           ||CAST(l_partkey AS VARCHAR)),1,15))::BIGINT
+             |           % 256 AS cell,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem CROSS JOIN js
+             |  GROUP BY 1, 2
+             |), probes AS (
+             |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS item
+             |  FROM lineitem WHERE l_partkey <= 20
+             |), pe AS (
+             |  SELECT p.item, js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'||p.item),1,15))
+             |           ::BIGINT % 256 AS cell
+             |  FROM probes p CROSS JOIN js
+             |), est AS (
+             |  SELECT pe.item, MIN(COALESCE(c.cnt, 0)) AS est
+             |  FROM pe LEFT JOIN cells c
+             |    ON c.j = pe.j AND c.cell = pe.cell
+             |  GROUP BY 1
+             |), ex AS (
+             |  SELECT CAST(l_partkey AS VARCHAR) AS item,
+             |         COUNT(*) AS exact
+             |  FROM lineitem WHERE l_partkey <= 20 GROUP BY 1
+             |)
+             |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+             |       CAST(x.exact AS BIGINT) AS exact,
+             |       CAST(e.est - x.exact AS BIGINT) AS overcount
+             |FROM est e JOIN ex x ON e.item = x.item
+             |ORDER BY e.item""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -200,6 +200,35 @@ class Round8Spec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("countMin: estimates never undercount, degenerate to exact at " +
+    "ample width, and merged states equal the rebuilt sketch") {
+    val rnd = new scala.util.Random(47)
+    val items = Seq.fill(3000)(s"item_${rnd.nextInt(80)}")
+    val df = items.map(Tuple1(_)).toDF("it")
+    val exact = items.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    // narrow sketch: collisions expected, but never an undercount
+    val cmN = Sketches.countMin(df, "it", width = 16, depth = 3)
+    val estN = Sketches.cmEstimate(cmN, df, "it", 16, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) => assert(estN(k) >= c, s"undercount $k") }
+    // ample width: every estimate exact
+    val cmW = Sketches.countMin(df, "it", width = 1 << 16, depth = 3)
+    val estW = Sketches.cmEstimate(cmW, df, "it", 1 << 16, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == exact)
+    // merge over a disjoint split ≡ rebuilt
+    val (h1, h2) = items.splitAt(1200)
+    val merged = Sketches.mergeCountMin(
+        Sketches.countMin(h1.map(Tuple1(_)).toDF("it"), "it", 16, 3),
+        Sketches.countMin(h2.map(Tuple1(_)).toDF("it"), "it", 16, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rebuilt = cmN.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == rebuilt)
+  }
+
   test("psiDrift: zero for identical distributions; factored integer " +
     "contribution matches a direct Scala computation on shifted data") {
     val a = Seq(1.0, 1.5, 12.0, 25.0, 25.5, 3.0).map(Tuple1(_)).toDF("v")
