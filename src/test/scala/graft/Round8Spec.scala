@@ -397,6 +397,38 @@ class Round8Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("fileBloomIndex: point probes read only probable files yet equal " +
+    "the plain filter; empty probes yield empty results") {
+    val rnd = new scala.util.Random(53)
+    val keys = rnd.shuffle((0L until 4000L).toList)
+    val df = keys.map(k => (k, s"payload_$k")).toDF("k", "payload")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fbloom").toString
+    // hash-scattered layout: min/max pruning would skip nothing
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/t")
+    val idx = graft.operators.BloomJoin.fileBloomIndex(spark,
+      s"$base/t", "k")
+    assert(idx.count() == 8)
+    val probe = Seq(17L, 1234L, 3999L)
+    val got = graft.operators.BloomJoin.scanWithBloomIndex(spark,
+        s"$base/t", "k", probe, idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = spark.read.parquet(s"$base/t")
+      .filter(col("k").isin(probe: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.size == 3)
+    // selectivity: 3 unique keys live in ≤ 3 files; FPs at 64Kbit over
+    // 500 keys/file are rare — demand real skipping, not just equality
+    val probable = graft.operators.BloomJoin.probeFiles(idx, probe,
+      1 << 16, 5).count()
+    assert(probable <= 5, s"expected ≤ 5 probable files, got $probable")
+    // a key absent from the table: no false negatives means possibly
+    // files to read, but the exact filter yields nothing
+    val none = graft.operators.BloomJoin.scanWithBloomIndex(spark,
+      s"$base/t", "k", Seq(999999L), idx)
+    assert(none.count() == 0)
+  }
+
   // --- standing degrees / triangles with standing degrees -----------------
 
   private def randomPairs(seed: Int, n: Int, nodes: Int) = {
