@@ -3794,7 +3794,43 @@ object ExtensionQueries {
              |       CAST(x.exact AS BIGINT) AS exact,
              |       CAST(e.est - x.exact AS BIGINT) AS overcount
              |FROM est e JOIN ex x ON e.item = x.item
-             |ORDER BY e.item""".stripMargin))
+             |ORDER BY e.item""".stripMargin)),
+
+    // Join-shape diagnostic for orders ⋈ lineitem on the order key:
+    // per-side row/NDV counts, matching-key count, the EXACT join
+    // output cardinality Σ cnt_a·cnt_b, and the heaviest key by
+    // contribution — computed from the two key-count tables, never by
+    // running the join. The decide-before-you-salt numbers, all exact
+    // integers.
+    Q("q125_join_diagnostics",
+      (s, dir) => Skew.joinDiagnostics(
+        Tables.load(s, dir, "orders"), "o_orderkey",
+        Tables.load(s, dir, "lineitem"), "l_orderkey"),
+      Some("""WITH ca AS (
+             |  SELECT o_orderkey AS k, COUNT(*) AS ca
+             |  FROM orders GROUP BY 1
+             |), cb AS (
+             |  SELECT l_orderkey AS k, COUNT(*) AS cb
+             |  FROM lineitem GROUP BY 1
+             |), j AS (
+             |  SELECT ca.k, ca.ca * cb.cb AS contrib
+             |  FROM ca JOIN cb USING (k)
+             |), top AS (
+             |  SELECT k, contrib FROM j
+             |  ORDER BY contrib DESC, k DESC LIMIT 1
+             |)
+             |SELECT
+             |  (SELECT CAST(SUM(ca) AS BIGINT) FROM ca) AS n_a,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS ndv_a,
+             |  (SELECT CAST(SUM(cb) AS BIGINT) FROM cb) AS n_b,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS ndv_b,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j)
+             |    AS n_matching_keys,
+             |  (SELECT CAST(COALESCE(SUM(contrib), 0) AS BIGINT) FROM j)
+             |    AS out_rows,
+             |  CAST(top.k AS BIGINT) AS top_key,
+             |  CAST(top.contrib AS BIGINT) AS top_contrib
+             |FROM top""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

@@ -50,4 +50,39 @@ object Skew {
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Join-shape diagnostic — the numbers a skew investigation (and a
+    * planner) needs EXACTLY, computed before running the join: per-side
+    * row and distinct-key counts, the matching-key count, the exact
+    * inner-join output cardinality Σ_k cnt_a(k)·cnt_b(k), and the
+    * single heaviest key with its contribution (deciding whether
+    * [[saltedJoin]] / AQE skew handling is warranted and how much one
+    * key dominates).
+    *
+    * Cost: two key-count aggregates (map-side combinable, count-table-
+    * sized results), their equi-join, and three one-row reductions —
+    * the standard stats-collection pass, never the join itself. All
+    * outputs are exact integers (oracle-checked, q125). */
+  def joinDiagnostics(a: DataFrame, aKey: String, b: DataFrame,
+                      bKey: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ca = a.groupBy(col(aKey).cast("long").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(bKey).cast("long").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, Seq("k"))
+      .select(col("k"), (col("ca") * col("cb")).as("contrib"))
+    val joined = j.agg(
+      count(lit(1)).as("n_matching_keys"),
+      coalesce(sum(col("contrib")), lit(0L)).as("out_rows"),
+      max(struct(col("contrib"), col("k"))).as("top"))
+      .select(col("n_matching_keys"), col("out_rows"),
+        col("top.k").as("top_key"),
+        col("top.contrib").as("top_contrib"))
+    val sa = ca.agg(coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      count(lit(1)).as("ndv_a"))
+    val sb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+      count(lit(1)).as("ndv_b"))
+    broadcast(sa).crossJoin(broadcast(sb)).crossJoin(joined)
+  }
 }

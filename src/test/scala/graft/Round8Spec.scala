@@ -429,6 +429,25 @@ class Round8Spec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("joinDiagnostics: exact shape numbers on a hand-computable join; " +
+    "disjoint keys yield zero cardinality and null top key") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 2L, 5L).toDF("kb")
+    val r = graft.operators.Skew.joinDiagnostics(a, "ka", b, "kb")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 5L, 3L)))
+    assert((r.getLong(4), r.getLong(5)) == ((2L, 5L)))
+    assert((r.getLong(6), r.getLong(7)) == ((2L, 3L)))
+    // exact cardinality check against the actual join
+    assert(a.join(b, col("ka") === col("kb")).count() == r.getLong(5))
+    val disjoint = graft.operators.Skew.joinDiagnostics(
+      Seq(1L).toDF("ka"), "ka", Seq(9L).toDF("kb"), "kb")
+      .collect().head
+    assert(disjoint.getLong(4) == 0L && disjoint.getLong(5) == 0L &&
+      disjoint.isNullAt(6) && disjoint.isNullAt(7))
+  }
+
   // --- standing degrees / triangles with standing degrees -----------------
 
   private def randomPairs(seed: Int, n: Int, nodes: Int) = {
