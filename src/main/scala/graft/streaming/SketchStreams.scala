@@ -63,4 +63,40 @@ object SketchStreams {
     require(vs.nonEmpty, s"no committed sketch versions under $stateDir")
     spark.read.parquet(versionPath(stateDir, vs.max))
   }
+
+  /** One micro-batch of the Count-Min merge — the point-frequency
+    * member of the streaming sketch family. Unlike Misra-Gries, the
+    * Count-Min state is EXACT deterministic cell counts, so folding a
+    * batch in is plain count addition (Sketches.mergeCountMin) and
+    * every version's point estimates equal a one-shot sketch over
+    * everything streamed so far. */
+  def cmBatch(batch: DataFrame, batchId: Long, stateDir: String,
+              itemCol: String, width: Int, depth: Int): Unit = {
+    val spark = batch.sparkSession
+    val batchState = Sketches.countMin(batch, itemCol, width, depth)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchState.limit(0)
+    Sketches.mergeCountMin(standing, batchState)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming Count-Min maintainer. */
+  def ingestCountMin(rows: DataFrame, stateDir: String,
+                     checkpoint: String, itemCol: String, width: Int,
+                     depth: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          cmBatch(batch.toDF(), batchId, stateDir, itemCol, width, depth)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -248,6 +248,23 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(hot.toDouble / n < 0.25, s"hot bucket holds $hot of $n")
   }
 
+  test("champion-list fanout: a corpus-wide stop word contributes at " +
+    "most c*(c-1)/2 candidate pairs no matter how many docs share it") {
+    import spark.implicits._
+    // 2 000 docs, EVERY one contains the stop word; each also carries a
+    // unique term (df = 1, pairs impossible). Naive all-pairs would be
+    // ~2M candidates; champion lists cap the stop word at c=4 docs.
+    val docs = (1L to 2000L)
+      .map(i => (i, s"stopword unique_$i")).toDF("doc_id", "text")
+    val cand = graft.functions.Retrieval
+      .championPairs(docs, championsPerTerm = 4)
+    assert(cand.count() <= 6L)
+    // and the rescore stage preserves exactly that candidate set
+    val rescored = graft.functions.Retrieval
+      .championPairsRescored(docs, championsPerTerm = 4)
+    assert(rescored.count() == cand.count())
+  }
+
   test("hot-key bounded aggregation: a 2M-row 95%-skewed key stream " +
     "through min_k yields the exact k smallest and bounded state") {
     // the collect_list failure mode this guards: one Zipf-head term

@@ -764,6 +764,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows() == want)
   }
 
+  test("streaming Count-Min: waves fold by exact cell addition; every " +
+    "final estimate equals the one-shot sketch's; replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scm").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-scm-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.SketchStreams.ingestCountMin(
+        spark.readStream.schema(ev.schema).parquet(src), st, ckpt,
+        "event_type", width = 64, depth = 3)
+        .awaitTermination(120000)
+
+    stage("w0", ev.filter(col("event_id") % 3 === 0))
+    runOnce()
+    stage("w1", ev.filter(col("event_id") % 3 === 1))
+    runOnce()
+    stage("w2", ev.filter(col("event_id") % 3 === 2))
+    runOnce()
+
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    spark.catalog.refreshByPath(st)
+    val latest = graft.streaming.SketchStreams.latestState(spark, st)
+    assert(cells(latest) ==
+      cells(graft.functions.Sketches.countMin(ev, "event_type", 64, 3)))
+
+    runOnce() // restart, no new files
+    graft.streaming.SketchStreams.cmBatch( // hand-replayed crash
+      ev.filter(col("event_id") % 3 === 2), batchId = 2, st,
+      "event_type", width = 64, depth = 3)
+    spark.catalog.refreshByPath(st)
+    assert(cells(graft.streaming.SketchStreams.latestState(spark, st)) ==
+      cells(graft.functions.Sketches.countMin(ev, "event_type", 64, 3)))
+  }
+
   test("streaming drift monitoring: histogram waves fold into the " +
     "standing state; PSI vs a landed reference ≡ the batch psiDrift " +
     "over the full stream; replay adds nothing") {
