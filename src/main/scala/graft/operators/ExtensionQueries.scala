@@ -3830,7 +3830,87 @@ object ExtensionQueries {
              |    AS out_rows,
              |  CAST(top.k AS BIGINT) AS top_key,
              |  CAST(top.contrib AS BIGINT) AS top_contrib
-             |FROM top""".stripMargin))
+             |FROM top""".stripMargin)),
+
+    // ADAPTIVE quality gate: the cutoffs come from the corpus's own
+    // distribution (10th percentile of alpha ratio and word count via
+    // the sort-free histogram percentiles — both integral, both exact)
+    // instead of hand-picked constants, then a per-source kept/dropped
+    // census against the broadcast thresholds. Thresholds travel in the
+    // output so the gate is self-describing. One census pass + two
+    // domain-sized histogram aggregates; no sort, no row shuffle.
+    Q("q126_adaptive_quality",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val q = TextAnalysis.qualityVerdict(docs)
+          .select("doc_id", "alpha_bp", "n_words")
+          .withColumn("g", lit(1))
+        val thA = Sketches.percentilesByValue(q, "g", "alpha_bp",
+          Seq(10)).select(col("p10").as("th_alpha"))
+        val thW = Sketches.percentilesByValue(q, "g", "n_words",
+          Seq(10)).select(col("p10").as("th_words"))
+        docs.select("doc_id", "source")
+          .join(q, Seq("doc_id"))
+          .crossJoin(broadcast(thA)).crossJoin(broadcast(thW))
+          .groupBy("source")
+          .agg(
+            sum(when(col("alpha_bp") >= col("th_alpha") &&
+              col("n_words") >= col("th_words"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("alpha_bp") >= col("th_alpha") &&
+              col("n_words") >= col("th_words"), 0L).otherwise(1L))
+              .as("n_dropped"),
+            max(col("th_alpha")).as("th_alpha"),
+            max(col("th_words")).as("th_words"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     x -> len(x) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS w FROM d
+             |), words AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words
+             |  FROM tok GROUP BY doc_id
+             |), f AS (
+             |  SELECT d.doc_id, d.source,
+             |         CASE WHEN length(d.text) = 0 THEN 0
+             |              ELSE CAST(floor(length(regexp_replace(d.text,
+             |                     '[^A-Za-z]', '', 'g')) * 10000.0
+             |                   / length(d.text)) AS BIGINT) END
+             |           AS alpha_bp,
+             |         COALESCE(w.n_words, 0) AS n_words
+             |  FROM d LEFT JOIN words w ON d.doc_id = w.doc_id
+             |), ra AS (
+             |  SELECT alpha_bp AS v,
+             |         ROW_NUMBER() OVER (ORDER BY alpha_bp) AS rn,
+             |         COUNT(*) OVER () AS n
+             |  FROM f
+             |), rw AS (
+             |  SELECT n_words AS v,
+             |         ROW_NUMBER() OVER (ORDER BY n_words) AS rn,
+             |         COUNT(*) OVER () AS n
+             |  FROM f
+             |), th AS (
+             |  SELECT
+             |    (SELECT v FROM ra WHERE rn = (n * 10 + 99) // 100)
+             |      AS th_alpha,
+             |    (SELECT v FROM rw WHERE rn = (n * 10 + 99) // 100)
+             |      AS th_words
+             |)
+             |SELECT f.source,
+             |       CAST(SUM(CASE WHEN f.alpha_bp >= th.th_alpha
+             |         AND f.n_words >= th.th_words THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_kept,
+             |       CAST(SUM(CASE WHEN f.alpha_bp >= th.th_alpha
+             |         AND f.n_words >= th.th_words THEN 0 ELSE 1 END)
+             |         AS BIGINT) AS n_dropped,
+             |       CAST(MAX(th.th_alpha) AS BIGINT) AS th_alpha,
+             |       CAST(MAX(th.th_words) AS BIGINT) AS th_words
+             |FROM f CROSS JOIN th
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
