@@ -633,6 +633,38 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup pair EXPLANATION — the manual-review face of the dedup
+    * pipeline: for every flagged pair, the exact shared-shingle count
+    * and a deterministic sample of the shared evidence (the `sampleK`
+    * SMALLEST shared 60-bit shingle fingerprints — smallest, so the
+    * sample is reproducible in any engine, not "first seen"). A human
+    * auditing dedup decisions gets the why, not just the score.
+    *
+    * Plan: the flagged pairs are the LSH candidates (pair-sized); each
+    * side's sorted shingle array joins back by id and the shared count
+    * and sample are ONE merge scan + one intersect slice per pair,
+    * map-side. The corpus never self-joins beyond the banded LSH. */
+  def explainPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleN: Int = 3,
+                   bands: Int = 4, rowsPerBand: Int = 4,
+                   minJaccardBp: Long = 2000,
+                   sampleK: Int = 4): DataFrame = {
+    val pairs = nearDuplicatesPortable(docs, idCol, textCol, shingleN,
+      bands, rowsPerBand, minJaccardBp)
+    val hs = shingleSets(docs, idCol, textCol, shingleN)
+    pairs
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("ha")),
+        Seq("id_a"))
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"),
+        sortedIntersectCount(col("ha"), col("hb")).cast("long")
+          .as("n_shared"),
+        array_join(transform(
+          slice(array_intersect(col("ha"), col("hb")), 1, sampleK),
+          h => h.cast("string")), ",").as("sample_hashes"))
+  }
+
   /** Cluster-level train/val/test split — the leakage-safe corpus cut:
     * a near-duplicate of a training doc sitting in the eval split leaks
     * training signal straight into evaluation, so the split UNIT is the

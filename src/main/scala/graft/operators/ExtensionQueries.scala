@@ -3910,7 +3910,39 @@ object ExtensionQueries {
              |       CAST(MAX(th.th_alpha) AS BIGINT) AS th_alpha,
              |       CAST(MAX(th.th_words) AS BIGINT) AS th_words
              |FROM f CROSS JOIN th
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Near-dup pair EXPLANATION (the manual-review face of dedup): per
+    // flagged pair, the exact shared-shingle count and the 4 SMALLEST
+    // shared 60-bit fingerprints as reproducible evidence — smallest,
+    // not first-seen, so the sample is engine-independent. Intersect is
+    // one merge scan per pair over the sorted shingle arrays.
+    Q("q127_neardup_explain",
+      (s, dir) => Dedup.explainPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, bands = 4, rowsPerBand = 4, minJaccardBp = 2000,
+          sampleK = 4)
+        .orderBy("id_a", "id_b"),
+      Some(neardupScoredCtes +
+        """, flagged AS (
+          |  SELECT id_a, id_b, jaccard_bp FROM scored
+          |  WHERE jaccard_bp >= 2000
+          |), shared AS (
+          |  SELECT f.id_a, f.id_b,
+          |         ('0x'||substr(md5(sa.shingle),1,15))::BIGINT AS h
+          |  FROM flagged f
+          |  JOIN sh sa ON sa.doc_id = f.id_a
+          |  JOIN sh sb ON sb.doc_id = f.id_b
+          |    AND sb.shingle = sa.shingle
+          |)
+          |SELECT f.id_a, f.id_b, f.jaccard_bp,
+          |       CAST(COUNT(s.h) AS BIGINT) AS n_shared,
+          |       array_to_string((list(s.h ORDER BY s.h))[1:4], ',')
+          |         AS sample_hashes
+          |FROM flagged f
+          |LEFT JOIN shared s ON s.id_a = f.id_a AND s.id_b = f.id_b
+          |GROUP BY 1, 2, 3
+          |ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
