@@ -665,6 +665,34 @@ object Dedup {
           h => h.cast("string")), ",").as("sample_hashes"))
   }
 
+  /** Pairwise GROUP overlap matrix from group-level MinHash signatures
+    * — "which sources duplicate each other": each group's k-component
+    * signature (the mergeable MinHashAgg over the union of its docs'
+    * shingle sets) meets every other group's, and the componentwise
+    * agreement fraction estimates the Jaccard similarity of the two
+    * groups' shingle UNIONS (the MinHash estimator, in integral basis
+    * points: agree·10000 div k). The whole matrix costs one corpus
+    * aggregation (k longs per group crossing the shuffle) plus a
+    * groups²-row join of k-long arrays — the corpus is never compared
+    * pairwise. Estimator, by design: ±1/√k standard error; production
+    * raises k or verifies flagged pairs exactly. */
+  def groupOverlap(docs: DataFrame, groupCol: String,
+                   textCol: String = "text", shingleN: Int = 3,
+                   k: Int = 16): DataFrame = {
+    val sig = docs
+      .select(col(groupCol).as("g"),
+        shingleHashesFast(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .groupBy("g").agg(minhashAgg(col("hs"), k).as("sig"))
+    sig.as("a").join(sig.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_agree"))
+      .withColumn("est_jaccard_bp",
+        expr(s"n_agree * 10000 DIV $k"))
+  }
+
   /** Cluster-level train/val/test split — the leakage-safe corpus cut:
     * a near-duplicate of a training doc sitting in the eval split leaks
     * training signal straight into evaluation, so the split UNIT is the

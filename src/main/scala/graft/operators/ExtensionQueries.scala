@@ -3942,7 +3942,53 @@ object ExtensionQueries {
           |FROM flagged f
           |LEFT JOIN shared s ON s.id_a = f.id_a AND s.id_b = f.id_b
           |GROUP BY 1, 2, 3
-          |ORDER BY 1, 2""".stripMargin))
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // Source-overlap matrix from group-level MinHash signatures:
+    // componentwise agreement of each source pair's 16-long signatures
+    // estimates the Jaccard of their shingle UNIONS (agree·10000 div
+    // 16 bp) — "which sources duplicate each other" from ONE corpus
+    // aggregation (k longs per source through the shuffle) plus a
+    // sources²-row join. min is duplicate-insensitive, so the oracle is
+    // a plain MIN … GROUP BY source, seed over the shingle relation.
+    Q("q128_source_overlap",
+      (s, dir) => Dedup.groupOverlap(
+          Tables.load(s, dir, "documents"), "source", "text",
+          shingleN = 3, k = 16)
+        .select(col("g_a").as("src_a"), col("g_b").as("src_b"),
+          col("n_agree"), col("est_jaccard_bp"))
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, source, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS tok, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, source, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, source, shingle
+             |  FROM sh0 WHERE i <= n - 2
+             |), sig AS (
+             |  SELECT source, CAST(t.seed AS INTEGER) AS seed,
+             |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+             |                 t.seed * 2654435769)) AS mh
+             |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+             |  GROUP BY source, t.seed
+             |)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_agree,
+             |       CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+             |         * 10000 // 16 AS BIGINT) AS est_jaccard_bp
+             |FROM sig a JOIN sig b
+             |  ON a.seed = b.seed AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
