@@ -80,4 +80,43 @@ object Typed {
           && col("snapshot_date") < o(until.minusYears(1)))
       .as(Encoders.product[NetDemandRow])
   }
+
+  // --- typed edges of the round-7 analytics operators ---------------------
+
+  /** One exact-quantile result row (Sketches.bisectQuantiles); `value`
+    * is None only for an empty input. */
+  final case class QuantileRow(p: Long, rk: Long, n: Long,
+                               value: Option[Double])
+
+  /** One leakage-safe split assignment (Dedup.leakageSafeSplit). */
+  final case class SplitAssignment(doc_id: Long, unit: Long, bucket: Long,
+                                   split: String)
+
+  /** The one-row join-shape report (Skew.joinDiagnostics); top fields
+    * are None when the key sets are disjoint. */
+  final case class JoinShape(n_a: Long, ndv_a: Long, n_b: Long,
+                             ndv_b: Long, n_matching_keys: Long,
+                             out_rows: Long, top_key: Option[Long],
+                             top_contrib: Option[Long])
+
+  def quantiles(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                percentiles: Seq[Int]): Dataset[QuantileRow] =
+    graft.functions.Sketches.bisectQuantiles(df, valueCol, percentiles)
+      .as(Encoders.product[QuantileRow])
+
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+                       clusters: org.apache.spark.sql.DataFrame)
+      : Dataset[SplitAssignment] =
+    graft.functions.Dedup.leakageSafeSplit(docs, clusters)
+      .as(Encoders.product[SplitAssignment])
+
+  /** Join-shape report collected to a typed value — the intended use:
+    * driver code branches on exact numbers (salt or not, broadcast or
+    * not) before composing the join. */
+  def joinShape(a: org.apache.spark.sql.DataFrame, aKey: String,
+                b: org.apache.spark.sql.DataFrame,
+                bKey: String): JoinShape =
+    graft.operators.Skew.joinDiagnostics(a, aKey, b, bKey)
+      .as(Encoders.product[JoinShape])
+      .collect().head
 }

@@ -49,4 +49,27 @@ class TypedSpec extends AnyFunSuite {
       assert(BigDecimal(cost).compare(row.estimated_cost) == 0)
     }
   }
+
+  test("typed analytics edges: quantiles, split assignments, and the " +
+    "join-shape report expose field access over the same plans") {
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val qs = Typed.quantiles(vals, "v", Seq(50, 100)).collect()
+      .map(q => q.p -> q.value).toMap
+    assert(qs == Map(50L -> Some(2.0), 100L -> Some(4.0)))
+
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "comp")
+    val sp = Typed.leakageSafeSplit(docs, clusters).collect()
+    assert(sp.length == 10)
+    val byId = sp.map(s => s.doc_id -> s).toMap
+    assert(byId(1L).split == byId(2L).split &&
+      byId(1L).unit == 1L && byId(2L).unit == 1L)
+    assert(sp.forall(s => Set("train", "val", "test")(s.split)))
+
+    val shape = Typed.joinShape(
+      Seq(1L, 1L, 2L).toDF("ka"), "ka", Seq(1L, 3L).toDF("kb"), "kb")
+    assert(shape.n_a == 3 && shape.ndv_a == 2 && shape.out_rows == 2)
+    assert(shape.top_key.contains(1L) && shape.top_contrib.contains(2L))
+  }
 }
