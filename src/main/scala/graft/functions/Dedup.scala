@@ -665,6 +665,49 @@ object Dedup {
           h => h.cast("string")), ",").as("sample_hashes"))
   }
 
+  /** LSH operating-point evaluation — recall and candidate precision of
+    * the banded MinHash candidate generation against brute-force ground
+    * truth: ALL pairs at or above the Jaccard threshold, from the exact
+    * n²/2 sorted-merge intersects. The n² side is affordable only on a
+    * SAMPLE — which is precisely how the bands/rows knob is tuned in
+    * production: measure recall on a bounded sample, apply the setting
+    * to the corpus (q122's ANN-recall discipline applied to dedup).
+    *
+    * One row: n_true (ground truth), n_candidates (raw banded
+    * candidates, pre-verify), n_caught (pairs the candidate+verify
+    * pipeline keeps — a subset of ground truth by construction, since
+    * verify recomputes the same exact Jaccard), recall_bp, and
+    * precision_bp (verify-stage yield: how much candidate volume was
+    * worth verifying). */
+  def lshRecallReport(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3,
+                      bands: Int = 4, rowsPerBand: Int = 4,
+                      minJaccardBp: Long = 1000): DataFrame = {
+    val hs = shingleSets(docs, idCol, textCol, shingleN)
+    val truePairs = hs.as("a")
+      .join(hs.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(sortedIntersectCount(col("a.hs"), col("b.hs")).as("ninter"),
+        size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
+      .filter(col("ninter") > 0)
+      .filter(floor(col("ninter") * lit(10000.0)
+        / (col("na") + col("nb") - col("ninter"))).cast("long")
+        >= minJaccardBp)
+    val rawCand = nearDuplicatesPortable(docs, idCol, textCol, shingleN,
+      bands, rowsPerBand, minJaccardBp = 0)
+    val caught = nearDuplicatesPortable(docs, idCol, textCol, shingleN,
+      bands, rowsPerBand, minJaccardBp)
+    broadcast(truePairs.agg(count(lit(1)).as("n_true")))
+      .crossJoin(broadcast(
+        rawCand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        expr("CASE WHEN n_true = 0 THEN NULL " +
+          "ELSE n_caught * 10000 DIV n_true END").as("recall_bp"),
+        expr("CASE WHEN n_candidates = 0 THEN NULL " +
+          "ELSE n_caught * 10000 DIV n_candidates END")
+          .as("precision_bp"))
+  }
+
   /** Pairwise GROUP overlap matrix from group-level MinHash signatures
     * — "which sources duplicate each other": each group's k-component
     * signature (the mergeable MinHashAgg over the union of its docs'

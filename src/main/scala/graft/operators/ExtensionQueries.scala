@@ -3988,7 +3988,53 @@ object ExtensionQueries {
              |         * 10000 // 16 AS BIGINT) AS est_jaccard_bp
              |FROM sig a JOIN sig b
              |  ON a.seed = b.seed AND a.source < b.source
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // LSH operating-point evaluation on a bounded 300-doc sample:
+    // recall and candidate precision of the banded MinHash generation
+    // vs brute-force ground truth (the exact n²/2 intersects only a
+    // sample affords — exactly how bands/rows get tuned before running
+    // the corpus). caught ⊆ true by construction (verify recomputes
+    // the same exact Jaccard), so recall_bp is an honest fraction.
+    Q("q129_lsh_recall",
+      (s, dir) => Dedup.lshRecallReport(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+        minJaccardBp = 1000),
+      Some(neardupScoredCtes.replaceFirst("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id < 300) documents") +
+        """, shc2 AS (
+          |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1
+          |), allinter AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ninter
+          |  FROM sh a JOIN sh b
+          |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), truep AS (
+          |  SELECT i.ia, i.ib
+          |  FROM allinter i
+          |  JOIN shc2 ca ON ca.doc_id = i.ia
+          |  JOIN shc2 cb ON cb.doc_id = i.ib
+          |  WHERE CAST(floor(i.ninter * 10000.0
+          |          / (ca.nsh + cb.nsh - i.ninter)) AS BIGINT) >= 1000
+          |), m AS (
+          |  SELECT
+          |    (SELECT COUNT(*) FROM truep) AS n_true,
+          |    (SELECT COUNT(*) FROM cand) AS n_candidates,
+          |    (SELECT COUNT(*) FROM scored WHERE jaccard_bp >= 1000)
+          |      AS n_caught
+          |)
+          |SELECT CAST(n_true AS BIGINT) AS n_true,
+          |       CAST(n_candidates AS BIGINT) AS n_candidates,
+          |       CAST(n_caught AS BIGINT) AS n_caught,
+          |       CASE WHEN n_true = 0 THEN NULL
+          |            ELSE CAST(n_caught * 10000 // n_true AS BIGINT)
+          |       END AS recall_bp,
+          |       CASE WHEN n_candidates = 0 THEN NULL
+          |            ELSE CAST(n_caught * 10000 // n_candidates
+          |              AS BIGINT)
+          |       END AS precision_bp
+          |FROM m""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
