@@ -377,6 +377,22 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Count-Min JOIN-SIZE estimate (the CM inner-product estimator,
+    * Cormode & Muthukrishnan 2005): for two sketches with the same
+    * geometry over the two join keys, Σ_cells cm_a·cm_b per hash row,
+    * minimized over rows, upper-bounds the true equi-join output
+    * cardinality — collisions only ever inflate the product. The
+    * sketch-budget counterpart of Skew.joinDiagnostics' exact pass:
+    * diagnostics cost a key-count shuffle per side; this costs two
+    * standing width×depth tables you may already maintain
+    * (SketchStreams.cmBatch) and a (width·depth)-row join. */
+  def cmJoinSizeEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame =
+    cmA.select(col("j"), col("cell"), col("cnt").as("ca"))
+      .join(cmB.select(col("j"), col("cell"), col("cnt").as("cb")),
+        Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_out_rows"))
+
   /** Population-stability-index (PSI) drift report between two
     * snapshots of a value distribution — the monitoring operator a
     * pipeline runs before trusting a new drop of data against the last

@@ -4034,7 +4034,73 @@ object ExtensionQueries {
           |            ELSE CAST(n_caught * 10000 // n_candidates
           |              AS BIGINT)
           |       END AS precision_bp
-          |FROM m""".stripMargin))
+          |FROM m""".stripMargin)),
+
+    // Count-Min join-size estimate (the CM inner-product estimator) vs
+    // the exact cardinality: two 3×256 standing sketches over the two
+    // join keys, Σ cells cm_a·cm_b per row minimized over rows — an
+    // upper bound by construction (collisions only inflate). Both the
+    // estimate AND the exact size are integer-reproducible, so the
+    // guaranteed overcount is hash-checked too. The expected inflation
+    // is n_a·n_b/width (the estimator's ±ε·n_a·n_b guarantee at
+    // ε = e/width): at sf0.01 that is ~15k·60k/256 ≈ 3.5M over an
+    // exact 60k — the deliberately narrow width DEMONSTRATES the error
+    // scale; production sizes width to the tolerable ε.
+    Q("q130_cm_join_estimate",
+      (s, dir) => {
+        val cmO = Sketches.countMin(Tables.load(s, dir, "orders"),
+          "o_orderkey", width = 256, depth = 3)
+        val cmL = Sketches.countMin(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", width = 256, depth = 3)
+        val exact = Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("ca"))
+          .join(Tables.load(s, dir, "lineitem")
+            .groupBy(col("l_orderkey").as("k"))
+            .agg(count(lit(1)).as("cb")), Seq("k"))
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+            .as("exact_out_rows"))
+        Sketches.cmJoinSizeEstimate(cmO, cmL)
+          .crossJoin(broadcast(exact))
+          .select(col("est_out_rows"), col("exact_out_rows"),
+            (col("est_out_rows") - col("exact_out_rows"))
+              .as("overcount"))
+      },
+      Some("""WITH js AS (
+             |  SELECT unnest([0, 1, 2]) AS j
+             |), ca AS (
+             |  SELECT js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'
+             |           ||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT
+             |           % 256 AS cell,
+             |         COUNT(*) AS cnt
+             |  FROM orders CROSS JOIN js GROUP BY 1, 2
+             |), cb AS (
+             |  SELECT js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'
+             |           ||CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT
+             |           % 256 AS cell,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem CROSS JOIN js GROUP BY 1, 2
+             |), ip AS (
+             |  SELECT a.j, SUM(a.cnt * b.cnt) AS ip
+             |  FROM ca a JOIN cb b ON a.j = b.j AND a.cell = b.cell
+             |  GROUP BY 1
+             |), est AS (
+             |  SELECT CAST(MIN(ip) AS BIGINT) AS est_out_rows FROM ip
+             |), ex AS (
+             |  SELECT CAST(COALESCE(SUM(oa.c * lb.c), 0) AS BIGINT)
+             |    AS exact_out_rows
+             |  FROM (SELECT o_orderkey AS k, COUNT(*) AS c
+             |        FROM orders GROUP BY 1) oa
+             |  JOIN (SELECT l_orderkey AS k, COUNT(*) AS c
+             |        FROM lineitem GROUP BY 1) lb
+             |    ON oa.k = lb.k
+             |)
+             |SELECT est.est_out_rows, ex.exact_out_rows,
+             |       CAST(est.est_out_rows - ex.exact_out_rows AS BIGINT)
+             |         AS overcount
+             |FROM est CROSS JOIN ex""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
