@@ -101,6 +101,99 @@ class Round8Spec extends AnyFunSuite {
     assert(candGot == candRef)
   }
 
+  test("sortedStructDot: randomized property — full-range keys, " +
+    "negative and large weights, empty and disjoint vectors") {
+    val rnd = new scala.util.Random(61)
+    def vec(n: Int): Seq[(Long, Long)] = {
+      val keys = Iterator.continually(rnd.nextLong()).distinct.take(n)
+        .toSeq.sorted
+      keys.map(_ -> (rnd.nextLong() % 100000L))
+    }
+    val rows = (Seq((vec(0), vec(5)), (vec(7), vec(0))) ++
+      Seq.fill(30)((vec(rnd.nextInt(20)), vec(rnd.nextInt(20)))) ++
+      // force overlaps: share a common prefix of keys
+      Seq.fill(20) {
+        val shared = vec(8)
+        (shared ++ vec(5) sortBy (_._1), shared ++ vec(3) sortBy (_._1))
+      }).map { case (a, b) => (a.distinct.sortBy(_._1).distinctBy(_._1),
+        b.distinct.sortBy(_._1).distinctBy(_._1)) }
+    val got = rows.toDF("va", "vb").select(
+      Retrieval.sortedStructDot(col("va"), col("vb"))).collect()
+      .map(_.getLong(0))
+    val expect = rows.map { case (a, b) =>
+      val bm = b.toMap
+      a.map { case (k, w) => w * bm.getOrElse(k, 0L) }.sum
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("sortable bits: 10k random doubles — order preserved pairwise, " +
+    "roundtrip bit-exact") {
+    val rnd = new scala.util.Random(67)
+    val ds = Seq.fill(10000)(rnd.nextInt(4) match {
+      case 0 => rnd.nextGaussian()
+      case 1 => rnd.nextGaussian() * 1e300
+      case 2 => rnd.nextGaussian() * 1e-300
+      case _ => -rnd.nextDouble()
+    })
+    ds.foreach { d =>
+      val u = SortableBitsKernel.toSortable(d)
+      assert(java.lang.Double.doubleToLongBits(
+        SortableBitsKernel.fromSortable(u)) ==
+        java.lang.Double.doubleToLongBits(d))
+    }
+    val sortedByU = ds.map(d => (SortableBitsKernel.toSortable(d), d))
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+      .map(_._2)
+    assert(sortedByU == ds.sorted)
+  }
+
+  test("interleave31: random roundtrip — deinterleaving the Morton " +
+    "code recovers both coordinates") {
+    val rnd = new scala.util.Random(71)
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L; var i = 0
+      while (i < 31) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (x, y)
+    }
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextLong() & ((1L << 31) - 1)
+      val y = rnd.nextLong() & ((1L << 31) - 1)
+      assert(deinterleave(
+        InterleaveBitsKernel.interleave31(x, y)) == ((x, y)))
+    }
+  }
+
+  test("psiDrift per-bin invariants under snapshot swap: delta negates, " +
+    "contributions stay non-negative and agree within one quantization " +
+    "step (floor(-L) = -floor(L)-1 for non-integral L)") {
+    val rnd = new scala.util.Random(73)
+    val a = Seq.fill(300)(rnd.nextGaussian() * 50).map(Tuple1(_))
+      .toDF("v")
+    val b = Seq.fill(200)(rnd.nextGaussian() * 80 + 20).map(Tuple1(_))
+      .toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(6), r.getLong(8)))).toMap
+    val ab = m(Sketches.psiDrift(a, b, "v", 20.0))
+    val ba = m(Sketches.psiDrift(b, a, "v", 20.0))
+    assert(ab.keySet == ba.keySet)
+    ab.foreach { case (bin, (delta, contrib)) =>
+      val (d2, c2) = ba(bin)
+      assert(d2 == -delta)
+      // PSI's (p−q)·ln(p/q) term is mathematically symmetric; the
+      // millinat floor breaks exactness by at most |delta| (one
+      // quantization unit per delta count)
+      assert(contrib >= 0 && c2 >= 0)
+      assert(math.abs(c2 - contrib) <= math.abs(delta),
+        s"bin $bin: $contrib vs $c2 beyond the floor step")
+    }
+  }
+
   // --- SortableBits / bisectQuantiles ------------------------------------
 
   test("sortable bits: order-preserving, exactly invertible, " +
