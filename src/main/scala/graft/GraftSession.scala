@@ -80,6 +80,9 @@ object GraftSession {
       (e: Seq[Expression]) => graft.plans.DoubleSortableBits(e(0))),
     ("interleave_bits31", classOf[graft.plans.InterleaveBits31],
       (e: Seq[Expression]) => graft.plans.InterleaveBits31(e(0), e(1))),
+    ("interleave_bits3x21", classOf[graft.plans.InterleaveBits3x21],
+      (e: Seq[Expression]) =>
+        graft.plans.InterleaveBits3x21(e(0), e(1), e(2))),
     ("content_chunks", classOf[ContentChunkHashes],
       (e: Seq[Expression]) =>
         if (e.length == 1) ContentChunkHashes(e(0), 16, 6)

@@ -60,6 +60,47 @@ object Layout {
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
   }
 
+  /** 63-bit Morton code of three long columns in [0, 2^21) (native
+    * kernel, graft.plans.InterleaveBits3x21). */
+  def zOrderKey3(x: Column, y: Column, z: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.InterleaveBits3x21(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(x),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(y),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(z)))
+
+  /** [[zOrderBucketStats]] for THREE dimensions: each normalizes to a
+    * 21-bit fixed-point fraction of its range, buckets are the top
+    * `bucketBits` bits of the 63-bit Morton code, and every bucket
+    * reports min/max in all three dimensions — the pruning stats that
+    * let predicates on ANY of the three columns skip files. Same
+    * single-aggregate shape as the 2-D form. */
+  def zOrderBucketStats3(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val k = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"), col(zCol).cast("long").as("z"))
+    val mm = k.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"),
+      min(col("z")).as("mnz"), max(col("z")).as("mxz"))
+    val scale = (1 << 21) - 1
+    k.crossJoin(broadcast(mm))
+      .withColumn("xn", expr("CASE WHEN mxx = mnx THEN CAST(0 AS BIGINT) " +
+        s"ELSE ((x - mnx) * $scale) DIV (mxx - mnx) END"))
+      .withColumn("yn", expr("CASE WHEN mxy = mny THEN CAST(0 AS BIGINT) " +
+        s"ELSE ((y - mny) * $scale) DIV (mxy - mny) END"))
+      .withColumn("zn", expr("CASE WHEN mxz = mnz THEN CAST(0 AS BIGINT) " +
+        s"ELSE ((z - mnz) * $scale) DIV (mxz - mnz) END"))
+      .withColumn("m", zOrderKey3(col("xn"), col("yn"), col("zn")))
+      .groupBy(shiftrightunsigned(col("m"), 63 - bucketBits)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+  }
+
   /** Prepare a frame for a z-order-clustered WRITE: range-partition by
     * the Morton key into `numFiles` partitions and sort within each, so
     * every written file covers a disjoint z range (and therefore a

@@ -4100,7 +4100,55 @@ object ExtensionQueries {
              |SELECT est.est_out_rows, ex.exact_out_rows,
              |       CAST(est.est_out_rows - ex.exact_out_rows AS BIGINT)
              |         AS overcount
-             |FROM est CROSS JOIN ex""".stripMargin))
+             |FROM est CROSS JOIN ex""".stripMargin)),
+
+    // THREE-dimension z-order layout report (part, supplier, order):
+    // each dimension normalizes to a 21-bit fraction of its range, rows
+    // land in the top-6-bit grid of the 63-bit Morton code, and every
+    // bucket carries min/max pruning stats in ALL THREE dimensions —
+    // predicates on any of the three columns skip. Same one-aggregate
+    // shape as q117; the oracle restates the interleave as a 63-term
+    // sum of shifted bit tests.
+    Q("q131_zorder3_stats",
+      (s, dir) => Layout.zOrderBucketStats3(
+          Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          "l_orderkey", bucketBits = 6)
+        .orderBy("bucket"),
+      Some {
+        val m = (0 until 21).flatMap(i => Seq(
+          s"(((xn >> $i) & 1) << ${3 * i})",
+          s"(((yn >> $i) & 1) << ${3 * i + 1})",
+          s"(((zn >> $i) & 1) << ${3 * i + 2})")).mkString(" + ")
+        val sc = (1 << 21) - 1
+        s"""WITH k AS (
+           |  SELECT l_partkey AS x, l_suppkey AS y, l_orderkey AS z
+           |  FROM lineitem
+           |), mm AS (
+           |  SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+           |         MIN(y) AS mny, MAX(y) AS mxy,
+           |         MIN(z) AS mnz, MAX(z) AS mxz
+           |  FROM k
+           |), s AS (
+           |  SELECT x, y, z,
+           |         CASE WHEN mxx = mnx THEN 0
+           |              ELSE ((x - mnx) * $sc) // (mxx - mnx)
+           |         END AS xn,
+           |         CASE WHEN mxy = mny THEN 0
+           |              ELSE ((y - mny) * $sc) // (mxy - mny)
+           |         END AS yn,
+           |         CASE WHEN mxz = mnz THEN 0
+           |              ELSE ((z - mnz) * $sc) // (mxz - mnz)
+           |         END AS zn
+           |  FROM k CROSS JOIN mm
+           |), zc AS (
+           |  SELECT x, y, z, ($m) AS mv FROM s
+           |)
+           |SELECT mv >> 57 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |       MIN(x) AS min_x, MAX(x) AS max_x,
+           |       MIN(y) AS min_y, MAX(y) AS max_y,
+           |       MIN(z) AS min_z, MAX(z) AS max_z
+           |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,

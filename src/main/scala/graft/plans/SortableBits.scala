@@ -55,6 +55,59 @@ object InterleaveBitsKernel {
     }
     z
   }
+
+  /** Interleave the low 21 bits of three values into a 63-bit Morton
+    * code (x at positions 0,3,6,…; y at 1,4,…; z at 2,5,…). 21 bits per
+    * dimension keeps the code in a signed 64-bit non-negative range —
+    * the 3-column clustering key. */
+  def interleave3x21(x: Long, y: Long, z: Long): Long = {
+    require(x >= 0 && x < (1L << 21) && y >= 0 && y < (1L << 21) &&
+      z >= 0 && z < (1L << 21),
+      s"interleave3x21 needs values in [0, 2^21), got ($x, $y, $z)")
+    var m = 0L
+    var i = 0
+    while (i < 21) {
+      m |= ((x >> i) & 1L) << (3 * i)
+      m |= ((y >> i) & 1L) << (3 * i + 1)
+      m |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    m
+  }
+}
+
+/** long: 63-bit Morton interleave of THREE longs in [0, 2^21) — the
+  * 3-dimension clustering key (x bits at positions 0,3,6,…; y at
+  * 1,4,7,…; z at 2,5,8,…). */
+case class InterleaveBits3x21(first: Expression, second: Expression,
+                              third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits3x21"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs three long arguments, got " +
+          children.map(_.dataType.catalogString).mkString(" / "))
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    InterleaveBitsKernel.interleave3x21(a.asInstanceOf[Long],
+      b.asInstanceOf[Long], c.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = " +
+        s"graft.plans.InterleaveBitsKernel.interleave3x21($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): InterleaveBits3x21 =
+    copy(first = f, second = s, third = t)
 }
 
 /** long: 62-bit Morton interleave of two longs in [0, 2^31). */

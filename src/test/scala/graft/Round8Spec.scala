@@ -441,6 +441,39 @@ class Round8Spec extends AnyFunSuite {
     assert(got.size > 1 && got == ref)
   }
 
+  test("zOrderBucketStats3: three-dimension grid matches a brute-force " +
+    "reference; 3x21 interleave rejects out-of-range and roundtrips") {
+    assert(InterleaveBitsKernel.interleave3x21(1L, 0L, 0L) == 1L)
+    assert(InterleaveBitsKernel.interleave3x21(0L, 1L, 0L) == 2L)
+    assert(InterleaveBitsKernel.interleave3x21(0L, 0L, 1L) == 4L)
+    assert(InterleaveBitsKernel.interleave3x21(
+      (1L << 21) - 1, (1L << 21) - 1, (1L << 21) - 1) == (1L << 63) - 1)
+    intercept[IllegalArgumentException](
+      InterleaveBitsKernel.interleave3x21(1L << 21, 0L, 0L))
+    val rnd = new scala.util.Random(79)
+    val rows = Seq.fill(1500)((rnd.nextInt(1 << 14).toLong,
+      rnd.nextInt(1 << 14).toLong, rnd.nextInt(1 << 14).toLong))
+    val df = rows.toDF("x", "y", "z")
+    val got = Layout.zOrderBucketStats3(df, "x", "y", "z",
+        bucketBits = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(6), r.getLong(7)))).toMap
+    val sc = (1 << 21) - 1
+    def mn(f: ((Long, Long, Long)) => Long) =
+      (rows.map(f).min, rows.map(f).max)
+    val ((mnx, mxx), (mny, mxy), (mnz, mxz)) =
+      (mn(_._1), mn(_._2), mn(_._3))
+    val ref = rows.groupBy { case (x, y, z) =>
+      InterleaveBitsKernel.interleave3x21(
+        (x - mnx) * sc / (mxx - mnx), (y - mny) * sc / (mxy - mny),
+        (z - mnz) * sc / (mxz - mnz)) >>> 60
+    }.map { case (b, g) =>
+      b -> ((g.size.toLong, g.map(_._1).min, g.map(_._1).max,
+        g.map(_._3).min, g.map(_._3).max))
+    }
+    assert(got.size > 1 && got == ref)
+  }
+
   test("zOrderCluster: written files cover disjoint z ranges (tight " +
     "two-dimensional pruning stats per file)") {
     val rnd = new scala.util.Random(5)
