@@ -453,6 +453,43 @@ object Sketches {
         (col("delta_num") * col("ln_milli")).as("contrib"))
   }
 
+  /** [[psiDrift]] per GROUP — drift monitored per segment (per source,
+    * per event type, per language) instead of corpus-wide, so a shift
+    * confined to one segment isn't averaged away by the stable rest.
+    * Same factored-integer contributions; the bin tables and totals
+    * carry the group key and the totals join is group-table-sized
+    * (never broadcast-hinted — group counts are unbounded in
+    * principle). Output adds the group column ahead of q121's shape. */
+  def psiDriftByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+                      valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, cname: String) = df
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        floor(col(valueCol).cast("double") / binWidth)
+          .cast("long").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as(cname))
+    val joined = bins(a, "cnt_a")
+      .join(bins(b, "cnt_b"), Seq("g", "bin"), "full_outer")
+      .select(col("g"), col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.groupBy("g")
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+        count(lit(1)).as("n_bins"))
+    joined.join(totals, Seq("g"))
+      .withColumn("x", (col("cnt_a") + 1) * (col("n_b") + col("n_bins")))
+      .withColumn("y", (col("cnt_b") + 1) * (col("n_a") + col("n_bins")))
+      .withColumn("delta_num", col("x") - col("y"))
+      .withColumn("ln_milli",
+        floor(log(col("x").cast("double") / col("y").cast("double"))
+          * lit(1e3)).cast("long"))
+      .select(col("g").as(groupCol), col("bin"), col("cnt_a"),
+        col("cnt_b"), col("n_a"), col("n_b"), col("n_bins"),
+        col("delta_num"), col("ln_milli"),
+        (col("delta_num") * col("ln_milli")).as("contrib"))
+  }
+
   /** Per-GROUP radix-select exact quantiles over a continuous double
     * domain — [[bisectQuantiles]] lifted to groups the way
     * [[percentilesByValue]] is the grouped histogram form. Same four

@@ -4148,7 +4148,58 @@ object ExtensionQueries {
            |       MIN(y) AS min_y, MAX(y) AS max_y,
            |       MIN(z) AS min_z, MAX(z) AS max_z
            |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // q121's PSI drift per SEGMENT (event type): a shift confined to
+    // one type isn't averaged away by the stable rest. Same
+    // factored-integer per-bin contributions; totals join per group,
+    // never broadcast-hinted.
+    Q("q132_psi_by_type",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Sketches.psiDriftByGroup(
+          ev.filter(dayofmonth(col("ts")) <= 15),
+          ev.filter(dayofmonth(col("ts")) > 15),
+          "event_type", "value", binWidth = 25.0)
+          .orderBy("event_type", "bin")
+      },
+      Some("""WITH ea AS (
+             |  SELECT event_type AS g,
+             |         CAST(floor(value / 25.0) AS BIGINT) AS bin,
+             |         COUNT(*) AS c
+             |  FROM events WHERE day(ts) <= 15 GROUP BY 1, 2
+             |), eb AS (
+             |  SELECT event_type AS g,
+             |         CAST(floor(value / 25.0) AS BIGINT) AS bin,
+             |         COUNT(*) AS c
+             |  FROM events WHERE day(ts) > 15 GROUP BY 1, 2
+             |), j AS (
+             |  SELECT COALESCE(ea.g, eb.g) AS g,
+             |         COALESCE(ea.bin, eb.bin) AS bin,
+             |         COALESCE(ea.c, 0) AS ca, COALESCE(eb.c, 0) AS cb
+             |  FROM ea FULL OUTER JOIN eb
+             |    ON ea.g = eb.g AND ea.bin = eb.bin
+             |), t AS (
+             |  SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+             |         CAST(SUM(cb) AS BIGINT) AS nb,
+             |         CAST(COUNT(*) AS BIGINT) AS n_bins
+             |  FROM j GROUP BY 1
+             |), f AS (
+             |  SELECT j.g, j.bin, j.ca, j.cb, t.na, t.nb, t.n_bins,
+             |         (j.ca + 1) * (t.nb + t.n_bins) AS x,
+             |         (j.cb + 1) * (t.na + t.n_bins) AS y
+             |  FROM j JOIN t ON j.g = t.g
+             |)
+             |SELECT g AS event_type, bin, CAST(ca AS BIGINT) AS cnt_a,
+             |       CAST(cb AS BIGINT) AS cnt_b,
+             |       na AS n_a, nb AS n_b, n_bins,
+             |       CAST(x - y AS BIGINT) AS delta_num,
+             |       CAST(floor(ln(CAST(x AS DOUBLE) / CAST(y AS DOUBLE))
+             |         * 1000) AS BIGINT) AS ln_milli,
+             |       CAST((x - y) * CAST(floor(ln(CAST(x AS DOUBLE)
+             |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
+             |         AS BIGINT) AS contrib
+             |FROM f ORDER BY 1, 2""".stripMargin))
   )
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
