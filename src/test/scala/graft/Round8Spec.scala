@@ -350,6 +350,29 @@ class Round8Spec extends AnyFunSuite {
     assert(expect.map(_._4).sum > 0)
   }
 
+  test("psiDriftByGroup: each group's rows equal an independent " +
+    "psiDrift over that group's slice; null groups excluded") {
+    val rnd = new scala.util.Random(83)
+    def rows(g: String, n: Int, shift: Double) =
+      Seq.fill(n)((g, rnd.nextGaussian() * 40 + shift))
+    val a = (rows("g1", 150, 0) ++ rows("g2", 100, 10) ++
+      Seq((null.asInstanceOf[String], 1.0))).toDF("g", "v")
+    val b = (rows("g1", 120, 5) ++ rows("g2", 90, 50)).toDF("g", "v")
+    val grouped = Sketches.psiDriftByGroup(a, b, "g", "v", 20.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    assert(grouped.keys.forall(_._1 != null))
+    Seq("g1", "g2").foreach { g =>
+      val single = Sketches.psiDrift(
+          a.filter(col("g") === g), b.filter(col("g") === g), "v", 20.0)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+      val mine = grouped.collect { case ((gg, bin), v) if gg == g =>
+        bin -> v }.toMap
+      assert(mine == single, s"group $g diverges")
+    }
+  }
+
   // --- contaminationBloom -------------------------------------------------
 
   test("contaminationBloom == contamination row for row, even with a " +
