@@ -124,6 +124,11 @@ object Retrieval {
       .cast("long").as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n"),
       sum(col("dl")).as("sdl")))
+    // dfq is BOUNDED by construction: tf was semi-filtered through the
+    // broadcast query-term table above, so dfq has at most |distinct
+    // query terms| rows — the hint is safe regardless of corpus size
+    // (unlike a corpus-derived vocabulary, which must stay unhinted;
+    // see encodeTokens)
     val dfq = broadcast(tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df")))
     val contrib = tf.join(dfq, Seq("term")).join(dl, Seq(idCol))
@@ -224,8 +229,14 @@ object Retrieval {
     * tables, so the map side adds integers only.
     *
     * Shuffles: bigram counts (one explode→groupBy), the per-doc sum (one
-    * groupBy doc) — count tables are vocabulary²-sized and broadcast.
-    * Documents with fewer than two tokens have no bigrams and drop out.
+    * groupBy doc). The count tables are bigram-vocabulary-sized —
+    * corpus-derived and therefore UNBOUNDED — so their joins carry no
+    * broadcast hint: AQE broadcasts them at runtime while they fit under
+    * spark.sql.adaptive.autoBroadcastJoinThreshold and otherwise falls
+    * back to a shuffle join on the bigram key. (A forced hint would be a
+    * memory ceiling: a web corpus's bigram table runs to hundreds of
+    * millions of rows.) Documents with fewer than two tokens have no
+    * bigrams and drop out.
     */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
@@ -233,11 +244,11 @@ object Retrieval {
     val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val starts = bi.groupBy("w1").agg(sum(col("cab")).as("ca"))
-    val unats = bi.join(broadcast(starts), Seq("w1"))
+    val unats = bi.join(starts, Seq("w1"))
       .select(col("bigram"),
         floor(log(col("cab") / col("ca")) * lit(1e6)).cast("long")
           .as("lp_unats"))
-    docBigrams.join(broadcast(unats), Seq("bigram"))
+    docBigrams.join(unats, Seq("bigram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("lp_unats")).as("sum_unats"))
@@ -295,17 +306,25 @@ object Retrieval {
 
   /** Encode every document as its token-id sequence (comma-joined, in
     * token order) against the corpus-derived vocabulary — the step that
-    * feeds Mixing.packSequences. The vocabulary joins BROADCAST (a web
-    * corpus's vocabulary is millions of rows — still broadcastable;
-    * past that, the join key is the term and falls back to shuffle);
-    * order is restored by position, per doc, in one aggregation. */
+    * feeds Mixing.packSequences.
+    *
+    * The vocabulary join is SIZE-CONDITIONAL: it carries no broadcast
+    * hint, so AQE broadcasts the vocabulary at runtime while its
+    * measured size fits under
+    * spark.sql.adaptive.autoBroadcastJoinThreshold and otherwise
+    * shuffle-joins on the term. A corpus-derived whitespace vocabulary
+    * is unbounded (a web corpus yields tens to hundreds of millions of
+    * junk terms), so a forced broadcast() hint — which never falls
+    * back — would be a driver/executor memory ceiling, not a plan
+    * choice. PlanSpec pins both regimes: broadcast below the
+    * threshold, shuffle join past it. Order is restored by position,
+    * per doc, in one aggregation. */
   def encodeTokens(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val vocab = vocabulary(docs, textCol)
     docs.select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(broadcast(vocab.select(col("term"), col("token_id"))),
-        Seq("term"))
+      .join(vocab.select(col("term"), col("token_id")), Seq("term"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         array_join(transform(array_sort(collect_list(
@@ -369,9 +388,11 @@ object Retrieval {
     *
     * Bigrams are built map-side by zipping the token array against its
     * own tail (no self-join, no window): one explode→groupBy shuffle for
-    * bigram counts. Unigram counts join back in — vocabulary-sized, so
-    * broadcast — and the two corpus totals ride the same one-row
-    * broadcast pattern as bm25's stats.
+    * bigram counts. Unigram counts join back in UNHINTED — the unigram
+    * table is corpus-derived and unbounded, so AQE broadcasts it while
+    * it fits and shuffle-joins on the word past the threshold (the
+    * encodeTokens discipline) — and the two corpus totals ride the same
+    * one-row broadcast pattern as bm25's stats.
     */
   def pmiBigrams(docs: DataFrame, minCount: Long,
                  textCol: String = "text"): DataFrame = {
@@ -389,10 +410,8 @@ object Retrieval {
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
     val totals = uni.agg(sum(col("cw")).as("n1")).crossJoin(
       biAll.agg(sum(col("n")).as("n2")))
-    bi.join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
-        Seq("w2"))
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("bigram"), col("n"),
         round(log((col("n") / col("n2"))

@@ -205,6 +205,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p.take(1500))
   }
 
+  test("vocabulary→encode join is size-conditional: AQE broadcasts the " +
+    "vocab below the threshold, and past it the join falls back to a " +
+    "shuffle join on term (no forced broadcast hint)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    def finalPlan(threshold: String): String = {
+      val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      keys.foreach(spark.conf.set(_, threshold))
+      try {
+        val df = graft.functions.Retrieval.encodeTokens(docs)
+        df.collect() // drive AQE to its final plan
+        df.queryExecution.executedPlan.toString
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    // broadcasting disabled everywhere = the "vocabulary too big" regime:
+    // the encode join must fall back to a shuffled join on term. (The
+    // one BroadcastHashJoin that remains is vocabulary()'s offsets join,
+    // whose side is bounded at shuffle.partitions rows and explicitly
+    // hinted.)
+    val big = finalPlan("-1")
+    assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"),
+      big.take(2000))
+    // default thresholds = the small-vocab regime: AQE converts the
+    // unhinted join to broadcast at runtime — no shuffled join survives
+    val small = finalPlan("10485760")
+    assert(!small.contains("SortMergeJoin") &&
+      !small.contains("ShuffledHashJoin"), small.take(2000))
+    assert(small.contains("BroadcastHashJoin"), small.take(2000))
+  }
+
   test("freq_items plans as ObjectHashAggregate — the bounded-counter " +
     "aggregate must not fall back to sort-based aggregation") {
     import spark.implicits._
