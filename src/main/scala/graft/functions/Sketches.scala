@@ -393,6 +393,79 @@ object Sketches {
       .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_out_rows"))
 
+  /** KLL-class mergeable quantile sketch of a long column
+    * (graft.plans.KllAgg): array<struct<v:long, w:long>> sorted by
+    * (v, w) — a weighted sample whose total weight is EXACTLY the
+    * group's item count. EXACT while the group has ≤ k items (no
+    * compaction: every w = 1 and the array IS the sorted multiset — the
+    * oracle-checkable regime, like freqItems' ≤ k distinct contract);
+    * past k, rank queries err by a bounded fraction of n (KllSpec
+    * property-tests the bound). This is the missing quantile member of
+    * the standing-sketch family: unlike [[bisectQuantiles]] (exact but
+    * four batch passes over the column), a landed KLL state answers
+    * quantile queries from O(k) bytes and folds new batches in without
+    * re-reading history ([[mergeKllSketches]] /
+    * streaming.MonitorStreams.kllBatch). */
+  def kllSketch(values: Column, k: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.KllAgg(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(values), k)
+        .toAggregateExpression())
+
+  /** Merge externalized KLL sketches (the array form [[kllSketch]]
+    * emits): the level structure is recoverable from w = 2^level, so
+    * merging is levelwise concatenation + the same compaction — merged
+    * ≡ rebuilt bit-for-bit while the combined count stays ≤ k (the
+    * exact regime), within the rank-error bound beyond. */
+  def mergeKllSketches(sketches: Column, k: Int): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.KllAgg(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(sketches),
+        k, fromSketches = true).toAggregateExpression())
+
+  /** Quantile report from a sketch table: one row per (group row ×
+    * requested percentile) with percentile_disc semantics over the
+    * weighted sample — rank target ceil(n·p/100) in the same integer
+    * arithmetic as [[percentilesByValue]]/[[bisectQuantiles]], answered
+    * by a linear scan of the (v-sorted) sketch array. All sketch-sized
+    * work (the arrays are O(k)); no shuffle beyond whatever built the
+    * sketch table. Output: input columns minus the sketch, plus
+    * (p, rk, n, value). Rows with a NULL sketch are dropped (a group
+    * with no input has no quantiles). */
+  def kllQuantileReport(sketches: DataFrame, sketchCol: String,
+                        percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val keep = sketches.columns.filterNot(_ == sketchCol).map(col)
+    val accT = "struct<cum:bigint,ans:bigint>"
+    val withN = sketches.filter(col(sketchCol).isNotNull)
+      // Project boundary: n is referenced once per percentile below;
+      // materializing it here keeps the HOF fold from re-running per
+      // reference (CollapseProject protects non-cheap multi-ref aliases
+      // across boundaries only)
+      .withColumn("_kll_n", aggregate(col(sketchCol), lit(0L),
+        (acc, x) => acc + x.getField("w")))
+    val targets = array(percentiles.distinct.sorted.map { p =>
+      struct(lit(p.toLong).as("p"),
+        expr(s"(_kll_n * $p + 99) div 100").as("rk"))
+    }: _*)
+    withN
+      .select(keep :+ col(sketchCol) :+ col("_kll_n").as("n") :+
+        explode(targets).as("t"): _*)
+      .withColumn("value", aggregate(col(sketchCol),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("ans"))
+          .cast(accT),
+        (acc, x) => when(acc.getField("ans").isNotNull, acc)
+          .otherwise(struct(
+            (acc.getField("cum") + x.getField("w")).as("cum"),
+            when(acc.getField("cum") + x.getField("w") >= col("t.rk"),
+              x.getField("v")).as("ans")).cast(accT)),
+        acc => acc.getField("ans")))
+      .select(keep :+ col("t.p").as("p") :+ col("t.rk").as("rk") :+
+        col("n") :+ col("value"): _*)
+  }
+
   /** Population-stability-index (PSI) drift report between two
     * snapshots of a value distribution — the monitoring operator a
     * pipeline runs before trusting a new drop of data against the last

@@ -4199,8 +4199,73 @@ object ExtensionQueries {
              |       CAST((x - y) * CAST(floor(ln(CAST(x AS DOUBLE)
              |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
              |         AS BIGINT) AS contrib
-             |FROM f ORDER BY 1, 2""".stripMargin))
+             |FROM f ORDER BY 1, 2""".stripMargin)),
+
+    // KLL-class mergeable quantile sketch (plans/KllAgg) — the missing
+    // quantile member of the standing-sketch family: per-language
+    // document-length percentiles answered FROM the landed O(k) sketch,
+    // not a sort (contrast q116's four passes, q120's grouped radix
+    // select). k = 4096 ≫ any language's document count at test scales,
+    // so the sketch sits in its EXACT regime (every weight 1, the array
+    // IS the sorted multiset) and rank selection is exactly
+    // percentile_disc — the oracle-checkable contract, mirroring
+    // freqItems' ≤ k case; KllSpec property-tests the compacted regime.
+    Q("q133_kll_quantiles",
+      (s, dir) => {
+        val sk = Tables.load(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .groupBy(col("lang"))
+          .agg(Sketches.kllSketch(col("n_chars"), 4096).as("sk"))
+        Sketches.kllQuantileReport(sk, "sk", Seq(25, 50, 95))
+          .orderBy("lang", "p")
+      },
+      Some(kllOracle)),
+
+    // The same report computed INCREMENTALLY: the corpus arrives in
+    // three deterministic hash waves, each wave reduces to per-language
+    // KLL sketches, and the waves fold into a standing sketch table by
+    // mergeKllSketches (q119's recipe lifted to quantiles — levelwise
+    // concat + compaction, history never re-read). In the exact regime
+    // merged ≡ rebuilt bit-for-bit, so the report hash-matches the SAME
+    // one-shot oracle as q133 — the merged-equals-rebuilt contract of
+    // the standing-artifact family (index q92, profile q95, degrees
+    // q119, now quantiles).
+    Q("q134_kll_merged",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        val wave = pmod(col("doc_id"), lit(3))
+        val merged = (0 to 2).map(b => docs.filter(wave === b)
+            .groupBy(col("lang"))
+            .agg(Sketches.kllSketch(col("n_chars"), 4096).as("sk")))
+          .reduce(_.unionByName(_))
+          .groupBy(col("lang"))
+          .agg(Sketches.mergeKllSketches(col("sk"), 4096).as("sk"))
+        Sketches.kllQuantileReport(merged, "sk", Seq(25, 50, 95))
+          .orderBy("lang", "p")
+      },
+      Some(kllOracle))
   )
+
+  /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact
+    * regime): percentile_disc rank selection per language, the
+    * q116/q120 rank arithmetic. */
+  private def kllOracle: String =
+    """WITH s AS (
+      |  SELECT lang AS g, n_chars AS v,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY n_chars) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |), t AS (
+      |  SELECT unnest([25, 50, 95]) AS p
+      |)
+      |SELECT s.g AS lang, CAST(t.p AS BIGINT) AS p,
+      |       CAST(s.rn AS BIGINT) AS rk, CAST(s.n AS BIGINT) AS n,
+      |       s.v AS value
+      |FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
+      |ORDER BY 1, 2""".stripMargin
 
   /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
     * the KMV k-th minimum via DISTINCT hash + ORDER BY + OFFSET k-1

@@ -55,6 +55,56 @@ object MonitorStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming QUANTILE fold — the KLL member of
+    * the standing-artifact family (histograms answer drift, this
+    * answers percentiles): the batch reduces to one externalized KLL
+    * sketch row (O(k) weighted samples, batch-sized work), which folds
+    * into the standing sketch via [[Sketches.mergeKllSketches]] —
+    * history is never re-read, and the landed array answers any
+    * quantile query via [[Sketches.kllQuantileReport]] without another
+    * pass over the stream (contrast bisectQuantiles' four batch
+    * passes). Exactly-once: the same versioned `_SUCCESS`-gated
+    * recipe as [[binBatch]]. */
+  def kllBatch(batch: DataFrame, batchId: Long, stateDir: String,
+               valueCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val batchSk = batch.filter(col(valueCol).isNotNull)
+      .agg(Sketches.kllSketch(col(valueCol).cast("long"), k).as("sk"))
+      .filter(col("sk").isNotNull)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchSk.limit(0)
+    standing.unionByName(batchSk)
+      .agg(Sketches.mergeKllSketches(col("sk"), k).as("sk"))
+      .filter(col("sk").isNotNull)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming KLL quantile maintainer. */
+  def ingestKll(rows: DataFrame, stateDir: String, checkpoint: String,
+                valueCol: String, k: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          kllBatch(batch.toDF(), batchId, stateDir, valueCol, k)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Quantiles answered from the latest committed KLL state — no pass
+    * over the stream's history, just the O(k) landed sketch. */
+  def quantilesFromState(spark: SparkSession, stateDir: String,
+                         percentiles: Seq[Int]): DataFrame =
+    Sketches.kllQuantileReport(latestState(spark, stateDir), "sk",
+      percentiles)
+
   /** The latest committed histogram state under `stateDir`. */
   def latestState(spark: SparkSession, stateDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
