@@ -42,6 +42,20 @@ object CurationPipeline {
       evalModulus: Long = 17, // doc_id % m == 0 → held-out eval set
       minJaccardBp: Long = 2000,
       packBudget: Int = 512,
+      // fixed quality-gate constants (TextAnalysis.qualityVerdict's
+      // defaults), used when adaptiveQualityPercentile is None
+      minWords: Int = 10,
+      maxWords: Int = 5000,
+      minAlphaBp: Int = 5000,
+      maxTopWordFrac: Double = 0.3,
+      // adaptive quality gate (q126): Some(p) derives the keep
+      // thresholds from the corpus's own distribution — the p-th
+      // percentile of alpha_bp and of n_words via the sort-free
+      // histogram percentiles — and gates on
+      // alpha_bp >= th_alpha AND n_words >= th_words, ignoring the
+      // fixed constants above. The thresholds used are reported in
+      // Result (self-describing gate). None = the fixed gate.
+      adaptiveQualityPercentile: Option[Int] = None,
       // Pile-style per-source epoch weights in hundredths (250 = 2.5
       // epochs); empty = every curated doc exactly once, unmixed
       mixWeightsHundredths: Map[String, Int] = Map.empty,
@@ -67,7 +81,10 @@ object CurationPipeline {
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
-      nCurated: Long, nBalanced: Long, nMixed: Long, nWindows: Long)
+      nCurated: Long, nBalanced: Long, nMixed: Long, nWindows: Long,
+      // the adaptive gate's corpus-derived thresholds (None on the
+      // fixed gate) — the gate is self-describing, q126's contract
+      thAlpha: Option[Long] = None, thWords: Option[Long] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -75,9 +92,26 @@ object CurationPipeline {
     // 1. quality gate — one map-side census-kernel pass (q72). The
     //    verdict frame is narrow (ids + three small numerics, no text);
     //    persisting it lets the keep gate, the representative ranking,
-    //    and the nQualityKept metric share one execution.
-    val quality = TextAnalysis.qualityVerdict(corpus)
+    //    and the nQualityKept metric share one execution. With the
+    //    adaptive lever, the corpus-derived thresholds read the SAME
+    //    persisted frame (two domain-sized histogram aggregates + a
+    //    1-row driver read — the metrics-read pattern), then the keep
+    //    column is rewritten on top of it; the census never runs twice.
+    val verdict = TextAnalysis.qualityVerdict(corpus, minWords =
+        conf.minWords, maxWords = conf.maxWords,
+        minAlphaBp = conf.minAlphaBp,
+        maxTopWordFrac = conf.maxTopWordFrac)
       .select("doc_id", "alpha_bp", "n_words", "keep").persist()
+    val (quality, thresholds) = conf.adaptiveQualityPercentile match {
+      case None => (verdict, None)
+      case Some(p) =>
+        val th = TextAnalysis.adaptiveQualityThresholds(verdict, p)
+          .collect().head
+        val (ta, tw) = (th.getLong(0), th.getLong(1))
+        (verdict.withColumn("keep",
+          col("alpha_bp") >= ta && col("n_words") >= tw),
+          Some((ta, tw)))
+    }
     val kept = quality.filter(col("keep")).select("doc_id")
 
     // 2. near-dup clusters over the FULL corpus; representative = the
@@ -189,8 +223,9 @@ object CurationPipeline {
       nMixed = packed.count(),
       nWindows = packed
         .select(countDistinct(col(shardCol), col("seq_id")))
-        .collect().head.getLong(0))
-    quality.unpersist()
+        .collect().head.getLong(0),
+      thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2))
+    verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()
     res

@@ -214,6 +214,27 @@ object TextAnalysis {
         "reason")
   }
 
+  /** Corpus-derived quality thresholds (q126's adaptive gate lifted to
+    * a reusable function): the `percentile`-th percentile of `alpha_bp`
+    * and of `n_words` over a [[qualityVerdict]]-shaped frame, via the
+    * sort-free histogram percentiles (both columns are integral and
+    * domain-bounded — the percentilesByValue contract). One row
+    * (th_alpha, th_words); a keep gate is then
+    * alpha_bp >= th_alpha AND n_words >= th_words. */
+  def adaptiveQualityThresholds(verdict: org.apache.spark.sql.DataFrame,
+                                percentile: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(percentile >= 1 && percentile <= 100,
+      s"percentile must be in [1, 100], got $percentile")
+    val q = verdict.select(col("alpha_bp"), col("n_words"))
+      .withColumn("g", lit(1))
+    val thA = Sketches.percentilesByValue(q, "g", "alpha_bp",
+      Seq(percentile)).select(col(s"p$percentile").as("th_alpha"))
+    val thW = Sketches.percentilesByValue(q, "g", "n_words",
+      Seq(percentile)).select(col(s"p$percentile").as("th_words"))
+    thA.crossJoin(thW)
+  }
+
   /** Deterministic sampling bucket 0-99 from a key column: md5-prefix
     * hash, so the same key lands in the same bucket on ANY engine and
     * every rerun — the scale-correct way to subsample/mix training

@@ -3844,14 +3844,13 @@ object ExtensionQueries {
         val docs = Tables.load(s, dir, "documents")
         val q = TextAnalysis.qualityVerdict(docs)
           .select("doc_id", "alpha_bp", "n_words")
-          .withColumn("g", lit(1))
-        val thA = Sketches.percentilesByValue(q, "g", "alpha_bp",
-          Seq(10)).select(col("p10").as("th_alpha"))
-        val thW = Sketches.percentilesByValue(q, "g", "n_words",
-          Seq(10)).select(col("p10").as("th_words"))
+        // the threshold derivation is the reusable function the
+        // curation driver's adaptiveQualityPercentile lever routes
+        // through (CurationSpec pins adaptive run ≡ manual run)
+        val th = TextAnalysis.adaptiveQualityThresholds(q, 10)
         docs.select("doc_id", "source")
           .join(q, Seq("doc_id"))
-          .crossJoin(broadcast(thA)).crossJoin(broadcast(thW))
+          .crossJoin(broadcast(th))
           .groupBy("source")
           .agg(
             sum(when(col("alpha_bp") >= col("th_alpha") &&

@@ -180,6 +180,40 @@ class CurationSpec extends AnyFunSuite {
     assert(gotBig == expect)
   }
 
+  test("adaptive quality gate: the run derives its thresholds from the " +
+    "corpus (reported in Result) and curates exactly what a manual run " +
+    "with those same thresholds as fixed constants curates") {
+    val outA = java.nio.file.Files
+      .createTempDirectory("graft-cur-adapt").toString
+    val resA = CurationPipeline.run(spark, docs,
+      CurationPipeline.Config(outputDir = outA,
+        adaptiveQualityPercentile = Some(10)))
+    // the reported thresholds ARE the corpus's 10th percentiles
+    val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
+    val v = graft.functions.TextAnalysis.qualityVerdict(corpus)
+      .select("doc_id", "alpha_bp", "n_words")
+    val th = graft.functions.TextAnalysis
+      .adaptiveQualityThresholds(v, 10).collect().head
+    assert(resA.thAlpha.contains(th.getLong(0)) &&
+      resA.thWords.contains(th.getLong(1)), s"$resA vs $th")
+    // manual run: the same thresholds as FIXED gate constants (the
+    // extra fixed-gate conditions neutralized) must curate the same set
+    val outM = java.nio.file.Files
+      .createTempDirectory("graft-cur-manual").toString
+    val resM = CurationPipeline.run(spark, docs,
+      CurationPipeline.Config(outputDir = outM,
+        minWords = th.getLong(1).toInt,
+        minAlphaBp = th.getLong(0).toInt,
+        maxWords = Int.MaxValue, maxTopWordFrac = 2.0))
+    assert(resM.thAlpha.isEmpty && resM.thWords.isEmpty)
+    def ids(p: String) = spark.read.parquet(s"$p/curated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(outA) == ids(outM))
+    assert(resA.copy(thAlpha = None, thWords = None) == resM)
+    // and the adaptive gate is a real gate: it kept less than everything
+    assert(resA.nQualityKept < resA.nInput - resA.nEval)
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet
