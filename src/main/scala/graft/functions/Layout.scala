@@ -38,7 +38,20 @@ object Layout {
     * Reading the report: a z-ordered grid bucket covers a contiguous
     * Morton range, so its x/y bounding boxes are ~√buckets× tighter per
     * dimension than a one-dimensional bucketing of either key alone —
-    * which is exactly the file-skipping win. */
+    * which is exactly the file-skipping win.
+    *
+    * Range contract (int64 fit, like psiDrift's overflow note): the
+    * fixed-point normalization computes (x − min) · 65535 in int64, so
+    * each dimension's [min, max] RANGE must stay ≤ 2^47 (≤ 2^42 for
+    * the 3-D variant's 21-bit scale); a wider domain silently corrupts
+    * bucket assignment. Wider domains should pre-scale (divide first)
+    * or use [[zOrderBucketStatsFixed]], which enforces the contract
+    * loudly on its declared bounds.
+    *
+    * This form normalizes by the table's GLOBAL min/max — the tightest
+    * grid, but bucket stats cannot fold incrementally (a wave can't
+    * know the final range). For a standing, mergeable report use
+    * [[zOrderBucketStatsFixed]]. */
   def zOrderBucketStats(df: DataFrame, xCol: String, yCol: String,
                         bucketBits: Int): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 20,
@@ -60,6 +73,62 @@ object Layout {
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
   }
 
+  /** [[zOrderBucketStats]] over DECLARED absolute domain bounds — the
+    * INCREMENTAL form: because the grid is fixed a priori instead of
+    * derived from the table's global min/max, a wave's bucket stats are
+    * a pure function of the wave's rows, so standing stats fold by
+    * count addition + min/max combine ([[mergeZOrderStats]] — the q119
+    * recipe) and a streaming maintainer can keep the layout report of
+    * an append-heavy table current without ever rescanning history
+    * (streaming.MonitorStreams.zorderBatch). Values outside the
+    * declared bounds CLAMP into the edge cells (their raw values still
+    * report in min/max, so the evidence of an out-of-domain write is
+    * visible in the edge buckets' bounds).
+    *
+    * Beyond mergeability this is also map-side cheaper than the global
+    * form: no min/max pre-pass, no one-row broadcast — one fixed-grid
+    * aggregate, full stop. The price is grid tightness: declare bounds
+    * close to the real domain or the rows crowd into few cells.
+    *
+    * Range contract enforced loudly: each declared range must be
+    * positive and ≤ 2^47 (the 16-bit fixed-point product must fit
+    * int64). */
+  def zOrderBucketStatsFixed(df: DataFrame, xCol: String, yCol: String,
+                             bucketBits: Int, xMin: Long, xMax: Long,
+                             yMin: Long, yMax: Long): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    require(xMax > xMin && yMax > yMin,
+      s"declared domains must be non-empty: [$xMin,$xMax] [$yMin,$yMax]")
+    require(xMax - xMin <= (1L << 47) && yMax - yMin <= (1L << 47),
+      "declared range exceeds 2^47: the 16-bit fixed-point product " +
+        "would overflow int64 — pre-scale the column instead")
+    val k = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    k.withColumn("xc", least(greatest(col("x"), lit(xMin)), lit(xMax)))
+      .withColumn("yc", least(greatest(col("y"), lit(yMin)), lit(yMax)))
+      .withColumn("xn",
+        expr(s"((xc - $xMin) * 65535) DIV (${xMax - xMin})"))
+      .withColumn("yn",
+        expr(s"((yc - $yMin) * 65535) DIV (${yMax - yMin})"))
+      .withColumn("z", zOrderKey(col("xn"), col("yn")))
+      .groupBy(shiftrightunsigned(col("z"), 32 - bucketBits)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
+  /** Fold two fixed-grid bucket-stat reports built with the SAME
+    * declared domain and bucketBits (the standing-artifact merge:
+    * counts add, bounds combine — exactly associative/commutative, so
+    * merged ≡ rebuilt bit-for-bit, q135's oracle-checked contract). */
+  def mergeZOrderStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket")
+      .agg(sum(col("n")).as("n"),
+        min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
+        min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"))
+
   /** 63-bit Morton code of three long columns in [0, 2^21) (native
     * kernel, graft.plans.InterleaveBits3x21). */
   def zOrderKey3(x: Column, y: Column, z: Column): Column =
@@ -74,7 +143,9 @@ object Layout {
     * `bucketBits` bits of the 63-bit Morton code, and every bucket
     * reports min/max in all three dimensions — the pruning stats that
     * let predicates on ANY of the three columns skip files. Same
-    * single-aggregate shape as the 2-D form. */
+    * single-aggregate shape as the 2-D form. Range contract: each
+    * dimension's [min, max] range must stay ≤ 2^42 (21-bit scale in
+    * int64 — see [[zOrderBucketStats]]' overflow note). */
   def zOrderBucketStats3(df: DataFrame, xCol: String, yCol: String,
                          zCol: String, bucketBits: Int): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 20,

@@ -4243,7 +4243,54 @@ object ExtensionQueries {
         Sketches.kllQuantileReport(merged, "sk", Seq(25, 50, 95))
           .orderBy("lang", "p")
       },
-      Some(kllOracle))
+      Some(kllOracle)),
+
+    // Z-order bucket stats over a DECLARED fixed domain, maintained
+    // INCREMENTALLY (q117's report made mergeable): because the grid
+    // is declared a priori instead of derived from the table's global
+    // min/max, each wave's stats are a pure function of the wave, and
+    // the standing report folds by count addition + min/max combine —
+    // merged ≡ rebuilt exactly, so the three-wave fold hash-matches the
+    // one-shot oracle. Out-of-domain values clamp into edge cells
+    // (raw bounds still reported). This is the layout monitor an
+    // append-heavy 100 TB table runs per batch to decide WHEN to
+    // OPTIMIZE, with no history rescans (MonitorStreams.zorderBatch).
+    Q("q135_zorder_incremental",
+      (s, dir) => {
+        // quantity/price have SCALE-INDEPENDENT domains (quantity
+        // 1..50, price bounded by part retail prices) — exactly the
+        // kind of column a fixed a-priori grid is declared for
+        val li = Tables.load(s, dir, "lineitem")
+        val wave = pmod(col("l_orderkey"), lit(3))
+        (0 to 2).map(b => Layout.zOrderBucketStatsFixed(
+            li.filter(wave === b), "l_quantity", "l_extendedprice",
+            bucketBits = 6, xMin = 0L, xMax = 64L,
+            yMin = 0L, yMax = 131072L))
+          .reduce(Layout.mergeZOrderStats)
+          .orderBy("bucket")
+      },
+      Some {
+        val z = (0 until 16).flatMap(i => Seq(
+          s"(((xn >> $i) & 1) << ${2 * i})",
+          s"(((yn >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        s"""WITH k AS (
+           |  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+           |         CAST(floor(l_extendedprice) AS BIGINT) AS y
+           |  FROM lineitem
+           |), s AS (
+           |  SELECT x, y,
+           |         (LEAST(GREATEST(x, 0), 64) * 65535) // 64 AS xn,
+           |         (LEAST(GREATEST(y, 0), 131072) * 65535)
+           |           // 131072 AS yn
+           |  FROM k
+           |), z AS (
+           |  SELECT x, y, ($z) AS zv FROM s
+           |)
+           |SELECT zv >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |       MIN(x) AS min_x, MAX(x) AS max_x,
+           |       MIN(y) AS min_y, MAX(y) AS max_y
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact

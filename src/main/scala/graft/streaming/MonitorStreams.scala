@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Sketches
+import graft.functions.{Layout, Sketches}
 
 /** Streaming distribution monitoring: the drift member of the versioned
   * standing-artifact family. The standing artifact is the fixed-width
@@ -104,6 +104,50 @@ object MonitorStreams {
                          percentiles: Seq[Int]): DataFrame =
     Sketches.kllQuantileReport(latestState(spark, stateDir), "sk",
       percentiles)
+
+  /** One micro-batch of the streaming LAYOUT monitor — the z-order
+    * member of the standing-artifact family: each batch reduces to its
+    * fixed-grid bucket stats ([[Layout.zOrderBucketStatsFixed]] — a
+    * pure function of the batch because the grid is declared, not
+    * derived), which fold into the standing report by count addition +
+    * min/max combine ([[Layout.mergeZOrderStats]]). The maintenance
+    * loop on an append-heavy table reads this standing report to decide
+    * WHEN to run the OPTIMIZE ZORDER rewrite — without ever rescanning
+    * the table. Exactly-once: the versioned `_SUCCESS`-gated recipe. */
+  def zorderBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                  xCol: String, yCol: String, bucketBits: Int,
+                  xMin: Long, xMax: Long, yMin: Long,
+                  yMax: Long): Unit = {
+    val spark = batch.sparkSession
+    val batchStats = Layout.zOrderBucketStatsFixed(batch, xCol, yCol,
+      bucketBits, xMin, xMax, yMin, yMax)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchStats.limit(0)
+    Layout.mergeZOrderStats(standing, batchStats)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming z-order layout maintainer. */
+  def ingestZorderStats(rows: DataFrame, stateDir: String,
+                        checkpoint: String, xCol: String, yCol: String,
+                        bucketBits: Int, xMin: Long, xMax: Long,
+                        yMin: Long, yMax: Long):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          zorderBatch(batch.toDF(), batchId, stateDir, xCol, yCol,
+            bucketBits, xMin, xMax, yMin, yMax)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** The latest committed histogram state under `stateDir`. */
   def latestState(spark: SparkSession, stateDir: String): DataFrame = {

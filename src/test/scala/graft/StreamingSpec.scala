@@ -875,6 +875,53 @@ class StreamingSpec extends AnyFunSuite {
       rows(graft.functions.Sketches.binCounts(streamed, "value", 25.0)))
   }
 
+  test("streaming z-order layout monitor: fixed-grid waves fold into " +
+    "the standing report ≡ the one-shot stats over the full stream; " +
+    "replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-szorder").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-szorder-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val (bb, xMn, xMx, yMn, yMx) = (6, 0L, 1L << 16, 0L, 1L << 13)
+    def runOnce(): Unit =
+      graft.streaming.MonitorStreams.ingestZorderStats(
+        spark.readStream.schema(li.schema).parquet(src), st, ckpt,
+        "l_partkey", "l_suppkey", bb, xMn, xMx, yMn, yMx)
+        .awaitTermination(120000)
+    (0 until 3).foreach { w =>
+      stage(s"w$w", li.filter(col("l_orderkey") % 3 === w))
+      runOnce()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toSeq).toSeq
+    spark.catalog.refreshByPath(st)
+    val oneShot = rows(graft.functions.Layout.zOrderBucketStatsFixed(
+      li, "l_partkey", "l_suppkey", bb, xMn, xMx, yMn, yMx))
+    assert(rows(graft.streaming.MonitorStreams.latestState(spark, st))
+      == oneShot)
+    graft.streaming.MonitorStreams.zorderBatch( // hand-replayed crash
+      li.filter(col("l_orderkey") % 3 === 2), batchId = 2, st,
+      "l_partkey", "l_suppkey", bb, xMn, xMx, yMn, yMx)
+    spark.catalog.refreshByPath(st)
+    assert(rows(graft.streaming.MonitorStreams.latestState(spark, st))
+      == oneShot)
+  }
+
   test("round-trip: streaming ingestion feeds the batch query surface " +
     "with identical aggregates") {
     import org.apache.spark.sql.functions._
