@@ -44,12 +44,32 @@ object BloomJoin {
   def fileBloomIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String, keyCol: String,
                      numBits: Int = 1 << 16,
-                     numHashes: Int = 5): DataFrame =
-    spark.read.parquet(path)
-      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
+                     numHashes: Int = 5): DataFrame = {
+    val df = spark.read.parquet(path)
+    requireIntegralKey(df, keyCol, "fileBloomIndex")
+    df.select(org.apache.spark.sql.functions.input_file_name().as("file"),
         col(keyCol).cast("long").as("k"))
       .groupBy("file")
       .agg(bloomOf(col("k"), numBits, numHashes).as("bloom"))
+  }
+
+  /** The file-index surface probes with Seq[Long] literals, so its key
+    * contract is integral — enforced loudly here: a blind long cast on
+    * a string key would NULL out and build Blooms that match nothing,
+    * and the "no false negatives" promise would silently invert.
+    * (reducedSemiJoin has no literal probe side and instead HASHES
+    * non-integral keys portably on both sides.) */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+                                 who: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$who requires an integral key column; $keyCol is $other " +
+          "(a long cast would yield NULL for every row and the index " +
+          "would match nothing)")
+    }
+  }
 
   /** Files a probe key set might touch, per the index (no false
     * negatives — an absent file provably holds none of the keys). */
@@ -85,15 +105,21 @@ object BloomJoin {
   /** `big` semi-joined to `keys`, with the Bloom reduction in front:
     * build the filter over the key side (one-row aggregate, map-side
     * partial OR), broadcast it, drop big-side rows map-side, then run
-    * the exact semi-join over the survivors. */
+    * the exact semi-join over the survivors. Key typing: integral keys
+    * feed the Bloom as their long value; any other type feeds as its
+    * portable md5-60 image on BOTH sides (Skew.portableKey — same
+    * membership, no silent long-cast NULL degeneration), and the exact
+    * semi-join still compares the raw values. */
   def reducedSemiJoin(big: DataFrame, bigKey: String, keys: DataFrame,
                       keyCol: String, numBits: Int = 1 << 20,
                       numHashes: Int = 5): DataFrame = {
-    val bf = keys.agg(bloomOf(col(keyCol).cast("long"), numBits,
-      numHashes).as("_bf"))
+    val (dtb, dtk) =
+      (big.schema(bigKey).dataType, keys.schema(keyCol).dataType)
+    val bf = keys.agg(bloomOf(Skew.portableKey(dtb, dtk, col(keyCol)),
+      numBits, numHashes).as("_bf"))
     big.crossJoin(broadcast(bf))
-      .filter(mightContain(col("_bf"), col(bigKey).cast("long"),
-        numBits, numHashes))
+      .filter(mightContain(col("_bf"),
+        Skew.portableKey(dtb, dtk, col(bigKey)), numBits, numHashes))
       .drop("_bf")
       .join(keys.select(col(keyCol).as(bigKey)).distinct(),
         Seq(bigKey), "left_semi")

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Key column as a long for count/Bloom machinery: integral types
+    * cast (cheap, value-preserving — the numeric fast path); everything
+    * else routes through the portable 60-bit md5 hash of the string
+    * image. A plain long cast on a non-numeric key yields NULL for
+    * every row and silently degenerates the consumer (empty Bloom
+    * filter, empty diagnostics) — the failure mode this dispatch
+    * removes. Both sides of a join must use the same encoding, so
+    * callers pass BOTH types and the hash engages if EITHER side is
+    * non-integral. */
+  private[operators] def portableKey(
+      dtA: org.apache.spark.sql.types.DataType,
+      dtB: org.apache.spark.sql.types.DataType, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral(dtA) && integral(dtB)) c.cast("long")
+    else graft.functions.Dedup.md5Hash64(c.cast("string"))
+  }
+
   /** Two-stage salted aggregation: groupBy(keys + salt) partial-aggregates
     * hot keys across `saltBuckets` reducers, then a cheap second aggregate
     * over the (now ≤ saltBuckets rows per key) partials merges them.
@@ -62,13 +83,18 @@ object Skew {
     * Cost: two key-count aggregates (map-side combinable, count-table-
     * sized results), their equi-join, and three one-row reductions —
     * the standard stats-collection pass, never the join itself. All
-    * outputs are exact integers (oracle-checked, q125). */
+    * outputs are exact integers (oracle-checked, q125). Integral keys
+    * count under their long value (top_key IS the key); other types
+    * count under their portable md5-60 image (top_key is that image —
+    * resolve it back by hashing candidate keys), instead of the silent
+    * all-NULL degeneration a blind long cast produced. */
   def joinDiagnostics(a: DataFrame, aKey: String, b: DataFrame,
                       bKey: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val ca = a.groupBy(col(aKey).cast("long").as("k"))
+    val (dta, dtb) = (a.schema(aKey).dataType, b.schema(bKey).dataType)
+    val ca = a.groupBy(portableKey(dta, dtb, col(aKey)).as("k"))
       .agg(count(lit(1)).as("ca"))
-    val cb = b.groupBy(col(bKey).cast("long").as("k"))
+    val cb = b.groupBy(portableKey(dta, dtb, col(bKey)).as("k"))
       .agg(count(lit(1)).as("cb"))
     val j = ca.join(cb, Seq("k"))
       .select(col("k"), (col("ca") * col("cb")).as("contrib"))
@@ -84,5 +110,55 @@ object Skew {
     val sb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("n_b"),
       count(lit(1)).as("ndv_b"))
     broadcast(sa).crossJoin(broadcast(sb)).crossJoin(joined)
+  }
+
+  /** What [[autoJoin]] decided and the numbers it decided from. */
+  final case class AutoJoinReport(choice: String, nA: Long, nB: Long,
+      outRows: Long, topKey: Option[Long], topContrib: Long)
+
+  /** Diagnostic-DRIVEN inner equi-join router — the consumer
+    * [[joinDiagnostics]] was built for: run the stats pass, then route
+    *  - "broadcast" when the right side fits under `broadcastRowLimit`
+    *    rows (an explicit hint — the dim-contract case AQE's stage-size
+    *    estimate can get wrong, see the verify notes on cached stages),
+    *  - "salted" when no single reducer should own the heaviest key:
+    *    the top key contributes more than `skewTopFrac` of the exact
+    *    join output ([[saltedJoin]] spreads it over `saltBuckets`
+    *    reducers; AQE's skew handling only splits map-side partitions
+    *    of sort-merge joins — a hot KEY still lands on one reducer),
+    *  - "plain" otherwise (shuffled equi-join, AQE free to adapt).
+    * The routed output is the SAME multiset for every choice (SkewSpec
+    * pins all three against the plain join); only the physical shape
+    * differs. Cost: the diagnostic pass (two key-count aggregates + a
+    * 1-row driver read — the decide-before-you-shuffle trade at
+    * 100 TB, where one mis-shaped join costs more than any number of
+    * count passes). */
+  def autoJoin(a: DataFrame, b: DataFrame, key: String,
+               broadcastRowLimit: Long = 1000000L,
+               skewTopFrac: Double = 0.2,
+               saltBuckets: Int = 8): (DataFrame, AutoJoinReport) = {
+    require(broadcastRowLimit >= 0 && saltBuckets > 0 &&
+      skewTopFrac > 0 && skewTopFrac <= 1,
+      s"bad autoJoin knobs: $broadcastRowLimit/$skewTopFrac/$saltBuckets")
+    val d = joinDiagnostics(a, key, b, key).collect().head
+    val (nA, nB, outRows) =
+      (d.getAs[Long]("n_a"), d.getAs[Long]("n_b"),
+        d.getAs[Long]("out_rows"))
+    val topKey = Option(d.getAs[Any]("top_key"))
+      .map(_.asInstanceOf[Long])
+    val topContrib =
+      if (d.isNullAt(d.fieldIndex("top_contrib"))) 0L
+      else d.getAs[Long]("top_contrib")
+    val choice =
+      if (nB <= broadcastRowLimit) "broadcast"
+      else if (outRows > 0 &&
+        topContrib.toDouble > skewTopFrac * outRows.toDouble) "salted"
+      else "plain"
+    val joined = choice match {
+      case "broadcast" => a.join(broadcast(b), Seq(key))
+      case "salted" => saltedJoin(a, b, key, saltBuckets)
+      case _ => a.join(b, Seq(key))
+    }
+    (joined, AutoJoinReport(choice, nA, nB, outRows, topKey, topContrib))
   }
 }
