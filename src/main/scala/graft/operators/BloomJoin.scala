@@ -102,6 +102,39 @@ object BloomJoin {
         .filter(col(keyCol).isin(keys: _*))
   }
 
+  /** Point+range probe through TWO standing indexes at once — the
+    * capstone composition over a z-ordered layout: the per-file Bloom
+    * index answers "which files might hold these exact keys" and the
+    * per-file min/max stats (Layout.fileStats over (keyCol, rangeCol) —
+    * the footer stats a z-ordered rewrite makes tight in BOTH
+    * dimensions) answer "which files overlap this range"; the scan
+    * reads only their INTERSECTION, then exact-filters. Equals the
+    * plain filter over the whole table (Bloom has no false negatives;
+    * stats bounds are conservative), but on a z-ordered table the
+    * intersection is strictly smaller than either pruner alone —
+    * a Bloom-probable column of z-quadrants × a range-overlapping row
+    * of them meet in ~one cell (Round8Spec pins strictness and
+    * equality). Both indexes are standing artifacts (catalog-
+    * granularity metadata); the probe collects only file names. */
+  def scanWithBloomAndStats(spark: org.apache.spark.sql.SparkSession,
+                            path: String, keyCol: String,
+                            keys: Seq[Long], index: DataFrame,
+                            stats: DataFrame, rangeCol: String,
+                            lo: Long, hi: Long, numBits: Int = 1 << 16,
+                            numHashes: Int = 5): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val bloomFiles = probeFiles(index, keys, numBits, numHashes)
+    val rangeFiles = stats
+      .filter(col("min_y") <= hi && col("max_y") >= lo).select("file")
+    val files = bloomFiles.join(rangeFiles, Seq("file"), "left_semi")
+      .collect().map(_.getString(0))
+    val pred = col(keyCol).isin(keys: _*) &&
+      col(rangeCol).between(lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(pred).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
+  }
+
   /** `big` semi-joined to `keys`, with the Bloom reduction in front:
     * build the filter over the key side (one-row aggregate, map-side
     * partial OR), broadcast it, drop big-side rows map-side, then run

@@ -578,6 +578,51 @@ class Round8Spec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("point-probe capstone: Bloom index over a z-ordered layout — " +
+    "the composed scan reads strictly fewer files than either pruner " +
+    "alone and equals the plain filter") {
+    val rnd = new scala.util.Random(67)
+    val df = Seq.fill(16000)((rnd.nextInt(1 << 12).toLong,
+      rnd.nextInt(1 << 12).toLong)).toDF("k", "y")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-capstone").toString
+    df.repartition(4).write.mode("overwrite").parquet(s"$base/in")
+    // maintenance pass: OPTIMIZE ZORDER into 16 files (≈ a 4×4 grid of
+    // z-quadrants), then land both standing indexes over the rewrite
+    graft.functions.Layout.optimizeZOrder(spark, s"$base/in",
+      s"$base/out", "k", "y", numFiles = 16).collect()
+    val idx = graft.operators.BloomJoin.fileBloomIndex(spark,
+      s"$base/out", "k")
+    val stats = graft.functions.Layout.fileStats(spark, s"$base/out",
+      "k", "y")
+    val probe = Seq(1000L, 1017L) // a point pair from one x-column
+    val (lo, hi) = (2000L, 2255L) // a narrow y-row
+    // the composed scan ≡ the plain filter over the whole table
+    val got = graft.operators.BloomJoin.scanWithBloomAndStats(spark,
+        s"$base/out", "k", probe, idx, stats, "y", lo, hi)
+      .groupBy("k", "y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = spark.read.parquet(s"$base/out")
+      .filter(col("k").isin(probe: _*) && col("y").between(lo, hi))
+      .groupBy("k", "y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    // strictness: intersection < Bloom alone and < range alone
+    val nBloom = graft.operators.BloomJoin.probeFiles(idx, probe,
+      1 << 16, 5).count()
+    val nRange = stats.filter(col("min_y") <= hi && col("max_y") >= lo)
+      .count()
+    val nBoth = graft.operators.BloomJoin.probeFiles(idx, probe,
+        1 << 16, 5)
+      .join(stats.filter(col("min_y") <= hi && col("max_y") >= lo)
+        .select("file"), Seq("file"), "left_semi").count()
+    assert(nBoth < nBloom && nBoth < nRange,
+      s"both=$nBoth bloom=$nBloom range=$nRange")
+    assert(nBoth >= 1) // the probe really reads something
+  }
+
   test("joinDiagnostics: exact shape numbers on a hand-computable join; " +
     "disjoint keys yield zero cardinality and null top key") {
     val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
