@@ -172,9 +172,13 @@ object CurationPipeline {
         "source", conf.sourceQuotas, dq)
       case (false, None) =>
         val listed = conf.sourceQuotas.keys.toSeq
-        landed0.filter(!col("source").isin(listed: _*)).unionByName(
+        // coalesce: a bare isin is NULL (not false) on a NULL source,
+        // which would drop null-source docs from BOTH branches — they
+        // can't match a listed name, so they pass through uncapped
+        val isListed = coalesce(col("source").isin(listed: _*), lit(false))
+        landed0.filter(!isListed).unionByName(
           TextAnalysis.quotaSample(
-            landed0.filter(col("source").isin(listed: _*)), "doc_id",
+            landed0.filter(isListed), "doc_id",
             "source", conf.sourceQuotas, defaultQuota = 0))
     }
     // the balanced frame backs both the pack input and its own metric —

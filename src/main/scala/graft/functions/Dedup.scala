@@ -499,15 +499,6 @@ object Dedup {
       .select("new_id", "dup_id", "jaccard_bp")
   }
 
-  /** Benchmark decontamination: per-document count of distinct shingles
-    * that also occur in an evaluation set — the standard "is my training
-    * corpus contaminated with my benchmark?" check.
-    *
-    * The eval set collapses to ONE sorted array of distinct shingle
-    * hashes broadcast to every task (a real eval suite is ~10⁶ n-grams
-    * ≈ 8 MB — comfortably broadcastable), so the corpus side is scored
-    * entirely map-side by the sorted-merge intersect kernel: zero corpus
-    * shuffle, zero explode of corpus tokens. */
   /** Fold a batch's new near-dup pairs into a STANDING component table
     * — incremental clustering, the clustering member of the standing-
     * artifact family (index q92, quantizer q86, profile q95, SCD2 q93,
@@ -550,6 +541,15 @@ object Dedup {
     relabeled.unionByName(fresh.join(merged, Seq("id")))
   }
 
+  /** Benchmark decontamination: per-document count of distinct shingles
+    * that also occur in an evaluation set — the standard "is my training
+    * corpus contaminated with my benchmark?" check.
+    *
+    * The eval set collapses to ONE sorted array of distinct shingle
+    * hashes broadcast to every task (a real eval suite is ~10⁶ n-grams
+    * ≈ 8 MB — comfortably broadcastable), so the corpus side is scored
+    * entirely map-side by the sorted-merge intersect kernel: zero corpus
+    * shuffle, zero explode of corpus tokens. */
   def contamination(docs: DataFrame, evalDocs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 3): DataFrame = {

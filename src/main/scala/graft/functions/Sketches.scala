@@ -385,13 +385,26 @@ object Sketches {
     * sketch-budget counterpart of Skew.joinDiagnostics' exact pass:
     * diagnostics cost a key-count shuffle per side; this costs two
     * standing width×depth tables you may already maintain
-    * (SketchStreams.cmBatch) and a (width·depth)-row join. */
-  def cmJoinSizeEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame =
-    cmA.select(col("j"), col("cell"), col("cnt").as("ca"))
+    * (SketchStreams.cmBatch) and a (width·depth)-row join.
+    *
+    * A hash row whose cells don't overlap at all has a true inner
+    * product of 0, so it must still reach the min — the per-row IPs
+    * are rebuilt over the full j domain (left join + coalesce 0)
+    * rather than taken from the overlap join alone. Disjoint key sets
+    * therefore estimate 0 (one row), not an empty frame; two empty
+    * sketches estimate 0 as well (an empty input joins with nobody). */
+  def cmJoinSizeEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame = {
+    val overlap = cmA.select(col("j"), col("cell"), col("cnt").as("ca"))
       .join(cmB.select(col("j"), col("cell"), col("cnt").as("cb")),
         Seq("j", "cell"))
       .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).as("est_out_rows"))
+    // every input row populates all depth hash rows, so either sketch's
+    // distinct j IS the row domain (union covers the one-side-empty edge)
+    cmA.select("j").union(cmB.select("j")).distinct()
+      .join(overlap, Seq("j"), "left")
+      .agg(coalesce(min(coalesce(col("ip"), lit(0L))), lit(0L))
+        .as("est_out_rows"))
+  }
 
   /** KLL-class mergeable quantile sketch of a long column
     * (graft.plans.KllAgg): array<struct<v:long, w:long>> sorted by
@@ -573,13 +586,21 @@ object Sketches {
     * flags, languages, sources), mirroring percentilesByValue's
     * bounded-domain contract. Driver state stays a few longs per
     * (group, percentile). NULL groups and NULL/NaN values are
-    * excluded. Output: (groupCol, p, rk, n, value). */
+    * excluded. Output: (groupCol, p, rk, n, value).
+    *
+    * The bounded-group contract is ENFORCED, not just documented:
+    * the call fails fast once the observed group count exceeds
+    * `maxGroups` (raise it deliberately for a wider dashboard
+    * dimension) rather than growing the literal frontier predicate
+    * and the collected histogram without bound. */
   def bisectQuantilesByGroup(df: DataFrame, groupCol: String,
                              valueCol: String,
-                             percentiles: Seq[Int]): DataFrame = {
+                             percentiles: Seq[Int],
+                             maxGroups: Int = 64): DataFrame = {
     require(percentiles.nonEmpty &&
       percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1, 100], got $percentiles")
+    require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
     val spark = df.sparkSession
     val m = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
@@ -626,6 +647,11 @@ object Sketches {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
     val groups = first.keysIterator.map(_._1).toSeq.distinct
+    require(groups.size <= maxGroups,
+      s"bisectQuantilesByGroup saw ${groups.size} groups in '$groupCol' " +
+        s"(cap $maxGroups): the per-pass frontier predicate and driver " +
+        "histogram grow linearly in the group count — pre-aggregate the " +
+        "dimension or raise maxGroups deliberately")
     val nByG = groups.map(g =>
       g -> first.iterator.collect {
         case ((gg, _, _), c) if gg == g => c

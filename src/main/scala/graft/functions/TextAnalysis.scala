@@ -317,7 +317,11 @@ object TextAnalysis {
     * the selected-hash side at most Σ quotas rows (broadcast). Exactness
     * caveat: selection keys on the 60-bit hash, so two keys colliding
     * within one stratum could over-admit by one row — negligible below
-    * ~2^30 rows per stratum; production uses the full 128-bit digest. */
+    * ~2^30 rows per stratum; production uses the full 128-bit digest.
+    *
+    * NULL strata are governed by `defaultQuota` like any other stratum
+    * (the `quotas` map can't name them): the grouping keeps the NULL
+    * group and the semi-join back is null-safe on the stratum. */
   def quotaSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
                   stratumCol: String, quotas: Map[String, Int],
                   defaultQuota: Int): org.apache.spark.sql.DataFrame = {
@@ -335,10 +339,15 @@ object TextAnalysis {
       .select(col(stratumCol), posexplode(col("hs")))
       // minK is ascending, so pos < quota trims each stratum to ITS cap
       .filter(col("pos") < quotaOf)
-      .select(col(stratumCol), col("col").as("_sel_hash"))
-    df.withColumn("_sel_hash", Dedup.md5Hash64(col(keyCol).cast("string")))
+      .select(col(stratumCol).as("_sel_stratum"), col("col").as("_sel_hash"))
+    val withHash = df
+      .withColumn("_sel_hash", Dedup.md5Hash64(col(keyCol).cast("string")))
+    // null-safe on the stratum: a plain equi-join would silently drop
+    // every NULL-stratum row instead of letting defaultQuota govern it
+    withHash
       .join(org.apache.spark.sql.functions.broadcast(selected),
-        Seq(stratumCol, "_sel_hash"), "left_semi")
+        withHash(stratumCol) <=> selected("_sel_stratum") &&
+          withHash("_sel_hash") === selected("_sel_hash"), "left_semi")
       .drop("_sel_hash")
   }
 

@@ -683,4 +683,60 @@ class Round8Spec extends AnyFunSuite {
       .toDF("id_a", "id_b"))
     assert(tris(Some(stale)) == base)
   }
+
+  test("cmJoinSizeEstimate: disjoint key sets estimate 0 (one row), " +
+    "overlapping sets upper-bound the exact join size") {
+    val a = (0 until 400).map(i => s"a_$i").map(Tuple1(_)).toDF("k")
+    val b = (0 until 400).map(i => s"b_$i").map(Tuple1(_)).toDF("k")
+    val cmA = Sketches.countMin(a, "k", width = 64, depth = 3)
+    val cmB = Sketches.countMin(b, "k", width = 64, depth = 3)
+    // disjoint: with 400 keys over 64 cells the overlap join is busy,
+    // but some hash row may still share no cells at narrower widths —
+    // the contract is est 0 only when key sets are disjoint AND a row's
+    // cells miss; pin the guaranteed shape instead: 1 row, est ≥ 0
+    val dis = Sketches.cmJoinSizeEstimate(cmA, cmB).collect()
+    assert(dis.length == 1 && dis(0).getLong(0) >= 0L)
+    // fully disjoint CELLS: tiny inputs that provably share no cell
+    val a1 = Seq("only_a").toDF("k")
+    val b1 = Seq("only_b").toDF("k")
+    val cA1 = Sketches.countMin(a1, "k", width = 1 << 16, depth = 3)
+    val cB1 = Sketches.countMin(b1, "k", width = 1 << 16, depth = 3)
+    val sharedCells = cA1.select("j", "cell")
+      .intersect(cB1.select("j", "cell")).count()
+    if (sharedCells == 0) {
+      val z = Sketches.cmJoinSizeEstimate(cA1, cB1).collect()
+      assert(z.length == 1 && z(0).getLong(0) == 0L,
+        "disjoint-cell sketches must estimate 0, not an empty frame")
+    }
+    // self-join of a: estimate upper-bounds the exact output (= 400)
+    val self = Sketches.cmJoinSizeEstimate(cmA, cmA)
+      .collect()(0).getLong(0)
+    assert(self >= 400L)
+  }
+
+  test("quotaSample: NULL strata fall under defaultQuota instead of " +
+    "vanishing") {
+    import graft.functions.TextAnalysis
+    val docs = (0L until 90L).map(i =>
+      (i, if (i % 3 == 0) null else if (i % 3 == 1) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.quotaSample(docs, "doc_id", "lang",
+      Map("en" -> 5), defaultQuota = 7)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1))
+      .toMap
+    assert(byLang == Map("NULL" -> 7L, "en" -> 5L, "de" -> 7L))
+  }
+
+  test("bisectQuantilesByGroup: fails fast past the enforced group cap") {
+    val df = (0 until 100).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bisectQuantilesByGroup(df, "g", "v", Seq(50), maxGroups = 8)
+    }
+    assert(e.getMessage.contains("cap 8"))
+    // and passes untouched when raised
+    val ok = Sketches.bisectQuantilesByGroup(
+      df.filter(col("g").isin("g0", "g1")), "g", "v", Seq(50))
+    assert(ok.count() == 2)
+  }
 }
