@@ -88,19 +88,43 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** events needs special casing: the driver writes `ts` as Parquet
-    * TIMESTAMP(NANOS), which Spark 4 rejects unless read as a long
-    * (spark.sql.legacy.parquet.nanosAsLong); we then convert nanos →
-    * microsecond TimestampType (Spark's native resolution).
+  /** events needs special casing: the driver's `ts` encoding has drifted
+    * across testdata generations — Parquet TIMESTAMP(NANOS) (which Spark 4
+    * only reads as a long via spark.sql.legacy.parquet.nanosAsLong) and,
+    * currently, TIMESTAMP(MICROS) without timezone annotation (read as
+    * TIMESTAMP_NTZ). This accessor hides the drift: every consumer sees
+    * `ts` as plain TimestampType, whichever encoding is on disk. All graft
+    * entry points pin spark.sql.session.timeZone=UTC, so the NTZ→timestamp
+    * cast is wall-clock-preserving and epoch arithmetic (`cast(ts as
+    * long)`, `unix_timestamp`) agrees with the DuckDB oracle's `epoch()`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => df
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an event-time column to TimestampType across the encodings
+    * the driver has shipped (shared by the batch accessor above and the
+    * streaming reader, graft.streaming.EventStreams.readEvents — one code
+    * path, so batch and stream can never disagree on the decode):
+    *  - LongType        → raw TIMESTAMP(NANOS) int64, nanos → micros
+    *  - TimestampNTZType → wall-clock cast (UTC sessions ⇒ same instant)
+    *  - TimestampType   → already canonical
+    * Anything else fails loudly: a silent mis-decode here compresses or
+    * shifts the whole event timeline (the round-8 incident).
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time encoding for '$colName': $other — " +
+          "extend Tables.normalizeTs for the new testdata format")
     }
   }
 

@@ -36,8 +36,11 @@ object EventStreams {
   def configureStateStore(spark: SparkSession): Unit =
     stateStoreConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
 
-  /** The events schema as the driver writes it, with `ts` as raw
-    * TIMESTAMP(NANOS) read as long (see graft.sources.Tables.events). */
+  /** The LEGACY events schema (`ts` as raw TIMESTAMP(NANOS) read as a
+    * long) — kept for fixtures that exercise the nanos decode path; the
+    * live reader below probes the actual on-disk schema instead of
+    * assuming this one (assuming it was the round-8 incident: a silent
+    * 1000× event-time compression when the testdata moved to MICROS). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -46,11 +49,17 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files.
+    * FileStreamSource needs an explicit schema, so we probe the footers
+    * with a batch read (metadata only, no data scan) and then route the
+    * decode through the SAME normalizer as the batch accessor
+    * (graft.sources.Tables.normalizeTs) — stream and batch cannot drift
+    * apart on the ts encoding. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Tumbling-window aggregation with watermark: count/sum per
