@@ -77,14 +77,26 @@ object CurationPipeline {
       // probable hits (Dedup.contaminationBloom) — same curated set
       // either way (no false negatives; FPs culled), choose by eval-set
       // cardinality: ~10 bits/shingle keeps the FP rate ~1%.
-      bloomDecontaminationBits: Option[Int] = None)
+      bloomDecontaminationBits: Option[Int] = None,
+      // join routing: route the cluster↔quality join-back (the one inner
+      // equi-join in the pipeline) through Skew.autoJoin's
+      // decide-before-you-shuffle stats pass instead of a fixed plan —
+      // broadcast when the quality side is small, salted when one
+      // cluster id dominates the join output, plain otherwise. Output is
+      // the same multiset for every route (SkewSpec pins the router;
+      // CurationSpec pins this composition); Result records the choice.
+      routeDedupJoin: Boolean = false)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
       nCurated: Long, nBalanced: Long, nMixed: Long, nWindows: Long,
       // the adaptive gate's corpus-derived thresholds (None on the
       // fixed gate) — the gate is self-describing, q126's contract
-      thAlpha: Option[Long] = None, thWords: Option[Long] = None)
+      thAlpha: Option[Long] = None, thWords: Option[Long] = None,
+      // what the join router decided for the cluster join-back
+      // ("broadcast" | "salted" | "plain"; None when routeDedupJoin is
+      // off) — the run is self-describing about its physical shape
+      dedupJoinChoice: Option[String] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -127,9 +139,19 @@ object CurationPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
       .orderBy(desc("alpha_bp"), desc("n_words"), asc("id"))
-    val drop = clusters
-      .join(quality.filter(col("keep")).select(col("doc_id").as("id"),
-        col("alpha_bp"), col("n_words")), Seq("id"))
+    val keptQuality = quality.filter(col("keep"))
+      .select(col("doc_id").as("id"), col("alpha_bp"), col("n_words"))
+    // the join-back is cluster-membership-sized on the left and
+    // kept-corpus-sized on the right; with the router on, the stats pass
+    // decides its physical shape before any shuffle (same multiset out
+    // on every route)
+    val (clusterQuality, routeReport) =
+      if (conf.routeDedupJoin) {
+        val (j, r) = graft.operators.Skew.autoJoin(clusters, keptQuality,
+          "id")
+        (j, Some(r))
+      } else (clusters.join(keptQuality, Seq("id")), None)
+    val drop = clusterQuality
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") =!= 1)
       .select(col("id").as("doc_id"))
@@ -228,7 +250,8 @@ object CurationPipeline {
       nWindows = packed
         .select(countDistinct(col(shardCol), col("seq_id")))
         .collect().head.getLong(0),
-      thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2))
+      thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2),
+      dedupJoinChoice = routeReport.map(_.choice))
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()

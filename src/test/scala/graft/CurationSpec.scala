@@ -214,6 +214,27 @@ class CurationSpec extends AnyFunSuite {
     assert(resA.nQualityKept < resA.nInput - resA.nEval)
   }
 
+  test("routed run (Skew.autoJoin on the cluster join-back) curates " +
+    "identically to the fixed-plan run and records the route it took") {
+    res // baseline run first
+    val outR = java.nio.file.Files
+      .createTempDirectory("graft-curation-routed").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outR, routeDedupJoin = true))
+    // the router only changes the join's physical shape — every count
+    // and the curated set itself must be identical to the baseline
+    assert(r.copy(dedupJoinChoice = None) == res)
+    val curA = spark.read.parquet(s"$out/curated").select("doc_id")
+    val curB = spark.read.parquet(s"$outR/curated").select("doc_id")
+    assert(curA.except(curB).count() == 0
+      && curB.except(curA).count() == 0)
+    // the run is self-describing about the route taken; at this scale
+    // the kept-quality side is tiny, so the stats pass must broadcast
+    assert(r.dedupJoinChoice.contains("broadcast"))
+    // the un-routed baseline records no choice
+    assert(res.dedupJoinChoice.isEmpty)
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet
