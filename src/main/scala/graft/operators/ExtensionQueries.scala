@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Graph, Layout, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -4290,7 +4290,103 @@ object ExtensionQueries {
            |       MIN(x) AS min_x, MAX(x) AS max_x,
            |       MIN(y) AS min_y, MAX(y) AS max_y
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // HNSW graph ANN (functions/Hnsw.scala) — the deterministic parts
+    // oracled, the graph itself spec-gated (HnswSpec: recall@10 pin in
+    // the approximate regime, layer-0 connectivity, incremental ≡
+    // rebuilt row-for-row).
+    //
+    // q136: the portable level draw — geometric(p=1/4) from leading
+    // base-4 hex digits of md5 — recomputed verbatim in DuckDB. This is
+    // the only random-looking ingredient of the index; pinning it pins
+    // the layer skeleton of every graph the builder can produce.
+    Q("q136_hnsw_levels",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(Hnsw.levelCol(col("vec_id")).cast("long").as("level"))
+        .groupBy("level").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("level"),
+      Some("""SELECT CAST(LEAST(length(regexp_extract(
+             |         md5('hnsw:' || CAST(vec_id AS VARCHAR)),
+             |         '^[0-3]*')), 16) AS BIGINT) AS level,
+             |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q137: HNSW search in the EXACT regime (efSearch >= corpus size ⇒
+    // searchLayer never overflows its result set, so the beam visits the
+    // whole connected layer-0 component and the ranking IS brute force —
+    // HnswSpec pins connectivity). The oracle is the q28 brute-force
+    // chain: a graph walk and a cross join agree row-for-row, which
+    // pins entry-point descent, tie-breaks, rounding, and the window
+    // merge all at once. The approximate regime (small ef) reuses the
+    // SAME code path and is recall-gated in HnswSpec.
+    Q("q137_hnsw_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Hnsw.topK(emb, emb.filter(col("vec_id") < 5), k = 10,
+            nShards = 1, m = 8, efConstruction = 64, efSearch = 4096)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), sims AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_dot_product(q.qv, e.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM sims
+             |)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // q138: incremental ingestion ≡ rebuild, end-to-end: index the first
+    // 80% of the corpus, resume-insert the rest (4 shards — only touched
+    // shards rebuild; append-only id contract enforced per shard), then
+    // search the folded index in the exact regime. The oracle is brute
+    // force over the FULL corpus — it can only match if the resumed
+    // construction produced the same searchable graph a one-shot build
+    // would have (HnswSpec additionally compares the two indexes
+    // row-for-row).
+    Q("q138_hnsw_incremental",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        // 80/20 historical/batch split point — a 1-row driver read of the
+        // id high-water mark (the documented catalog-granularity boundary)
+        val cut = emb.agg(max("vec_id")).head.getLong(0) * 4 / 5
+        val base = Hnsw.buildIndex(emb.filter(col("vec_id") <= cut),
+          nShards = 4, m = 8, efConstruction = 64)
+        val folded = Hnsw.insertIncremental(base,
+          emb.filter(col("vec_id") > cut), nShards = 4, m = 8,
+          efConstruction = 64)
+        Hnsw.searchIndex(folded, emb.filter(col("vec_id") < 5), k = 10,
+            efSearch = 4096)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), sims AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_dot_product(q.qv, e.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+             |), ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+             |  FROM sims
+             |)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact

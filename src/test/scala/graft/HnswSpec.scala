@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hnsw, HnswNode, Similarity}
+import graft.sources.Tables
+
+/** Contracts of the sharded deterministic HNSW (functions/Hnsw.scala):
+  *  - construction is a pure function of (corpus, params) — two builds are
+  *    row-for-row identical, adjacency included;
+  *  - incremental insert ≡ one-shot rebuild, row-for-row (the resume
+  *    argument), and the append-only id contract fails loudly;
+  *  - layer 0 is connected on the testdata, so the exact regime
+  *    (efSearch ≥ shard size, the q137/q138 oracle regime) reproduces
+  *    brute force EXACTLY;
+  *  - the approximate regime (small efSearch) holds recall@10 ≥ 0.9
+  *    against brute force — the q122-style quality gate that decides
+  *    ef/m in production.
+  */
+class HnswSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.load(spark, dir, "embeddings")
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  private def indexRows(ds: org.apache.spark.sql.Dataset[HnswNode]) =
+    ds.collect().sortBy(_.vec_id)
+      .map(n => (n.shard, n.vec_id, n.level, n.embedding.toSeq,
+        n.nbrs.map(_.toSeq).toSeq))
+
+  test("construction is deterministic: two builds identical, adjacency " +
+    "included") {
+    val a = indexRows(Hnsw.buildIndex(emb, nShards = 2, m = 6,
+      efConstruction = 32))
+    val b = indexRows(Hnsw.buildIndex(emb, nShards = 2, m = 6,
+      efConstruction = 32))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("level draw matches the portable md5 definition and caps at " +
+    "MaxLevel") {
+    val got = emb.select(col("vec_id"),
+        Hnsw.levelCol(col("vec_id")).as("lv")).collect()
+    got.foreach { r =>
+      val s = "hnsw:" + r.getLong(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = math.min(hex.takeWhile(c => c >= '0' && c <= '3').length,
+        Hnsw.MaxLevel)
+      assert(r.getInt(1) == expected, s"vec_id ${r.getLong(0)}")
+    }
+    assert(got.map(_.getInt(1)).max >= 1, "testdata should promote some " +
+      "node above layer 0 — level draw degenerate otherwise")
+  }
+
+  test("layer 0 is connected from the entry point (exact-regime " +
+    "precondition for q137/q138)") {
+    val nodes = Hnsw.buildIndex(emb, nShards = 1, m = 8,
+      efConstruction = 64).collect()
+    val adj = nodes.map(n => n.vec_id -> n.nbrs(0).toSet).toMap
+    val maxLevel = nodes.map(_.level).max
+    val entry = nodes.filter(_.level == maxLevel).map(_.vec_id).min
+    val seen = scala.collection.mutable.Set(entry)
+    var frontier = List(entry)
+    while (frontier.nonEmpty)
+      frontier = frontier.flatMap(adj(_)).filterNot(seen)
+        .distinct.map { x => seen += x; x }
+    assert(seen.size == nodes.length,
+      s"layer 0 reaches ${seen.size}/${nodes.length} nodes")
+  }
+
+  test("exact regime reproduces brute force row-for-row (single shard " +
+    "and multi-shard)") {
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    for (shards <- Seq(1, 3)) {
+      val got = Hnsw.topK(emb, queries, k = 10, nShards = shards, m = 8,
+          efConstruction = 64, efSearch = 4096)
+        .select("query_id", "vec_id", "sim", "rank")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(got == exact, s"nShards=$shards diverges from brute force")
+    }
+  }
+
+  test("approximate regime holds recall@10 >= 0.9 vs brute force") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, qs, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Hnsw.topK(emb, qs, k = 10, nShards = 2, m = 8,
+        efConstruction = 48, efSearch = 24)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("incremental insert == one-shot rebuild, row-for-row, and " +
+    "untouched shards never rebuild") {
+    val cut = emb.agg(max("vec_id")).head.getLong(0) * 3 / 5
+    val base = Hnsw.buildIndex(emb.filter(col("vec_id") <= cut),
+      nShards = 4, m = 6, efConstruction = 32)
+    val folded = Hnsw.insertIncremental(base,
+      emb.filter(col("vec_id") > cut), nShards = 4, m = 6,
+      efConstruction = 32)
+    val oneShot = Hnsw.buildIndex(emb, nShards = 4, m = 6,
+      efConstruction = 32)
+    assert(indexRows(folded).toSeq == indexRows(oneShot).toSeq)
+  }
+
+  test("append-only id contract fails loudly when violated") {
+    val base = Hnsw.buildIndex(emb.filter(col("vec_id") >= 100),
+      nShards = 1, m = 6, efConstruction = 32)
+    val e = intercept[org.apache.spark.SparkException] {
+      Hnsw.insertIncremental(base, emb.filter(col("vec_id") < 100),
+        nShards = 1, m = 6, efConstruction = 32).count()
+    }
+    assert(e.getMessage.contains("incremental insert requires") ||
+      Option(e.getCause).exists(_.getMessage.contains(
+        "incremental insert requires")))
+  }
+
+  test("degenerate shapes: empty corpus, single vector, query not in " +
+    "corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Hnsw.buildIndex(empty).count() == 0)
+    assert(Hnsw.searchIndex(Hnsw.buildIndex(empty), queries, 5, 16)
+      .count() == 0)
+    val one = emb.filter(col("vec_id") === 7)
+    val idx1 = Hnsw.buildIndex(one, nShards = 1)
+    assert(idx1.count() == 1)
+    // external query (vec_id 9999 not indexed): finds the one member
+    val q = one.select(lit(9999L).as("vec_id"), col("embedding"))
+    val hit = Hnsw.searchIndex(idx1, q, 5, 16).collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 7L)
+    // self-exclusion: the single member querying itself finds nothing
+    assert(Hnsw.searchIndex(idx1, one, 5, 16).count() == 0)
+  }
+}
