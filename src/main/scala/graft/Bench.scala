@@ -30,6 +30,26 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => -1L }
 
+    // Fixed-load calibration probe: a data-independent CPU-bound job
+    // (hash-fold over a fixed range) timed at the start AND end of the
+    // run. Round 8's bench moved 1.71× uniformly vs round 7 purely from
+    // box contention; reporting the same fixed workload's seconds
+    // alongside the query numbers lets a reader divide that factor out
+    // (and calib_start vs calib_end shows whether contention was
+    // sustained across the run). min-of-2 like the queries.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 100000000L, 1, cpus.toInt)
+          .select(bit_xor(xxhash64(col("id")))) // xor fold: no ANSI overflow
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once()) // first run absorbs codegen
+    }
+    val calibStart = calibrate()
+
     // Warmup (untimed): run every query once so the timed passes measure
     // steady-state execution (codegen class cache, parquet footers, JIT),
     // not first-run compilation.
@@ -120,9 +140,11 @@ object Bench {
     // contract line, then print writes first and the driver-contract line
     // last: the harness tails output, so the line it parses must be the
     // final (and shortest possible) thing on stdout.
+    val calibEnd = calibrate()
     spark.stop()
     println(s"""{"metric":"writes","unit":"sec","writes":$ws,""" +
-      s""""partitioned_files":$nFiles,"partitioned_bytes":$nBytes}""")
+      s""""partitioned_files":$nFiles,"partitioned_bytes":$nBytes,""" +
+      s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)}}""")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // hard safety: the tail window is ~2000 chars and sbt appends its own
     // [success] line after us; past 1800 drop to 2 decimals (noise floor

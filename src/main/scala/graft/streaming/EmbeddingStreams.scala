@@ -70,4 +70,74 @@ object EmbeddingStreams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  // -----------------------------------------------------------------
+  // Streaming HNSW maintenance — the graph-index member of the
+  // versioned standing-artifact family (index/dimension/sketch/degree/
+  // layout streams). Each micro-batch resume-inserts into the standing
+  // graph (Hnsw.insertIncremental): O(touched shards) work, history
+  // never re-read. Because resumed construction is deterministic and
+  // replays the one-shot build exactly (HnswSpec), EVERY committed
+  // version equals a from-scratch index over everything streamed so
+  // far — and crash replay of batch N re-reads committed v=N−1 and
+  // rewrites the same v=N bytes (the DimensionStreams recipe).
+  //
+  // Contract inherited from insertIncremental: batches arrive with
+  // ascending vec_ids (append-only ingestion, the log-structured id
+  // discipline); a violation fails the batch loudly inside the task.
+  // -----------------------------------------------------------------
+
+  private def hnswVersion(stateDir: String, v: Long) = s"$stateDir/v=$v"
+
+  /** One micro-batch of the HNSW fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def hnswBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                nShards: Int, m: Int, efConstruction: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val prev = new org.apache.hadoop.fs.Path(hnswVersion(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        graft.functions.Hnsw.insertIncremental(
+          spark.read.parquet(hnswVersion(stateDir, batchId - 1))
+            .as[graft.functions.HnswNode],
+          vecs, nShards, m, efConstruction)
+      else // bootstrap: the first committed batch IS the initial index
+        graft.functions.Hnsw.buildIndex(vecs, nShards, m, efConstruction)
+    next.write.mode("overwrite").parquet(hnswVersion(stateDir, batchId))
+  }
+
+  /** Start the streaming HNSW maintainer. Pass a durable `checkpoint`
+    * for restart. */
+  def ingestHnsw(vecs: DataFrame, stateDir: String, checkpoint: String,
+                 nShards: Int = 4, m: Int = 8, efConstruction: Int = 64):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          hnswBatch(batch.toDF(), batchId, stateDir, nShards, m,
+            efConstruction)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed HNSW index under `stateDir`, typed for
+    * Hnsw.searchIndex / further insertIncremental calls. */
+  def latestHnswIndex(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String):
+      org.apache.spark.sql.Dataset[graft.functions.HnswNode] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed HNSW versions under $stateDir")
+    spark.read.parquet(hnswVersion(stateDir, vs.max))
+      .as[graft.functions.HnswNode]
+  }
 }

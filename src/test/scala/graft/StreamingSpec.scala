@@ -940,4 +940,85 @@ class StreamingSpec extends AnyFunSuite {
     val direct = hourly(graft.sources.Tables.events(spark, dir))
     assert(viaWarehouse == direct)
   }
+
+  test("streaming HNSW maintenance: id-ascending waves fold into the " +
+    "standing graph; every committed version == a one-shot build; " +
+    "search runs off the landed state") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shnsw").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val state = s"$base/hnsw"; val ckpt = s"$base/ckpt"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxId = vecs.agg(max("vec_id")).head.getLong(0)
+    // waves split on CONTIGUOUS id ranges — the append-only ingestion
+    // discipline the incremental insert contract requires
+    val cuts = Seq(0L, maxId / 3, 2 * maxId / 3, maxId + 1)
+    def wave(i: Int) = vecs.filter(col("vec_id") >= cuts(i) &&
+      col("vec_id") < cuts(i + 1))
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-shnsw-w$i").toString
+      wave(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.EmbeddingStreams.ingestHnsw(
+        spark.readStream.schema(vecs.schema).parquet(src),
+        state, ckpt, nShards = 2, m = 6, efConstruction = 32)
+        .awaitTermination(120000)
+    def landedRows() = {
+      spark.catalog.refreshByPath(state)
+      graft.streaming.EmbeddingStreams.latestHnswIndex(spark, state)
+        .collect().sortBy(_.vec_id)
+        .map(n => (n.shard, n.vec_id, n.level, n.embedding.toSeq,
+          n.nbrs.map(_.toSeq).toSeq)).toSeq
+    }
+    def oneShotRows(corpus: org.apache.spark.sql.DataFrame) =
+      graft.functions.Hnsw.buildIndex(corpus, nShards = 2, m = 6,
+          efConstruction = 32)
+        .collect().sortBy(_.vec_id)
+        .map(n => (n.shard, n.vec_id, n.level, n.embedding.toSeq,
+          n.nbrs.map(_.toSeq).toSeq)).toSeq
+
+    stageWave(0)
+    runOnce()
+    assert(landedRows() == oneShotRows(wave(0)),
+      "bootstrap version != one-shot build over wave 0")
+
+    stageWave(1); stageWave(2)
+    runOnce()
+    assert(landedRows() == oneShotRows(vecs),
+      "folded index != one-shot build over everything streamed")
+
+    // search runs off the LANDED state in the exact regime == brute force
+    val queries = vecs.filter(col("vec_id") < 5)
+    val got = graft.functions.Hnsw.searchIndex(
+        graft.streaming.EmbeddingStreams.latestHnswIndex(spark, state),
+        queries, k = 10, efSearch = 4096)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = graft.functions.Similarity.bruteForceTopK(vecs, queries, 10)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == want)
+
+    // restart with no new files: nothing replays
+    val before = landedRows()
+    runOnce()
+    assert(landedRows() == before)
+
+    // crash-replay of the fold batch by hand: reads committed v=0,
+    // rewrites the same v=1 rows (deterministic resume)
+    graft.streaming.EmbeddingStreams.hnswBatch(
+      wave(1).unionByName(wave(2)).toDF(), batchId = 1, state,
+      nShards = 2, m = 6, efConstruction = 32)
+    assert(landedRows() == before, "replayed fold changed the index")
+  }
 }
