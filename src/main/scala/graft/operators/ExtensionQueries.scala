@@ -4386,8 +4386,91 @@ object ExtensionQueries {
              |  FROM sims
              |)
              |SELECT query_id, vec_id, sim, rank FROM ranked
-             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // BPE vocabulary training (functions/Bpe.scala, Sennrich ACL 2016):
+    // the corpus folds ONCE to the word-frequency table, then each merge
+    // round is a small aggregation + a broadcast-1-row replace over that
+    // vocabulary-sized table. The oracle replays training ROUND-FOR-
+    // ROUND in DuckDB (w0→b1→w1→…, the ivfLloydCtes pattern): the
+    // double-space symbol encoding makes one plain `replace` call the
+    // exact greedy left-to-right merge in both engines, so the learned
+    // merge table — counts, tie-breaks, order — must agree exactly.
+    Q("q139_bpe_merges",
+      (s, dir) => graft.functions.Bpe.merges(
+        Tables.load(s, dir, "documents"), rounds = 6),
+      Some(bpeOracleCtes(6) +
+        (1 to 6).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, lsym, rsym, n FROM b$r")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round"))),
+
+    // Subword encoding with the trained vocabulary: the evolved word
+    // table IS the segmentation, so encoding is one join of exploded
+    // corpus words against it — per-doc word/subword counts prove the
+    // whole merge history landed identically in both engines.
+    Q("q140_bpe_encode",
+      (s, dir) => graft.functions.Bpe.encode(
+          Tables.load(s, dir, "documents"), rounds = 6)
+        .orderBy("doc_id"),
+      Some(bpeOracleCtes(6) + """, tok AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents
+             |), tv AS (
+             |  SELECT word,
+             |         len(list_filter(string_split(sym, '  '),
+             |                         x -> length(x) > 0)) AS n_subwords
+             |  FROM w6
+             |)
+             |SELECT t.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       CAST(SUM(v.n_subwords) AS BIGINT) AS n_tokens,
+             |       CAST(MAX(v.n_subwords) AS BIGINT) AS max_word_tokens
+             |FROM tok t JOIN tv v USING (word)
+             |WHERE length(t.word) > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
+
+  /** DuckDB CTE chain replaying `rounds` BPE merge rounds (w0 = the
+    * word-frequency table; per round: pair counts pc_r, winner b_r,
+    * merged table w_r) — mirrors Bpe.train exactly, including the
+    * empty-pair-table no-op via LEFT JOIN ON true. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val w0 = """WITH w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn,
+      |         '  ' || regexp_replace(word, '(.)', '\1  ', 'g')
+      |           || '</w>  ' AS sym
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word
+      |)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s""", pr$r AS (
+         |  SELECT word, wn, generate_subscripts(a, 1) AS i, unnest(a) AS s
+         |  FROM (SELECT word, wn,
+         |               list_filter(string_split(sym, '  '),
+         |                           x -> length(x) > 0) AS a
+         |        FROM w${r - 1})
+         |), pc$r AS (
+         |  SELECT lsym, rsym, CAST(SUM(wn) AS BIGINT) AS n FROM (
+         |    SELECT wn, s AS lsym,
+         |           lead(s) OVER (PARTITION BY word ORDER BY i) AS rsym
+         |    FROM pr$r)
+         |  WHERE rsym IS NOT NULL GROUP BY lsym, rsym
+         |), b$r AS (
+         |  SELECT lsym, rsym, n FROM pc$r ORDER BY n DESC, lsym, rsym
+         |  LIMIT 1
+         |), w$r AS (
+         |  SELECT w.word, w.wn,
+         |         CASE WHEN b.lsym IS NULL THEN w.sym
+         |              ELSE replace(w.sym,
+         |                     ' ' || b.lsym || '  ' || b.rsym || ' ',
+         |                     ' ' || b.lsym || b.rsym || ' ') END AS sym
+         |  FROM w${r - 1} w LEFT JOIN b$r b ON true
+         |)""".stripMargin
+    }.mkString
+    w0 + perRound
+  }
 
   /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact
     * regime): percentile_disc rank selection per language, the
