@@ -71,13 +71,34 @@ object Bpe {
       .select(col("wn"), col("p.0").as("lsym"), col("p.1").as("rsym"))
       .groupBy("lsym", "rsym").agg(sum("wn").as("n"))
 
+  /** Fold a batch's word counts into a standing word-frequency table:
+    * counts ADD per word, so merged ≡ rebuilt exactly — BPE training
+    * state is a pure function of the word table, which makes the table
+    * the incremental/streaming artifact (q141): daily ingestion costs
+    * O(batch words + table), the corpus is never re-read, and a retrain
+    * from the folded table equals a one-shot retrain from everything.
+    * Accepts (word, wn[, sym]) frames on either side. */
+  def mergeWordTables(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.select("word", "wn").unionByName(batch.select("word", "wn"))
+      .groupBy("word").agg(sum("wn").as("wn"))
+      .withColumn("sym", symbolize(col("word")))
+
   /** The trained state after `rounds` merges: the evolved word table and
     * the per-round winning pairs (round, lsym, rsym, n) — fewer than
     * `rounds` rows if the corpus merges to exhaustion first. */
   def train(docs: DataFrame, rounds: Int,
-            textCol: String = "text"): (DataFrame, DataFrame) = {
+            textCol: String = "text"): (DataFrame, DataFrame) =
+    trainFromWords(wordTable(docs, textCol), rounds)
+
+  /** Train from an already-built word-frequency table — the incremental
+    * path: callers fold batches with mergeWordTables (or land the table
+    * as a standing artifact) and retrain merges from table-sized state. */
+  def trainFromWords(wordFreqs: DataFrame,
+                     rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var words = wordTable(docs, textCol).localCheckpoint()
+    var words = wordFreqs
+      .select(col("word"), col("wn"), symbolize(col("word")).as("sym"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     var r = 1
     while (r <= rounds) {

@@ -4428,7 +4428,29 @@ object ExtensionQueries {
              |       CAST(MAX(v.n_subwords) AS BIGINT) AS max_word_tokens
              |FROM tok t JOIN tv v USING (word)
              |WHERE length(t.word) > 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental BPE: training state is a pure function of the word-
+    // frequency TABLE, and word counts add per word — so the table is
+    // the standing artifact (the q67/q86/q95 family): three waves fold
+    // via mergeWordTables, merges retrain from table-sized state, and
+    // the result must equal one-shot training over everything — the
+    // oracle IS q139's one-shot chain, making merged ≡ rebuilt a
+    // cross-engine hash check end-to-end through training.
+    Q("q141_bpe_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val waves = (0 to 2).map(b =>
+          graft.functions.Bpe.wordTable(docs.filter(
+            pmod(col("doc_id"), lit(3)) === b)))
+        val folded = waves.reduce(graft.functions.Bpe.mergeWordTables)
+        graft.functions.Bpe.trainFromWords(folded, rounds = 6)
+          ._2.orderBy("round")
+      },
+      Some(bpeOracleCtes(6) +
+        (1 to 6).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, lsym, rsym, n FROM b$r")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")))
   )
 
   /** DuckDB CTE chain replaying `rounds` BPE merge rounds (w0 = the

@@ -72,4 +72,59 @@ object IndexStreams {
     require(vs.nonEmpty, s"no committed index versions under $indexDir")
     spark.read.parquet(versionPath(indexDir, vs.max))
   }
+
+  // -----------------------------------------------------------------
+  // Streaming BPE word-table maintenance — the tokenizer-side member
+  // of the versioned standing-artifact family. BPE training state is a
+  // pure function of the word-frequency table and word counts ADD, so
+  // the table is the artifact: each micro-batch tokenizes only its own
+  // documents and folds counts in (graft.functions.Bpe.mergeWordTables);
+  // retraining merges from ANY committed version equals one-shot
+  // training over everything streamed to that point (q141's contract,
+  // StreamingSpec-pinned end-to-end through training). Same corpus-
+  // partitioning contract as the inverted index: each doc arrives once.
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the word-count fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def bpeBatch(batch: DataFrame, batchId: Long, stateDir: String,
+               textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val batchWords = graft.functions.Bpe.wordTable(batch, textCol)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchWords.limit(0)
+    graft.functions.Bpe.mergeWordTables(standing, batchWords)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming word-table maintainer. Pass a durable
+    * `checkpoint` for restart. */
+  def ingestBpeWords(docs: DataFrame, stateDir: String, checkpoint: String,
+                     textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          bpeBatch(batch.toDF(), batchId, stateDir, textCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed word table under `stateDir` — feed to
+    * Bpe.trainFromWords to (re)derive the merge table. */
+  def latestWordTable(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed word-table versions under $stateDir")
+    spark.read.parquet(versionPath(stateDir, vs.max))
+  }
 }

@@ -1021,4 +1021,61 @@ class StreamingSpec extends AnyFunSuite {
       nShards = 2, m = 6, efConstruction = 32)
     assert(landedRows() == before, "replayed fold changed the index")
   }
+
+  test("streaming BPE word-table maintenance: waves fold word counts; " +
+    "retraining from any committed version == one-shot training over " +
+    "everything streamed") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sbpe").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val state = s"$base/words"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def wave(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sbpe-w$i").toString
+      wave(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.IndexStreams.ingestBpeWords(
+        spark.readStream.schema(docs.schema).parquet(src), state, ckpt)
+        .awaitTermination(120000)
+    def landedMerges() = {
+      spark.catalog.refreshByPath(state)
+      graft.functions.Bpe.trainFromWords(
+          graft.streaming.IndexStreams.latestWordTable(spark, state),
+          rounds = 5)
+        ._2.orderBy("round").collect().map(_.toSeq).toSeq
+    }
+
+    stageWave(0)
+    runOnce()
+    assert(landedMerges() ==
+      graft.functions.Bpe.merges(wave(0), rounds = 5)
+        .collect().map(_.toSeq).toSeq,
+      "bootstrap version != one-shot training over wave 0")
+
+    stageWave(1); stageWave(2)
+    runOnce()
+    val want = graft.functions.Bpe.merges(docs, rounds = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(landedMerges() == want,
+      "folded word table != one-shot training over everything streamed")
+
+    // restart with no new files: nothing replays
+    runOnce()
+    assert(landedMerges() == want)
+
+    // crash-replay of the fold batch by hand: reads committed v=0,
+    // rewrites the same v=1 table (count addition is deterministic)
+    graft.streaming.IndexStreams.bpeBatch(
+      wave(1).unionByName(wave(2)).toDF(), batchId = 1, state)
+    assert(landedMerges() == want, "replayed fold changed the table")
+  }
 }
