@@ -85,7 +85,14 @@ object CurationPipeline {
       // cluster id dominates the join output, plain otherwise. Output is
       // the same multiset for every route (SkewSpec pins the router;
       // CurationSpec pins this composition); Result records the choice.
-      routeDedupJoin: Boolean = false)
+      routeDedupJoin: Boolean = false,
+      // tokenizer-aware packing: Some(r) trains an r-round BPE
+      // vocabulary on the balanced corpus (Bpe.train — word-table-sized
+      // work) and packs sequences by the SUBWORD counts it assigns
+      // (Mixing.packSequences tokenCol routing), so packBudget is model
+      // tokens, not whitespace tokens. None = the whitespace census.
+      // Docs the encoder never saw (empty text) pack as 0 tokens.
+      bpeTokenizerRounds: Option[Int] = None)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -96,7 +103,10 @@ object CurationPipeline {
       // what the join router decided for the cluster join-back
       // ("broadcast" | "salted" | "plain"; None when routeDedupJoin is
       // off) — the run is self-describing about its physical shape
-      dedupJoinChoice: Option[String] = None)
+      dedupJoinChoice: Option[String] = None,
+      // the BPE rounds the packer's token counts came from (None =
+      // whitespace census) — the layout is self-describing
+      bpeRounds: Option[Int] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -231,8 +241,22 @@ object CurationPipeline {
             conf.subShardBuckets.get).withColumn("pack_shard", sh),
             "pack_shard", "sched_t")
       }
-    Mixing.packSequences(stream, conf.packBudget, shardCol = shardCol,
-        orderCol = orderCol)
+    // tokenizer-aware packing: the vocabulary trains on the BALANCED
+    // corpus (the docs actually packed) — word-table-sized work; the
+    // per-doc subword counts join back on doc_id (left join + 0 default
+    // keeps zero-word docs in the layout, matching the census path)
+    val (packInput, packTokenCol) = conf.bpeTokenizerRounds match {
+      case Some(r) =>
+        val counts = graft.functions.Bpe.encode(landed, r)
+          .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+        (stream.join(counts, Seq("doc_id"), "left")
+          .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L))),
+          Some("bpe_tokens"))
+      case None => (stream, None)
+    }
+    Mixing.packSequences(packInput, conf.packBudget, shardCol = shardCol,
+        orderCol = orderCol, tokenCol = packTokenCol)
+      .drop("bpe_tokens")
       .write.mode("overwrite").parquet(s"${conf.outputDir}/packed")
     val packed = spark.read.parquet(s"${conf.outputDir}/packed")
 
@@ -251,7 +275,8 @@ object CurationPipeline {
         .select(countDistinct(col(shardCol), col("seq_id")))
         .collect().head.getLong(0),
       thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2),
-      dedupJoinChoice = routeReport.map(_.choice))
+      dedupJoinChoice = routeReport.map(_.choice),
+      bpeRounds = conf.bpeTokenizerRounds)
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()

@@ -23,6 +23,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff — the data-versioning primitive (what changed
+    * between two landed corpus versions): per id, `added` (new only),
+    * `removed` (old only), `modified` (both, content fingerprint
+    * differs), `unchanged`. Content compares by md5 fingerprint, never
+    * by text: both sides reduce map-side to (id, 32-byte fp), so the
+    * ONE full-outer shuffle join moves fingerprint-width rows — at
+    * 100 TB the diff costs two narrow scans + one join, and text bytes
+    * never enter an exchange. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(col(textCol)).as("fp_old"))
+    val n = newSnap.select(col(idCol), md5(col(textCol)).as("fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("modified"))
+          .otherwise(lit("unchanged")))
+      .select(col(idCol), col("status"), col("fp_old"), col("fp_new"))
+  }
+
   /** Word-level n-gram shingles of `text` (distinct set; empty when the
     * text has fewer than n tokens — no partial shingles). */
   def shingles(text: Column, n: Int): Column = {

@@ -33,7 +33,8 @@ object Mixing {
     */
   def packSequences(docs: DataFrame, budget: Int,
                     shardCol: String = "source",
-                    orderCol: String = "doc_id"): DataFrame = {
+                    orderCol: String = "doc_id",
+                    tokenCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     // ROWS frame, not the default RANGE frame: with RANGE, rows tied on
     // `orderCol` would all receive the full peer-group sum and silently
@@ -44,8 +45,13 @@ object Mixing {
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("n_tokens",
-        TextAnalysis.tokenCount(col("text")).cast("long"))
+      // tokenCol routes a REAL tokenizer's counts into the layout (e.g.
+      // Bpe.encode's n_tokens — the pack budget is then model tokens,
+      // not whitespace tokens); default stays the whitespace census
+      .withColumn("n_tokens", tokenCol match {
+        case Some(c) => col(c).cast("long")
+        case None => TextAnalysis.tokenCount(col("text")).cast("long")
+      })
       .withColumn("start_tok",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       // integer div/mod, not floating division: start_tok is a token

@@ -4450,7 +4450,46 @@ object ExtensionQueries {
       Some(bpeOracleCtes(6) +
         (1 to 6).map(r =>
             s"SELECT CAST($r AS BIGINT) AS round, lsym, rsym, n FROM b$r")
-          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")))
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round"))),
+
+    // Corpus snapshot diff (data versioning): what changed between two
+    // landed corpus versions, classified per doc by content fingerprint
+    // — two narrow map-side scans + ONE full-outer join on the id; text
+    // never enters the exchange. The two "versions" are synthesized
+    // deterministically from the documents table (old: every doc_id not
+    // ≡0 mod 7; new: every doc_id not ≡0 mod 11, text edited for
+    // doc_id ≡0 mod 5) so ALL FOUR statuses appear — added (mod-7 docs
+    // returning), removed (mod-11 docs dropped), modified, unchanged —
+    // and the oracle restates the same join.
+    Q("q142_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val newSnap = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap)
+          .orderBy("doc_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id, md5(text) AS fp_old FROM documents
+             |  WHERE doc_id % 7 <> 0
+             |), n AS (
+             |  SELECT doc_id,
+             |         md5(CASE WHEN doc_id % 5 = 0
+             |                  THEN text || ' [rev2]' ELSE text END)
+             |           AS fp_new
+             |  FROM documents WHERE doc_id % 11 <> 0
+             |)
+             |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |       CASE WHEN o.fp_old IS NULL THEN 'added'
+             |            WHEN n.fp_new IS NULL THEN 'removed'
+             |            WHEN o.fp_old <> n.fp_new THEN 'modified'
+             |            ELSE 'unchanged' END AS status,
+             |       o.fp_old, n.fp_new
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB CTE chain replaying `rounds` BPE merge rounds (w0 = the

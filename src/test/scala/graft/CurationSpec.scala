@@ -235,6 +235,41 @@ class CurationSpec extends AnyFunSuite {
     assert(res.dedupJoinChoice.isEmpty)
   }
 
+  test("BPE-tokenized packing: the pipeline's layout equals the manual " +
+    "train+encode+join+pack composition and self-describes its rounds") {
+    res // baseline run first (shares the warm session)
+    val outB = java.nio.file.Files
+      .createTempDirectory("graft-curation-bpe").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outB, bpeTokenizerRounds = Some(3)))
+    assert(r.bpeRounds.contains(3) && res.bpeRounds.isEmpty)
+    // curation itself is untouched by the packer's token source (only
+    // the window count moves with the token metric)
+    assert(r.copy(bpeRounds = None, nWindows = res.nWindows) == res)
+    // manual composition over the same curated corpus
+    val landed = spark.read.parquet(s"$outB/curated")
+    val counts = graft.functions.Bpe.encode(landed, 3)
+      .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+    val want = graft.functions.Mixing.packSequences(
+        landed.join(counts, Seq("doc_id"), "left")
+          .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L))),
+        conf.packBudget, shardCol = "source", orderCol = "doc_id",
+        tokenCol = Some("bpe_tokens"))
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(s"$outB/packed")
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    // and the BPE layout genuinely differs from the whitespace layout
+    // (subword counts exceed word counts at 3 merge rounds)
+    val ws = spark.read.parquet(s"$out/packed")
+      .agg(sum("n_tokens")).head.getLong(0)
+    val bpe = spark.read.parquet(s"$outB/packed")
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(bpe > ws, s"bpe=$bpe should exceed whitespace=$ws")
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -181,6 +181,24 @@ class DedupSpec extends AnyFunSuite {
     assert(m(2L) == 1L && m(3L) == 1L)
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged by " +
+    "content fingerprint") {
+    val oldSnap = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+    // empty sides degrade cleanly
+    val empty = oldSnap.limit(0)
+    assert(Dedup.snapshotDiff(empty, newSnap).collect()
+      .forall(_.getString(1) == "added"))
+    assert(Dedup.snapshotDiff(oldSnap, empty).collect()
+      .forall(_.getString(1) == "removed"))
+  }
+
   test("shingles produce distinct n-grams") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.shingles($"text", 2)).collect()
