@@ -163,7 +163,15 @@ object Bench {
       val qs3 = results.map { case (k, v) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}""")
+      val line3 = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
+      // past ~140 queries even 3dp qNN-key entries brush the ~2000-char
+      // tail window — final tier drops them to 2dp (~12 chars/entry,
+      // headroom to ~160 queries)
+      val qs4 = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+      }.mkString("{", ",", "}")
+      if (line3.length <= 1900) println(line3)
+      else println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs4,"sf":"$sfDir"}""")
     }
   }
 }

@@ -365,6 +365,50 @@ object TextAnalysis {
     * the winners semi-join back on (stratum, key). Zero- or
     * negative-weight rows are excluded up front (their ES key is
     * +∞ / undefined). */
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): hashed
+    * token features, per-bucket log-likelihood ratio of the TARGET
+    * distribution vs the raw corpus (Laplace-smoothed), per-doc
+    * importance = the sum of its tokens' bucket weights. Feeds
+    * weightedSample (importance-proportional draw) or a rank gate.
+    *
+    * Determinism discipline: bucket weights are ONE ln per bucket
+    * (double multiplies/divide then ln — single IEEE ops, the q112/q121
+    * precedent) floored to integer micro-nats; per-doc importance is
+    * then an exact order-free int64 sum. Totals ride a broadcast 1-row
+    * frame; the corpus-sized paths are the token explode and one
+    * bucket-keyed aggregation — nothing corpus-sized joins anything
+    * wider than the 256-row weight table. */
+  def dsirImportance(docs: org.apache.spark.sql.DataFrame,
+                     isTarget: org.apache.spark.sql.Column,
+                     buckets: Int = 256, idCol: String = "doc_id",
+                     textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs.select(col(idCol), isTarget.as("is_t"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", pmod(Dedup.md5Hash64(col("tok")),
+        lit(buckets.toLong)))
+    val stats = toks.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("sc"))
+    val totals = stats.agg(sum("tc").as("tt"), sum("sc").as("st"))
+    val weights = stats.crossJoin(
+        org.apache.spark.sql.functions.broadcast(totals))
+      .select(col("b"),
+        floor(log(
+          ((col("tc") + 1).cast("double") *
+            (col("st") + buckets).cast("double")) /
+          ((col("sc") + 1).cast("double") *
+            (col("tt") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("w_micro"))
+    toks.join(org.apache.spark.sql.functions.broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"),
+        sum("w_micro").as("importance_micro"))
+  }
+
   def weightedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
                      weightCol: String, stratumCol: String,
                      k: Int): org.apache.spark.sql.DataFrame = {

@@ -4489,8 +4489,257 @@ object ExtensionQueries {
              |            ELSE 'unchanged' END AS status,
              |       o.fp_old, n.fp_new
              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Product quantization (functions/Pq.scala, Jégou TPAMI 2011):
+    // 64 float dims compress to 8 one-byte codes against per-subspace
+    // codebooks (first-16 seed + one micro-unit-quantized Lloyd mean
+    // round — the q42 recipe per subspace). q143 oracles the full code
+    // assignment: seed, Lloyd round, argmin-d² with low-code ties — the
+    // whole training pipeline replayed in DuckDB over (vec_id, m).
+    Q("q143_pq_codes",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = graft.functions.Pq.codebook(emb, nsub = 8, k = 16,
+          dsub = 8, lloydIters = 1)
+        graft.functions.Pq.encode(emb, cb, nsub = 8, dsub = 8)
+          .orderBy("vec_id", "m")
+      },
+      Some(pqOracleCtes +
+        "\nSELECT vec_id, m, code FROM codes ORDER BY vec_id, m")),
+
+    // ADC search over the codes: per-(query, subspace, code) distances
+    // broadcast as a lookup table, per-vector approximate d² summed in
+    // exact integer micro-units (order-free fold, the lmScore
+    // discipline) — full-precision embeddings are never touched after
+    // encoding. The oracle replays the identical integer arithmetic.
+    Q("q144_pq_adc",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = graft.functions.Pq.codebook(emb, nsub = 8, k = 16,
+          dsub = 8, lloydIters = 1).localCheckpoint()
+        val codes = graft.functions.Pq.encode(emb, cb, nsub = 8, dsub = 8)
+        graft.functions.Pq.adcTopK(codes, cb,
+            emb.filter(col("vec_id") < 5), k = 10, nsub = 8, dsub = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some(pqOracleCtes + """, q AS (
+             |  SELECT vec_id AS query_id, m, sv AS qv FROM sv
+             |  WHERE vec_id < 5
+             |), dt AS (
+             |  SELECT q.query_id, c.m, c.code,
+             |         CAST(floor((list_dot_product(q.qv, q.qv)
+             |           - 2 * list_dot_product(q.qv, c.cv)
+             |           + list_dot_product(c.cv, c.cv)) * 1000000)
+             |           AS BIGINT) AS dq
+             |  FROM q JOIN cb1 c ON q.m = c.m
+             |), ap AS (
+             |  SELECT d.query_id, x.vec_id,
+             |         CAST(SUM(d.dq) AS BIGINT) AS approx_d2_micro
+             |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
+             |  WHERE x.vec_id <> d.query_id
+             |  GROUP BY 1, 2
+             |), rk AS (
+             |  SELECT query_id, vec_id, approx_d2_micro,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY approx_d2_micro, vec_id) AS INT) AS rank
+             |  FROM ap
+             |)
+             |SELECT query_id, vec_id, approx_d2_micro, rank FROM rk
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ADC shortlist → exact rerank: the production PQ composition —
+    // codes cull the corpus to 50 candidates per query, only those pairs
+    // pay a full-precision distance (broadcast shortlist, corpus never
+    // shuffles). The oracle replays shortlist AND rerank, so code
+    // assignment, integer ADC, and the exact rounded d² ranking all pin
+    // at once.
+    Q("q145_pq_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = graft.functions.Pq.codebook(emb, nsub = 8, k = 16,
+          dsub = 8, lloydIters = 1).localCheckpoint()
+        val codes = graft.functions.Pq.encode(emb, cb, nsub = 8, dsub = 8)
+        graft.functions.Pq.adcRerankTopK(codes, cb, emb,
+            emb.filter(col("vec_id") < 5), k = 10, shortlist = 50,
+            nsub = 8, dsub = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some(pqOracleCtes + """, q AS (
+             |  SELECT vec_id AS query_id, m, sv AS qv FROM sv
+             |  WHERE vec_id < 5
+             |), dt AS (
+             |  SELECT q.query_id, c.m, c.code,
+             |         CAST(floor((list_dot_product(q.qv, q.qv)
+             |           - 2 * list_dot_product(q.qv, c.cv)
+             |           + list_dot_product(c.cv, c.cv)) * 1000000)
+             |           AS BIGINT) AS dq
+             |  FROM q JOIN cb1 c ON q.m = c.m
+             |), ap AS (
+             |  SELECT d.query_id, x.vec_id,
+             |         CAST(SUM(d.dq) AS BIGINT) AS approx_d2_micro
+             |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
+             |  WHERE x.vec_id <> d.query_id
+             |  GROUP BY 1, 2
+             |), sl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY approx_d2_micro, vec_id) AS rk
+             |    FROM ap) WHERE rk <= 50
+             |), ex AS (
+             |  SELECT s.query_id, s.vec_id,
+             |         round(list_dot_product(eq.v, eq.v)
+             |           - 2 * list_dot_product(eq.v, ex0.v)
+             |           + list_dot_product(ex0.v, ex0.v), 6) AS d2
+             |  FROM sl s
+             |  JOIN e eq ON eq.vec_id = s.query_id
+             |  JOIN e ex0 ON ex0.vec_id = s.vec_id
+             |), rr AS (
+             |  SELECT query_id, vec_id, d2,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |           ORDER BY d2, vec_id) AS INT) AS rank
+             |  FROM ex
+             |)
+             |SELECT query_id, vec_id, d2, rank FROM rr
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): hashed-token
+    // log-likelihood ratio of the target distribution (lang='en') vs
+    // the raw corpus, Laplace-smoothed, per-doc importance as an exact
+    // int64 micro-nat sum — the data-selection score a pretraining
+    // pipeline computes corpus-wide. One token explode + one bucket
+    // aggregation; the 256-row weight table broadcasts.
+    Q("q146_dsir_importance",
+      (s, dir) => TextAnalysis.dsirImportance(
+          Tables.load(s, dir, "documents"), col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(dsirOracleCtes +
+        """
+          |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+          |       CAST(SUM(w.w_micro) AS BIGINT) AS importance_micro
+          |FROM tk JOIN w USING (b) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR resampling: the importance scores drive the q112
+    // Efraimidis-Spirakis draw (clamped exp of the micro-nat score as
+    // the weight, stratified per source) — the corpus-shaped selection
+    // step that makes the sampled subset approximate the target
+    // distribution. Deterministic via the portable-hash uniform and
+    // picounit key quantization; the oracle replays score → weight →
+    // ES key → per-stratum rank.
+    Q("q147_dsir_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val imp = TextAnalysis.dsirImportance(docs, col("lang") === "en")
+        val weighted = docs.join(imp, Seq("doc_id"))
+          .withColumn("dsir_w",
+            exp(greatest(least(col("importance_micro") / lit(1e6),
+              lit(50.0)), lit(-50.0))))
+        TextAnalysis.weightedSample(weighted, keyCol = "doc_id",
+            weightCol = "dsir_w", stratumCol = "source", k = 10)
+          .select("doc_id", "source", "importance_micro")
+          .orderBy("doc_id")
+      },
+      Some(dsirOracleCtes + """, imp AS (
+             |  SELECT tk.doc_id, CAST(SUM(w.w_micro) AS BIGINT)
+             |           AS importance_micro
+             |  FROM tk JOIN w USING (b) GROUP BY 1
+             |), wd AS (
+             |  SELECT d.doc_id, d.source, i.importance_micro,
+             |         exp(GREATEST(LEAST(i.importance_micro / 1000000.0,
+             |           50.0), -50.0)) AS dsir_w
+             |  FROM documents d JOIN imp i ON d.doc_id = i.doc_id
+             |)
+             |SELECT doc_id, source, importance_micro FROM (
+             |  SELECT doc_id, source, importance_micro,
+             |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |           CAST(floor(-ln(
+             |             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+             |               1, 15))::BIGINT + 1)
+             |             / 1152921504606846976.0)
+             |             / dsir_w * 1000000000000.0) AS BIGINT),
+             |           doc_id) AS rk
+             |  FROM wd WHERE dsir_w > 0)
+             |WHERE rk <= 10 ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
+    * target = lang 'en', Laplace smoothing, micro-nat weights) —
+    * mirrors TextAnalysis.dsirImportance exactly. */
+  private def dsirOracleCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, is_t,
+      |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM tok WHERE length(tok) > 0
+      |), st AS (
+      |  SELECT b,
+      |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS tc,
+      |         CAST(COUNT(*) AS BIGINT) AS sc
+      |  FROM tk GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+      |         CAST(SUM(sc) AS BIGINT) AS st2
+      |  FROM st
+      |), w AS (
+      |  SELECT b, CAST(floor(ln(
+      |           (CAST(tc + 1 AS DOUBLE) * CAST(t.st2 + 256 AS DOUBLE))
+      |           / (CAST(sc + 1 AS DOUBLE) * CAST(t.tt + 256 AS DOUBLE)))
+      |           * 1000000) AS BIGINT) AS w_micro
+      |  FROM st CROSS JOIN tot t
+      |)""".stripMargin
+
+  /** DuckDB replay of the PQ training pipeline (nsub=8, dsub=8, k=16,
+    * one Lloyd round): subvectors `sv`, seed codebook, argmin-d²
+    * assignment, micro-unit-quantized per-dim means, refined codebook
+    * `cb1` (empty cells keep their seed), final `codes` — mirrors
+    * Pq.codebook + Pq.encode exactly. */
+  private def pqOracleCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), sv AS (
+      |  SELECT vec_id, CAST(ms.m AS INT) AS m,
+      |         v[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
+      |  FROM e, (SELECT unnest(range(8)) AS m) ms
+      |), seed AS (
+      |  SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM sv
+      |  WHERE vec_id < 16
+      |), asg1 AS (
+      |  SELECT s.vec_id, s.m, s.sv, c.code,
+      |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |           (list_dot_product(s.sv, s.sv)
+      |            - 2 * list_dot_product(s.sv, c.cv)
+      |            + list_dot_product(c.cv, c.cv)) ASC, c.code ASC) AS rk
+      |  FROM sv s JOIN seed c ON s.m = c.m
+      |), a1 AS (
+      |  SELECT vec_id, m, sv, code FROM asg1 WHERE rk = 1
+      |), mean1 AS (
+      |  SELECT m, code, i, floor(AVG(x) * 1000000) / 1000000 AS mx
+      |  FROM (SELECT m, code, generate_subscripts(sv, 1) AS i,
+      |               unnest(sv) AS x
+      |        FROM a1)
+      |  GROUP BY m, code, i
+      |), mlist AS (
+      |  SELECT m, code, list(mx ORDER BY i) AS mcv FROM mean1
+      |  GROUP BY m, code
+      |), cb1 AS (
+      |  SELECT s.m, s.code, COALESCE(ml.mcv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN mlist ml
+      |    ON s.m = ml.m AND s.code = ml.code
+      |), asg2 AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |           (list_dot_product(s.sv, s.sv)
+      |            - 2 * list_dot_product(s.sv, c.cv)
+      |            + list_dot_product(c.cv, c.cv)) ASC, c.code ASC) AS rk
+      |  FROM sv s JOIN cb1 c ON s.m = c.m
+      |), codes AS (
+      |  SELECT vec_id, m, code FROM asg2 WHERE rk = 1
+      |)""".stripMargin
 
   /** DuckDB CTE chain replaying `rounds` BPE merge rounds (w0 = the
     * word-frequency table; per round: pair counts pc_r, winner b_r,

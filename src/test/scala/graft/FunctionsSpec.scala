@@ -199,6 +199,29 @@ class DedupSpec extends AnyFunSuite {
       .forall(_.getString(1) == "removed"))
   }
 
+  test("dsirImportance scores target-distribution docs above the rest " +
+    "and counts features exactly") {
+    val corpus = graft.sources.Tables.load(TestSpark.spark,
+      "/root/testdata/sf0.001", "documents")
+    val imp = graft.functions.TextAnalysis.dsirImportance(
+      corpus, col("lang") === "en")
+    val scored = corpus.select(col("doc_id"), col("lang"), col("text"))
+      .join(imp, Seq("doc_id")).collect()
+    // selection pressure: the mean importance of target-language docs
+    // must exceed the mean of the rest (that is DSIR's whole point)
+    val (en, rest) = scored.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(4)).sum.toDouble / rows.length
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} should exceed rest mean ${mean(rest)}")
+    // n_feat is the doc's exact whitespace token count
+    scored.foreach { r =>
+      val want = r.getString(2).trim.split("\\s+").count(_.nonEmpty)
+      assert(r.getLong(3) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("shingles produce distinct n-grams") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.shingles($"text", 2)).collect()
