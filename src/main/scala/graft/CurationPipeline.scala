@@ -92,7 +92,15 @@ object CurationPipeline {
       // (Mixing.packSequences tokenCol routing), so packBudget is model
       // tokens, not whitespace tokens. None = the whitespace census.
       // Docs the encoder never saw (empty text) pack as 0 tokens.
-      bpeTokenizerRounds: Option[Int] = None)
+      bpeTokenizerRounds: Option[Int] = None,
+      // data-selection lever (DSIR, q146/q147): Some(lang) scores every
+      // balanced doc by hashed-token log-likelihood ratio toward that
+      // language's distribution and keeps the dsirPerSourceK-strongest
+      // ES draws per source before mixing/packing — the selection step
+      // that tilts the packed corpus toward the target distribution.
+      // Token-less docs score 0 (weight 1) and stay eligible.
+      dsirTargetLang: Option[String] = None,
+      dsirPerSourceK: Int = 10)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -106,7 +114,9 @@ object CurationPipeline {
       dedupJoinChoice: Option[String] = None,
       // the BPE rounds the packer's token counts came from (None =
       // whitespace census) — the layout is self-describing
-      bpeRounds: Option[Int] = None)
+      bpeRounds: Option[Int] = None,
+      // docs surviving the DSIR selection lever (None when off)
+      nDsirSelected: Option[Long] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -217,6 +227,27 @@ object CurationPipeline {
     // persist so the quota draw executes once (stage-once discipline)
     if (balancing) landed.persist()
 
+    // optional DSIR selection (the q146/q147 composition): score the
+    // balanced corpus toward the target language's hashed-token
+    // distribution, keep the strongest ES draws per source — everything
+    // downstream (mixture, BPE vocabulary, packed layout) is built from
+    // the SELECTED subset. Token-less docs score 0 (weight 1), staying
+    // eligible rather than silently vanishing.
+    val selecting = conf.dsirTargetLang.isDefined
+    val selected = conf.dsirTargetLang match {
+      case Some(tl) =>
+        val imp = TextAnalysis.dsirImportance(landed, col("lang") === tl)
+        val weighted = landed.join(imp, Seq("doc_id"), "left")
+          .withColumn("dsir_w", exp(greatest(least(
+            coalesce(col("importance_micro"), lit(0L)) / lit(1e6),
+            lit(50.0)), lit(-50.0))))
+        TextAnalysis.weightedSample(weighted, "doc_id", "dsir_w",
+            "source", conf.dsirPerSourceK)
+          .drop("dsir_w", "n_feat", "importance_micro")
+      case None => landed
+    }
+    if (selecting) selected.persist()
+
     // optional epoch-weight mixture (q66), then the packed layout (q65)
     // over the training stream — the mixed stream's per-shard order key
     // is sched_t (unique within a (sub-)shard for weights ≤ 100 epochs —
@@ -227,17 +258,17 @@ object CurationPipeline {
       Mixing.subShard(col("source"), col("doc_id"), b))
     val (stream, shardCol, orderCol) =
       (conf.mixWeightsHundredths.isEmpty, packShard) match {
-        case (true, None) => (landed, "source", "doc_id")
+        case (true, None) => (selected, "source", "doc_id")
         case (true, Some(sh)) =>
-          (landed.withColumn("pack_shard", sh), "pack_shard", "doc_id")
+          (selected.withColumn("pack_shard", sh), "pack_shard", "doc_id")
         case (false, None) =>
-          (Mixing.mixCorpus(landed, conf.mixWeightsHundredths),
+          (Mixing.mixCorpus(selected, conf.mixWeightsHundredths),
             "source", "sched_t")
         case (false, Some(sh)) =>
           // sched_t comes from the sub-sharded stride schedule, and the
           // pack shard recomputes the same deterministic bucket — so
           // sched_t is unique within each pack_shard
-          (Mixing.mixCorpusSharded(landed, conf.mixWeightsHundredths,
+          (Mixing.mixCorpusSharded(selected, conf.mixWeightsHundredths,
             conf.subShardBuckets.get).withColumn("pack_shard", sh),
             "pack_shard", "sched_t")
       }
@@ -247,7 +278,7 @@ object CurationPipeline {
     // keeps zero-word docs in the layout, matching the census path)
     val (packInput, packTokenCol) = conf.bpeTokenizerRounds match {
       case Some(r) =>
-        val counts = graft.functions.Bpe.encode(landed, r)
+        val counts = graft.functions.Bpe.encode(selected, r)
           .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
         (stream.join(counts, Seq("doc_id"), "left")
           .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L))),
@@ -276,10 +307,12 @@ object CurationPipeline {
         .collect().head.getLong(0),
       thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2),
       dedupJoinChoice = routeReport.map(_.choice),
-      bpeRounds = conf.bpeTokenizerRounds)
+      bpeRounds = conf.bpeTokenizerRounds,
+      nDsirSelected = if (selecting) Some(selected.count()) else None)
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()
+    if (selecting) selected.unpersist()
     res
   }
 }

@@ -119,4 +119,34 @@ object Typed {
     graft.operators.Skew.joinDiagnostics(a, aKey, b, bKey)
       .as(Encoders.product[JoinShape])
       .collect().head
+
+  /** One ANN search hit (Hnsw.searchIndex / topK). */
+  final case class AnnHit(query_id: Long, vec_id: Long, sim: Double,
+                          rank: Int)
+
+  /** One learned BPE merge (Bpe.merges). */
+  final case class BpeMerge(round: Long, lsym: String, rsym: String,
+                            n: Long)
+
+  /** One snapshot-diff row (Dedup.snapshotDiff); a fingerprint is None
+    * on the side the id is absent from. */
+  final case class DiffRow(doc_id: Long, status: String,
+                           fp_old: Option[String], fp_new: Option[String])
+
+  def hnswTopK(corpus: org.apache.spark.sql.DataFrame,
+               queries: org.apache.spark.sql.DataFrame, k: Int,
+               efSearch: Int = 64): Dataset[AnnHit] =
+    graft.functions.Hnsw.topK(corpus, queries, k, efSearch = efSearch)
+      .as(Encoders.product[AnnHit])
+
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+                rounds: Int): Dataset[BpeMerge] =
+    graft.functions.Bpe.merges(docs, rounds)
+      .as(Encoders.product[BpeMerge])
+
+  def snapshotDiff(oldSnap: org.apache.spark.sql.DataFrame,
+                   newSnap: org.apache.spark.sql.DataFrame)
+      : Dataset[DiffRow] =
+    graft.functions.Dedup.snapshotDiff(oldSnap, newSnap)
+      .as(Encoders.product[DiffRow])
 }

@@ -94,7 +94,15 @@ object Pq {
 
   /** Encode the corpus against a trained codebook: (vec_id, m, code) —
     * map-side argmin against the broadcast codebook; the narrow code
-    * table is the standing compressed index. */
+    * table is the standing compressed index.
+    *
+    * This is ALSO the incremental path (the q86 standing-quantizer
+    * pattern): codes are a pure per-vector function of the codebook, so
+    * daily ingestion encodes ONLY the batch against the standing
+    * codebook table and unions the rows in — merged ≡ rebuilt exactly,
+    * O(batch) per day, the historical corpus is never re-encoded
+    * (PqSpec pins the equality). Retraining cadence is the caller's
+    * policy knob, exactly as for the IVF centroids. */
   def encode(corpus: DataFrame, cb: DataFrame, nsub: Int,
              dsub: Int): DataFrame = {
     val carr = broadcast(cb.groupBy("m").agg(sort_array(collect_list(

@@ -270,6 +270,37 @@ class CurationSpec extends AnyFunSuite {
     assert(bpe > ws, s"bpe=$bpe should exceed whitespace=$ws")
   }
 
+  test("DSIR selection lever: the packed stream is built from the " +
+    "selected subset, equal to the manual score+sample composition, " +
+    "and the run self-describes the count") {
+    res // baseline first
+    val outD = java.nio.file.Files
+      .createTempDirectory("graft-curation-dsir").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outD, dsirTargetLang = Some("en"),
+        dsirPerSourceK = 3))
+    // curation stages before the lever are untouched
+    assert(r.nCurated == res.nCurated && r.nBalanced == res.nBalanced)
+    assert(res.nDsirSelected.isEmpty)
+    // manual composition over the same landed corpus
+    val landed = spark.read.parquet(s"$outD/curated")
+    val imp = graft.functions.TextAnalysis.dsirImportance(
+      landed, col("lang") === "en")
+    val weighted = landed.join(imp, Seq("doc_id"), "left")
+      .withColumn("dsir_w", exp(greatest(least(
+        coalesce(col("importance_micro"), lit(0L)) / lit(1e6),
+        lit(50.0)), lit(-50.0))))
+    val wantIds = graft.functions.TextAnalysis.weightedSample(
+        weighted, "doc_id", "dsir_w", "source", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r.nDsirSelected.contains(wantIds.size.toLong))
+    val packedIds = spark.read.parquet(s"$outD/packed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(packedIds == wantIds)
+    // the lever is a real gate at k=3 per source
+    assert(wantIds.size < res.nBalanced)
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -99,6 +99,17 @@ class PqSpec extends AnyFunSuite {
     assert(perVec == Seq(nsub.toLong))
   }
 
+  test("incremental encoding: a batch encoded against the standing " +
+    "codebook equals the one-shot encode restricted to it (merged == " +
+    "rebuilt, the q86 pattern)") {
+    val batch = emb.filter(col("vec_id") >= 400)
+    val incr = Pq.encode(batch, cb, nsub, dsub)
+      .collect().map(_.toSeq).toSet
+    val oneShot = codes.filter(col("vec_id") >= 400)
+      .collect().map(_.toSeq).toSet
+    assert(incr.nonEmpty && incr == oneShot)
+  }
+
   test("empty-cell fallback: a corpus whose vectors all collapse to " +
     "few cells keeps all k seed centroids") {
     // train on a tiny corpus (20 vecs): most of the 16 cells get no

@@ -72,4 +72,29 @@ class TypedSpec extends AnyFunSuite {
     assert(shape.n_a == 3 && shape.ndv_a == 2 && shape.out_rows == 2)
     assert(shape.top_key.contains(1L) && shape.top_contrib.contains(2L))
   }
+
+  test("typed round-9 edges: ANN hits, BPE merges, and snapshot-diff " +
+    "rows expose field access over the same plans") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val hits = Typed.hnswTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0),
+      k = 3, efSearch = 4096).collect()
+    assert(hits.length == 3 && hits.forall(_.query_id == 0L)
+      && hits.map(_.rank).sorted.toSeq == Seq(1, 2, 3)
+      && hits.forall(h => h.sim <= 1.0 && h.sim >= -1.0))
+
+    val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val ms = Typed.bpeMerges(docs, rounds = 4).collect()
+    assert(ms.map(m => (m.round, m.lsym, m.rsym, m.n)).toSeq ==
+      Seq((1L, "a", "b", 2L), (2L, "ab", "</w>", 2L)))
+
+    val d = Typed.snapshotDiff(
+      Seq((1L, "x")).toDF("doc_id", "text"),
+      Seq((1L, "y"), (2L, "z")).toDF("doc_id", "text")).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(d(1L).status == "modified" && d(1L).fp_old.isDefined)
+    assert(d(2L).status == "added" && d(2L).fp_old.isEmpty)
+  }
 }
