@@ -72,6 +72,59 @@ object EmbeddingStreams {
       .start()
 
   // -----------------------------------------------------------------
+  // Streaming PQ encoding — the compressed-index member of the
+  // streaming ANN family, the assignBatch recipe with the PQ codebook
+  // as the standing quantizer: bootstrap trains it on the first batch
+  // (deterministic — micro-unit-quantized Lloyd, so crash-replay
+  // retrains byte-identical), every batch then encodes map-side
+  // against the broadcast codebook table and lands its codes under
+  // out/batch_id=N (idempotent overwrite). Codes are a pure per-vector
+  // function of the codebook, so every landed slice equals the
+  // one-shot encode of its vectors (PqSpec's incremental contract).
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the streaming PQ encode (public so tests and
+    * any foreachBatch caller run the exact same code path). */
+  def pqEncodeBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                    outPath: String, nsub: Int, k: Int,
+                    dsub: Int): Unit = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val cbPath = s"$indexDir/pq_codebook"
+    val p = new org.apache.hadoop.fs.Path(cbPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // _SUCCESS-gated bootstrap, the assignBatch discipline: an
+    // uncommitted directory retrains rather than reading partial bytes
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      graft.functions.Pq.codebook(vecs, nsub, k, dsub)
+        .write.mode("overwrite").parquet(cbPath)
+    val cb = spark.read.parquet(cbPath)
+    val nRows = cb.count()
+    require(nRows == nsub.toLong * k,
+      s"standing PQ codebook at $cbPath has $nRows rows, expected " +
+        s"${nsub * k} — bootstrap with at least k vectors or remove it")
+    graft.functions.Pq.encode(vecs, cb, nsub, dsub)
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+  }
+
+  /** Start the streaming PQ encoder. Pass a durable `checkpoint` for
+    * restart. */
+  def ingestPqCodes(vecs: DataFrame, indexDir: String, outPath: String,
+                    checkpoint: String, nsub: Int = 8, k: Int = 16,
+                    dsub: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          pqEncodeBatch(batch.toDF(), batchId, indexDir, outPath, nsub,
+            k, dsub)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  // -----------------------------------------------------------------
   // Streaming HNSW maintenance — the graph-index member of the
   // versioned standing-artifact family (index/dimension/sketch/degree/
   // layout streams). Each micro-batch resume-inserts into the standing

@@ -1022,6 +1022,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(landedRows() == before, "replayed fold changed the index")
   }
 
+  test("streaming PQ encoding: the first micro-batch bootstraps the " +
+    "codebook; every landed slice equals the one-shot encode against " +
+    "it; replay converges") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-spq").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val index = s"$base/index"; val out = s"$base/codes"
+    val ckpt = s"$base/ckpt"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // wave 0 must carry the full seed set (vec_id < 16) for the
+    // deterministic bootstrap — split on (vec_id div 16) % 3
+    def waveOf = pmod(expr("vec_id div 16"), lit(3))
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-spq-w$i").toString
+      vecs.filter(waveOf === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.EmbeddingStreams.ingestPqCodes(
+        spark.readStream.schema(vecs.schema).parquet(src), index, out,
+        ckpt).awaitTermination(120000)
+    def landed(): Set[Seq[Any]] = {
+      spark.catalog.refreshByPath(out)
+      spark.read.parquet(out).select("vec_id", "m", "code")
+        .collect().map(_.toSeq).toSet
+    }
+
+    stageWave(0)
+    runOnce()
+    val cb = spark.read.parquet(s"$index/pq_codebook")
+    val wave0 = vecs.filter(waveOf === 0)
+    assert(landed() == graft.functions.Pq.encode(wave0, cb, 8, 8)
+      .collect().map(_.toSeq).toSet)
+
+    stageWave(1); stageWave(2)
+    runOnce()
+    val want = graft.functions.Pq.encode(vecs, cb, 8, 8)
+      .collect().map(_.toSeq).toSet
+    assert(landed() == want,
+      "landed codes != one-shot encode against the standing codebook")
+
+    // restart with no new files, then hand-replay a batch: both no-ops
+    runOnce()
+    assert(landed() == want)
+    graft.streaming.EmbeddingStreams.pqEncodeBatch(
+      wave0.toDF(), batchId = 0, index, out, 8, 16, 8)
+    assert(landed() == want, "replayed batch changed the codes")
+  }
+
   test("streaming BPE word-table maintenance: waves fold word counts; " +
     "retraining from any committed version == one-shot training over " +
     "everything streamed") {
