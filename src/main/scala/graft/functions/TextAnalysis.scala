@@ -365,6 +365,70 @@ object TextAnalysis {
     * the winners semi-join back on (stratum, key). Zero- or
     * negative-weight rows are excluded up front (their ES key is
     * +∞ / undefined). */
+  /** Gopher-style within-doc repetition signals (Rae et al., "Scaling
+    * Language Models: ... Gopher", 2021, Appendix A quality rules): the
+    * character fraction covered by the most frequent word 2-gram and
+    * the character fraction covered by ALL duplicated word 3-grams —
+    * the repetition filters that catch boilerplate and degenerate
+    * machine-generated text that per-word censuses miss.
+    *
+    * Exact integer basis points over word characters (separator spaces
+    * excluded on both sides of the definition): top2_bp =
+    * occurrences·gramchars·10⁴ div docchars; ties for the top 2-gram
+    * break lexicographically. Docs with < n words report 0 for that
+    * signal. Per-doc windows over the token explode — corpus-sized
+    * work is the explode and two n-gram aggregations, nothing joins
+    * anything wider than the doc totals. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val totals = words.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("w"))).as("n_word_chars"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = words
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("w2")).as("g"),
+        (length(col("w")) + length(col("w2"))).cast("long").as("glen"))
+      .groupBy(col(idCol), col("g"), col("glen"))
+      .agg(count(lit(1)).as("c"))
+    val topBi = bi.withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(desc("c"), asc("g"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("g").as("top_bigram"),
+        col("c").as("top_bigram_n"),
+        (col("c") * col("glen")).as("top2_cov"))
+    val tri = words
+      .withColumn("w2", lead(col("w"), 1).over(byPos))
+      .withColumn("w3", lead(col("w"), 2).over(byPos))
+      .filter(col("w3").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", col("w"), col("w2"), col("w3")).as("g"),
+        (length(col("w")) + length(col("w2")) + length(col("w3")))
+          .cast("long").as("glen"))
+      .groupBy(col(idCol), col("g"), col("glen"))
+      .agg(count(lit(1)).as("c"))
+    val dupTri = tri.filter(col("c") >= 2)
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("glen")).as("dup3_cov"))
+    totals
+      .join(topBi, Seq(idCol), "left")
+      .join(dupTri, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_word_chars"),
+        col("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        expr("coalesce(top2_cov, 0L) * 10000 div n_word_chars")
+          .as("top2_bp"),
+        expr("coalesce(dup3_cov, 0L) * 10000 div n_word_chars")
+          .as("dup3_bp"))
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): hashed
     * token features, per-bucket log-likelihood ratio of the TARGET

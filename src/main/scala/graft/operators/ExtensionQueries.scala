@@ -4660,7 +4660,73 @@ object ExtensionQueries {
              |             / dsir_w * 1000000000000.0) AS BIGINT),
              |           doc_id) AS rk
              |  FROM wd WHERE dsir_w > 0)
-             |WHERE rk <= 10 ORDER BY doc_id""".stripMargin))
+             |WHERE rk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // Gopher repetition rules (Rae 2021 App. A): char fraction covered
+    // by the most frequent word 2-gram + char fraction covered by ALL
+    // duplicated word 3-grams, exact integer basis points — the
+    // boilerplate/degenerate-text filters a per-word census misses.
+    Q("q148_gopher_repetition",
+      (s, dir) => TextAnalysis.repetitionSignals(
+          Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(w, 1) AS pos, unnest(w) AS w1
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents)
+             |), wd AS (
+             |  SELECT doc_id, pos, w1 FROM t WHERE length(w1) > 0
+             |), tot AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |         CAST(SUM(length(w1)) AS BIGINT) AS n_word_chars
+             |  FROM wd GROUP BY doc_id
+             |), bi AS (
+             |  SELECT doc_id, g, glen, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (
+             |    SELECT doc_id,
+             |           w1 || ' ' || lead(w1, 1) OVER win AS g,
+             |           CAST(length(w1) + length(lead(w1, 1) OVER win)
+             |             AS BIGINT) AS glen
+             |    FROM wd WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+             |  WHERE g IS NOT NULL AND glen IS NOT NULL
+             |  GROUP BY doc_id, g, glen
+             |), topbi AS (
+             |  SELECT doc_id, g AS top_bigram, c AS top_bigram_n,
+             |         c * glen AS top2_cov
+             |  FROM (SELECT doc_id, g, glen, c,
+             |          ROW_NUMBER() OVER (PARTITION BY doc_id
+             |            ORDER BY c DESC, g) AS rk
+             |        FROM bi)
+             |  WHERE rk = 1
+             |), tri AS (
+             |  SELECT doc_id, g, glen, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (
+             |    SELECT doc_id,
+             |           w1 || ' ' || lead(w1, 1) OVER win || ' ' ||
+             |             lead(w1, 2) OVER win AS g,
+             |           CAST(length(w1) + length(lead(w1, 1) OVER win)
+             |             + length(lead(w1, 2) OVER win) AS BIGINT)
+             |             AS glen
+             |    FROM wd WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+             |  WHERE g IS NOT NULL AND glen IS NOT NULL
+             |  GROUP BY doc_id, g, glen
+             |), duptri AS (
+             |  SELECT doc_id, CAST(SUM(c * glen) AS BIGINT) AS dup3_cov
+             |  FROM tri WHERE c >= 2 GROUP BY doc_id
+             |)
+             |SELECT t0.doc_id, t0.n_words, t0.n_word_chars,
+             |       b.top_bigram,
+             |       COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+             |       (COALESCE(b.top2_cov, 0) * 10000) // t0.n_word_chars
+             |         AS top2_bp,
+             |       (COALESCE(d.dup3_cov, 0) * 10000) // t0.n_word_chars
+             |         AS dup3_bp
+             |FROM tot t0
+             |LEFT JOIN topbi b ON t0.doc_id = b.doc_id
+             |LEFT JOIN duptri d ON t0.doc_id = d.doc_id
+             |ORDER BY t0.doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

@@ -26,6 +26,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.alphaRatioBp($"text"), "abcd !!!") == 5000L)
   }
 
+  test("repetitionSignals: hand-computed Gopher fractions, degenerate " +
+    "docs, and tie-breaks") {
+    val docs = Seq(
+      // "the cat the cat sat": bigrams (the cat)x2,(cat the)x1,(cat sat)x1
+      // top = "the cat" (6 chars x 2 = 12 covered) / 15 word chars
+      // trigrams: all distinct -> dup3 = 0
+      (1L, "the cat the cat sat"),
+      // "a b a b a b a b": top bigram "a b" count 4, "b a" count 3 ->
+      // top2 = 4*2*10000 div 8 = 10000; trigram "a b a" x3, "b a b" x3
+      // -> dup3_cov = 3*3 + 3*3 = 18 -> 22500 div... 18*10000 div 8
+      (2L, "a b a b a b a b"),
+      (3L, "solo"),   // no bigrams: top2=0, null gram
+      (4L, "  ")      // no words at all: absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(4L))
+    val d1 = got(1L)
+    assert(d1.getAs[String]("top_bigram") == "the cat")
+    assert(d1.getAs[Long]("top_bigram_n") == 2L)
+    assert(d1.getAs[Long]("top2_bp") == 12L * 10000 / 15)
+    assert(d1.getAs[Long]("dup3_bp") == 0L)
+    val d2 = got(2L)
+    assert(d2.getAs[String]("top_bigram") == "a b")
+    assert(d2.getAs[Long]("top2_bp") == 10000L)
+    assert(d2.getAs[Long]("dup3_bp") == 18L * 10000 / 8)
+    val d3 = got(3L)
+    assert(d3.getAs[Long]("top2_bp") == 0L && d3.getAs[Long]("dup3_bp") == 0L
+      && d3.getAs[String]("top_bigram") == null)
+    // tie-break: "x y x z" -> all bigrams count 1, lexicographic
+    // smallest wins
+    val tie = TextAnalysis.repetitionSignals(
+      Seq((9L, "x y x z")).toDF("doc_id", "text")).collect().head
+    assert(tie.getAs[String]("top_bigram") == "x y")
+  }
+
   test("qualityVerdict: first failing rule wins; clean docs keep") {
     val docs = Seq(
       (1L, "short doc"),                                    // 2 words
