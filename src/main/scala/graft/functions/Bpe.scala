@@ -133,8 +133,16 @@ object Bpe {
     * vocabulary-sized table — per doc: word count, subword count, and
     * the max subwords any single word needed (q140). */
   def encode(docs: DataFrame, rounds: Int, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
-    val trained = train(docs, rounds, textCol)._1
+             textCol: String = "text"): DataFrame =
+    encodeWith(docs, train(docs, rounds, textCol)._1, idCol, textCol)
+
+  /** Encode against an already-trained word table (the standing-
+    * vocabulary path: train once, memoize/land the evolved word table,
+    * encode any corpus slice against it without retraining). */
+  def encodeWith(docs: DataFrame, trainedWords: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val trained = trainedWords
       .select(col("word"), size(symsOf(col("sym"))).as("n_subwords"))
     docs.select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("word"))
