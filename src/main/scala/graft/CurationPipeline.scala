@@ -100,7 +100,15 @@ object CurationPipeline {
       // that tilts the packed corpus toward the target distribution.
       // Token-less docs score 0 (weight 1) and stay eligible.
       dsirTargetLang: Option[String] = None,
-      dsirPerSourceK: Int = 10)
+      dsirPerSourceK: Int = 10,
+      // PII scrub (q149/q150): rewrite every document's text through
+      // the three-pattern redactor (Pii.redactCol — map-side codegen
+      // regexps, no extra stage) BEFORE the quality gate, so the
+      // census, dedup shingles, packed output, and landed corpus all
+      // see scrubbed text. Result.nPiiFlagged counts the input docs
+      // that carried at least one match (folded into the same input
+      // metric scan — no extra pass).
+      redactPii: Boolean = false)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -116,10 +124,20 @@ object CurationPipeline {
       // whitespace census) — the layout is self-describing
       bpeRounds: Option[Int] = None,
       // docs surviving the DSIR selection lever (None when off)
-      nDsirSelected: Option[Long] = None)
+      nDsirSelected: Option[Long] = None,
+      // corpus docs that carried ≥1 PII match before the scrub (None
+      // when redactPii is off)
+      nPiiFlagged: Option[Long] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
-    val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
+    val corpus0 = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
+    // 0. optional PII scrub — three codegen regexp_replace passes fused
+    //    into whatever stage first reads the text; no stage boundary
+    val corpus =
+      if (conf.redactPii)
+        corpus0.withColumn("text",
+          graft.functions.Pii.redactCol(col("text")))
+      else corpus0
 
     // 1. quality gate — one map-side census-kernel pass (q72). The
     //    verdict frame is narrow (ids + three small numerics, no text);
@@ -294,8 +312,16 @@ object CurationPipeline {
     // metrics: one scan of the input for the two input-side counts, the
     // persisted frames for the mid-pipeline counts, the landed parquet
     // for the output-side counts — nothing re-executes a stage
+    val piiHitCol =
+      if (conf.redactPii)
+        sum(when(col("doc_id") % conf.evalModulus =!= 0 &&
+          graft.functions.Pii.patterns.map { case (_, re, _) =>
+            regexp_count(col("text"), lit(re))
+          }.reduce(_ + _) > 0, 1L).otherwise(0L)).as("npii")
+      else lit(null).cast("long").as("npii")
     val io = docs.agg(count(lit(1)).as("n"),
-      sum((col("doc_id") % conf.evalModulus === 0).cast("long")).as("ne"))
+      sum((col("doc_id") % conf.evalModulus === 0).cast("long")).as("ne"),
+      piiHitCol)
       .collect().head
     val res = Result(
       nInput = io.getLong(0), nEval = io.getLong(1),
@@ -308,7 +334,8 @@ object CurationPipeline {
       thAlpha = thresholds.map(_._1), thWords = thresholds.map(_._2),
       dedupJoinChoice = routeReport.map(_.choice),
       bpeRounds = conf.bpeTokenizerRounds,
-      nDsirSelected = if (selecting) Some(selected.count()) else None)
+      nDsirSelected = if (selecting) Some(selected.count()) else None,
+      nPiiFlagged = if (conf.redactPii) Some(io.getLong(2)) else None)
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()

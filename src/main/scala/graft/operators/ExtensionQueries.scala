@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, Pii, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -4754,7 +4754,60 @@ object ExtensionQueries {
              |FROM tot t0
              |LEFT JOIN topbi b ON t0.doc_id = b.doc_id
              |LEFT JOIN duptri d ON t0.doc_id = d.doc_id
-             |ORDER BY t0.doc_id""".stripMargin))
+             |ORDER BY t0.doc_id""".stripMargin)),
+
+    // PII scan: per-document email/IPv4/phone match counts over the
+    // deterministically enriched corpus (Pii.withSyntheticPii — the
+    // driver's word-soup text carries no organic PII, so the fixture
+    // injects id-derived traffic that the oracle regenerates verbatim;
+    // without it the comparison would vacuously agree on all-zeros).
+    // Pure map-side: three codegen'd regexp_count kernels in one
+    // projection, no shuffle before the presentation sort. The regexes
+    // are restricted to the Java-regex ∩ RE2 common dialect (see
+    // functions/Pii.scala) so both engines count identical matches.
+    Q("q149_pii_scan",
+      (s, dir) => Pii.scan(Pii.withSyntheticPii(
+          Tables.load(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some(s"""WITH enr AS (
+             |  SELECT doc_id, ${Pii.syntheticPiiSql()} AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${Pii.emailRe}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${Pii.ipv4Re}')) AS BIGINT) AS n_ipv4,
+             |  CAST(len(regexp_extract_all(text,
+             |    '${Pii.phoneRe}')) AS BIGINT) AS n_phone,
+             |  len(regexp_extract_all(text, '${Pii.emailRe}'))
+             |    + len(regexp_extract_all(text, '${Pii.ipv4Re}'))
+             |    + len(regexp_extract_all(text, '${Pii.phoneRe}')) > 0
+             |    AS has_pii
+             |FROM enr ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: the three global regexp_replace passes in fixed
+    // order (emails → IPs → phones) over the same enriched corpus; the
+    // full scrubbed text is the compared value, so any dialect or
+    // ordering divergence between the engines shows up as a hash
+    // mismatch on the string itself. Map-side only; PiiSpec pins
+    // zero residual matches and idempotence.
+    Q("q150_pii_redact",
+      (s, dir) => Pii.redact(Pii.withSyntheticPii(
+          Tables.load(s, dir, "documents")))
+        .orderBy("doc_id"),
+      Some {
+        val redacted = Pii.patterns.foldLeft("text") {
+          case (e, (_, re, tag)) =>
+            s"regexp_replace($e, '$re', '$tag', 'g')"
+        }
+        s"""WITH enr AS (
+           |  SELECT doc_id, ${Pii.syntheticPiiSql()} AS text
+           |  FROM documents
+           |)
+           |SELECT doc_id, $redacted AS redacted
+           |FROM enr ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

@@ -235,6 +235,41 @@ class CurationSpec extends AnyFunSuite {
     assert(res.dedupJoinChoice.isEmpty)
   }
 
+  test("PII scrub lever: the run equals the manual redact-then-curate " +
+    "composition and reports the flagged count") {
+    res // baseline run first (shares the warm session)
+    import graft.functions.Pii
+    val enriched = Pii.withSyntheticPii(docs)
+    val outA = java.nio.file.Files
+      .createTempDirectory("graft-curation-pii").toString
+    val a = CurationPipeline.run(spark, enriched,
+      conf.copy(outputDir = outA, redactPii = true))
+    // manual composition: scrub exactly what the lever scrubs — the
+    // NON-eval docs (the eval side feeds decontamination unredacted
+    // either way) — then run with the lever off
+    val preRedacted = enriched.withColumn("text",
+      when(col("doc_id") % conf.evalModulus =!= 0,
+        Pii.redactCol(col("text"))).otherwise(col("text")))
+    val outB = java.nio.file.Files
+      .createTempDirectory("graft-curation-pii-manual").toString
+    val b = CurationPipeline.run(spark, preRedacted,
+      conf.copy(outputDir = outB))
+    assert(a.copy(nPiiFlagged = None) == b)
+    val curA = spark.read.parquet(s"$outA/curated")
+    val curB = spark.read.parquet(s"$outB/curated")
+    assert(curA.except(curB).count() == 0
+      && curB.except(curA).count() == 0)
+    // flagged count = corpus docs the scanner hits on the enriched input
+    val expected = Pii.scan(
+        enriched.filter(col("doc_id") % conf.evalModulus =!= 0))
+      .filter(col("has_pii")).count()
+    assert(a.nPiiFlagged.contains(expected) && expected > 0)
+    // the curated text carries zero residual matches
+    assert(Pii.scan(curA).filter(col("has_pii")).count() == 0)
+    // the un-levered baseline reports no PII metric
+    assert(res.nPiiFlagged.isEmpty)
+  }
+
   test("BPE-tokenized packing: the pipeline's layout equals the manual " +
     "train+encode+join+pack composition and self-describes its rounds") {
     res // baseline run first (shares the warm session)
