@@ -429,6 +429,74 @@ object TextAnalysis {
           .as("dup3_bp"))
   }
 
+  /** The eight Gopher "stop words" — rule (6) of the quality filter
+    * requires a document to contain at least two of them as exact
+    * whitespace tokens. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The complete Gopher document-quality rule set (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, Appendix A) — the
+    * rules q148's repetition signals and the census gate don't already
+    * carry, composed into one verdict:
+    *
+    *  (1) 50 ≤ word count ≤ 100 000
+    *  (2) mean word length in [3, 10] characters
+    *  (3) symbol-to-word ratio ≤ 0.1 (hash marks + ellipses)
+    *  (4) ≤ 90% of lines start with a bullet; ≤ 30% end with an
+    *      ellipsis
+    *  (5) ≥ 80% of words contain at least one alphabetic character
+    *  (6) ≥ 2 of the 8 Gopher stop words present as exact tokens
+    *
+    * All ratios are exact integer basis points / centi-chars (floor of
+    * an integer-valued double product — IEEE-identical cross-engine),
+    * so the whole verdict is DuckDB-oracle-exact. Pure map-side: per-
+    * row array folds over the token split, zero shuffles, no UDFs.
+    * A zero-word document reports zeroed metrics and fails the gate. */
+  def gopherGate(docs: org.apache.spark.sql.DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"):
+      org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val withArrays = docs.select(col(idCol), t.as("t"),
+      filter(split(trim(t), "\\s+"), w => length(w) > 0).as("ws"),
+      split(t, "\n").as("lines"))
+    val n = size(col("ws")).cast("long")
+    val sumLen = aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(col("ws"),
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStops = gopherStopwords
+      .map(s => array_contains(col("ws"), s).cast("long"))
+      .reduce(_ + _)
+    val symbols = (regexp_count(col("t"), lit("#")) +
+      regexp_count(col("t"), lit("\\.\\.\\.")) +
+      regexp_count(col("t"), lit("…"))).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    val bulletLines = size(filter(col("lines"), l =>
+      ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*"))).cast("long")
+    val ellipsisLines = size(filter(col("lines"), l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val safe = n > 0
+    def bpOf(num: Column, den: Column): Column =
+      floor(num * lit(10000.0) / den).cast("long")
+    val m = withArrays.select(
+      col(idCol), n.as("n_words"),
+      when(safe, floor(sumLen * lit(100.0) / n).cast("long"))
+        .otherwise(0L).as("mean_wl_centi"),
+      when(safe, bpOf(symbols, n)).otherwise(0L).as("symbol_bp"),
+      bpOf(bulletLines, nLines).as("bullet_bp"),
+      bpOf(ellipsisLines, nLines).as("ellipsis_bp"),
+      when(safe, bpOf(alphaWords, n)).otherwise(0L).as("alpha_word_bp"),
+      nStops.as("n_stop_present"))
+    m.withColumn("gopher_pass",
+      col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_wl_centi") >= 300 && col("mean_wl_centi") <= 1000 &&
+        col("symbol_bp") <= 1000 &&
+        col("bullet_bp") <= 9000 && col("ellipsis_bp") <= 3000 &&
+        col("alpha_word_bp") >= 8000 && col("n_stop_present") >= 2)
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): hashed
     * token features, per-bucket log-likelihood ratio of the TARGET

@@ -4807,7 +4807,84 @@ object ExtensionQueries {
            |)
            |SELECT doc_id, $redacted AS redacted
            |FROM enr ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // The complete Gopher rule set (word-count bounds, mean word
+    // length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    // fraction, stop-word presence) composed into one exact-integer
+    // verdict — completing q148's repetition signals to the full
+    // Appendix-A filter. Pure map-side per-row array folds (no
+    // explode, no shuffle); every ratio is an integer floor, so the
+    // whole verdict hash-matches the DuckDB replay.
+    Q("q151_gopher_gate",
+      (s, dir) => TextAnalysis.gopherGate(
+          Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                w -> len(w) > 0) AS ws,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n,
+             |    CAST(COALESCE(list_sum(
+             |      list_transform(ws, w -> len(w))), 0) AS BIGINT)
+             |      AS sumlen,
+             |    CAST(len(list_filter(ws,
+             |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+             |      AS alphaw,
+             |    CAST(list_contains(ws, 'the') AS BIGINT)
+             |      + CAST(list_contains(ws, 'be') AS BIGINT)
+             |      + CAST(list_contains(ws, 'to') AS BIGINT)
+             |      + CAST(list_contains(ws, 'of') AS BIGINT)
+             |      + CAST(list_contains(ws, 'and') AS BIGINT)
+             |      + CAST(list_contains(ws, 'that') AS BIGINT)
+             |      + CAST(list_contains(ws, 'have') AS BIGINT)
+             |      + CAST(list_contains(ws, 'with') AS BIGINT)
+             |      AS nstops,
+             |    CAST(len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.'))
+             |      + len(regexp_extract_all(text, '…')) AS BIGINT)
+             |      AS symbols,
+             |    CAST(len(lines) AS BIGINT) AS nlines,
+             |    CAST(len(list_filter(lines,
+             |      l -> starts_with(ltrim(l), '•')
+             |        OR starts_with(ltrim(l), '-')
+             |        OR starts_with(ltrim(l), '*'))) AS BIGINT)
+             |      AS bullets,
+             |    CAST(len(list_filter(lines,
+             |      l -> ends_with(rtrim(l), '...')
+             |        OR ends_with(rtrim(l), '…'))) AS BIGINT)
+             |      AS ellipses
+             |  FROM b
+             |), v AS (
+             |  SELECT doc_id, n AS n_words,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(sumlen * 100.0 / n) AS BIGINT)
+             |      ELSE 0 END AS mean_wl_centi,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(symbols * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS symbol_bp,
+             |    CAST(floor(bullets * 10000.0 / nlines) AS BIGINT)
+             |      AS bullet_bp,
+             |    CAST(floor(ellipses * 10000.0 / nlines) AS BIGINT)
+             |      AS ellipsis_bp,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(alphaw * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS alpha_word_bp,
+             |    nstops AS n_stop_present
+             |  FROM m
+             |)
+             |SELECT *,
+             |  n_words >= 50 AND n_words <= 100000
+             |    AND mean_wl_centi >= 300 AND mean_wl_centi <= 1000
+             |    AND symbol_bp <= 1000
+             |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+             |    AND alpha_word_bp >= 8000 AND n_stop_present >= 2
+             |    AS gopher_pass
+             |FROM v ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

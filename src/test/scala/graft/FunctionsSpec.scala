@@ -754,4 +754,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L)._2.split(",").map(_.toLong)
       .apply(buckets("b").toInt) == 1L)
   }
+
+  test("gopherGate: each rule trips on a targeted fixture") {
+    import graft.functions.TextAnalysis
+    val good = (("the that have with " * 13) + "solid prose words here")
+    val d = Seq(
+      1L -> good,                                   // passes everything
+      2L -> "the be short",                         // < 50 words
+      3L -> (good + " ## ### #### ##### ######"),   // symbol ratio
+      4L -> ("xx " * 30 + good).replace("solid", "a…a"), // still passes
+      5L -> "- one\n- two\n- three",                // all bullet lines
+      6L -> ("9 9 9 " * 30 + "the be"),               // alpha fraction low
+      7L -> "")                                     // zero words
+    val df = d.toDF("doc_id", "text")
+    val r = TextAnalysis.gopherGate(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8))
+    assert(!r(2L).getBoolean(8) && r(2L).getLong(1) == 3L)
+    assert(!r(3L).getBoolean(8) && r(3L).getLong(3) > 1000L)
+    assert(r(4L).getBoolean(8))
+    // bullet fixture: 3 lines, all bulleted → 10000 bp
+    assert(r(5L).getLong(4) == 10000L && !r(5L).getBoolean(8))
+    assert(!r(6L).getBoolean(8) && r(6L).getLong(6) < 8000L)
+    assert(!r(7L).getBoolean(8) && r(7L).getLong(1) == 0L)
+    // stop-word presence counts exact tokens, not substrings
+    val sub = Seq(8L -> ("theory bandage " * 30 + "often words"))
+      .toDF("doc_id", "text")
+    val s8 = TextAnalysis.gopherGate(sub).collect().head
+    assert(s8.getLong(7) == 0L && !s8.getBoolean(8))
+  }
 }
