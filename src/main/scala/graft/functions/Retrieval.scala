@@ -257,6 +257,49 @@ object Retrieval {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020): score every document with the corpus bigram LM
+    * ([[lmScore]]), then split each language into head/middle/tail by
+    * the per-language score distribution — the standard curation move
+    * of keeping/weighting the lowest-perplexity (highest log-prob)
+    * third.
+    *
+    * Determinism: the per-doc score is floor(sum_unats·10⁶ /
+    * n_bigrams) — one IEEE multiply+divide+floor over exact integers,
+    * identical cross-engine. Cutoffs are percentile_disc values (rank
+    * ceil(n·p/100) ascending) from the grouped histogram percentiles
+    * — ONE aggregation over (lang, score) counts, no row sort (the
+    * adaptive-gate pattern; for a score domain wider than memory the
+    * radix bisectQuantiles variant applies). Bucketing compares the
+    * score to the cutoff VALUES, so ties land on one side on every
+    * engine. The cutoff frame is one row per language — a genuinely
+    * bounded dim — so the join back is an explicit broadcast.
+    *
+    * Docs with no bigram (fewer than two words) have no LM score and
+    * are absent, as in CCNet (they fall to the length gate instead). */
+  def ccnetBuckets(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   lowP: Int = 33, highP: Int = 66): DataFrame = {
+    require(lowP >= 1 && highP > lowP && highP <= 100,
+      s"need 1 <= lowP < highP <= 100, got ($lowP, $highP)")
+    val scores = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol),
+        floor(col("sum_unats") * lit(1e6) / col("n_bigrams"))
+          .cast("long").as("score_u"))
+    val cuts = graft.functions.Sketches.percentilesByValue(
+        scores.select(col(langCol), col("score_u")), langCol, "score_u",
+        Seq(lowP, highP))
+      .select(col(langCol), col(s"p$lowP").as("c_low"),
+        col(s"p$highP").as("c_high"))
+    scores.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("score_u"),
+        when(col("score_u") <= col("c_low"), "tail")
+          .when(col("score_u") <= col("c_high"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** Frequency-ranked vocabulary: token_id = 1-based rank by (count
     * desc, term asc) — the deterministic id assignment a tokenizer-feed
     * pipeline derives from its own corpus.

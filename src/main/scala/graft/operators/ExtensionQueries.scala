@@ -2050,45 +2050,12 @@ object ExtensionQueries {
     Q("q83_lm_score",
       (s, dir) => Retrieval.lmScore(Tables.load(s, dir, "documents"))
         .orderBy("doc_id"),
-      Some("""WITH d AS (
-             |  SELECT doc_id,
-             |         list_filter(string_split_regex(lower(trim(text)),
-             |           '\s+'), w -> len(w) > 0) AS ws
-             |  FROM documents
-             |), tr AS (
-             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
-             |         unnest(ws) AS t, len(ws) AS n
-             |  FROM d
-             |), bg0 AS (
-             |  SELECT doc_id, t AS w1,
-             |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
-             |           AS w2, i, n
-             |  FROM tr
-             |), bgs AS (
-             |  SELECT doc_id, w1 || ' ' || w2 AS bigram, w1
-             |  FROM bg0 WHERE i <= n - 1
-             |), bi AS (
-             |  SELECT bigram, MIN(w1) AS w1,
-             |         CAST(COUNT(*) AS BIGINT) AS cab
-             |  FROM bgs GROUP BY bigram
-             |), st AS (
-             |  SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca
-             |  FROM bi GROUP BY w1
-             |), un AS (
-             |  SELECT b.bigram,
-             |         CAST(floor(ln(b.cab / s.ca) * 1000000.0)
-             |           AS BIGINT) AS lp
-             |  FROM bi b JOIN st s ON s.w1 = b.w1
-             |), agg AS (
-             |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
-             |  FROM bgs g JOIN un u ON u.bigram = g.bigram
-             |  GROUP BY g.doc_id
-             |)
-             |SELECT doc_id, n_bigrams, sum_unats,
-             |       round(sum_unats / n_bigrams / 1000000.0, 6)
-             |         AS avg_logprob
-             |FROM agg ORDER BY doc_id""".stripMargin)),
+      Some(lmScoreCtes +
+        """
+          |SELECT doc_id, n_bigrams, sum_unats,
+          |       round(sum_unats / n_bigrams / 1000000.0, 6)
+          |         AS avg_logprob
+          |FROM agg ORDER BY doc_id""".stripMargin)),
 
     // Single-pass multi-column profiler: row/non-null counts, min/max,
     // and a KMV distinct estimate for four lineitem columns of four
@@ -4884,7 +4851,46 @@ object ExtensionQueries {
              |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
              |    AND alpha_word_bp >= 8000 AND n_stop_present >= 2
              |    AS gopher_pass
-             |FROM v ORDER BY doc_id""".stripMargin))
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // CCNet perplexity buckets: bigram-LM score per doc (exact integer
+    // micro-nats), per-LANGUAGE percentile_disc cutoffs at p33/p66
+    // from the grouped histogram (one aggregation, no row sort), then
+    // a value-comparison bucket assignment — head = the best-scoring
+    // third of each language. The cutoff frame is one row per
+    // language (bounded dim → explicit broadcast); ties bucket by
+    // value so both engines agree row-for-row.
+    Q("q152_ccnet_buckets",
+      (s, dir) => Retrieval.ccnetBuckets(
+          Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(lmScoreCtes +
+        """,
+          |sc AS (
+          |  SELECT a.doc_id, dd.lang,
+          |         CAST(floor(a.sum_unats * 1000000.0 / a.n_bigrams)
+          |           AS BIGINT) AS score_u
+          |  FROM agg a JOIN documents dd ON dd.doc_id = a.doc_id
+          |), rk AS (
+          |  SELECT lang, score_u,
+          |         ROW_NUMBER() OVER (PARTITION BY lang
+          |           ORDER BY score_u) AS rn,
+          |         COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM sc
+          |), cuts AS (
+          |  SELECT lang,
+          |         MIN(score_u) FILTER (WHERE rn >= (n * 33 + 99) // 100)
+          |           AS c_low,
+          |         MIN(score_u) FILTER (WHERE rn >= (n * 66 + 99) // 100)
+          |           AS c_high
+          |  FROM rk GROUP BY lang
+          |)
+          |SELECT s.doc_id, s.lang, s.score_u,
+          |       CASE WHEN s.score_u <= c.c_low THEN 'tail'
+          |            WHEN s.score_u <= c.c_high THEN 'middle'
+          |            ELSE 'head' END AS bucket
+          |FROM sc s JOIN cuts c ON c.lang = s.lang
+          |ORDER BY s.doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
@@ -5005,6 +5011,47 @@ object ExtensionQueries {
     }.mkString
     w0 + perRound
   }
+
+  /** Shared DuckDB replay of Retrieval.lmScore (bigram LM in integer
+    * micro-nats) — the CTE chain up to `agg(doc_id, n_bigrams,
+    * sum_unats)`; q83 reads it directly, q152 extends it with the
+    * per-language percentile cutoffs. */
+  private def lmScoreCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+      |         unnest(ws) AS t, len(ws) AS n
+      |  FROM d
+      |), bg0 AS (
+      |  SELECT doc_id, t AS w1,
+      |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
+      |           AS w2, i, n
+      |  FROM tr
+      |), bgs AS (
+      |  SELECT doc_id, w1 || ' ' || w2 AS bigram, w1
+      |  FROM bg0 WHERE i <= n - 1
+      |), bi AS (
+      |  SELECT bigram, MIN(w1) AS w1,
+      |         CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM bgs GROUP BY bigram
+      |), st AS (
+      |  SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca
+      |  FROM bi GROUP BY w1
+      |), un AS (
+      |  SELECT b.bigram,
+      |         CAST(floor(ln(b.cab / s.ca) * 1000000.0)
+      |           AS BIGINT) AS lp
+      |  FROM bi b JOIN st s ON s.w1 = b.w1
+      |), agg AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
+      |  FROM bgs g JOIN un u ON u.bigram = g.bigram
+      |  GROUP BY g.doc_id
+      |)""".stripMargin
 
   /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact
     * regime): percentile_disc rank selection per language, the

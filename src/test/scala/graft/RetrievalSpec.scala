@@ -343,4 +343,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((0L, 1L)), 3L -> ((0L, 2L)),
       4L -> ((1L, 1L))))
   }
+
+  test("ccnetBuckets: value-separated thirds per language") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = graft.functions.Retrieval.ccnetBuckets(docs)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    val langs = b.map(_._1).distinct
+    assert(langs.length >= 3)
+    langs.foreach { l =>
+      val rows = b.filter(_._1 == l)
+      val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byB.keySet == Set("tail", "middle", "head"), s"lang $l")
+      // buckets are separated by VALUE: every tail score < every
+      // middle score is not guaranteed (ties share a side), but
+      // max(tail) <= min(middle) and max(middle) <= min(head) must
+      // hold — the cutoffs are value comparisons
+      assert(byB("tail").max <= byB("middle").min, s"lang $l")
+      assert(byB("middle").max <= byB("head").min, s"lang $l")
+      // roughly thirds: the rank-arithmetic cutoffs keep each bucket
+      // within one tie-run of n/3
+      val n = rows.length
+      assert(byB("tail").length <= n, s"lang $l")
+      assert(math.abs(byB("tail").length - n / 3) <= n / 6 + 2,
+        s"lang $l tail=${byB("tail").length} n=$n")
+    }
+  }
 }
