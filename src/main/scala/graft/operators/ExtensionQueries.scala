@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, Pii, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, NaiveBayes, Pii, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -4890,7 +4890,84 @@ object ExtensionQueries {
           |            WHEN s.score_u <= c.c_high THEN 'middle'
           |            ELSE 'head' END AS bucket
           |FROM sc s JOIN cuts c ON c.lang = s.lang
-          |ORDER BY s.doc_id""".stripMargin))
+          |ORDER BY s.doc_id""".stripMargin)),
+
+    // Trained multinomial Naive Bayes language model: Laplace-smoothed
+    // per-(class, term) log-likelihoods in integer micro-nats, trained
+    // on the doc_id % 17 ≠ 0 split. One token explode + one
+    // (class, term) aggregation — inverted-index silhouette; class
+    // totals and the vocabulary size are broadcast 1-row/bounded-dim
+    // frames. The oracle replays training exactly (the ln-of-single-
+    // division lmScore precedent), so counts, smoothing, and the
+    // micro-nat floor all hash-match.
+    Q("q153_nb_model",
+      (s, dir) => NaiveBayes.train(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 17 =!= 0))
+        .orderBy("label", "term"),
+      Some(nbModelCtes +
+        """
+          |SELECT label, term, n, lp FROM mdl
+          |ORDER BY label, term""".stripMargin)),
+
+    // Inference over the held-out split (doc_id % 17 = 0): per-doc
+    // argmax of prior + Σ count·lp with per-class unseen-term
+    // defaults — the trained-classifier filter pattern (fastText-style
+    // quality/language gates). The model join keys on term, unhinted
+    // (AQE decides); the class-stats frame (priors + defaults, one row
+    // per class) rides a broadcast. Exact integer scores; argmax ties
+    // break to the smallest label on both engines.
+    Q("q154_nb_classify",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 17 =!= 0)
+        val ho = docs.filter(col("doc_id") % 17 === 0)
+        val counts = NaiveBayes.termCounts(train)
+        NaiveBayes.classify(ho, NaiveBayes.model(counts),
+            NaiveBayes.classStats(counts, train))
+          .join(ho.select(col("doc_id"), col("lang").as("actual_lang")),
+            Seq("doc_id"))
+          .withColumn("correct", col("pred_label") === col("actual_lang"))
+          .orderBy("doc_id")
+      },
+      Some(nbModelCtes +
+        """,
+          |pri AS (
+          |  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nd
+          |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY 1
+          |), tt AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS nt
+          |  FROM documents WHERE doc_id % 17 <> 0
+          |), st AS (
+          |  SELECT p.label,
+          |         CAST(floor(ln(p.nd / t.nt) * 1000000.0) AS BIGINT)
+          |           AS prior_lp,
+          |         CAST(floor(ln(1.0 / (n2.nc + vs.v)) * 1000000.0)
+          |           AS BIGINT) AS default_lp
+          |  FROM pri p JOIN ncls n2 ON n2.label = p.label
+          |  CROSS JOIN tt t CROSS JOIN vs
+          |), ho AS (
+          |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM tokh WHERE doc_id % 17 = 0 GROUP BY 1, 2
+          |), scn AS (
+          |  SELECT h.doc_id, s.label,
+          |         CAST(s.prior_lp + SUM(h.cnt *
+          |           COALESCE(m.lp, s.default_lp)) AS BIGINT)
+          |           AS score_u
+          |  FROM ho h CROSS JOIN st s
+          |  LEFT JOIN mdl m ON m.label = s.label AND m.term = h.term
+          |  GROUP BY h.doc_id, s.label, s.prior_lp
+          |), pick AS (
+          |  SELECT doc_id, label AS pred_label, score_u,
+          |         ROW_NUMBER() OVER (PARTITION BY doc_id
+          |           ORDER BY score_u DESC, label) AS rn
+          |  FROM scn
+          |)
+          |SELECT p.doc_id, p.pred_label, p.score_u,
+          |       d.lang AS actual_lang,
+          |       p.pred_label = d.lang AS correct
+          |FROM pick p JOIN documents d ON d.doc_id = p.doc_id
+          |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
@@ -5011,6 +5088,33 @@ object ExtensionQueries {
     }.mkString
     w0 + perRound
   }
+
+  /** Shared DuckDB replay of NaiveBayes training — CTE chain up to
+    * `mdl(label, term, n, lp)` (+ tokh/tc/ncls/vs used by the
+    * inference oracle). Tokenization mirrors Retrieval.tokens. */
+  private def nbModelCtes: String =
+    """WITH tokh AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0)) AS term
+      |  FROM documents
+      |), trn AS (
+      |  SELECT t.doc_id, d.lang AS label, t.term
+      |  FROM tokh t JOIN documents d ON d.doc_id = t.doc_id
+      |  WHERE t.doc_id % 17 <> 0
+      |), tc AS (
+      |  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM trn GROUP BY 1, 2
+      |), ncls AS (
+      |  SELECT label, CAST(SUM(n) AS BIGINT) AS nc FROM tc GROUP BY 1
+      |), vs AS (
+      |  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tc
+      |), mdl AS (
+      |  SELECT t.label, t.term, t.n,
+      |         CAST(floor(ln((t.n + 1) / (n2.nc + vs.v)) * 1000000.0)
+      |           AS BIGINT) AS lp
+      |  FROM tc t JOIN ncls n2 ON n2.label = t.label CROSS JOIN vs
+      |)""".stripMargin
 
   /** Shared DuckDB replay of Retrieval.lmScore (bigram LM in integer
     * micro-nats) — the CTE chain up to `agg(doc_id, n_bigrams,

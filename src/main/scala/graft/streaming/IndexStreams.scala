@@ -117,6 +117,61 @@ object IndexStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // -----------------------------------------------------------------
+  // Streaming Naive Bayes sufficient statistics — the trained-
+  // classifier member of the same family. The NB model is a pure
+  // function of the (label, term) count table and counts ADD, so the
+  // count table is the standing artifact: each micro-batch tokenizes
+  // only its own labeled documents and folds counts in
+  // (NaiveBayes.mergeCounts); deriving the model from ANY committed
+  // version equals one-shot training over everything streamed so far
+  // (NaiveBayesSpec's merged ≡ rebuilt, StreamingSpec end-to-end).
+  // Same corpus-partitioning contract: each doc arrives once.
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the NB count fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def nbBatch(batch: DataFrame, batchId: Long, stateDir: String,
+              labelCol: String = "lang", textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val batchCounts =
+      graft.functions.NaiveBayes.termCounts(batch, labelCol, textCol)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchCounts.limit(0)
+    graft.functions.NaiveBayes.mergeCounts(standing, batchCounts)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming NB count maintainer. */
+  def ingestNbCounts(docs: DataFrame, stateDir: String, checkpoint: String,
+                     labelCol: String = "lang", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          nbBatch(batch.toDF(), batchId, stateDir, labelCol, textCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed NB count table under `stateDir` — feed to
+    * NaiveBayes.model/classStats to derive the classifier. */
+  def latestNbCounts(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed NB count versions under $stateDir")
+    spark.read.parquet(versionPath(stateDir, vs.max))
+  }
+
   /** The latest committed word table under `stateDir` — feed to
     * Bpe.trainFromWords to (re)derive the merge table. */
   def latestWordTable(spark: SparkSession, stateDir: String): DataFrame = {

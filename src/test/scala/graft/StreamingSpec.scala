@@ -1134,4 +1134,63 @@ class StreamingSpec extends AnyFunSuite {
       wave(1).unionByName(wave(2)).toDF(), batchId = 1, state)
     assert(landedMerges() == want, "replayed fold changed the table")
   }
+
+  test("streaming NB counts: classifying from any committed version == " +
+    "classifying from one-shot training over everything streamed") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snb").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val state = s"$base/counts"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 17 =!= 0)
+      .select("doc_id", "lang", "text")
+    val ho = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .select("doc_id", "text")
+    def wave(i: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-snb-w$i").toString
+      wave(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.IndexStreams.ingestNbCounts(
+        spark.readStream.schema(docs.schema).parquet(src), state, ckpt)
+        .awaitTermination(120000)
+    import graft.functions.NaiveBayes
+    def predictFromLanded(train: org.apache.spark.sql.DataFrame) = {
+      spark.catalog.refreshByPath(state)
+      val c = graft.streaming.IndexStreams.latestNbCounts(spark, state)
+      NaiveBayes.classify(ho, NaiveBayes.model(c),
+          NaiveBayes.classStats(c, train))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    }
+    def oneShot(train: org.apache.spark.sql.DataFrame) = {
+      val c = NaiveBayes.termCounts(train)
+      NaiveBayes.classify(ho, NaiveBayes.model(c),
+          NaiveBayes.classStats(c, train))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    }
+    stageWave(0)
+    runOnce()
+    assert(predictFromLanded(wave(0)) == oneShot(wave(0)),
+      "bootstrap version != one-shot training over wave 0")
+    stageWave(1)
+    runOnce()
+    val want = oneShot(docs)
+    assert(predictFromLanded(docs) == want,
+      "folded counts != one-shot training over everything streamed")
+    // crash-replay: deterministic re-fold of batch 1 rewrites v=1
+    graft.streaming.IndexStreams.nbBatch(wave(1).toDF(), batchId = 1,
+      state)
+    assert(predictFromLanded(docs) == want,
+      "replayed fold changed the classifier")
+  }
 }
