@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, NaiveBayes, Pii, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, NaiveBayes, Pii, Projection, Retrieval, Similarity, Sketches, TextAnalysis}
 import graft.sources.Tables
 import ParityQueries.Q
 
@@ -4967,7 +4967,84 @@ object ExtensionQueries {
           |       d.lang AS actual_lang,
           |       p.pred_label = d.lang AS correct
           |FROM pick p JOIN documents d ON d.doc_id = p.doc_id
-          |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin))
+          |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection: 64-dim float embeddings
+    // → 16 exact-integer coordinates via a deterministic ±1 Rademacher
+    // matrix (portable md5 sign draws — a plan literal, no side
+    // table). Micro-unit quantization keeps every sum exact int64, so
+    // the oracle regenerates the identical matrix from the same
+    // function and hash-matches the whole projected frame. Pure
+    // map-side.
+    Q("q155_rp_project",
+      (s, dir) => Projection.project(
+          Tables.load(s, dir, "embeddings"), outDim = 16, inDim = 64)
+        .orderBy("vec_id"),
+      Some {
+        s"""WITH qv AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+           |  FROM embeddings
+           |)
+           |SELECT vec_id, [${rpProjExprs().mkString(",\n  ")}] AS proj
+           |FROM qv ORDER BY vec_id""".stripMargin
+      }),
+
+    // Projected-space shortlist → exact rerank: the JL companion of
+    // the PQ ADC search (q145) — top-8k by exact integer L2 in the
+    // 32-dim projection (broadcast query probe), then exact round-6
+    // cosine on the shortlist only. Both stages integer/IEEE-
+    // deterministic, so the COMPOSITION is the oracled object;
+    // recall@10 vs unprojected brute force is ProjectionSpec's pin
+    // (the 32d/×8 operating point on unstructured-random fixtures).
+    Q("q156_rp_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Projection.rpTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+            outDim = 32, shortlistFactor = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val dist = (0 until 32).map(j =>
+          s"(c.proj[${j + 1}] - p.qproj[${j + 1}]) * " +
+            s"(c.proj[${j + 1}] - p.qproj[${j + 1}])")
+          .mkString(" + ")
+        s"""WITH qv AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+           |  FROM embeddings
+           |), pc AS (
+           |  SELECT vec_id, [${rpProjExprs(32).mkString(",\n  ")}] AS proj
+           |  FROM qv
+           |), pq AS (
+           |  SELECT vec_id AS query_id, proj AS qproj FROM pc
+           |  WHERE vec_id < 5
+           |), sh AS (
+           |  SELECT p.query_id, c.vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY p.query_id
+           |           ORDER BY $dist, c.vec_id) AS prank
+           |  FROM pc c CROSS JOIN pq p WHERE c.vec_id <> p.query_id
+           |), e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings
+           |), rr AS (
+           |  SELECT s.query_id, s.vec_id,
+           |         round(list_dot_product(q.v, c.v)
+           |           / (sqrt(list_dot_product(q.v, q.v))
+           |              * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+           |  FROM sh s
+           |  JOIN e c ON c.vec_id = s.vec_id
+           |  JOIN e q ON q.vec_id = s.query_id
+           |  WHERE s.prank <= 80
+           |), rk AS (
+           |  SELECT query_id, vec_id, sim,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           |  FROM rr
+           |)
+           |SELECT query_id, vec_id, sim, rank FROM rk
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      })
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
@@ -5087,6 +5164,19 @@ object ExtensionQueries {
          |)""".stripMargin
     }.mkString
     w0 + perRound
+  }
+
+  /** DuckDB expressions for the 16 projected coordinates — generated
+    * from the SAME sign matrix as the Spark side (Projection
+    * .signMatrix), so the two cannot drift. q[] is the micro-unit
+    * vector CTE column (1-indexed lists). */
+  private def rpProjExprs(outDim: Int = 16): Seq[String] = {
+    val m = graft.functions.Projection.signMatrix(outDim, 64)
+    (0 until outDim).map { j =>
+      "(0" + m(j).zipWithIndex.map { case (s, i) =>
+        (if (s > 0) " + " else " - ") + s"q[${i + 1}]"
+      }.mkString + ")"
+    }
   }
 
   /** Shared DuckDB replay of NaiveBayes training — CTE chain up to
