@@ -165,10 +165,16 @@ object Bench {
       }.mkString("{", ",", "}")
       val line3 = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
       // past ~140 queries even 3dp qNN-key entries brush the ~2000-char
-      // tail window — final tier drops them to 2dp (~12 chars/entry,
-      // headroom to ~160 queries)
+      // tail window — final tier drops to 2dp AND strips trailing zeros
+      // ("1.20"→"1.2", "0.00"→"0"): ~2 chars/entry back, headroom to
+      // ~190 queries. Valid JSON numbers throughout.
+      def f2s(v: Double): String = {
+        val s = f2(v)
+        if (!s.contains('.')) s
+        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      }
       val qs4 = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f2(v)
+        "\"" + k.takeWhile(_ != '_') + "\":" + f2s(v)
       }.mkString("{", ",", "}")
       if (line3.length <= 1900) println(line3)
       else println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs4,"sf":"$sfDir"}""")

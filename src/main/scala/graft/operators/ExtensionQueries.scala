@@ -5044,7 +5044,56 @@ object ExtensionQueries {
            |)
            |SELECT query_id, vec_id, sim, rank FROM rk
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-      })
+      }),
+
+    // Entity-resolution capstone: the record-linkage pipeline composed
+    // from proven parts — q-gram-blocked edit-distance pairs (q104's
+    // Gravano bound + codegen levenshtein verify) feed connected
+    // components (q61's contracted propagation), and every record maps
+    // to a canonical entity (its component's min id; singletons are
+    // their own entity). One blocking join + the CC rounds — never an
+    // all-pairs comparison. The oracle replays blocking-free: the full
+    // n² levenshtein join + a recursive-CTE closure, so the blocked
+    // plan's completeness (no missed pair ⇒ no split entity) is what
+    // the hash check certifies.
+    Q("q157_entity_resolution",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("pid"))
+        val pairs = TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+          maxDist = 2, q = 2)
+        val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          assumeDistinctPairs = true)
+        names.join(comps, names("pid") === comps("id"), "left")
+          .select(col("pid"), col("p_name"),
+            coalesce(col("comp"), col("pid")).as("entity_id"))
+          .withColumn("is_canonical", col("entity_id") === col("pid"))
+          .orderBy("pid")
+      },
+      Some("""WITH RECURSIVE nm AS (
+             |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
+             |  FROM part GROUP BY p_name
+             |), pairs AS (
+             |  SELECT a.pid AS id_a, b.pid AS id_b
+             |  FROM nm a JOIN nm b ON a.pid < b.pid
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), walk(id, reach) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT w.id, e.dst FROM walk w JOIN edges e
+             |  ON w.reach = e.src
+             |), comps AS (
+             |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+             |)
+             |SELECT n.pid, n.p_name,
+             |       COALESCE(c.comp, n.pid) AS entity_id,
+             |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
+             |FROM nm n LEFT JOIN comps c ON c.id = n.pid
+             |ORDER BY n.pid""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
