@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal lakehouse-style versioned table: an append-only COMMIT LOG
+  * over immutable parquet data files, giving time travel, snapshot
+  * isolation, and compaction-without-history-loss — the table format a
+  * 100 TB curation pipeline needs so that "the corpus at the version
+  * the model trained on" stays readable forever.
+  *
+  * Layout under the table root:
+  * {{{
+  *   <dir>/data/v=N/part-*.parquet   immutable files of commit N
+  *   <dir>/_log/N.json               commit record N (atomic create)
+  * }}}
+  *
+  * Semantics (Delta's core, teaching-scale):
+  *  - `append` adds its files to the current snapshot;
+  *  - `overwrite` resets the snapshot to exactly its files;
+  *  - `compact` rewrites the CURRENT snapshot into fewer files and
+  *    commits them as an overwrite — old versions stay readable
+  *    because data files are never deleted or mutated.
+  *
+  * Commit protocol: data files land first (under the commit's own
+  * v=N directory — never visible to readers until the log entry
+  * exists), then the log record is created with
+  * `FileSystem.create(path, overwrite = false)` — an ATOMIC
+  * lose-nothing claim on version N. Two writers racing to commit N:
+  * one create succeeds, the other throws and must retry at N+1 —
+  * optimistic concurrency with no lock server, the HDFS-friendly
+  * recipe. Readers resolve a snapshot purely from the log (metadata-
+  * only planning: a snapshot read lists no directories but the log).
+  *
+  * Scale notes: commits are O(files-in-commit) metadata; append never
+  * rewrites data; a snapshot read passes the exact file list to the
+  * parquet source (no directory scans, no stale-file hazard). The log
+  * is tiny JSON — one record per commit, parsed with a grammar this
+  * object also writes, so there is no dialect drift.
+  */
+object VersionedTable {
+
+  final case class Commit(version: Long, action: String,
+                          files: Seq[String])
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logPath(dir: String, v: Long) = new Path(s"$dir/_log/$v.json")
+
+  /** All committed versions, ascending (empty for a fresh/absent dir). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val ld = new Path(s"$dir/_log")
+    val fs = fsFor(spark, ld)
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong)
+      .sorted.toSeq
+  }
+
+  // -- log records ---------------------------------------------------
+
+  private def render(c: Commit): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    s"""{"version":${c.version},"action":${q(c.action)},""" +
+      s""""files":[${c.files.map(q).mkString(",")}]}"""
+  }
+
+  private def parse(s: String): Commit = {
+    // grammar written by render() above: no nested objects, files are
+    // relative paths we wrote ourselves (no escapes in practice)
+    val version = """"version":(\d+)""".r
+      .findFirstMatchIn(s).get.group(1).toLong
+    val action = """"action":"([^"]*)"""".r
+      .findFirstMatchIn(s).get.group(1)
+    val filesBlob = """"files":\[([^\]]*)\]""".r
+      .findFirstMatchIn(s).get.group(1)
+    val files =
+      if (filesBlob.isEmpty) Seq.empty
+      else """"([^"]*)"""".r.findAllMatchIn(filesBlob)
+        .map(_.group(1)).toSeq
+    Commit(version, action, files)
+  }
+
+  private def readCommit(spark: SparkSession, dir: String,
+                         v: Long): Commit = {
+    val p = logPath(dir, v)
+    val fs = fsFor(spark, p)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      parse(new String(bytes, "UTF-8"))
+    } finally in.close()
+  }
+
+  /** Atomically claim version `v` with record `c`. Throws if another
+    * writer committed `v` first (optimistic concurrency). */
+  private def writeCommit(spark: SparkSession, dir: String,
+                          c: Commit): Unit = {
+    val p = logPath(dir, c.version)
+    val fs = fsFor(spark, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(render(c).getBytes("UTF-8")) finally out.close()
+  }
+
+  // -- writes --------------------------------------------------------
+
+  private def landData(df: DataFrame, dir: String, v: Long): Seq[String] = {
+    val rel = s"data/v=$v"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+    val dp = new Path(s"$dir/$rel")
+    val fs = fsFor(df.sparkSession, dp)
+    fs.listStatus(dp).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+  }
+
+  private def commit(df: DataFrame, dir: String, action: String): Long = {
+    val spark = df.sparkSession
+    val v = versions(spark, dir).lastOption.getOrElse(-1L) + 1L
+    val files = landData(df, dir, v)
+    writeCommit(spark, dir, Commit(v, action, files))
+    v
+  }
+
+  /** Append `df` as a new commit; returns the committed version. */
+  def append(df: DataFrame, dir: String): Long = commit(df, dir, "append")
+
+  /** Replace the snapshot with `df`; history stays readable. */
+  def overwrite(df: DataFrame, dir: String): Long =
+    commit(df, dir, "overwrite")
+
+  /** Rewrite the CURRENT snapshot into `targetFiles` files and commit
+    * as an overwrite — small-file compaction that loses no history. */
+  def compact(spark: SparkSession, dir: String,
+              targetFiles: Int = 1): Long =
+    commit(read(spark, dir).coalesce(targetFiles), dir, "compact")
+
+  // -- reads ---------------------------------------------------------
+
+  /** The file list of the snapshot at version `v` (log-only planning). */
+  def filesAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.contains(v), s"version $v not committed under $dir " +
+      s"(have ${vs.mkString(",")})")
+    vs.filter(_ <= v).foldLeft(Seq.empty[String]) { (acc, cv) =>
+      val c = readCommit(spark, dir, cv)
+      c.action match {
+        case "append" => acc ++ c.files
+        case "overwrite" | "compact" => c.files
+        case other =>
+          throw new IllegalStateException(
+            s"unknown commit action '$other' at version $cv")
+      }
+    }
+  }
+
+  /** Snapshot read as of version `v` (time travel). An empty snapshot
+    * (only empty commits) is an error — commit data first. */
+  def readAsOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = filesAt(spark, dir, v)
+    require(files.nonEmpty, s"snapshot at v=$v of $dir has no files")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Latest-snapshot read. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no commits under $dir")
+    readAsOf(spark, dir, vs.last)
+  }
+
+  /** Commit history as a DataFrame: (version, action, n_files). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir)
+      .map(v => readCommit(spark, dir, v))
+      .map(c => (c.version, c.action, c.files.size.toLong))
+      .toDF("version", "action", "n_files")
+  }
+}

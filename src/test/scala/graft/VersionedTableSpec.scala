@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text", "lang")
+  private def wave(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("append/overwrite/compact with full time travel") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable").toString
+    assert(VersionedTable.versions(spark, dir).isEmpty)
+
+    val v0 = VersionedTable.append(wave(0), dir)
+    val v1 = VersionedTable.append(wave(1), dir)
+    assert((v0, v1) == ((0L, 1L)))
+    assert(ids(VersionedTable.read(spark, dir))
+      == ids(wave(0)) ++ ids(wave(1)))
+    // time travel: v0 still reads exactly wave 0
+    assert(ids(VersionedTable.readAsOf(spark, dir, 0)) == ids(wave(0)))
+
+    val v2 = VersionedTable.overwrite(wave(2).repartition(4), dir)
+    assert(v2 == 2L)
+    assert(ids(VersionedTable.read(spark, dir)) == ids(wave(2)))
+    // overwrite hides, never deletes: v1 snapshot intact
+    assert(ids(VersionedTable.readAsOf(spark, dir, 1))
+      == ids(wave(0)) ++ ids(wave(1)))
+
+    // compaction rewrites the snapshot into one file, content-equal,
+    // and the pre-compaction version stays readable
+    val before = VersionedTable.filesAt(spark, dir, 2)
+    assert(before.size == 4)
+    val v3 = VersionedTable.compact(spark, dir)
+    assert(v3 == 3L)
+    assert(VersionedTable.filesAt(spark, dir, 3).size == 1)
+    assert(ids(VersionedTable.readAsOf(spark, dir, 3)) == ids(wave(2)))
+    assert(VersionedTable.filesAt(spark, dir, 2) == before)
+
+    val hist = VersionedTable.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist == Seq((0L, "append", hist.head._3),
+      (1L, "append", hist(1)._3), (2L, "overwrite", 4L),
+      (3L, "compact", 1L)))
+  }
+
+  test("uncommitted data files are invisible (log-only planning)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-iso").toString
+    VersionedTable.append(wave(0), dir)
+    // a crashed writer landed data but never claimed a log entry
+    wave(1).write.parquet(s"$dir/data/v=99")
+    assert(VersionedTable.versions(spark, dir) == Seq(0L))
+    assert(ids(VersionedTable.read(spark, dir)) == ids(wave(0)))
+  }
+
+  test("the version claim is atomic: second create of the same log " +
+    "entry throws (optimistic concurrency primitive)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-occ").toString
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_log/7.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    intercept[java.io.IOException] {
+      fs.create(p, false)
+    }
+  }
+
+  test("sequential writers never clobber: versions are distinct and " +
+    "monotone") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-seq").toString
+    val vs = (0 until 3).map(i => VersionedTable.append(wave(i % 3), dir))
+    assert(vs == Seq(0L, 1L, 2L))
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
+  }
+}
