@@ -101,6 +101,14 @@ object CurationPipeline {
       // Token-less docs score 0 (weight 1) and stay eligible.
       dsirTargetLang: Option[String] = None,
       dsirPerSourceK: Int = 10,
+      // versioned landing (sources.VersionedTable): commit the curated
+      // corpus as an overwrite snapshot in a commit-log table at
+      // <outputDir>/curated instead of a plain parquet dir — same
+      // single write, but every run's corpus stays readable by version
+      // and a crashed run is invisible to readers. Consumers read via
+      // VersionedTable.read/readAsOf; Result.curatedVersion records
+      // the committed version.
+      versionedCurated: Boolean = false,
       // PII scrub (q149/q150): rewrite every document's text through
       // the three-pattern redactor (Pii.redactCol — map-side codegen
       // regexps, no extra stage) BEFORE the quality gate, so the
@@ -127,7 +135,10 @@ object CurationPipeline {
       nDsirSelected: Option[Long] = None,
       // corpus docs that carried ≥1 PII match before the scrub (None
       // when redactPii is off)
-      nPiiFlagged: Option[Long] = None)
+      nPiiFlagged: Option[Long] = None,
+      // the commit-log version this run's curated corpus landed as
+      // (None when versionedCurated is off)
+      curatedVersion: Option[Long] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus0 = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -215,10 +226,26 @@ object CurationPipeline {
 
     // 4. land the curated corpus, then mix/pack the LANDED parquet —
     //    the quality→cluster→decontaminate chain executes exactly once
-    //    (for the write); everything downstream re-reads the sink.
-    curated.write.mode("overwrite")
-      .parquet(s"${conf.outputDir}/curated")
-    val landed0 = spark.read.parquet(s"${conf.outputDir}/curated")
+    //    (for the write); everything downstream re-reads the sink. With
+    //    versionedCurated, the run commits ONE overwrite snapshot to
+    //    the commit-log table (sources.VersionedTable) and downstream
+    //    reads that snapshot — same single write, but every past run's
+    //    corpus stays readable by version (the "what did this model
+    //    train on" audit), and a crashed run can never leave a
+    //    half-visible corpus (log-only planning).
+    val curatedVersion = if (conf.versionedCurated) {
+      Some(graft.sources.VersionedTable.overwrite(curated,
+        s"${conf.outputDir}/curated"))
+    } else {
+      curated.write.mode("overwrite")
+        .parquet(s"${conf.outputDir}/curated")
+      None
+    }
+    val landed0 = curatedVersion match {
+      case Some(v) => graft.sources.VersionedTable
+        .readAsOf(spark, s"${conf.outputDir}/curated", v)
+      case None => spark.read.parquet(s"${conf.outputDir}/curated")
+    }
 
     // optional per-source balancing (quota caps) over the landed corpus:
     // listed sources cap at their quota, the rest pass through unless a
@@ -335,7 +362,8 @@ object CurationPipeline {
       dedupJoinChoice = routeReport.map(_.choice),
       bpeRounds = conf.bpeTokenizerRounds,
       nDsirSelected = if (selecting) Some(selected.count()) else None,
-      nPiiFlagged = if (conf.redactPii) Some(io.getLong(2)) else None)
+      nPiiFlagged = if (conf.redactPii) Some(io.getLong(2)) else None,
+      curatedVersion = curatedVersion)
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()

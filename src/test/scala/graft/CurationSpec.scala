@@ -235,6 +235,39 @@ class CurationSpec extends AnyFunSuite {
     assert(res.dedupJoinChoice.isEmpty)
   }
 
+  test("versioned landing lever: same curated set, every run readable " +
+    "by version, re-run commits a new snapshot") {
+    res // baseline run first (shares the warm session)
+    import graft.sources.VersionedTable
+    val outV = java.nio.file.Files
+      .createTempDirectory("graft-curation-vt").toString
+    val a = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outV, versionedCurated = true))
+    assert(a.curatedVersion.contains(0L))
+    // the committed snapshot is the same curated set as the plain run
+    val curV = VersionedTable.readAsOf(spark, s"$outV/curated", 0)
+      .select("doc_id")
+    val curP = spark.read.parquet(s"$out/curated").select("doc_id")
+    assert(curV.except(curP).count() == 0
+      && curP.except(curV).count() == 0)
+    // every other count matches the baseline
+    assert(a.copy(curatedVersion = None) == res)
+    // re-run: identical curated set lands as version 1; v0 unchanged
+    val b = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outV, versionedCurated = true))
+    assert(b.curatedVersion.contains(1L))
+    val v0 = VersionedTable.readAsOf(spark, s"$outV/curated", 0)
+      .select("doc_id")
+    val v1 = VersionedTable.readAsOf(spark, s"$outV/curated", 1)
+      .select("doc_id")
+    assert(v0.except(v1).count() == 0 && v1.except(v0).count() == 0)
+    assert(VersionedTable.history(spark, s"$outV/curated")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((0L, "overwrite"), (1L, "overwrite")))
+    // the plain baseline records no version
+    assert(res.curatedVersion.isEmpty)
+  }
+
   test("PII scrub lever: the run equals the manual redact-then-curate " +
     "composition and reports the flagged count") {
     res // baseline run first (shares the warm session)
