@@ -257,6 +257,58 @@ object Retrieval {
           .as("avg_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing family KenLM implements and
+    * CCNet's perplexity filter actually uses. Upgrades [[lmScore]]'s
+    * MLE bigram model: observed bigrams are absolutely discounted by D
+    * and the freed mass backs off to the CONTINUATION unigram (how
+    * many distinct contexts a word follows), the correction that stops
+    * high-frequency-but-single-context words from dominating:
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *            + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/T
+    *
+    * with N₁₊ the distinct-successor/predecessor counts and T the
+    * total distinct-bigram count. Only observed bigrams are scored
+    * (the corpus IS the training set, the lmScore contract), so the
+    * discounted term is always positive.
+    *
+    * Determinism: D = discountCenti/100.0 (exact for dyadic values
+    * like 75 → 0.75; otherwise both engines round the same literal
+    * division identically); the probability is ONE left-associative
+    * IEEE expression evaluated identically in both engines, floored to
+    * integer micro-nats; per-doc sums are then exact int64. Scale
+    * shape identical to lmScore: one bigram explode, vocabulary-sized
+    * aggregations, a 1-row broadcast for T. */
+  def knScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text",
+              discountCenti: Int = 75): DataFrame = {
+    require(discountCenti >= 1 && discountCenti <= 99,
+      s"discount must be in (0,1): got $discountCenti centi")
+    val d = lit(discountCenti / 100.0)
+    val docBigrams = explodedBigrams(docs, textCol, Seq(idCol))
+    val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val starts = bi.groupBy("w1")
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1f"))
+    val ends = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val t = bi.agg(count(lit(1)).as("tt"))
+    val unats = bi.join(starts, Seq("w1")).join(ends, Seq("w2"))
+      .crossJoin(broadcast(t))
+      .select(col("bigram"),
+        floor(log((col("cab") - d) / col("ca")
+            + d * col("n1f") / col("ca") * col("n1b") / col("tt"))
+          * lit(1e6)).cast("long").as("lp_unats"))
+    docBigrams.join(unats, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp_unats")).as("sum_unats"))
+      .select(col(idCol), col("n_bigrams"), col("sum_unats"),
+        round(col("sum_unats") / col("n_bigrams") / lit(1e6), 6)
+          .as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", 2020): score every document with the corpus bigram LM

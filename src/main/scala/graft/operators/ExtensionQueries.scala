@@ -5093,7 +5093,67 @@ object ExtensionQueries {
              |       COALESCE(c.comp, n.pid) AS entity_id,
              |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
              |FROM nm n LEFT JOIN comps c ON c.id = n.pid
-             |ORDER BY n.pid""".stripMargin))
+             |ORDER BY n.pid""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing):
+    // absolute discount D=0.75 on observed bigrams, freed mass backs
+    // off to the CONTINUATION unigram (distinct-predecessor count /
+    // total bigram types). The probability is one left-associative
+    // IEEE expression replayed token-for-token in the oracle; per-doc
+    // sums are exact micro-nat int64. Same silhouette as q83: one
+    // bigram explode, vocabulary-sized joins, a 1-row broadcast total.
+    Q("q158_kn_score",
+      (s, dir) => Retrieval.knScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg0 AS (
+             |  SELECT doc_id, t AS w1,
+             |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
+             |           AS w2, i, n
+             |  FROM tr
+             |), bgs AS (
+             |  SELECT doc_id, w1 || ' ' || w2 AS bigram, w1, w2
+             |  FROM bg0 WHERE i <= n - 1
+             |), bi AS (
+             |  SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2,
+             |         CAST(COUNT(*) AS BIGINT) AS cab
+             |  FROM bgs GROUP BY bigram
+             |), st AS (
+             |  SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca,
+             |         CAST(COUNT(*) AS BIGINT) AS n1f
+             |  FROM bi GROUP BY w1
+             |), en AS (
+             |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+             |  FROM bi GROUP BY w2
+             |), tcnt AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bi
+             |), un AS (
+             |  SELECT b.bigram,
+             |         CAST(floor(ln((b.cab - 75 / 100.0) / s.ca
+             |             + 75 / 100.0 * s.n1f / s.ca * e.n1b / t.tt)
+             |           * 1000000.0) AS BIGINT) AS lp
+             |  FROM bi b
+             |  JOIN st s ON s.w1 = b.w1
+             |  JOIN en e ON e.w2 = b.w2
+             |  CROSS JOIN tcnt t
+             |), agg AS (
+             |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
+             |  FROM bgs g JOIN un u ON u.bigram = g.bigram
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT doc_id, n_bigrams, sum_unats,
+             |       round(sum_unats / n_bigrams / 1000000.0, 6)
+             |         AS avg_logprob
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

@@ -344,6 +344,24 @@ class RetrievalSpec extends AnyFunSuite {
       4L -> ((1L, 1L))))
   }
 
+  test("knScore: hand-computed Kneser-Ney probabilities; discounted " +
+    "mass keeps observed-successor sums below 1") {
+    import graft.functions.Retrieval
+    // corpus bigrams: "a b"×2, "b a"×1, "b c"×1
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    // p(b|a) = (2-.75)/2 + .75·(1/2)·(1/3) = 0.75
+    // p(a|b) = (1-.75)/2 + .75·(2/2)·(1/3) = 0.375 = p(c|b)
+    def lp(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val got = Retrieval.knScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 2 * lp(0.75) + lp(0.375))))
+    assert(got(2L) == ((1L, lp(0.375))))
+    // observed-successor mass per context stays below 1 (the discount
+    // reserves backoff mass): Σ_b p(·|b) = 0.75 here, checked via the
+    // per-doc identity above; also every lp is negative
+    assert(lp(0.75) < 0 && got.values.forall(_._2 < 0))
+  }
+
   test("ccnetBuckets: value-separated thirds per language") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
