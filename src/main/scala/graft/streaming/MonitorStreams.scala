@@ -149,6 +149,68 @@ object MonitorStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of the streaming CORPUS-QUALITY monitor — the
+    * hygiene member of the standing-artifact family: each batch
+    * reduces to one row of additive counts (docs seen, Gopher-gate
+    * passes, Gopher word totals, PII-carrying docs — the q151/q149
+    * kernels aggregated map-side), which folds into the standing row
+    * by integer addition. An ingestion pipeline reads the landed row
+    * to alarm on quality drift (pass-rate or PII-rate moving) without
+    * ever rescanning history; merged ≡ rebuilt exactly (pure counts).
+    * Per batch the text is read twice (census + PII scan) — batch-
+    * sized, not corpus-sized. Exactly-once: the versioned
+    * `_SUCCESS`-gated recipe. */
+  def qualityBatch(batch: DataFrame, batchId: Long,
+                   stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val g = graft.functions.TextAnalysis.gopherGate(batch)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gopher_pass").cast("long")).as("n_pass"),
+        sum(col("n_words")).as("n_words"))
+    val p = graft.functions.Pii.scan(batch)
+      .agg(sum(col("has_pii").cast("long")).as("n_pii"))
+    val batchStats = g.crossJoin(p)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchStats.limit(0)
+    standing.unionByName(batchStats)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_pass")).as("n_pass"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pii")).as("n_pii"))
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming corpus-quality maintainer. */
+  def ingestQuality(docs: DataFrame, stateDir: String,
+                    checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          qualityBatch(batch.toDF(), batchId, stateDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Drift report from the landed quality state: totals + pass/PII
+    * rates in exact integer basis points. */
+  def qualityReport(spark: SparkSession, stateDir: String): DataFrame =
+    latestState(spark, stateDir)
+      .select(col("n_docs"), col("n_pass"), col("n_words"), col("n_pii"),
+        when(col("n_docs") > 0,
+          floor(col("n_pass") * lit(10000.0) / col("n_docs"))
+            .cast("long")).otherwise(0L).as("pass_bp"),
+        when(col("n_docs") > 0,
+          floor(col("n_pii") * lit(10000.0) / col("n_docs"))
+            .cast("long")).otherwise(0L).as("pii_bp"))
+
   /** The latest committed histogram state under `stateDir`. */
   def latestState(spark: SparkSession, stateDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)

@@ -1135,6 +1135,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(landedMerges() == want, "replayed fold changed the table")
   }
 
+  test("streaming quality monitor: folded counts == one-shot census; " +
+    "rates derive from the landed row; replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Pii, TextAnalysis}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-squal").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val state = s"$base/stats"; val ckpt = s"$base/ckpt"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    def wave(i: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+    def stageWave(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-squal-w$i").toString
+      wave(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.MonitorStreams.ingestQuality(
+        spark.readStream.schema(docs.schema).parquet(src), state, ckpt)
+        .awaitTermination(120000)
+    def landed() = {
+      spark.catalog.refreshByPath(state)
+      graft.streaming.MonitorStreams.qualityReport(spark, state)
+        .collect().head
+    }
+    stageWave(0)
+    runOnce() // batch 0: wave 0 only
+    stageWave(1)
+    runOnce() // batch 1: wave 1 folds in
+    val r = landed()
+    // one-shot census over everything streamed
+    val g = TextAnalysis.gopherGate(docs)
+      .agg(count(lit(1)), sum(col("gopher_pass").cast("long")),
+        sum(col("n_words")))
+      .collect().head
+    val nPii = Pii.scan(docs).filter(col("has_pii")).count()
+    assert(r.getLong(0) == g.getLong(0))
+    assert(r.getLong(1) == g.getLong(1))
+    assert(r.getLong(2) == g.getLong(2))
+    assert(r.getLong(3) == nPii)
+    assert(r.getLong(4) ==
+      math.floor(g.getLong(1) * 10000.0 / g.getLong(0)).toLong)
+    // hand-replay of the last fold batch: reads v=0, rewrites v=1
+    graft.streaming.MonitorStreams.qualityBatch(wave(1).toDF(),
+      batchId = 1, state)
+    assert(landed().toSeq == r.toSeq, "replayed fold changed the stats")
+  }
+
   test("streaming NB counts: classifying from any committed version == " +
     "classifying from one-shot training over everything streamed") {
     import org.apache.spark.sql.functions._
