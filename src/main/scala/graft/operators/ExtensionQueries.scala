@@ -4979,6 +4979,12 @@ object ExtensionQueries {
     Q("q155_rp_project",
       (s, dir) => Projection.project(
           Tables.load(s, dir, "embeddings"), outDim = 16, inDim = 64)
+        // CSV-serialize for the compare surface: the driver's pandas
+        // channel cannot sort raw array cells (the q98 hashFeatures
+        // precedent)
+        .select(col("vec_id"),
+          array_join(transform(col("proj"), x => x.cast("string")), ",")
+            .as("proj_csv"))
         .orderBy("vec_id"),
       Some {
         s"""WITH qv AS (
@@ -4986,7 +4992,8 @@ object ExtensionQueries {
            |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
            |  FROM embeddings
            |)
-           |SELECT vec_id, [${rpProjExprs().mkString(",\n  ")}] AS proj
+           |SELECT vec_id, array_to_string(
+           |  [${rpProjExprs().mkString(",\n  ")}], ',') AS proj_csv
            |FROM qv ORDER BY vec_id""".stripMargin
       }),
 
