@@ -59,7 +59,8 @@ object Bench {
     // iterative query's final checkpoint + its burst of small jobs leave
     // GC/cleaner residue; ordering them last means that residue can only
     // bill the pass boundary, never the next query's timing window.
-    val iterative = Set("q61_dedup_clusters", "q101_incremental_clusters")
+    val iterative = Set("q61_dedup_clusters", "q101_incremental_clusters",
+      "q157_entity_resolution", "q159_incremental_entities")
     val execOrder = names.filterNot(iterative) ++ names.filter(iterative)
     execOrder.foreach(run)
 

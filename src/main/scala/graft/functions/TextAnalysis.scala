@@ -589,14 +589,7 @@ object TextAnalysis {
                  q: Int = 2): org.apache.spark.sql.DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    val grams = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      // greatest(…, 1): a string shorter than q keeps one whole-string
-      // gram (sequence(1, 0) would count backwards, not come up empty)
-      .withColumn("g", explode(transform(
-        sequence(lit(1), greatest(length(col("s")) - q + 1, lit(1))),
-        i => col("s").substr(i, lit(q)))))
-      .groupBy(col("id"), col("s"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val grams = qGramTable(df, idCol, strCol, q)
     val candidates = grams.as("a")
       .join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
@@ -606,6 +599,67 @@ object TextAnalysis {
       .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
       // q-gram count filter (multiset form): ed ≤ d strings share
       // Σ min(cnt_a, cnt_b) ≥ maxL − q + 1 − d·q positional grams
+      .filter(col("shared") >=
+        greatest(length(col("s_a")), length(col("s_b"))) - (q - 1)
+          - maxDist * q)
+    candidates
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        col("dist"))
+  }
+
+  /** Positional q-gram multiset of each string: (id, s, gram, count).
+    * Shared by the symmetric join above and the incremental probe
+    * below. */
+  private def qGramTable(df: org.apache.spark.sql.DataFrame,
+                         idCol: String, strCol: String,
+                         q: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
+      // greatest(…, 1): a string shorter than q keeps one whole-string
+      // gram (sequence(1, 0) would count backwards, not come up empty)
+      .withColumn("g", explode(transform(
+        sequence(lit(1), greatest(length(col("s")) - q + 1, lit(1))),
+        i => col("s").substr(i, lit(q)))))
+      .groupBy(col("id"), col("s"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Incremental face of [[fuzzyPairs]]: every qualifying pair that
+    * TOUCHES the batch — batch×batch (each once, id-ordered) and
+    * batch×standing (each once; output ids canonicalized ascending) —
+    * under the same Gravano multiset bound + levenshtein verify.
+    * Standing×standing pairs are already known to the caller's
+    * standing cluster table and are NEVER re-generated: the gram join
+    * probes batch grams against the union gram table, so per batch the
+    * work is O(batch-gram matches), not O(names²). Contract: batch ids
+    * are NEW (disjoint from standing ids — the append-only id
+    * discipline of the incremental family). */
+  def fuzzyPairsAgainst(standing: org.apache.spark.sql.DataFrame,
+                        batch: org.apache.spark.sql.DataFrame,
+                        idCol: String, strCol: String, maxDist: Int,
+                        q: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val gb = qGramTable(batch, idCol, strCol, q)
+      .withColumn("isb", lit(true))
+    val gAll = qGramTable(standing, idCol, strCol, q)
+      .withColumn("isb", lit(false))
+      .unionByName(gb)
+    val candidates = gb.as("a")
+      .join(gAll.as("b"),
+        col("a.g") === col("b.g") &&
+          (!col("b.isb") || col("a.id") < col("b.id")) &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.s")).otherwise(col("b.s"))
+          .as("s_a"),
+        when(col("a.id") < col("b.id"), col("b.s")).otherwise(col("a.s"))
+          .as("s_b"),
+        least(col("a.cnt"), col("b.cnt")).as("m"))
+      .groupBy(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .agg(sum(col("m")).as("shared"))
       .filter(col("shared") >=
         greatest(length(col("s_a")), length(col("s_b"))) - (q - 1)
           - maxDist * q)

@@ -5078,29 +5078,37 @@ object ExtensionQueries {
           .withColumn("is_canonical", col("entity_id") === col("pid"))
           .orderBy("pid")
       },
-      Some("""WITH RECURSIVE nm AS (
-             |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
-             |  FROM part GROUP BY p_name
-             |), pairs AS (
-             |  SELECT a.pid AS id_a, b.pid AS id_b
-             |  FROM nm a JOIN nm b ON a.pid < b.pid
-             |  WHERE levenshtein(a.p_name, b.p_name) <= 2
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION SELECT id_b, id_a FROM pairs
-             |), walk(id, reach) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT w.id, e.dst FROM walk w JOIN edges e
-             |  ON w.reach = e.src
-             |), comps AS (
-             |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
-             |)
-             |SELECT n.pid, n.p_name,
-             |       COALESCE(c.comp, n.pid) AS entity_id,
-             |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
-             |FROM nm n LEFT JOIN comps c ON c.id = n.pid
-             |ORDER BY n.pid""".stripMargin)),
+      Some(entityResolutionOracle)),
+
+    // Incremental entity resolution: the standing entity table absorbs
+    // a batch of NEW records without re-comparing history against
+    // itself — batch grams probe the union gram table (batch×batch +
+    // batch×standing candidates only, the q101 contraction folds them
+    // into the standing components). Merged ≡ rebuilt end-to-end: the
+    // oracle is q157's blocking-free one-shot closure over ALL names,
+    // so the incremental fold hash-matches the full rebuild.
+    Q("q159_incremental_entities",
+      (s, dir) => {
+        val names = Tables.load(s, dir, "part")
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("pid"))
+        val standN = names.filter(col("pid") % 5 =!= 0)
+        val batchN = names.filter(col("pid") % 5 === 0)
+        val standingComp = Dedup.connectedComponents(
+          TextAnalysis.fuzzyPairs(standN, "pid", "p_name",
+            maxDist = 2, q = 2), "id_a", "id_b",
+          assumeDistinctPairs = true)
+        val newPairs = TextAnalysis.fuzzyPairsAgainst(standN, batchN,
+          "pid", "p_name", maxDist = 2, q = 2)
+        val updated = Dedup.applyClusterBatch(standingComp,
+          newPairs.select("id_a", "id_b"))
+        names.join(updated, names("pid") === updated("id"), "left")
+          .select(col("pid"), col("p_name"),
+            coalesce(col("comp"), col("pid")).as("entity_id"))
+          .withColumn("is_canonical", col("entity_id") === col("pid"))
+          .orderBy("pid")
+      },
+      Some(entityResolutionOracle)),
 
     // Interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing):
     // absolute discount D=0.75 on observed bigrams, freed mass backs
@@ -5281,6 +5289,35 @@ object ExtensionQueries {
     }.mkString
     w0 + perRound
   }
+
+  /** Shared one-shot entity-resolution oracle (q157 and the q159
+    * incremental fold — merged ≡ rebuilt): blocking-FREE n²
+    * levenshtein pairs + recursive-CTE transitive closure + canonical
+    * min-id entity per record (singletons self-canonical). */
+  private def entityResolutionOracle: String =
+    """WITH RECURSIVE nm AS (
+      |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
+      |  FROM part GROUP BY p_name
+      |), pairs AS (
+      |  SELECT a.pid AS id_a, b.pid AS id_b
+      |  FROM nm a JOIN nm b ON a.pid < b.pid
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), walk(id, reach) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e
+      |  ON w.reach = e.src
+      |), comps AS (
+      |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+      |)
+      |SELECT n.pid, n.p_name,
+      |       COALESCE(c.comp, n.pid) AS entity_id,
+      |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
+      |FROM nm n LEFT JOIN comps c ON c.id = n.pid
+      |ORDER BY n.pid""".stripMargin
 
   /** DuckDB expressions for the 16 projected coordinates — generated
     * from the SAME sign matrix as the Spark side (Projection

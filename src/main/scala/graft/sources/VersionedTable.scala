@@ -183,4 +183,62 @@ object VersionedTable {
       .map(c => (c.version, c.action, c.files.size.toLong))
       .toDF("version", "action", "n_files")
   }
+
+  // -- streaming sink ------------------------------------------------
+
+  /** Idempotent append at a CALLER-CHOSEN version — the streaming
+    * exactly-once primitive: commit version = micro-batch id, so a
+    * REPLAYED batch finds its version already claimed and no-ops
+    * (returns false). The atomic create IS the transaction marker; no
+    * separate batch-id ledger needed. Requires the caller to use a
+    * strictly increasing id per batch (Structured Streaming's
+    * batchId contract). */
+  def appendAt(df: DataFrame, dir: String, version: Long): Boolean = {
+    val spark = df.sparkSession
+    if (versions(spark, dir).contains(version)) return false
+    val dataDir = new Path(s"$dir/data/v=$version")
+    val fs = fsFor(spark, dataDir)
+    // a crashed first attempt may have left data files without a log
+    // entry — they are invisible (log-only planning), so the retry
+    // simply rewrites them
+    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    val files = landData(df, dir, version)
+    try {
+      writeCommit(spark, dir, Commit(version, "append", files))
+      true
+    } catch {
+      case _: java.io.IOException => false // lost the race: already in
+    }
+  }
+
+  /** foreachBatch sink: every micro-batch lands as its own exactly-once
+    * append commit (version = batchId). Restart/replay adds nothing —
+    * the claimed version makes the replay a no-op. */
+  def sink(docs: DataFrame, dir: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          appendAt(batch.toDF(), dir, batchId): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** OPTIMIZE ZORDER for a versioned table: rewrite the CURRENT
+    * snapshot through the z-order cluster writer
+    * (graft.functions.Layout.zOrderCluster — range-partition by the
+    * Morton key + in-file sort) and commit it as a compaction. Point
+    * probes on the new snapshot prune to few files via footer min/max;
+    * every pre-OPTIMIZE version stays readable (lossless, like
+    * [[compact]]). */
+  def compactZOrder(spark: SparkSession, dir: String,
+                    xCol: String, yCol: String,
+                    targetFiles: Int = 8): Long = {
+    val clustered = graft.functions.Layout
+      .zOrderCluster(read(spark, dir), xCol, yCol, targetFiles)
+      .drop("z")
+    commit(clustered, dir, "compact")
+  }
 }

@@ -138,6 +138,35 @@ class Round7Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fuzzyPairsAgainst: standing pairs + batch-touching pairs == " +
+    "one-shot pairs over the union, on random strings") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abc"
+    val strs = (0 until 60).map { i =>
+      val len = 6 + rnd.nextInt(4)
+      i.toLong -> (0 until len).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val all = strs.toDF("id", "s")
+    val standing = all.filter($"id" % 2 === 0)
+    val batch = all.filter($"id" % 2 =!= 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val oneShot = pairSet(
+      TextAnalysis.fuzzyPairs(all, "id", "s", maxDist = 2, q = 2))
+    val standingPairs = pairSet(
+      TextAnalysis.fuzzyPairs(standing, "id", "s", maxDist = 2, q = 2))
+    val touching = pairSet(TextAnalysis.fuzzyPairsAgainst(standing,
+      batch, "id", "s", maxDist = 2, q = 2))
+    // disjoint decomposition: the probe never regenerates a
+    // standing-standing pair, and together they are exactly one-shot
+    assert(standingPairs.intersect(touching).isEmpty)
+    assert(standingPairs ++ touching == oneShot)
+    assert(touching.nonEmpty, "fixture produced no batch pairs — weak")
+  }
+
   test("fuzzyPairs: identical strings pair at distance 0 even below " +
     "the length contract (whole-string gram)") {
     val df = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz"))

@@ -77,6 +77,72 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("appendAt is exactly-once: a replayed batch id no-ops, a " +
+    "crashed half-write is rewritten cleanly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-eo").toString
+    assert(VersionedTable.appendAt(wave(0), dir, 0L))
+    // crashed attempt for batch 1: data landed, log never claimed
+    wave(1).write.parquet(s"$dir/data/v=1")
+    assert(VersionedTable.appendAt(wave(1), dir, 1L)) // retry succeeds
+    assert(ids(VersionedTable.read(spark, dir))
+      == ids(wave(0)) ++ ids(wave(1)))
+    // replay of batch 1: version already claimed → no-op
+    assert(!VersionedTable.appendAt(wave(1), dir, 1L))
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L))
+    assert(ids(VersionedTable.read(spark, dir))
+      == ids(wave(0)) ++ ids(wave(1)))
+  }
+
+  test("streaming sink: micro-batches land as exactly-once commits; " +
+    "restart adds nothing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vtable-sink").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    def stage(i: Int): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-vts-w$i").toString
+      wave(i).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/wave$i.parquet"))
+    }
+    def runOnce(): Unit =
+      VersionedTable.sink(
+        spark.readStream.schema(docs.schema).parquet(src), table, ckpt)
+        .awaitTermination(120000)
+    stage(0); runOnce()
+    stage(1); runOnce()
+    spark.catalog.refreshByPath(table)
+    assert(ids(VersionedTable.read(spark, table))
+      == ids(wave(0)) ++ ids(wave(1)))
+    // restart with nothing new: no new commits
+    val before = VersionedTable.versions(spark, table)
+    runOnce()
+    assert(VersionedTable.versions(spark, table) == before)
+  }
+
+  test("compactZOrder: lossless z-ordered rewrite — content equal, " +
+    "history intact, clustered files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-zo").toString
+    val pts = docs.select(col("doc_id"),
+      (col("doc_id") % 100).as("x"), (col("doc_id") % 97).as("y"))
+    VersionedTable.append(pts.repartition(6), dir)
+    val v = VersionedTable.compactZOrder(spark, dir, "x", "y",
+      targetFiles = 4)
+    assert(v == 1L)
+    val a = VersionedTable.readAsOf(spark, dir, 0)
+    val b = VersionedTable.readAsOf(spark, dir, 1)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    assert(b.columns.toSeq == pts.columns.toSeq) // no layout column leak
+    assert(VersionedTable.filesAt(spark, dir, 1).size <= 4)
+    assert(VersionedTable.history(spark, dir).collect()
+      .map(_.getString(1)).toSeq == Seq("append", "compact"))
+  }
+
   test("sequential writers never clobber: versions are distinct and " +
     "monotone") {
     val dir = java.nio.file.Files
