@@ -195,6 +195,134 @@ object Multimodal {
                            mean_r: Double, mean_g: Double, mean_b: Double,
                            thumb_mean: Double)
 
+  // -- perceptual hashing (image dedup) ------------------------------
+
+  /** Deterministic 32×32 grayscale GRADIENT image for doc `id`: pixel
+    * value g(x,y) = (x·(id·7 mod 13 + 1) + y·(id·11 mod 17 + 1) +
+    * id·37) mod 256 on all three channels. Unlike the solid frames
+    * above, gradients make the average-hash non-degenerate, and ids
+    * congruent mod 221 (=13·17... structure classes) share a gradient
+    * direction — natural exact/near-duplicate pairs for the dedup
+    * family. The formula is replayed verbatim by the DuckDB oracle, so
+    * the REAL PNG encode→decode round-trip sits inside an exactly
+    * hash-checked pipeline (the q32 discipline). */
+  private def makeGradientPng(writer: javax.imageio.ImageWriter,
+                              id: Long): Array[Byte] = {
+    val w = 32; val h = 32
+    val gx = (id * 7 % 13 + 1).toInt
+    val gy = (id * 11 % 17 + 1).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x.toLong * gx + y.toLong * gy + id * 37) % 256).toInt
+        px(y * w + x) = (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    encodePng(writer, img)
+  }
+
+  /** One gradient PNG per document. Partition-local encode; payload
+    * bytes never shuffle. */
+  def syntheticGradientPngs(spark: SparkSession,
+                            dir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val writer = newPngWriter()
+        it.map(id => ImageRow(id, makeGradientPng(writer, id)))
+      }
+  }
+
+  /** Average-hash (aHash) of each image via a REAL PNG decode: 8×8
+    * block means (integer floor over the 4×4 pixel blocks of the
+    * 32×32 frame), global mean of the 64 block means, bit k (row-major
+    * MSB-first) = block-mean > global-mean. Packed as two unsigned
+    * 32-bit halves in longs so Hamming distance downstream is portable
+    * `bit_count(xor)` integer arithmetic on any engine. Pure
+    * partition-local codec work. */
+  def imageAHash(imgs: Dataset[ImageRow]): org.apache.spark.sql.DataFrame = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions { it =>
+      val reader = newPngReader()
+      it.map { row =>
+        val img = decodePng(reader, row.png, 0, row.png.length)
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val bw = w / 8; val bh = h / 8
+        val bm = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val bx = k % 8; val by = k / 8
+          var s = 0L
+          var y = by * bh
+          while (y < (by + 1) * bh) {
+            var x = bx * bw
+            while (x < (bx + 1) * bw) {
+              s += px(y * w + x) & 0xff // gray: channels equal
+              x += 1
+            }
+            y += 1
+          }
+          bm(k) = s / (bw * bh)
+          k += 1
+        }
+        val gm = bm.sum / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (bm(k) > gm) {
+            if (k < 32) hi |= 1L << (31 - k)
+            else lo |= 1L << (63 - k)
+          }
+          k += 1
+        }
+        (row.media_id, hi, lo)
+      }
+    }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** Banded near-duplicate image pairs over the aHash: the 64-bit hash
+    * splits into four 16-bit bands; candidate pairs share at least one
+    * band, then verify exact Hamming distance ≤ `maxDist`. For
+    * maxDist ≤ 3 the banding is COMPLETE by pigeonhole (≤3 differing
+    * bits across 4 bands leave at least one band identical), so the
+    * blocking-free oracle certifies zero missed pairs — the LSH-band
+    * discipline of the text near-dup family applied to images. */
+  def imageNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
+                        maxDist: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"banding is only provably complete for maxDist <= 3, got $maxDist")
+    val banded = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(array(
+        struct(lit(0).as("b"), shiftrightunsigned(col("h_hi"), 16).as("v")),
+        struct(lit(1).as("b"), (col("h_hi").bitwiseAND(0xffffL)).as("v")),
+        struct(lit(2).as("b"), shiftrightunsigned(col("h_lo"), 16).as("v")),
+        struct(lit(3).as("b"), (col("h_lo").bitwiseAND(0xffffL)).as("v"))))
+        .as("band"))
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"),
+      col("band.b").as("b"), col("band.v").as("v"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"),
+      col("band.b").as("b"), col("band.v").as("v"))
+    a.join(b, Seq("b", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("dist",
+        bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Solid-RGB frame for (id, n) — the shared payload builder: bulk fill
     * (per-pixel setRGB costs a colormodel conversion per call and
     * dominated the encode at bench scale). */

@@ -5168,7 +5168,43 @@ object ExtensionQueries {
              |SELECT doc_id, n_bigrams, sum_unats,
              |       round(sum_unats / n_bigrams / 1000000.0, 6)
              |         AS avg_logprob
-             |FROM agg ORDER BY doc_id""".stripMargin))
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Image perceptual hash (aHash) with a REAL PNG codec in the loop:
+    // one deterministic gradient PNG per document (encode), decode +
+    // raster walk + 8×8 block means → 64-bit average-hash packed as
+    // two unsigned 32-bit halves. The oracle regenerates the hash from
+    // the pixel FORMULA, so the codec round-trip itself is inside the
+    // hash check. Partition-local codec work; payloads never shuffle.
+    Q("q160_image_ahash",
+      (s, dir) => graft.functions.Multimodal.imageAHash(
+          graft.functions.Multimodal.syntheticGradientPngs(s, dir))
+        .orderBy("doc_id"),
+      Some(aHashPackCtes +
+        """
+          |SELECT doc_id, h_hi, h_lo FROM pack
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Image near-duplicate pairs over the aHash: four 16-bit LSH bands
+    // generate candidates, exact Hamming (bit_count∘xor — portable
+    // integer arithmetic) verifies ≤ 3. At maxDist ≤ 3 the banding is
+    // COMPLETE by pigeonhole (≤3 differing bits across 4 bands leave a
+    // band identical), so the blocking-FREE n² oracle certifies zero
+    // missed pairs — the text-dedup banding discipline on images.
+    Q("q161_image_neardup",
+      (s, dir) => graft.functions.Multimodal.imageNearDupPairs(
+          graft.functions.Multimodal.imageAHash(
+            graft.functions.Multimodal.syntheticGradientPngs(s, dir)))
+        .orderBy("id_a", "id_b"),
+      Some(aHashPackCtes +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.h_hi, b.h_hi))
+          |         + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS dist
+          |FROM pack a JOIN pack b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.h_hi, b.h_hi))
+          |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
@@ -5289,6 +5325,47 @@ object ExtensionQueries {
     }.mkString
     w0 + perRound
   }
+
+  /** Shared DuckDB replay of the gradient-image aHash — the pixel
+    * FORMULA (not the PNG bytes) regenerates block means → global mean
+    * → 64 bits → two unsigned 32-bit halves, so the Spark side's real
+    * PNG encode→decode round-trip is certified end-to-end (the q32
+    * discipline): any codec or raster-walk divergence breaks the
+    * hash match. */
+  private def aHashPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |), xs AS (
+      |  SELECT unnest(generate_series(0, 31)) AS x
+      |), ys AS (
+      |  SELECT unnest(generate_series(0, 31)) AS y
+      |), px AS (
+      |  SELECT i.doc_id, xs.x, ys.y,
+      |         (xs.x * (i.doc_id * 7 % 13 + 1)
+      |          + ys.y * (i.doc_id * 11 % 17 + 1)
+      |          + i.doc_id * 37) % 256 AS v
+      |  FROM ids i CROSS JOIN xs CROSS JOIN ys
+      |), blk AS (
+      |  SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+      |         CAST(SUM(v) // 16 AS BIGINT) AS bm
+      |  FROM px GROUP BY 1, 2, 3
+      |), gmean AS (
+      |  SELECT doc_id, CAST(SUM(bm) // 64 AS BIGINT) AS gm
+      |  FROM blk GROUP BY 1
+      |), bits AS (
+      |  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+      |         CASE WHEN b.bm > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN gmean m ON m.doc_id = b.doc_id
+      |), pack AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN k < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (31 - k))
+      |      ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN k >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (63 - k))
+      |      ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
 
   /** Shared one-shot entity-resolution oracle (q157 and the q159
     * incremental fold — merged ≡ rebuilt): blocking-FREE n²

@@ -251,4 +251,49 @@ class MultimodalSpec extends AnyFunSuite {
       f.thumb_mean == (f.media_id * 37 % 256 + f.media_id * 53 % 256 +
         f.media_id * 71 % 256) / 3.0))
   }
+
+  test("imageAHash: the real PNG round-trip reproduces the formula " +
+    "hash; banded near-dup pairs equal brute force") {
+    import graft.functions.Multimodal
+    val hashes = Multimodal.imageAHash(
+      Multimodal.syntheticGradientPngs(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashes.length > 0)
+    // independent replay of the pixel formula for every doc
+    def formulaHash(id: Long): (Long, Long) = {
+      val gx = (id * 7 % 13 + 1).toInt; val gy = (id * 11 % 17 + 1).toInt
+      def v(x: Int, y: Int) =
+        ((x.toLong * gx + y.toLong * gy + id * 37) % 256).toInt
+      val bm = Array.tabulate(64) { k =>
+        val bx = k % 8; val by = k / 8
+        (for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
+          yield v(x, y).toLong).sum / 16
+      }
+      val gm = bm.sum / 64
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if bm(k) > gm)
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      (hi, lo)
+    }
+    hashes.foreach { case (id, hi, lo) =>
+      assert((hi, lo) == formulaHash(id), s"doc $id")
+    }
+    // hashes vary across gradient classes (non-degenerate fixture)
+    assert(hashes.map(h => (h._2, h._3)).distinct.length > 10)
+    // banding completeness: banded pairs == brute-force Hamming <= 3
+    val got = Multimodal.imageNearDupPairs(
+        Multimodal.imageAHash(Multimodal.syntheticGradientPngs(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = (for {
+      (ia, hia, loa) <- hashes; (ib, hib, lob) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs — weak")
+    assert(got == brute)
+    // ids congruent mod 221 share the gradient class → distance 0
+    val zeroPairs = got.filter(_._3 == 0L)
+    assert(zeroPairs.exists { case (a, b, _) => (b - a) % 221 == 0 })
+  }
 }
