@@ -335,11 +335,17 @@ object Retrieval {
                    lowP: Int = 33, highP: Int = 66): DataFrame = {
     require(lowP >= 1 && highP > lowP && highP <= 100,
       s"need 1 <= lowP < highP <= 100, got ($lowP, $highP)")
+    // The score frame feeds BOTH the cutoff aggregation and the final
+    // bucket join; without materialization the whole LM pipeline (two
+    // corpus-bigram shuffles) would execute twice. localCheckpoint the
+    // narrow (id, lang, score) frame once — the standing-artifact
+    // discipline applied within one query.
     val scores = lmScore(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
       .select(col(idCol), col(langCol),
         floor(col("sum_unats") * lit(1e6) / col("n_bigrams"))
           .cast("long").as("score_u"))
+      .localCheckpoint()
     val cuts = graft.functions.Sketches.percentilesByValue(
         scores.select(col(langCol), col("score_u")), langCol, "score_u",
         Seq(lowP, highP))

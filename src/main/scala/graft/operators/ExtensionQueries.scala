@@ -4922,7 +4922,10 @@ object ExtensionQueries {
         val docs = Tables.load(s, dir, "documents")
         val train = docs.filter(col("doc_id") % 17 =!= 0)
         val ho = docs.filter(col("doc_id") % 17 === 0)
-        val counts = NaiveBayes.termCounts(train)
+        // the count table feeds both the model and the class stats —
+        // materialize the vocabulary-sized frame once instead of
+        // re-tokenizing the train corpus per consumer
+        val counts = NaiveBayes.termCounts(train).localCheckpoint()
         NaiveBayes.classify(ho, NaiveBayes.model(counts),
             NaiveBayes.classStats(counts, train))
           .join(ho.select(col("doc_id"), col("lang").as("actual_lang")),
