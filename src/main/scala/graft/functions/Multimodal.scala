@@ -289,6 +289,94 @@ object Multimodal {
     }.toDF("doc_id", "h_hi", "h_lo")
   }
 
+  /** Deterministic amplitude-stepped PCM clip for doc `id`: 4096
+    * frames of a square carrier whose magnitude changes per 64-sample
+    * window — a(w) = ((seed·97 + w·step·640) mod 8192) + 1 with
+    * step = seed·13 mod 7 + 1 and seed = id mod 200. The seed fold
+    * models RE-UPLOADED clips (ids congruent mod 200 carry identical
+    * audio — the duplicate traffic the fingerprint family exists to
+    * catch); the window-stepped envelope makes the energy fingerprint
+    * non-degenerate. Same oracle discipline as the gradient PNGs: the
+    * formula is replayed in SQL, the REAL WAV encode→decode round-trip
+    * sits inside the hash check. */
+  private def makeSteppedWav(id: Long): Array[Byte] = {
+    val seed = id % 200
+    val step = (seed * 13 % 7 + 1).toInt
+    val frames = 4096
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val w = i / 64
+      val a = ((seed * 97 + w.toLong * step * 640) % 8192).toInt + 1
+      val s = if (i % 2 == 0) a else -a
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One stepped-envelope WAV per document. Partition-local encode. */
+  def syntheticSteppedWavs(spark: SparkSession,
+                           dir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioRow(id, makeSteppedWav(id))))
+  }
+
+  /** Energy fingerprint of each clip via a REAL WAV decode: mean
+    * absolute amplitude per 64-sample window (integer floor), 64
+    * windows, bit w = window energy > global mean — the audio face of
+    * [[imageAHash]], packed identically as two unsigned 32-bit halves
+    * so [[imageNearDupPairs]]' band join matches clips unchanged. */
+  def audioFingerprint(clips: Dataset[AudioRow]): org.apache.spark.sql.DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions { it =>
+      it.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.wav))
+        val frames = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val nWin = 64
+        val perWin = frames / nWin
+        val e = new Array[Long](nWin)
+        var w = 0
+        while (w < nWin) {
+          var s = 0L
+          var i = w * perWin
+          while (i < (w + 1) * perWin) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            s += math.abs((hi << 8) | lo)
+            i += 1
+          }
+          e(w) = s / perWin
+          w += 1
+        }
+        val gm = e.sum / nWin
+        var hi0 = 0L; var lo0 = 0L
+        w = 0
+        while (w < nWin) {
+          if (e(w) > gm) {
+            if (w < 32) hi0 |= 1L << (31 - w)
+            else lo0 |= 1L << (63 - w)
+          }
+          w += 1
+        }
+        (row.media_id, hi0, lo0)
+      }
+    }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
   /** Banded near-duplicate image pairs over the aHash: the 64-bit hash
     * splits into four 16-bit bands; candidate pairs share at least one
     * band, then verify exact Hamming distance ≤ `maxDist`. For

@@ -5207,6 +5207,41 @@ object ExtensionQueries {
           |FROM pack a JOIN pack b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.h_hi, b.h_hi))
           |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Audio energy fingerprint with a REAL WAV codec in the loop: one
+    // stepped-envelope PCM clip per doc (re-uploads modeled as ids
+    // congruent mod 200 — identical audio), decode + per-window mean
+    // |amplitude| → 64 energy bits packed as the same two unsigned
+    // halves as q160. The oracle regenerates the fingerprint from the
+    // envelope FORMULA, certifying the encode→decode round-trip.
+    Q("q162_audio_fingerprint",
+      (s, dir) => graft.functions.Multimodal.audioFingerprint(
+          graft.functions.Multimodal.syntheticSteppedWavs(s, dir))
+        .orderBy("doc_id"),
+      Some(audioPackCtes +
+        """
+          |SELECT doc_id, h_hi, h_lo FROM pack
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Audio near-duplicate pairs: the q161 band join UNCHANGED over
+    // the audio fingerprint frame (the hash surface is modality-
+    // agnostic by construction). Re-uploaded clips (ids ≡ mod 200)
+    // land at distance 0; the blocking-free n² oracle again certifies
+    // pigeonhole completeness at ≤ 3.
+    Q("q163_audio_neardup",
+      (s, dir) => graft.functions.Multimodal.imageNearDupPairs(
+          graft.functions.Multimodal.audioFingerprint(
+            graft.functions.Multimodal.syntheticSteppedWavs(s, dir)))
+        .orderBy("id_a", "id_b"),
+      Some(audioPackCtes +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.h_hi, b.h_hi))
+          |         + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS dist
+          |FROM pack a JOIN pack b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.h_hi, b.h_hi))
+          |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
           |ORDER BY id_a, id_b""".stripMargin))
   )
 
@@ -5359,7 +5394,14 @@ object ExtensionQueries {
       |  SELECT b.doc_id, b.by * 8 + b.bx AS k,
       |         CASE WHEN b.bm > m.gm THEN 1 ELSE 0 END AS bit
       |  FROM blk b JOIN gmean m ON m.doc_id = b.doc_id
-      |), pack AS (
+      |)""".stripMargin + packBitsCte
+
+  /** MSB-first two-halves packing of a `bits(doc_id, k, bit)` CTE into
+    * `pack(doc_id, h_hi, h_lo)` — shared by the image aHash and the
+    * audio energy fingerprint oracles (identical to the Scala packing
+    * in functions/Multimodal.scala). */
+  private def packBitsCte: String =
+    """, pack AS (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN k < 32
       |      THEN bit * (CAST(1 AS BIGINT) << (31 - k))
@@ -5369,6 +5411,29 @@ object ExtensionQueries {
       |      ELSE 0 END) AS BIGINT) AS h_lo
       |  FROM bits GROUP BY 1
       |)""".stripMargin
+
+  /** Shared DuckDB replay of the stepped-WAV energy fingerprint — the
+    * envelope formula regenerates per-window energies → bits → the
+    * packed halves; the Spark side's real WAV encode→decode round-trip
+    * is certified end-to-end (the q160 discipline on audio). */
+  private def audioPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id % 200 AS seed FROM documents
+      |), ws AS (
+      |  SELECT unnest(generate_series(0, 63)) AS w
+      |), en AS (
+      |  SELECT i.doc_id, ws.w,
+      |         (i.seed * 97 + ws.w * (i.seed * 13 % 7 + 1) * 640)
+      |           % 8192 + 1 AS e
+      |  FROM ids i CROSS JOIN ws
+      |), gmean AS (
+      |  SELECT doc_id, CAST(SUM(e) // 64 AS BIGINT) AS gm
+      |  FROM en GROUP BY 1
+      |), bits AS (
+      |  SELECT e.doc_id, e.w AS k,
+      |         CASE WHEN e.e > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM en e JOIN gmean m ON m.doc_id = e.doc_id
+      |)""".stripMargin + packBitsCte
 
   /** Shared one-shot entity-resolution oracle (q157 and the q159
     * incremental fold — merged ≡ rebuilt): blocking-FREE n²

@@ -296,4 +296,43 @@ class MultimodalSpec extends AnyFunSuite {
     val zeroPairs = got.filter(_._3 == 0L)
     assert(zeroPairs.exists { case (a, b, _) => (b - a) % 221 == 0 })
   }
+
+  test("audioFingerprint: real WAV round-trip reproduces the envelope " +
+    "formula; re-uploaded clips land at distance 0") {
+    import graft.functions.Multimodal
+    val hashes = Multimodal.audioFingerprint(
+      Multimodal.syntheticSteppedWavs(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def formulaHash(id: Long): (Long, Long) = {
+      val seed = id % 200
+      val step = (seed * 13 % 7 + 1).toInt
+      val e = Array.tabulate(64)(w =>
+        (seed * 97 + w.toLong * step * 640) % 8192 + 1)
+      val gm = e.sum / 64
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if e(k) > gm)
+        if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+      (hi, lo)
+    }
+    hashes.foreach { case (id, hi, lo) =>
+      assert((hi, lo) == formulaHash(id), s"doc $id")
+    }
+    val byId = hashes.map(h => h._1 -> ((h._2, h._3))).toMap
+    // re-uploads: ids congruent mod 200 carry identical fingerprints
+    byId.keys.filter(_ >= 200).foreach { id =>
+      assert(byId(id) == byId(id % 200), s"re-upload $id")
+    }
+    // band join == brute force at <= 3 (pigeonhole completeness)
+    val got = Multimodal.imageNearDupPairs(
+        Multimodal.audioFingerprint(
+          Multimodal.syntheticSteppedWavs(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val brute = (for {
+      (ia, hia, loa) <- hashes; (ib, hib, lob) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
 }
