@@ -254,39 +254,149 @@ object Multimodal {
       val reader = newPngReader()
       it.map { row =>
         val img = decodePng(reader, row.png, 0, row.png.length)
-        val w = img.getWidth; val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        val bw = w / 8; val bh = h / 8
-        val bm = new Array[Long](64)
-        var k = 0
-        while (k < 64) {
-          val bx = k % 8; val by = k / 8
-          var s = 0L
-          var y = by * bh
-          while (y < (by + 1) * bh) {
-            var x = bx * bw
-            while (x < (bx + 1) * bw) {
-              s += px(y * w + x) & 0xff // gray: channels equal
-              x += 1
-            }
-            y += 1
-          }
-          bm(k) = s / (bw * bh)
-          k += 1
-        }
-        val gm = bm.sum / 64
-        var hi = 0L; var lo = 0L
-        k = 0
-        while (k < 64) {
-          if (bm(k) > gm) {
-            if (k < 32) hi |= 1L << (31 - k)
-            else lo |= 1L << (63 - k)
-          }
-          k += 1
-        }
+        val (hi, lo) = aHashOfGray(img)
         (row.media_id, hi, lo)
       }
     }.toDF("doc_id", "h_hi", "h_lo")
+  }
+
+  /** The aHash core over a decoded frame (gray: channels equal — the
+    * blue channel reads the value): 8×8 block means, global mean,
+    * MSB-first two-halves packing. Shared by the image hash above and
+    * the per-frame video hashes below. */
+  private def aHashOfGray(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val bw = w / 8; val bh = h / 8
+    val bm = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val bx = k % 8; val by = k / 8
+      var s = 0L
+      var y = by * bh
+      while (y < (by + 1) * bh) {
+        var x = bx * bw
+        while (x < (bx + 1) * bw) {
+          s += px(y * w + x) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      bm(k) = s / (bw * bh)
+      k += 1
+    }
+    val gm = bm.sum / 64
+    var hi = 0L; var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (bm(k) > gm) {
+        if (k < 32) hi |= 1L << (31 - k)
+        else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** Gradient-frame GVID container for doc `id`: seed = id mod 150
+    * (re-uploaded videos share every frame), frame count seed%3+4,
+    * frame f a 32×32 gradient keyed by k = seed·31 + f (the PNG
+    * gradient formula). Same container layout as the solid GVID. */
+  private def makeGradientGvid(writer: javax.imageio.ImageWriter,
+                               id: Long): Array[Byte] = {
+    val seed = id % 150
+    val nf = (seed % 3).toInt + 4
+    val frames = (0 until nf).map { f =>
+      val k = seed * 31 + f
+      val gx = (k * 7 % 13 + 1).toInt
+      val gy = (k * 11 % 17 + 1).toInt
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val v = ((x.toLong * gx + y.toLong * gy + k * 37) % 256).toInt
+          px(y * 32 + x) = (v << 16) | (v << 8) | v
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, 32, 32, px, 0, 32)
+      encodePng(writer, img)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(GvidMagic)
+    out.writeInt(nf)
+    frames.foreach(fb => out.writeInt(fb.length))
+    frames.foreach(out.write)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** One gradient GVID per document. Partition-local encode. */
+  def syntheticGradientGvids(spark: SparkSession,
+                             dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val writer = newPngWriter()
+        it.map(id => VideoRow(id, makeGradientGvid(writer, id)))
+      }
+  }
+
+  /** Per-frame aHash of every frame in each container (REAL parse +
+    * PNG decode): (doc_id, frame_idx, h_hi, h_lo). The frame-hash
+    * table is the video DEDUP index — near-dup matching joins on the
+    * hash value (inverted-index style), never on video pairs. */
+  def videoFrameHashes(vids: Dataset[VideoRow]): org.apache.spark.sql.DataFrame = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { it =>
+      val reader = newPngReader()
+      it.flatMap { row =>
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(row.gvid))
+        require(in.readInt() == GvidMagic, "not a GVID container")
+        val nf = in.readInt()
+        val lens = Array.fill(nf)(in.readInt())
+        var off = 8 + 4 * nf
+        (0 until nf).map { f =>
+          val img = decodePng(reader, row.gvid, off, lens(f))
+          off += lens(f)
+          val (hi, lo) = aHashOfGray(img)
+          (row.media_id, f.toLong, hi, lo)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "h_hi", "h_lo")
+  }
+
+  /** Video near-duplicate pairs from the frame-hash table: videos
+    * sharing at least `minOverlapBp` of the smaller side's DISTINCT
+    * frame hashes. One equi-join on the hash value generates
+    * candidates (only videos sharing an actual frame ever meet — the
+    * inverted-index discipline), then exact distinct-overlap counting
+    * and the containment-style ratio. */
+  def videoNearDupPairs(frameHashes: org.apache.spark.sql.DataFrame,
+                        minOverlapBp: Int = 5000): org.apache.spark.sql.DataFrame = {
+    val fh = frameHashes.select(col("doc_id"),
+      concat_ws(":", col("h_hi"), col("h_lo")).as("hk")).distinct()
+    val counts = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val a = fh.select(col("doc_id").as("id_a"), col("hk"))
+    val b = fh.select(col("doc_id").as("id_b"), col("hk"))
+    a.join(b, Seq("hk")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("id_a"), col("nf").as("nfa")),
+        Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("nf").as("nfb")),
+        Seq("id_b"))
+      .withColumn("overlap_bp",
+        floor(col("n_shared") * lit(10000.0) /
+          least(col("nfa"), col("nfb"))).cast("long"))
+      .filter(col("overlap_bp") >= minOverlapBp)
+      .select("id_a", "id_b", "n_shared", "overlap_bp")
   }
 
   /** Deterministic amplitude-stepped PCM clip for doc `id`: 4096

@@ -5242,7 +5242,58 @@ object ExtensionQueries {
           |FROM pack a JOIN pack b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.h_hi, b.h_hi))
           |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-frame video hashes with a REAL container parse + PNG decode
+    // per frame: one gradient-frame GVID per doc (re-uploads modeled
+    // as ids ≡ mod 150), each frame aHashed with the q160 core. The
+    // frame-hash table is the video dedup INDEX; the oracle
+    // regenerates every frame hash from the pixel formula, certifying
+    // container index, seek walk, and codec together.
+    Q("q164_video_frame_hashes",
+      (s, dir) => graft.functions.Multimodal.videoFrameHashes(
+          graft.functions.Multimodal.syntheticGradientGvids(s, dir))
+        .orderBy("doc_id", "frame_idx"),
+      Some(videoPackCtes +
+        """
+          |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, h_hi, h_lo
+          |FROM packf ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Video near-duplicates: one equi-join on the frame-hash VALUE
+    // (only videos sharing an actual frame ever meet — inverted-index
+    // discipline, never all-pairs), distinct-overlap counting, and a
+    // containment-style ratio against the smaller side. Re-uploads
+    // surface at 10000 bp.
+    Q("q165_video_neardup",
+      (s, dir) => graft.functions.Multimodal.videoNearDupPairs(
+          graft.functions.Multimodal.videoFrameHashes(
+            graft.functions.Multimodal.syntheticGradientGvids(s, dir)))
+        .orderBy("id_a", "id_b"),
+      Some(videoPackCtes +
+        """,
+          |fh AS (
+          |  SELECT DISTINCT doc_id,
+          |         CAST(h_hi AS STRING) || ':' || CAST(h_lo AS STRING)
+          |           AS hk
+          |  FROM packf
+          |), cnts AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+          |  FROM fh GROUP BY 1
+          |), shared AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         CAST(COUNT(*) AS BIGINT) AS n_shared
+          |  FROM fh a JOIN fh b
+          |    ON a.hk = b.hk AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT s.id_a, s.id_b, s.n_shared,
+          |       CAST(floor(s.n_shared * 10000.0
+          |         / least(ca.nf, cb.nf)) AS BIGINT) AS overlap_bp
+          |FROM shared s
+          |JOIN cnts ca ON ca.doc_id = s.id_a
+          |JOIN cnts cb ON cb.doc_id = s.id_b
+          |WHERE s.n_shared * 10000.0 / least(ca.nf, cb.nf) >= 5000
+          |ORDER BY s.id_a, s.id_b""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
@@ -5434,6 +5485,52 @@ object ExtensionQueries {
       |         CASE WHEN e.e > m.gm THEN 1 ELSE 0 END AS bit
       |  FROM en e JOIN gmean m ON m.doc_id = e.doc_id
       |)""".stripMargin + packBitsCte
+
+  /** Shared DuckDB replay of the gradient-GVID per-frame aHash —
+    * frame key k = seed·31 + f drives the same pixel formula as q160;
+    * packf(doc_id, f, h_hi, h_lo). Certifies the container parse +
+    * per-frame PNG decode end-to-end. */
+  private def videoPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id % 150 AS seed FROM documents
+      |), fr AS (
+      |  SELECT doc_id, seed,
+      |         unnest(generate_series(0, seed % 3 + 3)) AS f
+      |  FROM ids
+      |), kk AS (
+      |  SELECT doc_id, f, seed * 31 + f AS k FROM fr
+      |), xs AS (
+      |  SELECT unnest(generate_series(0, 31)) AS x
+      |), ys AS (
+      |  SELECT unnest(generate_series(0, 31)) AS y
+      |), px AS (
+      |  SELECT kk.doc_id, kk.f, xs.x, ys.y,
+      |         (xs.x * (kk.k * 7 % 13 + 1)
+      |          + ys.y * (kk.k * 11 % 17 + 1)
+      |          + kk.k * 37) % 256 AS v
+      |  FROM kk CROSS JOIN xs CROSS JOIN ys
+      |), blk AS (
+      |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by,
+      |         CAST(SUM(v) // 16 AS BIGINT) AS bm
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), gmean AS (
+      |  SELECT doc_id, f, CAST(SUM(bm) // 64 AS BIGINT) AS gm
+      |  FROM blk GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT b.doc_id, b.f, b.by * 8 + b.bx AS n,
+      |         CASE WHEN b.bm > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN gmean m
+      |    ON m.doc_id = b.doc_id AND m.f = b.f
+      |), packf AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN n < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (31 - n))
+      |      ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN n >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (63 - n))
+      |      ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM bits GROUP BY 1, 2
+      |)""".stripMargin
 
   /** Shared one-shot entity-resolution oracle (q157 and the q159
     * incremental fold — merged ≡ rebuilt): blocking-FREE n²

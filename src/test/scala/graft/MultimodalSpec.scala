@@ -335,4 +335,28 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (ia, ib, d.toLong)).toSet
     assert(got == brute && brute.nonEmpty)
   }
+
+  test("videoNearDupPairs: re-uploaded videos (ids ≡ mod 150) surface " +
+    "at full overlap; matching is frame-hash-join-driven") {
+    import graft.functions.Multimodal
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.syntheticGradientGvids(spark, dir))
+    val pairs = Multimodal.videoNearDupPairs(fh)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    // every re-upload pair present at exactly 10000 bp
+    val ids = fh.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val reuploads = for {
+      a <- ids; b <- ids if a < b && (b - a) % 150 == 0
+    } yield (a, b)
+    assert(reuploads.nonEmpty)
+    reuploads.foreach { p =>
+      assert(pairs.get(p).contains(10000L), s"pair $p: ${pairs.get(p)}")
+    }
+    // frame counts vary 4-6 per the seed formula
+    val nf = fh.groupBy("doc_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(nf == Set(4L, 5L, 6L))
+  }
 }
