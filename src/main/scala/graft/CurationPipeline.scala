@@ -116,7 +116,12 @@ object CurationPipeline {
       // see scrubbed text. Result.nPiiFlagged counts the input docs
       // that carried at least one match (folded into the same input
       // metric scan — no extra pass).
-      redactPii: Boolean = false)
+      redactPii: Boolean = false,
+      // curriculum packing: order each pack shard easiest-text-first
+      // (quality census alpha_bp desc, doc_id tiebreak) instead of
+      // doc_id — the curriculum-learning layout lever. Requires an
+      // unmixed stream (a mixing schedule already defines the order).
+      curriculumPacking: Boolean = false)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -317,6 +322,26 @@ object CurationPipeline {
             conf.subShardBuckets.get).withColumn("pack_shard", sh),
             "pack_shard", "sched_t")
       }
+    // curriculum lever: order each pack shard easiest-text-first by the
+    // quality census (alpha_bp desc; doc_id the unique tiebreak —
+    // packSequences' ROWS-frame contract needs a unique order key).
+    // The verdict frame is persisted and already paid for; the join is
+    // a narrow id→score lookup. Composes with the UNMIXED stream only:
+    // a mixing schedule already defines the pack order.
+    val (streamC, orderColC) =
+      if (!conf.curriculumPacking) (stream, orderCol)
+      else {
+        require(conf.mixWeightsHundredths.isEmpty,
+          "curriculumPacking requires an unmixed stream " +
+            "(mixWeightsHundredths empty): the mixing schedule " +
+            "already defines the pack order")
+        (stream.join(quality.select(col("doc_id"), col("alpha_bp")),
+            Seq("doc_id"), "left")
+          .withColumn("curr_key",
+            (lit(10000L) - coalesce(col("alpha_bp"), lit(0L)))
+              * lit(10000000000L) + col("doc_id")),
+          "curr_key")
+      }
     // tokenizer-aware packing: the vocabulary trains on the BALANCED
     // corpus (the docs actually packed) — word-table-sized work; the
     // per-doc subword counts join back on doc_id (left join + 0 default
@@ -325,14 +350,14 @@ object CurationPipeline {
       case Some(r) =>
         val counts = graft.functions.Bpe.encode(selected, r)
           .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
-        (stream.join(counts, Seq("doc_id"), "left")
+        (streamC.join(counts, Seq("doc_id"), "left")
           .withColumn("bpe_tokens", coalesce(col("bpe_tokens"), lit(0L))),
           Some("bpe_tokens"))
-      case None => (stream, None)
+      case None => (streamC, None)
     }
     Mixing.packSequences(packInput, conf.packBudget, shardCol = shardCol,
-        orderCol = orderCol, tokenCol = packTokenCol)
-      .drop("bpe_tokens")
+        orderCol = orderColC, tokenCol = packTokenCol)
+      .drop("bpe_tokens", "curr_key", "alpha_bp")
       .write.mode("overwrite").parquet(s"${conf.outputDir}/packed")
     val packed = spark.read.parquet(s"${conf.outputDir}/packed")
 

@@ -5293,7 +5293,66 @@ object ExtensionQueries {
           |JOIN cnts ca ON ca.doc_id = s.id_a
           |JOIN cnts cb ON cb.doc_id = s.id_b
           |WHERE s.n_shared * 10000.0 / least(ca.nf, cb.nf) >= 5000
-          |ORDER BY s.id_a, s.id_b""".stripMargin))
+          |ORDER BY s.id_a, s.id_b""".stripMargin)),
+
+    // Tokenizer fertility / compression ratio: subwords-per-word
+    // (fertility, in bp) and characters-per-token (centi-chars) from
+    // the REAL trained BPE encode — the "this text tokenizes badly"
+    // quality signal (gibberish and wrong-script text show high
+    // fertility / low chars-per-token against a vocabulary trained on
+    // the corpus). Reads the SAME memoized standing vocabulary as
+    // q140; the extra census join is map-side. Exact integer floors.
+    Q("q166_bpe_fertility",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val enc = graft.functions.Bpe.encodeWith(docs,
+          Tables.memoTable(s, dir, "bpe_words6") {
+            graft.functions.Bpe.train(docs, rounds = 6)._1
+          })
+        val chars = docs.select(col("doc_id"),
+          aggregate(filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 0), lit(0L), (a, w) => a + length(w))
+            .as("n_word_chars"))
+        enc.join(chars, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            col("n_word_chars"),
+            floor(col("n_tokens") * lit(10000.0) / col("n_words"))
+              .cast("long").as("fertility_bp"),
+            floor(col("n_word_chars") * lit(100.0) / col("n_tokens"))
+              .cast("long").as("chars_per_token_centi"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracleCtes(6) + """, tok AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+')) AS word
+             |  FROM documents
+             |), tv AS (
+             |  SELECT word,
+             |         len(list_filter(string_split(sym, '  '),
+             |                         x -> length(x) > 0)) AS n_subwords
+             |  FROM w6
+             |), enc AS (
+             |  SELECT t.doc_id,
+             |         CAST(COUNT(*) AS BIGINT) AS n_words,
+             |         CAST(SUM(v.n_subwords) AS BIGINT) AS n_tokens
+             |  FROM tok t JOIN tv v USING (word)
+             |  WHERE length(t.word) > 0
+             |  GROUP BY 1
+             |), wc AS (
+             |  SELECT doc_id,
+             |         CAST(COALESCE(list_sum(list_transform(
+             |           list_filter(string_split_regex(trim(text), '\s+'),
+             |                       w -> len(w) > 0),
+             |           w -> len(w))), 0) AS BIGINT) AS n_word_chars
+             |  FROM documents
+             |)
+             |SELECT e.doc_id, e.n_words, e.n_tokens, w.n_word_chars,
+             |       CAST(floor(e.n_tokens * 10000.0 / e.n_words)
+             |         AS BIGINT) AS fertility_bp,
+             |       CAST(floor(w.n_word_chars * 100.0 / e.n_tokens)
+             |         AS BIGINT) AS chars_per_token_centi
+             |FROM enc e JOIN wc w USING (doc_id)
+             |ORDER BY e.doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

@@ -161,11 +161,19 @@ object VersionedTable {
   }
 
   /** Snapshot read as of version `v` (time travel). An empty snapshot
-    * (only empty commits) is an error — commit data first. */
+    * (only empty commits) is an error — commit data first.
+    *
+    * Schema evolution: snapshots read with mergeSchema, so a commit
+    * that ADDS a column widens the current snapshot (older files
+    * surface NULL for the new column) while every pre-evolution
+    * version keeps exactly the schema it was written with — its file
+    * list contains only pre-evolution files. The footer-merge cost is
+    * per-file metadata, not data. */
   def readAsOf(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val files = filesAt(spark, dir, v)
     require(files.nonEmpty, s"snapshot at v=$v of $dir has no files")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Latest-snapshot read. */

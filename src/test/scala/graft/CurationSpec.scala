@@ -235,6 +235,43 @@ class CurationSpec extends AnyFunSuite {
     assert(res.dedupJoinChoice.isEmpty)
   }
 
+  test("curriculum packing lever: same docs packed, shard order is " +
+    "quality-descending") {
+    res // baseline run first
+    val outC = java.nio.file.Files
+      .createTempDirectory("graft-curation-curr").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outC, curriculumPacking = true))
+    val packed = spark.read.parquet(s"$outC/packed")
+    val base = spark.read.parquet(s"$out/packed")
+    // the same document set is packed — only the layout changes
+    assert(packed.select("doc_id").except(base.select("doc_id"))
+      .count() == 0)
+    assert(base.select("doc_id").except(packed.select("doc_id"))
+      .count() == 0)
+    // every count equals the baseline — the window count is
+    // order-invariant (seq_id = running-total div budget per shard)
+    assert(r == res)
+    // within each shard, start_tok order == (alpha_bp desc, doc_id)
+    val q = graft.functions.TextAnalysis.qualityVerdict(
+        docs.filter(col("doc_id") % conf.evalModulus =!= 0))
+      .select(col("doc_id"), col("alpha_bp"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    packed.select("source", "doc_id", "start_tok").collect()
+      .groupBy(_.getString(0)).foreach { case (src, rows) =>
+        val byLayout = rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+        val byCurric = rows.map(_.getLong(1))
+          .sortBy(id => (10000L - q.getOrElse(id, 0L), id)).toSeq
+        assert(byLayout == byCurric, s"shard $src not curriculum-ordered")
+      }
+    // the lever refuses a mixed stream (the schedule owns the order)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, docs, conf.copy(
+        outputDir = outC + "2", curriculumPacking = true,
+        mixWeightsHundredths = Map("src0" -> 200)))
+    }
+  }
+
   test("versioned landing lever: same curated set, every run readable " +
     "by version, re-run commits a new snapshot") {
     res // baseline run first (shares the warm session)

@@ -143,6 +143,25 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("append", "compact"))
   }
 
+  test("schema evolution: an added column widens the merged snapshot; " +
+    "pre-evolution versions keep their written schema") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-schema").toString
+    VersionedTable.append(wave(0), dir)
+    VersionedTable.append(
+      wave(1).withColumn("quality_bp", col("doc_id") % 100), dir)
+    val merged = VersionedTable.read(spark, dir)
+    assert(merged.columns.contains("quality_bp"))
+    // old rows surface NULL for the evolved column
+    val w0ids = ids(wave(0))
+    val nulls = merged.filter(col("quality_bp").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nulls == w0ids)
+    // time travel below the evolution point: original schema exactly
+    assert(VersionedTable.readAsOf(spark, dir, 0).columns.toSeq
+      == wave(0).columns.toSeq)
+  }
+
   test("sequential writers never clobber: versions are distinct and " +
     "monotone") {
     val dir = java.nio.file.Files
