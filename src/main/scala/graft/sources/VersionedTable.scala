@@ -234,6 +234,51 @@ object VersionedTable {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Content diff between two snapshots: per-id
+    * added/removed/modified/unchanged by md5 fingerprint
+    * (graft.functions.Dedup.snapshotDiff — one narrow full-outer join;
+    * payload columns never shuffle). `idCol`/`payloadCol` follow the
+    * snapshotDiff contract. */
+  def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+           idCol: String = "doc_id",
+           payloadCol: String = "text"): DataFrame =
+    graft.functions.Dedup.snapshotDiff(
+      readAsOf(spark, dir, fromV), readAsOf(spark, dir, toV),
+      idCol, payloadCol)
+
+  /** VACUUM: drop history BEFORE `keepFromV`. The keepFromV record is
+    * first CONSOLIDATED — rewritten as an overwrite listing its full
+    * resolved snapshot (so surviving snapshots never depend on dropped
+    * append records), then older log entries and every data file no
+    * surviving snapshot references are deleted. Time travel to
+    * vacuumed versions becomes an error; every version ≥ keepFromV
+    * reads byte-identically. Returns the number of data files
+    * deleted. Maintenance op: run it without writers racing on the
+    * consolidated entry (the rewrite is delete+create, not an atomic
+    * claim — readers of versions ≥ keepFromV are unaffected because
+    * the data files they resolve to are live throughout). */
+  def vacuum(spark: SparkSession, dir: String, keepFromV: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.contains(keepFromV),
+      s"keepFromV=$keepFromV is not a committed version of $dir")
+    val live = vs.filter(_ >= keepFromV)
+      .flatMap(v => filesAt(spark, dir, v)).toSet
+    val dead = vs.filter(_ < keepFromV)
+      .flatMap(v => readCommit(spark, dir, v).files)
+      .distinct.filterNot(live)
+    val root = new Path(dir)
+    val fs = fsFor(spark, root)
+    // consolidate the checkpoint version so it self-describes its
+    // full snapshot, independent of the records about to be dropped
+    val snapFiles = filesAt(spark, dir, keepFromV)
+    fs.delete(logPath(dir, keepFromV), false)
+    writeCommit(spark, dir, Commit(keepFromV, "overwrite", snapFiles))
+    dead.foreach(f => fs.delete(new Path(s"$dir/$f"), false))
+    vs.filter(_ < keepFromV)
+      .foreach(v => fs.delete(logPath(dir, v), false))
+    dead.size.toLong
+  }
+
   /** OPTIMIZE ZORDER for a versioned table: rewrite the CURRENT
     * snapshot through the z-order cluster writer
     * (graft.functions.Layout.zOrderCluster — range-partition by the

@@ -143,6 +143,57 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("append", "compact"))
   }
 
+  test("diff between snapshots reports added/removed/unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-diff").toString
+    VersionedTable.append(wave(0), dir)                    // v0
+    VersionedTable.overwrite(wave(0).unionByName(wave(1))
+      .filter(col("doc_id") > 10), dir)                    // v1
+    val d = VersionedTable.diff(spark, dir, 0, 1)
+      .groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w0 = ids(wave(0)); val w1 = ids(wave(1))
+    assert(d.getOrElse("added", 0L) == w1.count(_ > 10))
+    assert(d.getOrElse("removed", 0L) == w0.count(_ <= 10))
+    assert(d.getOrElse("unchanged", 0L) == w0.count(_ > 10))
+    assert(d.getOrElse("modified", 0L) == 0L)
+  }
+
+  test("vacuum: consolidates the checkpoint version, drops dead files " +
+    "and history; surviving snapshots read byte-identically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-vac").toString
+    VersionedTable.append(wave(0), dir)          // v0 (append-only head)
+    VersionedTable.append(wave(1), dir)          // v1
+    VersionedTable.overwrite(wave(2), dir)       // v2 (orphans v0/v1 data)
+    VersionedTable.append(wave(0), dir)          // v3
+    val v3Before = ids(VersionedTable.readAsOf(spark, dir, 3))
+
+    // checkpoint at v1: v0's append files are still LIVE through v1's
+    // snapshot — consolidation must keep them even though v0's log
+    // entry is dropped
+    val deleted1 = VersionedTable.vacuum(spark, dir, keepFromV = 1)
+    assert(deleted1 == 0L, "append-only prefix has no dead files")
+    assert(VersionedTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(ids(VersionedTable.readAsOf(spark, dir, 1))
+      == ids(wave(0)) ++ ids(wave(1)), "consolidated snapshot broke")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, dir, 0)
+    }
+
+    // checkpoint at v2: v0/v1 data is now truly dead and gets deleted
+    val deleted2 = VersionedTable.vacuum(spark, dir, keepFromV = 2)
+    assert(deleted2 > 0L)
+    assert(VersionedTable.versions(spark, dir) == Seq(2L, 3L))
+    assert(ids(VersionedTable.readAsOf(spark, dir, 2)) == ids(wave(2)))
+    assert(ids(VersionedTable.readAsOf(spark, dir, 3)) == v3Before)
+    // the dead files are physically gone
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().map(_.getName)
+    assert(!dataDirs.contains("v=0") ||
+      new java.io.File(s"$dir/data/v=0").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 0)
+  }
+
   test("schema evolution: an added column widens the merged snapshot; " +
     "pre-evolution versions keep their written schema") {
     val dir = java.nio.file.Files
