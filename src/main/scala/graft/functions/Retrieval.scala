@@ -358,6 +358,43 @@ object Retrieval {
           .otherwise("head").as("bucket"))
   }
 
+  /** Passage-level retrieval (the RAG ingestion shape): chunk every
+    * document into overlapping token windows (Mixing.slidingWindows),
+    * score each PASSAGE with BM25, and aggregate per document by the
+    * best passage (the MaxP rule of Dai & Callan 2019) — long
+    * documents with one relevant span rank by that span, not by their
+    * diluted whole-document statistics.
+    *
+    * Composition of proven parts: the q108 chunker and the q76 scorer,
+    * joined by a packed passage id (doc·2¹⁶ + win — contract: a doc
+    * chunks into < 65 536 windows; chunk longer docs at ingestion).
+    * Per-doc MaxP is one aggregation over the scored-passage frame
+    * (ties break to the smallest window id); the final top-k is a
+    * k-row presentation sort. Passage statistics (N, avgdl, df) are
+    * computed over ALL passages — the q76 discipline at passage
+    * grain. */
+  def passageTopK(docs: DataFrame, queryTerms: Seq[String],
+                  window: Int = 32, stride: Int = 16, k: Int = 20,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val passages = Mixing.slidingWindows(docs, window, stride, idCol,
+        textCol)
+      .withColumn("pid", col(idCol) * lit(65536L) + col("win_id"))
+    val scored = bm25(passages, queryTerms, idCol = "pid",
+      textCol = "window_text")
+    scored
+      .withColumn(idCol, floor(col("pid") / lit(65536L)).cast("long"))
+      .withColumn("win_id", (col("pid") % lit(65536L)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("ns"), col("win_id")))
+        .as("best"),
+        count(lit(1)).as("n_hit_passages"))
+      .select(col(idCol), col("best.win_id").as("best_win_id"),
+        (-col("best.ns")).as("score"), col("n_hit_passages"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Frequency-ranked vocabulary: token_id = 1-based rank by (count
     * desc, term asc) — the deterministic id assignment a tokenizer-feed
     * pipeline derives from its own corpus.

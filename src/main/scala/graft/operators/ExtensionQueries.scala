@@ -5352,7 +5352,81 @@ object ExtensionQueries {
              |       CAST(floor(w.n_word_chars * 100.0 / e.n_tokens)
              |         AS BIGINT) AS chars_per_token_centi
              |FROM enc e JOIN wc w USING (doc_id)
-             |ORDER BY e.doc_id""".stripMargin))
+             |ORDER BY e.doc_id""".stripMargin)),
+
+    // Passage-level retrieval capstone (the RAG ingestion shape):
+    // overlapping token windows (the q108 chunker) scored by BM25 at
+    // PASSAGE grain (the q76 scorer — N/avgdl/df over all passages),
+    // per-doc MaxP aggregation (best passage wins, Dai & Callan 2019),
+    // top-k presentation. The oracle replays chunking, passage
+    // statistics, the identical float expression tree, MaxP ties, and
+    // the final cut.
+    Q("q167_passage_retrieval",
+      (s, dir) => Retrieval.passageTopK(
+        Tables.load(s, dir, "documents"),
+        Seq("spark", "table", "query"), window = 32, stride = 16,
+        k = 20),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(trim(text)) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split_regex(trim(text), '\s+')
+             |         END AS w
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0,
+             |           ((len(w) - 1) // 16) * 16, 16)) AS s
+             |  FROM d WHERE len(w) > 0
+             |), ps AS (
+             |  SELECT doc_id, CAST(s // 16 AS BIGINT) AS win_id,
+             |         list_transform(w[s + 1 : s + 32],
+             |                        x -> lower(x)) AS pw
+             |  FROM st
+             |), base AS (
+             |  SELECT doc_id, win_id, CAST(len(pw) AS BIGINT) AS dl,
+             |         CAST(len(list_filter(pw, x -> x = 'spark'))
+             |           AS BIGINT) AS tf0,
+             |         CAST(len(list_filter(pw, x -> x = 'table'))
+             |           AS BIGINT) AS tf1,
+             |         CAST(len(list_filter(pw, x -> x = 'query'))
+             |           AS BIGINT) AS tf2
+             |  FROM ps
+             |), stats AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(dl) AS BIGINT) AS sdl,
+             |         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df0,
+             |         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df1,
+             |         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS df2
+             |  FROM base
+             |), scoredp AS (
+             |  SELECT doc_id, win_id,
+             |         round(
+             |             ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0
+             |               * (1.2 + 1.0) / (tf0 + 1.2 * ((1.0 - 0.75)
+             |                 + 0.75 * dl / (sdl / n)))
+             |           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+             |               * (1.2 + 1.0) / (tf1 + 1.2 * ((1.0 - 0.75)
+             |                 + 0.75 * dl / (sdl / n)))
+             |           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+             |               * (1.2 + 1.0) / (tf2 + 1.2 * ((1.0 - 0.75)
+             |                 + 0.75 * dl / (sdl / n))), 6) AS score
+             |  FROM base CROSS JOIN stats
+             |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+             |), perdoc AS (
+             |  SELECT doc_id, win_id AS best_win_id, score,
+             |         CAST(COUNT(*) OVER (PARTITION BY doc_id)
+             |           AS BIGINT) AS n_hit_passages,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id
+             |           ORDER BY score DESC, win_id) AS rn
+             |  FROM scoredp
+             |)
+             |SELECT doc_id, best_win_id, score, n_hit_passages
+             |FROM perdoc WHERE rn = 1
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

@@ -344,6 +344,31 @@ class RetrievalSpec extends AnyFunSuite {
       4L -> ((1L, 1L))))
   }
 
+  test("passageTopK: MaxP surfaces the dense span a whole-doc score " +
+    "dilutes") {
+    import graft.functions.Retrieval
+    // A: 64 fillers then a dense 4-term span; B: short with one hit.
+    // Whole-doc BM25 prefers B (tiny dl); passage MaxP must prefer A
+    // (its last window is almost pure query terms).
+    val docs = Seq(
+      (1L, ("x " * 64).trim + " spark spark spark spark"),
+      (2L, "spark y")).toDF("doc_id", "text")
+    val whole = Retrieval.bm25(docs, Seq("spark"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(whole.head == 2L, s"fixture broken: whole-doc ranked $whole")
+    val passage = Retrieval.passageTopK(docs, Seq("spark"),
+      window = 32, stride = 16, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(passage.head._1 == 1L, s"MaxP ranked ${passage.toSeq}")
+    // A's best window is the one starting at token 64 (win_id 4)
+    assert(passage.head._2 == 4L)
+    // hit-passage counts: A's span touches the last two windows;
+    // B has exactly one
+    val byDoc = passage.map(p => p._1 -> p._3).toMap
+    assert(byDoc(2L) == 1L && byDoc(1L) >= 2L)
+  }
+
   test("knScore: hand-computed Kneser-Ney probabilities; discounted " +
     "mass keeps observed-successor sums below 1") {
     import graft.functions.Retrieval
