@@ -309,6 +309,80 @@ object Retrieval {
           .as("avg_logprob"))
   }
 
+  /** Order-3 interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the
+    * full KenLM recursion at trigram order):
+    *
+    *   p₃(w₃|w₁w₂) = (c₁₂₃ − D)/c₁₂· + D·N₁₊(w₁w₂·)/c₁₂· · p₂ᶜ(w₃|w₂)
+    *   p₂ᶜ(w₃|w₂) = (N₁₊(·w₂w₃) − D)/N₁₊(·w₂·)
+    *              + D·N₁₊(w₂·)/N₁₊(·w₂·) · N₁₊(·w₃)/T
+    *
+    * — the middle layer backs off on CONTEXT COUNTS (how many distinct
+    * left neighbours a bigram has), the bottom on continuation
+    * unigrams, exactly the recursion that makes KN the strongest
+    * count-based smoother. Only observed trigrams are scored (the
+    * corpus is the training set); every discounted numerator is
+    * positive. All denominators come from the same trigram/bigram
+    * tables the oracle rebuilds, and each probability is one fixed
+    * left-associative IEEE expression floored to micro-nats, so the
+    * whole order-3 model is hash-checked cross-engine.
+    *
+    * Scale silhouette: one trigram explode (native word_ngrams
+    * kernel), trigram/bigram-table-sized aggregations and joins, one
+    * 1-row broadcast total. Docs with fewer than three words carry no
+    * trigram and are absent. */
+  def kn3Score(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               discountCenti: Int = 75): DataFrame = {
+    require(discountCenti >= 1 && discountCenti <= 99,
+      s"discount must be in (0,1): got $discountCenti centi")
+    val d = lit(discountCenti / 100.0)
+    val docTris = docs.select(col(idCol),
+      explode(wordNgrams(col(textCol), 3)).as("tri"))
+    val tri = docTris.groupBy("tri").agg(count(lit(1)).as("c123"))
+      .withColumn("w1", split(col("tri"), " ").getItem(0))
+      .withColumn("w2", split(col("tri"), " ").getItem(1))
+      .withColumn("w3", split(col("tri"), " ").getItem(2))
+    // prefix totals + distinct successors of (w1, w2)
+    val pre12 = tri.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1f12"))
+    // distinct left neighbours of the (w2, w3) bigram
+    val mid = tri.groupBy("w2", "w3")
+      .agg(countDistinct(col("w1")).as("n1b_mid"))
+    // context mass around w2: |{(w1, w3)}| with c(w1 w2 w3) > 0
+    val around = tri.groupBy("w2")
+      .agg(countDistinct(col("w1"), col("w3")).as("n_around"))
+    // bigram-table statistics (the knScore layer): distinct successors
+    // of w2, continuation count of w3, total bigram types
+    val docBigrams = explodedBigrams(docs, textCol, Seq(idCol))
+    val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .withColumn("bw1", split(col("bigram"), " ").getItem(0))
+      .withColumn("bw2", split(col("bigram"), " ").getItem(1))
+    val succ = bi.groupBy("bw1").agg(count(lit(1)).as("n1f"))
+    val cont = bi.groupBy("bw2").agg(count(lit(1)).as("n1b"))
+    val t = bi.agg(count(lit(1)).as("tt"))
+    val unats = tri
+      .join(pre12, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(around, Seq("w2"))
+      .join(succ.withColumnRenamed("bw1", "w2"), Seq("w2"))
+      .join(cont.withColumnRenamed("bw2", "w3"), Seq("w3"))
+      .crossJoin(broadcast(t))
+      .withColumn("p2",
+        (col("n1b_mid") - d) / col("n_around")
+          + d * col("n1f") / col("n_around") * col("n1b") / col("tt"))
+      .select(col("tri"),
+        floor(log((col("c123") - d) / col("c12")
+            + d * col("n1f12") / col("c12") * col("p2"))
+          * lit(1e6)).cast("long").as("lp_unats"))
+    docTris.join(unats, Seq("tri"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("lp_unats")).as("sum_unats"))
+      .select(col(idCol), col("n_trigrams"), col("sum_unats"),
+        round(col("sum_unats") / col("n_trigrams") / lit(1e6), 6)
+          .as("avg_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", 2020): score every document with the corpus bigram LM

@@ -5426,7 +5426,99 @@ object ExtensionQueries {
              |)
              |SELECT doc_id, best_win_id, score, n_hit_passages
              |FROM perdoc WHERE rn = 1
-             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Order-3 interpolated Kneser-Ney — the full KenLM recursion:
+    // trigram layer discounts into a CONTEXT-COUNT bigram layer
+    // (distinct left neighbours), which discounts into the
+    // continuation unigram. Every probability is one fixed
+    // left-associative IEEE expression over table counts both engines
+    // rebuild identically; per-doc sums are exact micro-nat int64.
+    Q("q168_kn3_score",
+      (s, dir) => Retrieval.kn3Score(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), tg0 AS (
+             |  SELECT doc_id, t AS w1,
+             |         lead(t, 1) OVER win AS w2,
+             |         lead(t, 2) OVER win AS w3, i, n
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), tgs AS (
+             |  SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS tri,
+             |         w1, w2, w3
+             |  FROM tg0 WHERE i <= n - 2
+             |), trit AS (
+             |  SELECT tri, MIN(w1) AS w1, MIN(w2) AS w2, MIN(w3) AS w3,
+             |         CAST(COUNT(*) AS BIGINT) AS c123
+             |  FROM tgs GROUP BY tri
+             |), pre12 AS (
+             |  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+             |         CAST(COUNT(*) AS BIGINT) AS n1f12
+             |  FROM trit GROUP BY 1, 2
+             |), mid AS (
+             |  SELECT w2, w3,
+             |         CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1b_mid
+             |  FROM trit GROUP BY 1, 2
+             |), around AS (
+             |  SELECT w2,
+             |         CAST(COUNT(DISTINCT w1 || chr(1) || w3) AS BIGINT)
+             |           AS n_around
+             |  FROM trit GROUP BY 1
+             |), bg0 AS (
+             |  SELECT doc_id, t AS bw1,
+             |         lead(t, 1) OVER win AS bw2, i, n
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), bgs AS (
+             |  SELECT doc_id, bw1 || ' ' || bw2 AS bigram, bw1, bw2
+             |  FROM bg0 WHERE i <= n - 1
+             |), bi AS (
+             |  SELECT bigram, MIN(bw1) AS bw1, MIN(bw2) AS bw2,
+             |         CAST(COUNT(*) AS BIGINT) AS cab
+             |  FROM bgs GROUP BY bigram
+             |), succ AS (
+             |  SELECT bw1, CAST(COUNT(*) AS BIGINT) AS n1f
+             |  FROM bi GROUP BY 1
+             |), cont AS (
+             |  SELECT bw2, CAST(COUNT(*) AS BIGINT) AS n1b
+             |  FROM bi GROUP BY 1
+             |), tcnt AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bi
+             |), p2tab AS (
+             |  SELECT m.w2, m.w3,
+             |         (m.n1b_mid - 75 / 100.0) / a.n_around
+             |           + 75 / 100.0 * s.n1f / a.n_around * c.n1b / t.tt
+             |           AS p2
+             |  FROM mid m
+             |  JOIN around a ON a.w2 = m.w2
+             |  JOIN succ s ON s.bw1 = m.w2
+             |  JOIN cont c ON c.bw2 = m.w3
+             |  CROSS JOIN tcnt t
+             |), un AS (
+             |  SELECT t0.tri,
+             |         CAST(floor(ln((t0.c123 - 75 / 100.0) / p.c12
+             |             + 75 / 100.0 * p.n1f12 / p.c12 * pp.p2)
+             |           * 1000000.0) AS BIGINT) AS lp
+             |  FROM trit t0
+             |  JOIN pre12 p ON p.w1 = t0.w1 AND p.w2 = t0.w2
+             |  JOIN p2tab pp ON pp.w2 = t0.w2 AND pp.w3 = t0.w3
+             |), agg AS (
+             |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
+             |  FROM tgs g JOIN un u ON u.tri = g.tri
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT doc_id, n_trigrams, sum_unats,
+             |       round(sum_unats / n_trigrams / 1000000.0, 6)
+             |         AS avg_logprob
+             |FROM agg ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,

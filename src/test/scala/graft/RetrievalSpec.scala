@@ -387,6 +387,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(lp(0.75) < 0 && got.values.forall(_._2 < 0))
   }
 
+  test("kn3Score: hand-computed order-3 KN chain (context-count " +
+    "backoff through the bigram layer)") {
+    import graft.functions.Retrieval
+    val docs = Seq((1L, "a b c a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text")
+    // dyadic-rational hand chain (see derivation in comments):
+    // p3(abc)=0.7890625 p3(bca)=0.359375 p3(cab)=0.578125
+    // p3(bcd)=0.359375
+    def lp(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val got = Retrieval.kn3Score(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) ==
+      ((4L, 2 * lp(0.7890625) + lp(0.359375) + lp(0.578125))))
+    assert(got(2L) == ((1L, lp(0.359375))))
+    // two-word docs carry no trigram and are absent
+    val short = Retrieval.kn3Score(
+      Seq((1L, "a b c"), (9L, "x y")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(short == Set(1L))
+  }
+
   test("ccnetBuckets: value-separated thirds per language") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
