@@ -117,6 +117,12 @@ object CurationPipeline {
       // that carried at least one match (folded into the same input
       // metric scan — no extra pass).
       redactPii: Boolean = false,
+      // CCNet perplexity filter (q152): non-empty = keep only docs
+      // whose per-language bigram-LM bucket is in this set (the
+      // standard cut is Set("head", "middle")); docs with no LM score
+      // drop. Composes with the census gate by rewriting the same
+      // keep flag, so dedup's representative ranking respects it.
+      ccnetKeepBuckets: Set[String] = Set.empty,
       // curriculum packing: order each pack shard easiest-text-first
       // (quality census alpha_bp desc, doc_id tiebreak) instead of
       // doc_id — the curriculum-learning layout lever. Requires an
@@ -178,7 +184,26 @@ object CurationPipeline {
           col("alpha_bp") >= ta && col("n_words") >= tw),
           Some((ta, tw)))
     }
-    val kept = quality.filter(col("keep")).select("doc_id")
+    // CCNet lever (q152): restrict keep to the allowed perplexity
+    // buckets of the corpus bigram LM — head/middle is the standard
+    // "keep the two lowest-perplexity thirds of each language" cut.
+    // The bucket column rewrites the SAME keep flag the census gate
+    // produced, so the cluster-representative argmax below respects it
+    // too (an excluded-bucket twin can't win a cluster and then fail
+    // the gate). Docs with no LM score (fewer than two words) are not
+    // in any bucket and drop, as in CCNet.
+    val quality1 = conf.ccnetKeepBuckets match {
+      case s if s.isEmpty => quality
+      case s =>
+        val allowed = graft.functions.Retrieval.ccnetBuckets(corpus)
+          .filter(col("bucket").isin(s.toSeq: _*))
+          .select(col("doc_id"), lit(true).as("ccnet_ok"))
+        quality.join(allowed, Seq("doc_id"), "left")
+          .withColumn("keep",
+            col("keep") && coalesce(col("ccnet_ok"), lit(false)))
+          .select("doc_id", "alpha_bp", "n_words", "keep")
+    }
+    val kept = quality1.filter(col("keep")).select("doc_id")
 
     // 2. near-dup clusters over the FULL corpus; representative = the
     //    best-quality KEEPABLE member (argmax over kept ∩ members):
@@ -193,7 +218,7 @@ object CurationPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))
       .orderBy(desc("alpha_bp"), desc("n_words"), asc("id"))
-    val keptQuality = quality.filter(col("keep"))
+    val keptQuality = quality1.filter(col("keep"))
       .select(col("doc_id").as("id"), col("alpha_bp"), col("n_words"))
     // the join-back is cluster-membership-sized on the left and
     // kept-corpus-sized on the right; with the router on, the stats pass

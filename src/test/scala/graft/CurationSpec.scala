@@ -235,6 +235,36 @@ class CurationSpec extends AnyFunSuite {
     assert(res.dedupJoinChoice.isEmpty)
   }
 
+  test("CCNet filter lever: curated docs come only from the allowed " +
+    "perplexity buckets; the gate composes with the census keep") {
+    res // baseline run first
+    val outN = java.nio.file.Files
+      .createTempDirectory("graft-curation-ccnet").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outN,
+        ccnetKeepBuckets = Set("head", "middle")))
+    // strictly tighter gate than the baseline
+    assert(r.nQualityKept <= res.nQualityKept && r.nCurated > 0)
+    // every curated doc sits in an allowed bucket
+    val corpus = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
+    val buckets = graft.functions.Retrieval.ccnetBuckets(corpus)
+      .collect().map(row => row.getLong(0) -> row.getString(3)).toMap
+    val curated = spark.read.parquet(s"$outN/curated")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(curated.nonEmpty)
+    curated.foreach { id =>
+      assert(Set("head", "middle").contains(buckets.getOrElse(id, "?")),
+        s"doc $id bucket ${buckets.get(id)}")
+    }
+    // tail docs that passed the census gate are exactly what was cut
+    val expectKept = graft.functions.TextAnalysis.qualityVerdict(corpus)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0))
+      .count(id => Set("head", "middle").contains(
+        buckets.getOrElse(id, "?")))
+    assert(r.nQualityKept == expectKept)
+  }
+
   test("curriculum packing lever: same docs packed, shard order is " +
     "quality-descending") {
     res // baseline run first
