@@ -237,6 +237,45 @@ class PlanSpec extends AnyFunSuite {
     assert(small.contains("BroadcastHashJoin"), small.take(2000))
   }
 
+  test("media near-dup band joins plan as equi-joins — never a " +
+    "nested-loop or cartesian all-pairs comparison") {
+    Seq("q161_image_neardup", "q163_audio_neardup",
+      "q165_video_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
+  test("entity resolution blocks on q-grams: no nested-loop or " +
+    "cartesian pair generation in either the one-shot or the " +
+    "incremental plan") {
+    Seq("q157_entity_resolution", "q159_incremental_entities")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      }
+  }
+
+  test("passage retrieval: the scorer's only nested-loop is the 1-row " +
+    "stats broadcast (the A5 scalar pattern); no cartesian") {
+    val p = plan("q167_passage_retrieval")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the one BNLJ is the 1-row global-stats cross join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, p.take(2000))
+  }
+
+  test("PII scan is one map-side pass: no join, and the only exchange " +
+    "is the presentation sort") {
+    val p = plan("q149_pii_scan")
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(1500))
+    assert(p.contains("FileScan"), p.take(1500))
+  }
+
   test("freq_items plans as ObjectHashAggregate — the bounded-counter " +
     "aggregate must not fall back to sort-based aggregation") {
     import spark.implicits._
