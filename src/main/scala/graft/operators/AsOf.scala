@@ -121,4 +121,32 @@ object AsOf {
       rightValues = valueCols.map(pick(rOut, _)))
     ColumnBridge.ofRows(spark, node)
   }
+
+  /** As-of join with a TOLERANCE (pandas merge_asof semantics): the
+    * matched snapshot must be no older than `tolerance` behind the
+    * left time — a stale match nulls out, exactly like no match. Pure
+    * composition over [[asofJoinExec]]: the merge already emits the
+    * matched right time, so staleness is one map-side null-out pass —
+    * no second join, no change to the custom exec. `valueCols` must
+    * include `rightTime` (the staleness evidence). `tolerance` is a
+    * SQL interval body, e.g. "12 HOURS". */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame,
+                       keys: Seq[String], leftTime: String,
+                       rightTime: String, valueCols: Seq[String],
+                       tolerance: String): DataFrame = {
+    require(valueCols.contains(rightTime),
+      s"valueCols must include the right time column '$rightTime' " +
+        "so staleness is decidable on the joined row")
+    val joined = asofJoinExec(left, right, keys, leftTime, rightTime,
+      valueCols)
+    // materialize the staleness flag BEFORE nulling anything: the
+    // right-time column is itself one of the value columns being
+    // cleared, so testing it inside the fold would read the already-
+    // nulled value for every column after it
+    val flagged = joined.withColumn("_stale",
+      col(rightTime) < col(leftTime) - expr(s"INTERVAL $tolerance"))
+    valueCols.foldLeft(flagged) { (df, c) =>
+      df.withColumn(c, when(col("_stale"), lit(null)).otherwise(col(c)))
+    }.drop("_stale")
+  }
 }

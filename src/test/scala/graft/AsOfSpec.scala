@@ -104,4 +104,36 @@ class AsOfSpec extends AnyFunSuite {
     assert(a.length == b.length)
     assert(a.sameElements(b))
   }
+
+  test("tolerance: stale matches null out exactly like no match, fresh " +
+    "matches are untouched; all value columns clear together") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2026-01-02 01:00:00")),  // 1h after snap → fresh
+      (2L, 10L, t("2026-01-02 20:00:00")),  // 20h after snap → stale
+      (3L, 11L, t("2026-01-02 05:00:00"))   // no snapshot at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, t("2026-01-02 00:00:00"), 7L)
+    ).toDF("user_id", "snap_ts", "snap_events")
+    val out = AsOf.asofJoinTolerant(left, right, Seq("user_id"),
+        "ts", "snap_ts", Seq("snap_ts", "snap_events"), "12 HOURS")
+      .select("event_id", "snap_ts", "snap_events")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), if (r.isNullAt(2)) None
+          else Some(r.getLong(2))))).toMap
+    assert(out(1L) == ((Some(t("2026-01-02 00:00:00")), Some(7L))))
+    // stale: BOTH columns null (the flag is evaluated before any
+    // null-out — the right-time column being cleared must not corrupt
+    // the test for the columns after it)
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, None)))
+    // the exec requires the right time among the value columns
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinTolerant(left, right, Seq("user_id"),
+        "ts", "snap_ts", Seq("snap_events"), "12 HOURS")
+    }
+  }
 }
