@@ -5596,7 +5596,119 @@ object ExtensionQueries {
              |            THEN snap_ts ELSE NULL END AS snap_ts,
              |       CASE WHEN snap_ts >= ts - INTERVAL 12 HOUR
              |            THEN snap_events ELSE NULL END AS snap_events
-             |FROM j ORDER BY event_id""".stripMargin))
+             |FROM j ORDER BY event_id""".stripMargin)),
+
+    // Corpus data card: the per-source summary a dataset release ships
+    // (datasheets/data-statements practice) — volume, token mass, size
+    // distribution, language mix, census-quality pass rate, and the
+    // exact-duplicate rate (docs sharing a fingerprint with ANY doc in
+    // the corpus, the cross-source leak measure). One census pass +
+    // one fingerprint aggregation + one per-source rollup; every
+    // metric an exact integer.
+    Q("q170_corpus_datacard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val fp = docs.select(col("source"), col("doc_id"),
+          md5(col("text")).as("fp"))
+        val dupFp = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("fp")
+        val dupDocs = fp.join(dupFp, Seq("fp"), "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+        val verdict = TextAnalysis.qualityVerdict(docs)
+          .select(col("doc_id"), col("n_words"), col("keep"))
+        val base = docs.select(col("doc_id"), col("source"),
+            col("lang"), col("n_chars"))
+          .join(verdict, Seq("doc_id"))
+        val langTop = base.groupBy("source", "lang")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy("source")
+          .agg(max(struct(col("nl"), col("lang"))).as("top"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(col("source"), col("top.lang").as("top_lang"),
+            col("n_langs"))
+        base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("total_words"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("keep").cast("long")).as("n_quality_pass"))
+          .join(langTop, Seq("source"))
+          .join(dupDocs, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("total_words"),
+            col("min_chars"), col("max_chars"),
+            floor(col("n_quality_pass") * lit(10000.0) / col("n_docs"))
+              .cast("long").as("quality_bp"),
+            col("top_lang"), col("n_langs"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, n_chars, text,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     w -> len(w) > 0) AS ws,
+             |         md5(text) AS fp
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS w FROM d
+             |), wcn AS (
+             |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+             |), words AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+             |           AS top_word_frac
+             |  FROM wcn GROUP BY doc_id
+             |), sig AS (
+             |  SELECT d.doc_id,
+             |         CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+             |         CAST(CASE WHEN length(text) = 0 THEN 0
+             |              ELSE floor(length(regexp_replace(text,
+             |                     '[^A-Za-z]', '', 'g')) * 10000.0
+             |                   / length(text)) END AS BIGINT) AS alpha_bp,
+             |         w.top_word_frac
+             |  FROM d LEFT JOIN words w ON d.doc_id = w.doc_id
+             |), keepers AS (
+             |  SELECT doc_id, n_words,
+             |         (CASE WHEN n_words < 10 THEN 'x'
+             |               WHEN n_words > 5000 THEN 'x'
+             |               WHEN alpha_bp < 5000 THEN 'x'
+             |               WHEN top_word_frac > 0.3 THEN 'x'
+             |          END) IS NULL AS keep
+             |  FROM sig
+             |), dupfp AS (
+             |  SELECT fp FROM d GROUP BY fp HAVING COUNT(*) > 1
+             |), dups AS (
+             |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+             |  FROM d JOIN dupfp f ON f.fp = d.fp GROUP BY 1
+             |), lt AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+             |  FROM d GROUP BY 1, 2
+             |), ltop AS (
+             |  SELECT source, lang AS top_lang FROM (
+             |    SELECT source, lang,
+             |           ROW_NUMBER() OVER (PARTITION BY source
+             |             ORDER BY nl DESC, lang DESC) AS rk
+             |    FROM lt) WHERE rk = 1
+             |), nlang AS (
+             |  SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT)
+             |    AS n_langs
+             |  FROM d GROUP BY 1
+             |)
+             |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(k.n_words) AS BIGINT) AS total_words,
+             |       MIN(d.n_chars) AS min_chars,
+             |       MAX(d.n_chars) AS max_chars,
+             |       CAST(floor(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END)
+             |         * 10000.0 / COUNT(*)) AS BIGINT) AS quality_bp,
+             |       MIN(lt2.top_lang) AS top_lang,
+             |       MIN(nlang.n_langs) AS n_langs,
+             |       COALESCE(MIN(du.n_dup_docs), 0) AS n_dup_docs
+             |FROM d
+             |JOIN keepers k ON k.doc_id = d.doc_id
+             |JOIN ltop lt2 ON lt2.source = d.source
+             |JOIN nlang ON nlang.source = d.source
+             |LEFT JOIN dups du ON du.source = d.source
+             |GROUP BY d.source
+             |ORDER BY d.source""".stripMargin))
   )
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
