@@ -127,7 +127,19 @@ object CurationPipeline {
       // (quality census alpha_bp desc, doc_id tiebreak) instead of
       // doc_id — the curriculum-learning layout lever. Requires an
       // unmixed stream (a mixing schedule already defines the order).
-      curriculumPacking: Boolean = false)
+      curriculumPacking: Boolean = false,
+      // UniMax budget lever (q175): Some(B) derives the per-source
+      // epoch weights from exact waterfilling — spend B tokens as
+      // uniformly as possible across sources, capping every source at
+      // unimaxEpochCap passes — and routes them into the same mixCorpus
+      // schedule a hand-written mixWeightsHundredths would use
+      // (weight = allocated epochs in hundredths, floored, min 1).
+      // Mutually exclusive with mixWeightsHundredths: one mixing
+      // authority. The allocation is a source-dim-sized driver read
+      // (the catalog-granularity boundary); Result.unimaxWeights
+      // records what was chosen.
+      unimaxBudgetTokens: Option[Long] = None,
+      unimaxEpochCap: Int = 2)
 
   final case class Result(
       nInput: Long, nEval: Long, nQualityKept: Long, nAfterDedup: Long,
@@ -149,7 +161,10 @@ object CurationPipeline {
       nPiiFlagged: Option[Long] = None,
       // the commit-log version this run's curated corpus landed as
       // (None when versionedCurated is off)
-      curatedVersion: Option[Long] = None)
+      curatedVersion: Option[Long] = None,
+      // the per-source epoch weights (hundredths) the UniMax budget
+      // lever derived and mixed with (None when the lever is off)
+      unimaxWeights: Option[Map[String, Int]] = None)
 
   def run(spark: SparkSession, docs: DataFrame, conf: Config): Result = {
     val corpus0 = docs.filter(col("doc_id") % conf.evalModulus =!= 0)
@@ -331,19 +346,40 @@ object CurationPipeline {
     // duplicates would not.
     val packShard = conf.subShardBuckets.map(b =>
       Mixing.subShard(col("source"), col("doc_id"), b))
+    // UniMax budget lever: derive the epoch weights from exact
+    // waterfilling over the SELECTED stream's token mass (the corpus
+    // the mixer will actually replicate), then feed them through the
+    // ordinary mixCorpus path — the schedule machinery is shared, only
+    // the weight authority changes. Source-dim driver read.
+    val unimaxWeights: Option[Map[String, Int]] =
+      conf.unimaxBudgetTokens.map { budget =>
+        require(conf.mixWeightsHundredths.isEmpty,
+          "unimaxBudgetTokens and mixWeightsHundredths are both mixing " +
+            "authorities — set only one")
+        val counts = selected.select(col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nw"))
+          .groupBy("source").agg(sum(col("nw")).as("tokens"))
+          .filter(col("tokens") > 0)
+        Mixing.unimaxAllocation(counts, budget, conf.unimaxEpochCap)
+          .select(col("source"),
+            greatest(lit(1L), expr("alloc_tokens * 100 div tokens"))
+              .as("w"))
+          .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      }
+    val mixWeights = unimaxWeights.getOrElse(conf.mixWeightsHundredths)
     val (stream, shardCol, orderCol) =
-      (conf.mixWeightsHundredths.isEmpty, packShard) match {
+      (mixWeights.isEmpty, packShard) match {
         case (true, None) => (selected, "source", "doc_id")
         case (true, Some(sh)) =>
           (selected.withColumn("pack_shard", sh), "pack_shard", "doc_id")
         case (false, None) =>
-          (Mixing.mixCorpus(selected, conf.mixWeightsHundredths),
+          (Mixing.mixCorpus(selected, mixWeights),
             "source", "sched_t")
         case (false, Some(sh)) =>
           // sched_t comes from the sub-sharded stride schedule, and the
           // pack shard recomputes the same deterministic bucket — so
           // sched_t is unique within each pack_shard
-          (Mixing.mixCorpusSharded(selected, conf.mixWeightsHundredths,
+          (Mixing.mixCorpusSharded(selected, mixWeights,
             conf.subShardBuckets.get).withColumn("pack_shard", sh),
             "pack_shard", "sched_t")
       }
@@ -356,10 +392,10 @@ object CurationPipeline {
     val (streamC, orderColC) =
       if (!conf.curriculumPacking) (stream, orderCol)
       else {
-        require(conf.mixWeightsHundredths.isEmpty,
+        require(mixWeights.isEmpty,
           "curriculumPacking requires an unmixed stream " +
-            "(mixWeightsHundredths empty): the mixing schedule " +
-            "already defines the pack order")
+            "(no mixWeightsHundredths / unimaxBudgetTokens): the " +
+            "mixing schedule already defines the pack order")
         (stream.join(quality.select(col("doc_id"), col("alpha_bp")),
             Seq("doc_id"), "left")
           .withColumn("curr_key",
@@ -413,7 +449,8 @@ object CurationPipeline {
       bpeRounds = conf.bpeTokenizerRounds,
       nDsirSelected = if (selecting) Some(selected.count()) else None,
       nPiiFlagged = if (conf.redactPii) Some(io.getLong(2)) else None,
-      curatedVersion = curatedVersion)
+      curatedVersion = curatedVersion,
+      unimaxWeights = unimaxWeights)
     verdict.unpersist()
     deduped.unpersist()
     if (balancing) landed.unpersist()

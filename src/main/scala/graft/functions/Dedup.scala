@@ -933,4 +933,97 @@ object Dedup {
         >= minContainmentBp)
       .select("id_a", "id_b", "contain_ab_bp", "contain_ba_bp")
   }
+
+  /** Tokenize following the q108/oracle idiom: trim + split on runs of
+    * whitespace; the empty doc is an empty array (split would yield [""]). */
+  private def wsTokens(textCol: String): Column =
+    when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+
+  /** Cross-document exact-substring duplicated spans — the ACTING face of
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 §4.1,
+    * ExactSubstr): where [[duplicatedSpans]] only audits the dup fraction
+    * and [[dedupSegments]] cuts at fixed non-overlapping segment
+    * boundaries, this marks every maximal duplicated WORD RANGE, at any
+    * alignment, via overlapping L-word windows at every position.
+    *
+    * Keep rule: for each shared window the first occurrence wins — the
+    * lowest doc id containing it keeps ALL its copies (within-doc
+    * repetition is q96's audit, not this operator's business); every
+    * position of that window in every OTHER doc is marked. Marked
+    * positions cover word interval [pos, pos+L); overlapping/adjacent
+    * covers merge into maximal islands per doc (the classic
+    * prev-running-max island scan).
+    *
+    * Scale: window fingerprints are portable md5-60 longs computed
+    * map-side; ONE groupBy on the 8-byte hash finds cross-doc windows
+    * (min≠max doc id — no distinct-count), one hash join marks positions,
+    * and the island merge is a per-doc window function over only the
+    * MARKED positions (dup-fraction-bounded, not corpus-bounded). Token-
+    * count input rows of 16 bytes are the same shuffle mass as every
+    * shingle pipeline here; nothing is quadratic and full text never
+    * shuffles. Returns (idCol, s, e) word-index half-open intervals.
+    */
+  def exactSubstrSpans(docs: DataFrame, windowWords: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(windowWords > 0, s"windowWords must be positive, got $windowWords")
+    val L = windowWords
+    val spans = docs
+      .select(col(idCol), wsTokens(textCol).as("w"))
+      .select(col(idCol),
+        posexplode(when(size(col("w")) < L, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("w")) - L),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(L)))))))
+      .select(col(idCol), col("pos"), md5Hash64(col("col")).as("h"))
+    val crossDoc = spans.groupBy(col("h"))
+      .agg(min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+      .filter(col("first_id") =!= col("last_id"))
+      .select("h", "first_id")
+    val marked = spans.join(crossDoc, Seq("h"))
+      .filter(col(idCol) =!= col("first_id"))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    marked
+      .withColumn("newIsland",
+        when(col("pos") > coalesce(max(col("pos") + L).over(prevEnd),
+          lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      .select(col(idCol), col("s"), col("e"))
+  }
+
+  /** Apply [[exactSubstrSpans]]: cut every marked word range and reassemble
+    * the remaining words (single-space joined, original order). The span
+    * table aggregates to one bounded array per affected doc, so the apply
+    * step is ONE join of the corpus against only its affected docs plus
+    * pure map-side array filtering — full text crosses no exchange beyond
+    * that single doc-keyed join. Returns per-doc n_words / n_cut /
+    * clean_text (empty when fully covered). */
+  def exactSubstrCut(docs: DataFrame, windowWords: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val cutsType = "array<struct<s:bigint,e:bigint>>"
+    val perDoc = exactSubstrSpans(docs, windowWords, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+        .as("cuts"))
+    docs.select(col(idCol), wsTokens(textCol).as("w"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("cuts", coalesce(col("cuts"), array().cast(cutsType)))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + (c.getField("e") - c.getField("s")))
+          .as("n_cut"),
+        array_join(filter(col("w"), (word, i) =>
+          !exists(col("cuts"), c =>
+            i.cast("long") >= c.getField("s") &&
+              i.cast("long") < c.getField("e"))), " ")
+          .as("clean_text"))
+  }
 }

@@ -229,4 +229,90 @@ object Mixing {
         concat_ws(" ", slice(col("w"), col("col") + 1, lit(window)))
           .as("window_text"))
   }
+
+  /** SFT example packing with loss-mask spans — the instruction-tuning
+    * face of [[packSequences]] (the TRL packed-SFT layout: examples
+    * concatenate contiguously, boundaries carried as metadata, the
+    * trainer masks loss outside completions). Each document becomes one
+    * example: prompt = first ⌊n/3⌋ words (≥ 1), completion = the rest,
+    * template overhead = 3 specials (bos, prompt/completion separator,
+    * eos), so example length = n_words + 3. The loss mask covers the
+    * completion + eos: absolute stream span [start_tok + prompt_tokens
+    * + 2, start_tok + n_tokens). Empty documents yield no example.
+    *
+    * Layout inherits packSequences exactly (one shard shuffle + running
+    * sum; docs straddle window boundaries — the packed-attention trainer
+    * resets attention at mask boundaries, nothing pads or drops). */
+  def packSft(docs: DataFrame, budget: Int,
+              shardCol: String = "source",
+              orderCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .withColumn("n_words", TextAnalysis.tokenCount(col("text"))
+        .cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("prompt_tokens",
+        greatest(lit(1L), expr("n_words div 3")))
+      .withColumn("example_tokens", col("n_words") + lit(3L))
+    packSequences(base, budget, shardCol, orderCol,
+        tokenCol = Some("example_tokens"))
+      .withColumn("mask_start",
+        col("start_tok") + col("prompt_tokens") + lit(2L))
+      .withColumn("mask_end", col("start_tok") + col("n_tokens"))
+  }
+
+  /** UniMax token-budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * split a training budget across sources as uniformly as possible while
+    * capping every source at `epochCap` passes over its data — the
+    * language/source-balancing rule that replaces ad-hoc temperature
+    * sampling. This is exact waterfilling: alloc_i = min(capacity_i,
+    * level) with capacity_i = epochCap·tokens_i and the unique level at
+    * which the budget is spent, found in closed form on the
+    * capacity-sorted prefix sums (source j is fully capped iff
+    * c_j·(n−j+1) + prefix_{j−1} ≤ B — monotone in j, so the break point
+    * is one flagged max).
+    *
+    * All arithmetic is int64 with floor division (the level underfills by
+    * < n_sources tokens — documented, deterministic). The source table is
+    * a bounded dim, so the rank/prefix windows are global-on-a-dim (the
+    * same contract as every 1-row-stats pattern here); the break-point
+    * scalars reduce to ONE row and broadcast back via crossJoin — no
+    * driver read.
+    *
+    * Input: (srcCol, tokensCol) one row per source. Output per source:
+    * tokens, capacity, alloc_tokens, epochs_bp (alloc/tokens in basis
+    * points). */
+  def unimaxAllocation(counts: DataFrame, budgetTokens: Long,
+                       epochCap: Int, srcCol: String = "source",
+                       tokensCol: String = "tokens"): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(epochCap > 0, s"epochCap must be positive, got $epochCap")
+    val byCap = Window.orderBy(col("capacity"), col(srcCol))
+    val ranked = counts
+      .select(col(srcCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("capacity", col("tokens") * epochCap)
+      .withColumn("rn", row_number().over(byCap).cast("long"))
+      .withColumn("prefix", sum(col("capacity")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("capped",
+        col("capacity") * (col("n") - col("rn") + 1L) +
+          (col("prefix") - col("capacity")) <= budgetTokens)
+    val break_ = ranked.agg(
+      max(when(col("capped"), col("rn")).otherwise(0L)).as("jstar"),
+      max(when(col("capped"), col("prefix")).otherwise(0L)).as("prefix_j"),
+      max(col("n")).as("nsrc"))
+    ranked.crossJoin(broadcast(break_))
+      .withColumn("level",
+        when(col("nsrc") > col("jstar"),
+          expr(s"($budgetTokens - prefix_j) div (nsrc - jstar)"))
+          .otherwise(col("capacity")))
+      .withColumn("alloc_tokens",
+        when(col("rn") <= col("jstar"), col("capacity"))
+          .otherwise(least(col("capacity"), col("level"))))
+      .withColumn("epochs_bp",
+        expr("alloc_tokens * 10000 div tokens"))
+      .select(col(srcCol), col("tokens"), col("capacity"),
+        col("alloc_tokens"), col("epochs_bp"))
+  }
 }

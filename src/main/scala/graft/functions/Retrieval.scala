@@ -110,6 +110,20 @@ object Retrieval {
                       textCol: String = "text", k1: Double = 1.2,
                       b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_unats"), asc(idCol))
+    bm25ScoredAll(docs, queries, idCol, textCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col(idCol), col("score_unats"))
+  }
+
+  /** Every (query, matching-doc) BM25 score — [[bm25TopKIndexed]] before
+    * its rank cut. Same plan disciplines (broadcast query-term filter,
+    * bounded dfq, 1-row stats); only docs sharing ≥1 query term appear. */
+  def bm25ScoredAll(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                    idCol: String = "doc_id", textCol: String = "text",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // a duplicated (qid, term) pair would contribute twice — dedupe
@@ -140,13 +154,42 @@ object Retrieval {
             + lit(b) * col("dl") / (col("sdl") / col("n")))))
       .select(col("qid"), col(idCol),
         floor(col("w") * lit(1e6)).cast("long").as("w_unats"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(desc("score_unats"), asc(idCol))
     contrib.groupBy(col("qid"), col(idCol))
       .agg(sum(col("w_unats")).as("score_unats"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("qid"), col("rank"), col(idCol), col("score_unats"))
+  }
+
+  /** Hard-negative mining for retriever/embedder training (the DPR/ANCE
+    * data-prep step, Karpukhin et al. 2020 §4.2): for each query, the
+    * top-scored documents NOT labeled relevant are exactly the negatives
+    * a contrastive trainer wants — lexically close enough to the query
+    * to be confusable, labeled non-relevant. Negatives rank by the same
+    * integer micro-nat BM25 as [[bm25TopKIndexed]]; `margin_unats` =
+    * negative score − best labeled-positive score (≥ 0 flags a negative
+    * outscoring every positive — the "hard" ones worth mining).
+    *
+    * Plan: the scored frame is query-term-bounded (only docs sharing a
+    * term appear), `positives` joins it twice — one anti-join to drop
+    * labeled docs, one inner join + 1-row-per-qid max for the margin
+    * baseline. Nothing beyond the scored frame shuffles. */
+  def hardNegatives(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                    positives: DataFrame, nNeg: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nNeg > 0, s"nNeg must be positive, got $nNeg")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25ScoredAll(docs, queries, idCol, textCol, k1, b)
+    val bestPos = scored.join(positives, Seq("qid", idCol))
+      .groupBy(col("qid")).agg(max(col("score_unats")).as("best_pos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(desc("score_unats"), asc(idCol))
+    scored.join(positives, Seq("qid", idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .join(bestPos, Seq("qid"), "left")
+      .select(col("qid"), col("neg_rank"), col(idCol),
+        col("score_unats"),
+        (col("score_unats") - coalesce(col("best_pos"), lit(0L)))
+          .as("margin_unats"))
   }
 
   /** Inverted index over the corpus: per term, document frequency, total

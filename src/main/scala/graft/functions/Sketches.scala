@@ -693,4 +693,78 @@ object Sketches {
       graft.plans.SortableBitsKernel.fromSortable(state((g, p))._1)))
     spark.createDataFrame(rows, outSchema)
   }
+
+  /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier,
+    * AofA 2007) over the portable md5-60 hash family — the
+    * distinct-count member of the standing-sketch family next to KMV
+    * ([[kmvDistinct]]): KMV keeps k hash VALUES (mergeable by min-k
+    * re-merge), HLL keeps 2^p bounded REGISTERS mergeable by plain
+    * elementwise max, the property that makes it the industry-standard
+    * streaming distinct counter. idx = top p bits of the 60-bit hash,
+    * rho = leading-zero count of the remaining (60-p) bits + 1 (the
+    * Spark face uses conv-to-binary length; the DuckDB face bin() —
+    * both exact integer ops on the same hash, so the register CONTENT
+    * is engine-portable data, like the Count-Min cell table).
+    *
+    * Only OCCUPIED registers are materialized (absent idx ⇒ rho 0);
+    * the table is ≤ 2^p rows per group after the one bounded hash
+    * aggregate (map-side partial max), so at 100 TB the shuffle carries
+    * ≤ m·partitions narrow rows per group, never the value column. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val wBits = 60 - p
+    val h = Dedup.md5Hash64(col(valueCol).cast("string"))
+    df.select(col(groupCol), h.as("h"))
+      .select(col(groupCol), shiftright(col("h"), wBits).as("idx"),
+        col("h").bitwiseAND(lit((1L << wBits) - 1)).as("wv"))
+      .select(col(groupCol), col("idx"),
+        when(col("wv") === 0, lit(wBits + 1).cast("long"))
+          .otherwise((lit(wBits + 1) - length(conv(col("wv"), 10, 2)))
+            .cast("long"))
+          .as("rho"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge two HLL register tables with the same p over any row sets
+    * (not necessarily disjoint — max is idempotent, unlike Count-Min's
+    * sum): registers take the elementwise max. */
+  def mergeHll(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** Cardinality estimates from an HLL register table. The harmonic
+    * sum is computed in EXACT int64 — Σ_j 2^(rMax − rho_j) with
+    * rMax = 60−p+1, absent registers contributing 2^rMax — so both
+    * engines reach the identical integer before the one fixed float
+    * expression (the q167/q168 determinism discipline); the classic
+    * small-range correction switches to linear counting (m·ln(m/V))
+    * while any register is empty and the raw estimate is below 5m/2.
+    * Estimates floor to whole counts. */
+  def hllEstimate(regs: DataFrame, groupCol: String,
+                  p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = (1 << p).toLong
+    val rMax = 60 - p + 1
+    // alpha_m for m ≥ 128 (Flajolet 2007 §4), as the literal expression
+    // both engines evaluate identically
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $rMax - cast(rho as int))"))
+          .as("s_occ"))
+      .withColumn("zeros", lit(m) - col("occupied"))
+      .withColumn("s_int",
+        col("s_occ") + col("zeros") * lit(1L << rMax))
+      .withColumn("est_raw",
+        expr(s"$alpha * $m.0 * $m.0 * cast(shiftleft(cast(1 as bigint), " +
+          s"$rMax) as double) / cast(s_int as double)"))
+      .withColumn("estimate",
+        when(col("zeros") > 0 && col("est_raw") <= lit(2.5 * m),
+          floor(expr(s"$m.0 * ln($m.0 / cast(zeros as double))")))
+          .otherwise(floor(col("est_raw"))).cast("long"))
+      .select(col(groupCol), col("occupied"), col("zeros"),
+        col("estimate"))
+  }
 }

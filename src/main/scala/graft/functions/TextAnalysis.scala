@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines, built
@@ -668,5 +668,40 @@ object TextAnalysis {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
         col("dist"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2) — the LINE-grain
+    * companion to the doc-grain Gopher gate: a line survives iff it ends
+    * in terminal punctuation (. ! ? "), carries ≥ `minLineWords`
+    * whitespace words, and does not mention "javascript"; the page
+    * survives iff it contains neither "lorem ipsum" nor a curly brace
+    * and retains ≥ `minLines` lines. Survivors reassemble in order.
+    *
+    * One row in, one row out: lines are a per-row array (split on \n),
+    * every rule is a HOF fold over it — no explode, no shuffle, the
+    * fused-census discipline. Returns (idCol, n_lines, n_kept, keep,
+    * clean_text — empty when dropped). */
+  def c4Clean(docs: DataFrame, minLineWords: Int = 5, minLines: Int = 3,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val lines = when(length(col(textCol)) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(col(textCol), "\n"))
+    val keptLines = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0))
+          >= minLineWords &&
+        instr(lower(l), "javascript") === 0)
+    val pageBad = instr(lower(col(textCol)), "lorem ipsum") > 0 ||
+      instr(col(textCol), "{") > 0
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        keptLines.as("_kept"), pageBad.as("_bad"))
+      .select(col(idCol), col("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (!col("_bad") && size(col("_kept")) >= minLines).as("keep"),
+        when(!col("_bad") && size(col("_kept")) >= minLines,
+          array_join(col("_kept"), "\n")).otherwise(lit(""))
+          .as("clean_text"))
   }
 }

@@ -5708,8 +5708,521 @@ object ExtensionQueries {
              |JOIN nlang ON nlang.source = d.source
              |LEFT JOIN dups du ON du.source = d.source
              |GROUP BY d.source
-             |ORDER BY d.source""".stripMargin))
+             |ORDER BY d.source""".stripMargin)),
+
+    // Cross-document exact-substring spans (Lee et al. 2022 ExactSubstr,
+    // the acting face): overlapping 5-word windows at EVERY position,
+    // first-occurrence-wins, covered word ranges merged to maximal
+    // islands. Distinct from q96 (within-doc audit) and q102 (fixed
+    // non-overlapping segments): these spans are alignment-free.
+    Q("q171_exact_substr_spans",
+      (s, dir) => Dedup.exactSubstrSpans(
+          Tables.load(s, dir, "documents"), windowWords = 5)
+        .orderBy("doc_id", "s"),
+      Some(exactSubstrCtes +
+        """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+          |       CAST(MAX(pos) + 5 AS BIGINT) AS e
+          |FROM grp GROUP BY doc_id, island
+          |ORDER BY doc_id, s""".stripMargin)),
+
+    // Apply the spans: cut every duplicated word range, reassemble the
+    // survivors. Full text crosses only the one doc-keyed span join;
+    // the filter is pure map-side array work.
+    Q("q172_exact_substr_cut",
+      (s, dir) => Dedup.exactSubstrCut(
+          Tables.load(s, dir, "documents"), windowWords = 5)
+        .orderBy("doc_id"),
+      Some(exactSubstrCtes +
+        """, spans AS (
+          |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+          |  FROM grp GROUP BY doc_id, island
+          |), tok AS (
+          |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1)) AS i
+          |  FROM d WHERE len(w) > 0
+          |), keptw AS (
+          |  SELECT t.doc_id, t.i, t.w[t.i + 1] AS word
+          |  FROM tok t
+          |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+          |    WHERE s.doc_id = t.doc_id AND t.i >= s.s AND t.i < s.e)
+          |), cutlen AS (
+          |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_cut
+          |  FROM spans GROUP BY doc_id
+          |), clean AS (
+          |  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS clean_text
+          |  FROM keptw GROUP BY doc_id
+          |)
+          |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+          |       COALESCE(c.n_cut, 0) AS n_cut,
+          |       COALESCE(k.clean_text, '') AS clean_text
+          |FROM d
+          |LEFT JOIN cutlen c ON c.doc_id = d.doc_id
+          |LEFT JOIN clean k ON k.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // HyperLogLog distinct-user estimate per event type (p=9, m=512),
+    // next to KMV (q80): registers are engine-portable integer data, the
+    // harmonic sum is exact int64, and only the final estimate touches
+    // floats (one fixed expression both engines evaluate identically).
+    // n_exact rides along so the estimate is self-auditing.
+    Q("q173_hll_distinct",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Sketches.hllEstimate(
+            Sketches.hllRegisters(ev, "event_type", "user_id"),
+            "event_type")
+          .join(ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_exact")),
+            Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("occupied"),
+            col("zeros"), col("estimate"))
+          .orderBy("event_type")
+      },
+      Some(hllCtes +
+        """SELECT f.event_type, x.n_exact, f.occupied, f.zeros,
+          |       CAST(CASE WHEN f.zeros > 0 AND f.est_raw <= 1280.0
+          |            THEN floor(512.0 * ln(512.0
+          |                   / CAST(f.zeros AS DOUBLE)))
+          |            ELSE floor(f.est_raw) END AS BIGINT) AS estimate
+          |FROM fin f JOIN (
+          |  SELECT event_type,
+          |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+          |  FROM events GROUP BY 1) x USING (event_type)
+          |ORDER BY f.event_type""".stripMargin)),
+
+    // Merged ≡ rebuilt for the HLL standing artifact: three disjoint
+    // event waves sketch independently, registers fold by elementwise
+    // max, and the estimate matches the one-shot oracle exactly — the
+    // property that lets a 100 TB corpus keep per-day register tables
+    // and answer corpus-wide distincts without ever rescanning history.
+    Q("q174_hll_merged",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val waves = (0 until 3).map(i =>
+          Sketches.hllRegisters(
+            ev.filter(pmod(col("event_id"), lit(3)) === i),
+            "event_type", "user_id"))
+        val merged = waves.reduce(Sketches.mergeHll(_, _, "event_type"))
+        Sketches.hllEstimate(merged, "event_type")
+          .orderBy("event_type")
+      },
+      Some(hllCtes +
+        """SELECT f.event_type, f.occupied, f.zeros,
+          |       CAST(CASE WHEN f.zeros > 0 AND f.est_raw <= 1280.0
+          |            THEN floor(512.0 * ln(512.0
+          |                   / CAST(f.zeros AS DOUBLE)))
+          |            ELSE floor(f.est_raw) END AS BIGINT) AS estimate
+          |FROM fin f ORDER BY f.event_type""".stripMargin)),
+
+    // UniMax token-budget allocation (Chung et al. 2023): spend a 40k-
+    // token budget as uniformly as possible across sources, capping each
+    // at 2 epochs — exact integer waterfilling via capacity-sorted
+    // prefix sums. Small sources get their full cap; large ones split
+    // the remainder at one common level.
+    Q("q175_unimax_alloc",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            when(length(trim(col("text"))) === 0, 0)
+              .otherwise(size(split(trim(col("text")), "\\s+")))
+              .as("nw"))
+          .groupBy("source").agg(sum(col("nw")).as("tokens"))
+        Mixing.unimaxAllocation(counts, budgetTokens = 50000L,
+            epochCap = 2)
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |         CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text),
+             |                       '\s+')) END AS nw
+             |  FROM documents
+             |), cnt AS (
+             |  SELECT source, CAST(SUM(nw) AS BIGINT) AS tokens
+             |  FROM d GROUP BY source
+             |), rk AS (
+             |  SELECT source, tokens, tokens * 2 AS capacity,
+             |         CAST(ROW_NUMBER() OVER (ORDER BY tokens * 2,
+             |           source) AS BIGINT) AS rn,
+             |         SUM(tokens * 2) OVER (ORDER BY tokens * 2, source
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |           AS prefix,
+             |         CAST(COUNT(*) OVER () AS BIGINT) AS n
+             |  FROM cnt
+             |), fl AS (
+             |  SELECT *, capacity * (n - rn + 1) + (prefix - capacity)
+             |            <= 50000 AS capped
+             |  FROM rk
+             |), br AS (
+             |  SELECT MAX(CASE WHEN capped THEN rn ELSE 0 END) AS jstar,
+             |         MAX(CASE WHEN capped THEN prefix ELSE 0 END)
+             |           AS prefix_j,
+             |         MAX(n) AS nsrc
+             |  FROM fl
+             |), alo AS (
+             |  SELECT f.source, f.tokens, f.capacity,
+             |         CAST(CASE WHEN f.rn <= b.jstar THEN f.capacity
+             |              ELSE least(f.capacity,
+             |                CASE WHEN b.nsrc > b.jstar
+             |                     THEN (50000 - b.prefix_j)
+             |                          // (b.nsrc - b.jstar)
+             |                     ELSE f.capacity END) END AS BIGINT)
+             |           AS alloc_tokens
+             |  FROM fl f CROSS JOIN br b
+             |)
+             |SELECT source, tokens, capacity, alloc_tokens,
+             |       CAST(alloc_tokens * 10000 // tokens AS BIGINT)
+             |         AS epochs_bp
+             |FROM alo ORDER BY source""".stripMargin)),
+
+    // Hard-negative mining (DPR/ANCE data prep): top BM25-scored docs
+    // per query that are NOT labeled relevant, with the margin to the
+    // best labeled positive. Labels are id-derived (doc_id % 100 = query
+    // index) so both engines regenerate the same relevance table — the
+    // q149 deterministic-traffic pattern.
+    Q("q176_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qidx = Seq(("q1", 0L), ("q2", 1L), ("q3", 2L))
+          .toDF("qid", "r")
+        val positives = docs.select(col("doc_id"))
+          .crossJoin(broadcast(qidx))
+          .filter(pmod(col("doc_id"), lit(100L)) === col("r"))
+          .select("qid", "doc_id")
+        Retrieval.hardNegatives(docs,
+            Seq("q1" -> Seq("spark", "table"),
+              "q2" -> Seq("query", "data"),
+              "q3" -> Seq("window", "zzz_absent_term")),
+            positives, nNeg = 10)
+          .orderBy("qid", "neg_rank")
+      },
+      Some(bm25ScoredCtes +
+        """, pos AS (
+          |  SELECT q.qid, d.doc_id
+          |  FROM (VALUES ('q1', 0), ('q2', 1), ('q3', 2)) q(qid, r)
+          |  CROSS JOIN documents d
+          |  WHERE d.doc_id % 100 = q.r
+          |), bp AS (
+          |  SELECT s.qid, MAX(s.score_unats) AS best_pos
+          |  FROM sc s JOIN pos p
+          |    ON p.qid = s.qid AND p.doc_id = s.doc_id
+          |  GROUP BY s.qid
+          |), neg AS (
+          |  SELECT s.qid, s.doc_id, s.score_unats,
+          |         ROW_NUMBER() OVER (PARTITION BY s.qid
+          |           ORDER BY s.score_unats DESC, s.doc_id) AS neg_rank
+          |  FROM sc s
+          |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+          |    WHERE p.qid = s.qid AND p.doc_id = s.doc_id)
+          |)
+          |SELECT n.qid, CAST(n.neg_rank AS BIGINT) AS neg_rank,
+          |       n.doc_id, n.score_unats,
+          |       CAST(n.score_unats - COALESCE(b.best_pos, 0) AS BIGINT)
+          |         AS margin_unats
+          |FROM neg n LEFT JOIN bp b ON b.qid = n.qid
+          |WHERE n.neg_rank <= 10
+          |ORDER BY n.qid, n.neg_rank""".stripMargin)),
+
+    // SFT example packing with loss masks (TRL-style packed instruction
+    // tuning): prompt/completion split, 3-special template overhead,
+    // contiguous per-source layout at a 1024-token budget, absolute
+    // loss-mask spans over completions.
+    Q("q177_sft_pack",
+      (s, dir) => Mixing.packSft(
+          Tables.load(s, dir, "documents"), budget = 1024)
+        .select(col("doc_id"), col("source"), col("prompt_tokens"),
+          col("n_tokens"), col("start_tok"), col("seq_id"),
+          col("seq_offset"), col("mask_start"), col("mask_end"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text),
+             |                       '\s+')) END AS n_words
+             |  FROM documents
+             |), e AS (
+             |  SELECT doc_id, source, n_words,
+             |         greatest(1, n_words // 3) AS prompt_tokens,
+             |         n_words + 3 AS example_tokens
+             |  FROM d WHERE n_words > 0
+             |), p AS (
+             |  SELECT *, SUM(example_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) - example_tokens
+             |           AS start_tok
+             |  FROM e
+             |)
+             |SELECT doc_id, source,
+             |       CAST(prompt_tokens AS BIGINT) AS prompt_tokens,
+             |       CAST(example_tokens AS BIGINT) AS n_tokens,
+             |       CAST(start_tok AS BIGINT) AS start_tok,
+             |       CAST(start_tok // 1024 AS BIGINT) AS seq_id,
+             |       CAST(start_tok % 1024 AS BIGINT) AS seq_offset,
+             |       CAST(start_tok + prompt_tokens + 2 AS BIGINT)
+             |         AS mask_start,
+             |       CAST(start_tok + example_tokens AS BIGINT)
+             |         AS mask_end
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Deequ-style constraint verification (Schelter et al., VLDB 2018):
+    // five table-level constraints — size, completeness, two uniqueness
+    // checks, a value bound — in ONE aggregation pass; unique(o_custkey)
+    // deliberately fails (customers repeat), proving the verdict path.
+    Q("q178_constraint_checks",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        Quality.verifyConstraints(orders, Seq(
+          Quality.Constraint("size_in_range", Quality.sizeMetric,
+            1L, 1000000000L),
+          Quality.Constraint("complete(o_custkey)",
+            Quality.completenessBp("o_custkey"), 10000L, 10000L),
+          Quality.Constraint("unique(o_orderkey)",
+            Quality.uniquenessBp("o_orderkey"), 10000L, 10000L),
+          Quality.Constraint("unique(o_custkey)",
+            Quality.uniquenessBp("o_custkey"), 9990L, 10000L),
+          Quality.Constraint("min_totalprice_cents",
+            floor(min(col("o_totalprice")) * 100), 0L, 1000000000000L)))
+          .orderBy("check_name")
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS size_m,
+             |         CAST(COUNT(o_custkey) * 10000 // COUNT(*)
+             |           AS BIGINT) AS comp_ck,
+             |         CAST(COUNT(DISTINCT o_orderkey) * 10000
+             |           // COUNT(o_orderkey) AS BIGINT) AS uniq_ok,
+             |         CAST(COUNT(DISTINCT o_custkey) * 10000
+             |           // COUNT(o_custkey) AS BIGINT) AS uniq_ck,
+             |         CAST(floor(MIN(o_totalprice) * 100) AS BIGINT)
+             |           AS min_tp
+             |  FROM orders
+             |)
+             |SELECT * FROM (
+             |  SELECT 'complete(o_custkey)' AS check_name,
+             |         comp_ck AS metric,
+             |         comp_ck BETWEEN 10000 AND 10000 AS pass FROM m
+             |  UNION ALL SELECT 'min_totalprice_cents', min_tp,
+             |         min_tp BETWEEN 0 AND 1000000000000 FROM m
+             |  UNION ALL SELECT 'size_in_range', size_m,
+             |         size_m BETWEEN 1 AND 1000000000 FROM m
+             |  UNION ALL SELECT 'unique(o_custkey)', uniq_ck,
+             |         uniq_ck BETWEEN 9990 AND 10000 FROM m
+             |  UNION ALL SELECT 'unique(o_orderkey)', uniq_ok,
+             |         uniq_ok BETWEEN 10000 AND 10000 FROM m
+             |) ORDER BY check_name""".stripMargin)),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    // deterministically line-structured corpus (the q149 enrichment
+    // pattern: 10-word lines, id-derived terminal punctuation /
+    // "javascript" / lorem-ipsum / curly-brace injections both engines
+    // regenerate), so every rule fires on real traffic.
+    Q("q179_c4_clean",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = when(length(trim(col("text"))) === 0,
+            array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+"))
+        val lines = when(size(col("w")) === 0,
+            array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              ceil(size(col("w")) / lit(10.0)).cast("int") - 1),
+            i => concat(
+              concat_ws(" ", slice(col("w"), i * 10 + 1, lit(10))),
+              when((col("doc_id") + i * 7) % 13 === 0,
+                lit(" javascript")).otherwise(lit("")),
+              when((col("doc_id") + i) % 4 =!= 0, lit("."))
+                .otherwise(lit("")))))
+        val enriched = docs.select(col("doc_id"), w.as("w"))
+          .select(col("doc_id"),
+            concat(array_join(lines, "\n"),
+              when(col("doc_id") % 23 === 0,
+                lit("\nlorem ipsum dolor sit amet."))
+                .otherwise(lit("")),
+              when(col("doc_id") % 29 === 7,
+                lit("\nfunction f() { return 1; }."))
+                .otherwise(lit(""))).as("text"))
+        TextAnalysis.c4Clean(enriched).orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(trim(text)) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split_regex(trim(text), '\s+')
+             |         END AS w
+             |  FROM documents
+             |), ch AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0,
+             |           CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS i
+             |  FROM d WHERE len(w) > 0
+             |), ln AS (
+             |  SELECT doc_id, i,
+             |         array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')
+             |         || CASE WHEN (doc_id + i * 7) % 13 = 0
+             |                 THEN ' javascript' ELSE '' END
+             |         || CASE WHEN (doc_id + i) % 4 <> 0
+             |                 THEN '.' ELSE '' END AS line
+             |  FROM ch
+             |), pg AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t0
+             |  FROM ln GROUP BY doc_id
+             |), enr AS (
+             |  SELECT d.doc_id, COALESCE(p.t0, '')
+             |    || CASE WHEN d.doc_id % 23 = 0
+             |            THEN chr(10) || 'lorem ipsum dolor sit amet.'
+             |            ELSE '' END
+             |    || CASE WHEN d.doc_id % 29 = 7
+             |            THEN chr(10) || 'function f() { return 1; }.'
+             |            ELSE '' END AS text
+             |  FROM d LEFT JOIN pg p ON p.doc_id = d.doc_id
+             |), ev AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(text) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split(text, chr(10)) END AS ls,
+             |         strpos(lower(text), 'lorem ipsum') > 0
+             |           OR strpos(text, '{') > 0 AS bad
+             |  FROM enr
+             |), kp AS (
+             |  SELECT doc_id, ls, bad,
+             |         list_filter(ls, l ->
+             |           right(l, 1) IN ('.', '!', '?', '"')
+             |           AND len(list_filter(string_split_regex(trim(l),
+             |             '\s+'), x -> len(x) > 0)) >= 5
+             |           AND strpos(lower(l), 'javascript') = 0) AS kept
+             |  FROM ev
+             |)
+             |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+             |       CAST(len(kept) AS BIGINT) AS n_kept,
+             |       NOT bad AND len(kept) >= 3 AS keep,
+             |       CASE WHEN NOT bad AND len(kept) >= 3
+             |            THEN array_to_string(kept, chr(10))
+             |            ELSE '' END AS clean_text
+             |FROM kp ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB replay of the BM25 multi-query scoring chain (the q85
+    * pipeline before its rank cut) — identical float expression tree,
+    * ends at `sc` (qid, doc_id, score_unats). */
+  private def bm25ScoredCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM dl
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS term FROM d
+      |), tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY term, doc_id
+      |), qt(qid, term) AS (
+      |  VALUES ('q1','spark'),('q1','table'),('q2','query'),
+      |         ('q2','data'),('q3','window'),('q3','zzz_absent_term')
+      |), dfq AS (
+      |  SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+      |           AS df
+      |  FROM tf t JOIN (SELECT DISTINCT term FROM qt) q
+      |    ON q.term = t.term
+      |  GROUP BY t.term
+      |), contrib AS (
+      |  SELECT q.qid, t.doc_id,
+      |         CAST(floor((ln(1.0 + (s.n - f.df + 0.5)
+      |             / (f.df + 0.5)) * t.tf * (1.2 + 1.0)
+      |           / (t.tf + 1.2 * ((1.0 - 0.75)
+      |             + 0.75 * l.dl / (s.sdl / s.n)))) * 1000000.0)
+      |           AS BIGINT) AS w_unats
+      |  FROM qt q
+      |  JOIN tf t ON t.term = q.term
+      |  JOIN dfq f ON f.term = t.term
+      |  JOIN dl l ON l.doc_id = t.doc_id
+      |  CROSS JOIN stats s
+      |), sc AS (
+      |  SELECT qid, doc_id,
+      |         CAST(SUM(w_unats) AS BIGINT) AS score_unats
+      |  FROM contrib GROUP BY qid, doc_id
+      |)""".stripMargin
+
+  /** DuckDB replay of the HLL register pipeline (p=9 over the portable
+    * md5-60 hash of user_id, exact int64 harmonic sum) — mirrors
+    * Sketches.hllRegisters + hllEstimate exactly. Ends at `fin`
+    * (event_type, occupied, zeros, est_raw). */
+  private def hllCtes: String =
+    """WITH hh AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |           ::BIGINT AS h
+      |  FROM events
+      |), rw AS (
+      |  SELECT event_type, h >> 51 AS idx,
+      |         h & ((1::BIGINT << 51) - 1) AS wv
+      |  FROM hh
+      |), regs AS (
+      |  SELECT event_type, idx,
+      |         MAX(CASE WHEN wv = 0 THEN 52
+      |             ELSE 52 - length(bin(wv)) END) AS rho
+      |  FROM rw GROUP BY event_type, idx
+      |), agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+      |         CAST(SUM(1::BIGINT << CAST(52 - rho AS INT)) AS BIGINT)
+      |           AS s_occ
+      |  FROM regs GROUP BY event_type
+      |), fin AS (
+      |  SELECT event_type, occupied,
+      |         512 - occupied AS zeros,
+      |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+      |           * CAST(1::BIGINT << 52 AS DOUBLE)
+      |           / CAST(s_occ + (512 - occupied) * (1::BIGINT << 52)
+      |                  AS DOUBLE) AS est_raw
+      |  FROM agg
+      |)
+      |""".stripMargin
+
+  /** DuckDB replay of the ExactSubstr span pipeline (5-word windows at
+    * every position, portable md5-60 window fingerprints, first-
+    * occurrence-wins cross-doc marking, island merge over marked
+    * positions) — mirrors Dedup.exactSubstrSpans exactly. Ends at `grp`
+    * (doc_id, pos, island); callers add the span/apply tail. */
+  private def exactSubstrCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents
+      |), sp AS (
+      |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 5)) AS pos
+      |  FROM d WHERE len(w) >= 5
+      |), sph AS (
+      |  SELECT doc_id, pos,
+      |         ('0x' || substr(md5(array_to_string(
+      |           w[pos + 1 : pos + 5], ' ')), 1, 15))::BIGINT AS h
+      |  FROM sp
+      |), own AS (
+      |  SELECT h, MIN(doc_id) AS first_id FROM sph GROUP BY h
+      |  HAVING MIN(doc_id) <> MAX(doc_id)
+      |), dup AS (
+      |  SELECT s.doc_id, s.pos FROM sph s
+      |  JOIN own o ON s.h = o.h AND s.doc_id <> o.first_id
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+      |                PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |              -1) THEN 1 ELSE 0 END AS ni
+      |  FROM dup
+      |), grp AS (
+      |  SELECT doc_id, pos,
+      |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS island
+      |  FROM isl
+      |)
+      |""".stripMargin
 
   /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
     * target = lang 'en', Laplace smoothing, micro-nat weights) —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rule-based data-quality layer generalizing the reference's two inline
@@ -48,4 +48,44 @@ object Quality {
   def reservedExceedsAvailable(inventory: DataFrame): DataFrame =
     inventory.filter(col("reserved_qty") > col("available_qty"))
       .select("product_id").distinct()
+
+  /** A declarative TABLE-level constraint: `metric` is any aggregate
+    * expression over the table reduced to one int64 (fractions in basis
+    * points — floor division keeps every engine exact); the constraint
+    * passes when the metric lands in [lo, hi]. */
+  final case class Constraint(name: String, metric: Column,
+                              lo: Long, hi: Long)
+
+  /** Deequ-style verification suite (Schelter et al., VLDB 2018): every
+    * constraint's metric computes in ONE aggregation pass over the table
+    * (the structs share a single Aggregate — Catalyst extracts all the
+    * aggregate functions into one map-side-combined reduce, so the scan
+    * happens once no matter how many constraints), then the 1-row result
+    * explodes into the (constraint, metric, pass) report. No per-rule
+    * scans, no driver-side metric reads. */
+  def verifyConstraints(df: DataFrame,
+                        constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints")
+    val entries = constraints.map { c =>
+      val m = c.metric.cast("long")
+      struct(lit(c.name).as("check_name"), m.as("metric"),
+        (m >= c.lo && m <= c.hi).as("pass"))
+    }
+    df.agg(array(entries: _*).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.metric").as("metric"), col("c.pass").as("pass"))
+  }
+
+  /** Standard constraint metrics, all exact int64. */
+  def sizeMetric: Column = count(lit(1))
+
+  /** Fraction of non-null values, basis points. */
+  def completenessBp(c: String): Column =
+    expr(s"count(`$c`) * 10000 div count(1)")
+
+  /** Distinct non-null values over non-null rows, basis points —
+    * 10000 ⟺ the column is a key. */
+  def uniquenessBp(c: String): Column =
+    expr(s"count(DISTINCT `$c`) * 10000 div count(`$c`)")
 }

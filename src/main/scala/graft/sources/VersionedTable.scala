@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Minimal lakehouse-style versioned table: an append-only COMMIT LOG
   * over immutable parquet data files, giving time travel, snapshot
@@ -293,5 +294,47 @@ object VersionedTable {
       .zOrderCluster(read(spark, dir), xCol, yCol, targetFiles)
       .drop("z")
     commit(clustered, dir, "compact")
+  }
+
+  /** MERGE INTO (the Delta/Iceberg upsert statement) against the
+    * CURRENT snapshot:
+    *   - WHEN MATCHED AND deleteWhen THEN DELETE
+    *   - WHEN MATCHED THEN UPDATE (the source row replaces the target
+    *     row wholesale)
+    *   - WHEN NOT MATCHED AND NOT deleteWhen THEN INSERT
+    * `deleteWhen` is a predicate over the SOURCE schema (evaluated
+    * before any internal renaming); an unmatched source row it flags is
+    * simply not inserted — the Delta convention. The merged snapshot
+    * commits as an overwrite, so every pre-merge version stays
+    * time-travel readable and a re-run lands as a new version (the
+    * append-only audit property upsert-in-place formats lose).
+    *
+    * Plan: ONE full-outer join on the keys decides all three branches —
+    * no per-branch scans, no row-level point updates; at scale this is
+    * the classic copy-on-write merge (Delta's join-based MERGE), and
+    * the source side is typically batch-sized → AQE broadcasts it.
+    * Returns the committed version. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keys: Seq[String],
+            deleteWhen: Option[Column] = None): Long = {
+    val target = read(spark, dir)
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"schema mismatch: target ${target.columns.mkString(",")} vs " +
+        s"source ${source.columns.mkString(",")}")
+    val nonKeys = target.columns.filterNot(keys.contains).toSeq
+    val sPrepared = nonKeys.foldLeft(
+        source.withColumn("_s_del",
+          deleteWhen.getOrElse(lit(false)))) {
+        (d, c) => d.withColumnRenamed(c, s"_s_$c")
+      }
+      .withColumn("_s_present", lit(true))
+    val merged = target.join(sPrepared, keys, "full_outer")
+      .filter(!coalesce(col("_s_del"), lit(false)))
+      .select(keys.map(col) ++ nonKeys.map(c =>
+        when(coalesce(col("_s_present"), lit(false)), col(s"_s_$c"))
+          .otherwise(col(c)).as(c)): _*)
+      .select(target.columns.map(col): _*)
+    commit(merged, dir, "overwrite")
   }
 }

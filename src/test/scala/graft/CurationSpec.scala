@@ -436,6 +436,34 @@ class CurationSpec extends AnyFunSuite {
     assert(wantIds.size < res.nBalanced)
   }
 
+  test("UniMax budget lever: the run equals the manual allocation-to-" +
+    "weights mixture and self-describes the weights it chose") {
+    res // baseline run first (shares the warm session)
+    val outU = java.nio.file.Files
+      .createTempDirectory("graft-curation-unimax").toString
+    val r = CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outU, unimaxBudgetTokens = Some(3000L)))
+    val weights = r.unimaxWeights.get
+    assert(weights.nonEmpty && weights.values.forall(_ >= 1))
+    assert(res.unimaxWeights.isEmpty)
+    // the same weights handed to the ordinary mixing lever reproduce
+    // the exact packed layout — one schedule machinery, two authorities
+    val outM = java.nio.file.Files
+      .createTempDirectory("graft-curation-unimax-manual").toString
+    CurationPipeline.run(spark, docs,
+      conf.copy(outputDir = outM, mixWeightsHundredths = weights))
+    def packed(o: String) = spark.read.parquet(s"$o/packed")
+      .select("doc_id", "epoch", "seq_id", "seq_offset")
+      .collect().map(_.toSeq).toSet
+    assert(packed(outU) == packed(outM))
+    // both authorities at once is refused loudly
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(spark, docs, conf.copy(
+        outputDir = outU, unimaxBudgetTokens = Some(3000L),
+        mixWeightsHundredths = Map("src0" -> 100)))
+    }
+  }
+
   test("re-running the pipeline is idempotent (same curated set)") {
     val first = spark.read.parquet(s"$out/curated")
       .select("doc_id").collect().map(_.getLong(0)).toSet

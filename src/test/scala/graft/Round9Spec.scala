@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Mixing, Retrieval, Sketches, TextAnalysis}
+import graft.operators.Quality
+
+/** Round-9 fifth-wave operators: ExactSubstr span dedup, HyperLogLog,
+  * UniMax allocation, hard negatives, SFT packing, constraint suite,
+  * C4 cleaning. */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- exactSubstrSpans / exactSubstrCut ---------------------------------
+
+  test("exactSubstrSpans: shared 6-word run marks the loser's maximal " +
+    "span; the first-occurrence doc keeps everything") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e f z"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, windowWords = 5)
+      .orderBy("doc_id", "s")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 shares windows "a b c d e" (pos 2) and "b c d e f" (pos 3)
+    // with doc 0 -> merged cover [2, 8)
+    assert(spans == Seq((1L, 2L, 8L)))
+  }
+
+  test("exactSubstrSpans: within-doc repetition alone is NOT marked " +
+    "(cross-doc only; q96 owns self-repetition)") {
+    val docs = Seq(
+      (0L, "a b c d e z z a b c d e"),
+      (1L, "totally different words here five six")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(docs, 5).count() == 0L)
+  }
+
+  test("exactSubstrCut: an exact duplicate doc is fully cut; the winner " +
+    "and a bystander are untouched; word counts reconcile") {
+    val t = "one two three four five six seven"
+    val docs = Seq((3L, t), (9L, t), (5L, "unrelated text of five words ok"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCut(docs, 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (3L, 7L, 0L, t),
+      (5L, 6L, 0L, "unrelated text of five words ok"),
+      (9L, 7L, 7L, "")))
+  }
+
+  test("exactSubstrCut: interior span cut reassembles the survivors in " +
+    "order") {
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "pre1 pre2 a b c d e post1 post2")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrCut(docs, 5).filter(col("doc_id") === 1)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out == ((1L, 9L, 5L, "pre1 pre2 post1 post2")))
+  }
+
+  test("exactSubstrSpans plan: no cartesian/broadcast-nested-loop join") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val p = Dedup.exactSubstrSpans(docs, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  // --- HyperLogLog -------------------------------------------------------
+
+  test("hllRegisters/hllEstimate: estimate lands within the p=9 error " +
+    "band on 1000 distinct values, and occupied+zeros == 512") {
+    val df = (1 to 1000).map(i => ("g", s"user$i")).toDF("grp", "v")
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, "grp", "v"), "grp")
+      .as[(String, Long, Long, Long)].collect().head
+    val (_, occupied, zeros, estimate) = est
+    assert(occupied + zeros == 512L)
+    // 3 sigma at p=9 is ~14%
+    assert(math.abs(estimate - 1000L) <= 140L,
+      s"estimate $estimate too far from 1000")
+  }
+
+  test("hll: merge is idempotent (re-adding the same rows changes " +
+    "nothing) and merged-over-split equals one-shot exactly") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("grp", "v")
+    val oneShot = Sketches.hllRegisters(df, "grp", "v")
+    val waves = (0 until 4).map(k =>
+      Sketches.hllRegisters(df.filter(pmod(col("v"), lit(4)) === k),
+        "grp", "v"))
+    val merged = waves.reduce(Sketches.mergeHll(_, _, "grp"))
+    val again = Sketches.mergeHll(merged, oneShot, "grp")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp", "idx").as[(String, Long, Long)].collect().toSeq
+    assert(key(merged) == key(oneShot))
+    assert(key(again) == key(oneShot))
+  }
+
+  test("hllEstimate: tiny group takes the linear-counting branch and " +
+    "stays near-exact") {
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("g", "a"))
+      .toDF("grp", "v")
+    val r = Sketches.hllEstimate(Sketches.hllRegisters(df, "grp", "v"),
+        "grp").as[(String, Long, Long, Long)].collect().head
+    assert(r._2 == 3L) // occupied = 3 distinct hashes, no collisions
+    assert(r._4 == 3L) // m ln(m/(m-3)) floors to 3 at m=512
+  }
+
+  // --- unimaxAllocation --------------------------------------------------
+
+  test("unimaxAllocation: waterfilling hand case — small source capped, " +
+    "large ones leveled, budget spent exactly") {
+    val counts = Seq(("a", 10L), ("b", 100L), ("c", 1000L))
+      .toDF("source", "tokens")
+    val out = Mixing.unimaxAllocation(counts, budgetTokens = 300L,
+        epochCap = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 20L, 20L, 20000L),
+      ("b", 100L, 200L, 140L, 14000L),
+      ("c", 1000L, 2000L, 140L, 1400L)))
+  }
+
+  test("unimaxAllocation: budget above total capacity caps every source " +
+    "at epochCap exactly") {
+    val counts = Seq(("a", 10L), ("b", 30L)).toDF("source", "tokens")
+    val out = Mixing.unimaxAllocation(counts, budgetTokens = 1000L,
+        epochCap = 3)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 10L, 30L, 30L, 30000L),
+      ("b", 30L, 90L, 90L, 30000L)))
+  }
+
+  test("unimaxAllocation: nothing capped — equal split with floor " +
+    "division") {
+    val counts = Seq(("a", 100L), ("b", 101L), ("c", 102L))
+      .toDF("source", "tokens")
+    val out = Mixing.unimaxAllocation(counts, budgetTokens = 100L,
+        epochCap = 1)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._4) == Seq(33L, 33L, 33L))
+  }
+
+  // --- hardNegatives -----------------------------------------------------
+
+  test("hardNegatives: labeled positives are excluded, negatives rank " +
+    "by score, margin is relative to the best positive") {
+    val docs = Seq(
+      (0L, "spark spark spark"), // best lexical match - labeled positive
+      (1L, "spark spark other"),
+      (2L, "spark other other"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val positives = Seq(("q1", 0L)).toDF("qid", "doc_id")
+    val out = Retrieval.hardNegatives(docs, Seq("q1" -> Seq("spark")),
+        positives, nNeg = 5)
+      .orderBy("neg_rank")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(1L, 2L)) // doc 3 shares no term; 0 labeled
+    val scored = Retrieval.bm25ScoredAll(docs, Seq("q1" -> Seq("spark")))
+      .as[(String, Long, Long)].collect()
+      .map { case (_, id, sc) => id -> sc }.toMap
+    assert(out.head._4 == scored(1L))
+    assert(out.head._5 == scored(1L) - scored(0L))
+    assert(out.forall(_._5 < 0L)) // the positive outscores both here
+  }
+
+  // --- packSft -----------------------------------------------------------
+
+  test("packSft: prompt/mask arithmetic and contiguous per-source " +
+    "layout; empty docs yield no example") {
+    val docs = Seq(
+      (0L, "s", "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      (1L, "s", "a b c"),
+      (2L, "s", "   ")).toDF("doc_id", "source", "text")
+    val out = Mixing.packSft(docs, budget = 10)
+      .select("doc_id", "prompt_tokens", "n_tokens", "start_tok",
+        "seq_id", "seq_offset", "mask_start", "mask_end")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // doc 0: 9 words -> prompt 3, example 12, starts at 0, mask [5, 12)
+    // doc 1: 3 words -> prompt 1, example 6, starts at 12 (seq 1 off 2),
+    //        mask [15, 18); doc 2 empty -> dropped
+    assert(out == Seq(
+      (0L, 3L, 12L, 0L, 0L, 0L, 5L, 12L),
+      (1L, 1L, 6L, 12L, 1L, 2L, 15L, 18L)))
+  }
+
+  // --- verifyConstraints -------------------------------------------------
+
+  test("verifyConstraints: metrics are exact and verdicts respect the " +
+    "[lo, hi] band; the whole suite is one pass over one scan") {
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (2L, None))
+      .toDF("k", "v")
+    val checks = Quality.verifyConstraints(df, Seq(
+      Quality.Constraint("size", Quality.sizeMetric, 3L, 3L),
+      Quality.Constraint("complete(v)", Quality.completenessBp("v"),
+        10000L, 10000L), // fails: 2/3 non-null = 6666 bp
+      Quality.Constraint("unique(k)", Quality.uniquenessBp("k"),
+        10000L, 10000L))) // fails: 2 distinct / 3 rows = 6666 bp
+    val got = checks.orderBy("check_name")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("complete(v)", 6666L, false),
+      ("size", 3L, true),
+      ("unique(k)", 6666L, false)))
+    assert(checks.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+
+  // --- c4Clean -----------------------------------------------------------
+
+  test("c4Clean: every rule fires — no-terminal, short, javascript " +
+    "lines drop; lorem-ipsum and brace pages drop; survivors " +
+    "reassemble in order") {
+    val good = "this line has enough words here."
+    val docs = Seq(
+      (0L, s"$good\n$good\n$good"),                    // keeps all 3
+      (1L, s"$good\n$good"),                           // only 2 -> drop
+      (2L, s"$good\nno terminal punctuation line\n$good\n$good"),
+      (3L, s"$good\ntoo short.\n$good\n$good"),
+      (4L, s"$good\nthe javascript line is banned ok.\n$good\n$good"),
+      (5L, s"$good\n$good\n$good\nlorem ipsum dolor sit amet."),
+      (6L, s"$good\n$good\n$good\nvar x = {1};.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean, String)].collect().toSeq
+    assert(out(0) == ((0L, 3L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(1) == ((1L, 2L, 2L, false, "")))
+    assert(out(2) == ((2L, 4L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(3) == ((3L, 4L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(4) == ((4L, 4L, 3L, true, s"$good\n$good\n$good")))
+    assert(out(5)._4 == false && out(5)._5 == "")
+    assert(out(6)._4 == false && out(6)._5 == "")
+  }
+}

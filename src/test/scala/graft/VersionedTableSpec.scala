@@ -221,4 +221,56 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vs == Seq(0L, 1L, 2L))
     assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L, 2L))
   }
+
+  test("merge: matched rows update, unmatched insert, deleteWhen drops " +
+    "matched targets and suppresses flagged inserts; pre-merge " +
+    "versions stay readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-merge").toString
+    val base = Seq((1L, "one", "en"), (2L, "two", "en"),
+      (3L, "three", "en")).toDF("doc_id", "text", "lang")
+    VersionedTable.append(base, dir)
+    val source = Seq(
+      (2L, "TWO v2", "de"),     // matched -> update
+      (3L, "DELETE ME", "xx"),  // matched + deleteWhen -> delete
+      (4L, "four", "en"),       // unmatched -> insert
+      (5L, "SKIP ME", "xx"))    // unmatched + deleteWhen -> no insert
+      .toDF("doc_id", "text", "lang")
+    val v = VersionedTable.merge(spark, dir, source, Seq("doc_id"),
+      deleteWhen = Some(col("lang") === "xx"))
+    assert(v == 1L)
+    val got = VersionedTable.read(spark, dir)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "one", "en"), (2L, "TWO v2", "de"),
+      (4L, "four", "en")))
+    // time travel: the pre-merge snapshot is intact
+    assert(VersionedTable.readAsOf(spark, dir, 0)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      == Seq((1L, "one", "en"), (2L, "two", "en"), (3L, "three", "en")))
+    // merge is re-runnable: same source again lands v2 with the same
+    // snapshot (idempotent content, append-only audit)
+    val v2 = VersionedTable.merge(spark, dir, source, Seq("doc_id"),
+      deleteWhen = Some(col("lang") === "xx"))
+    assert(v2 == 2L)
+    assert(VersionedTable.read(spark, dir)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      == got)
+  }
+
+  test("merge: schema mismatch and empty keys are rejected loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-merge2").toString
+    VersionedTable.append(
+      Seq((1L, "a")).toDF("doc_id", "text"), dir)
+    val bad = Seq((1L, "a", "extra")).toDF("doc_id", "text", "other")
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, bad, Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((1L, "a")).toDF("doc_id", "text"), Seq.empty)
+    }
+  }
 }
