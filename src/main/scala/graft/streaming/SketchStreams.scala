@@ -99,4 +99,39 @@ object SketchStreams {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Fold one batch's HyperLogLog registers into the standing table
+    * (Sketches.hllRegisters / mergeHll — elementwise max, so unlike
+    * Count-Min a REPLAYED batch is harmless even without the version
+    * guard; the guard still makes the fold exactly-once). The standing
+    * artifact answers corpus-wide distinct-count queries from ≤ 2^p
+    * rows per group without rescanning history. */
+  def hllBatch(batch: DataFrame, batchId: Long, stateDir: String,
+               groupCol: String, valueCol: String, p: Int): Unit = {
+    val spark = batch.sparkSession
+    val batchState = Sketches.hllRegisters(batch, groupCol, valueCol, p)
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchState.limit(0)
+    Sketches.mergeHll(standing, batchState, groupCol)
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming HyperLogLog maintainer. */
+  def ingestHll(rows: DataFrame, stateDir: String, checkpoint: String,
+                groupCol: String, valueCol: String, p: Int = 9):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          hllBatch(batch.toDF(), batchId, stateDir, groupCol, valueCol, p)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -815,6 +815,64 @@ class StreamingSpec extends AnyFunSuite {
       cells(graft.functions.Sketches.countMin(ev, "event_type", 64, 3)))
   }
 
+  test("streaming HyperLogLog: register waves fold by elementwise max; " +
+    "the landed estimate equals the one-shot sketch's; replay — even a " +
+    "DOUBLED wave — adds nothing (max is idempotent)") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shll").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type", "user_id")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-shll-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.SketchStreams.ingestHll(
+        spark.readStream.schema(ev.schema).parquet(src), st, ckpt,
+        "event_type", "user_id")
+        .awaitTermination(120000)
+
+    stage("w0", ev.filter(col("event_id") % 3 === 0))
+    runOnce()
+    // wave 1 deliberately OVERLAPS wave 0 (ids % 3 in {0, 1}): the
+    // register fold must tolerate re-seen values, the property that
+    // separates HLL state from Count-Min's add-only cells
+    stage("w1", ev.filter(col("event_id") % 3 <= 1))
+    runOnce()
+    stage("w2", ev.filter(col("event_id") % 3 === 2))
+    runOnce()
+
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    spark.catalog.refreshByPath(st)
+    val latest = graft.streaming.SketchStreams.latestState(spark, st)
+    val oneShot = graft.functions.Sketches
+      .hllRegisters(ev, "event_type", "user_id")
+    assert(regs(latest) == regs(oneShot))
+    // estimates answered from the LANDED state match one-shot exactly
+    def est(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Sketches.hllEstimate(df, "event_type")
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(est(latest) == est(oneShot))
+
+    runOnce() // restart, no new files: nothing changes
+    spark.catalog.refreshByPath(st)
+    assert(regs(graft.streaming.SketchStreams.latestState(spark, st)) ==
+      regs(oneShot))
+  }
+
   test("streaming drift monitoring: histogram waves fold into the " +
     "standing state; PSI vs a landed reference ≡ the batch psiDrift " +
     "over the full stream; replay adds nothing") {
