@@ -964,25 +964,22 @@ object Dedup {
     * shingle pipeline here; nothing is quadratic and full text never
     * shuffles. Returns (idCol, s, e) word-index half-open intervals.
     */
-  def exactSubstrSpans(docs: DataFrame, windowWords: Int,
-                       idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    require(windowWords > 0, s"windowWords must be positive, got $windowWords")
-    val L = windowWords
-    val spans = docs
+  /** (idCol, pos, h): the L-word window fingerprint at every word
+    * position — the shared front of the ExactSubstr family. */
+  private def positionWindows(docs: DataFrame, L: Int, idCol: String,
+                              textCol: String): DataFrame =
+    docs
       .select(col(idCol), wsTokens(textCol).as("w"))
       .select(col(idCol),
         posexplode(when(size(col("w")) < L, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(0), size(col("w")) - L),
             i => concat_ws(" ", slice(col("w"), i + 1, lit(L)))))))
       .select(col(idCol), col("pos"), md5Hash64(col("col")).as("h"))
-    val crossDoc = spans.groupBy(col("h"))
-      .agg(min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
-      .filter(col("first_id") =!= col("last_id"))
-      .select("h", "first_id")
-    val marked = spans.join(crossDoc, Seq("h"))
-      .filter(col(idCol) =!= col("first_id"))
-      .select(col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Merge marked positions (each covering [pos, pos+L)) into maximal
+    * per-doc islands — the prev-running-max scan. */
+  private def islandSpans(marked: DataFrame, L: Int,
+                          idCol: String): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = byDoc.rowsBetween(
@@ -995,6 +992,98 @@ object Dedup {
       .groupBy(col(idCol), col("island"))
       .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
       .select(col(idCol), col("s"), col("e"))
+  }
+
+  def exactSubstrSpans(docs: DataFrame, windowWords: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(windowWords > 0, s"windowWords must be positive, got $windowWords")
+    val L = windowWords
+    val spans = positionWindows(docs, L, idCol, textCol)
+    val crossDoc = spans.groupBy(col("h"))
+      .agg(min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+      .filter(col("first_id") =!= col("last_id"))
+      .select("h", "first_id")
+    val marked = spans.join(crossDoc, Seq("h"))
+      .filter(col(idCol) =!= col("first_id"))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    islandSpans(marked, L, idCol)
+  }
+
+  /** The ExactSubstr standing artifact: per window hash, the lowest doc
+    * id that contains it — everything the incremental fold needs
+    * (window-vocabulary-sized, 16-byte rows; the occurrence table never
+    * persists). */
+  def exactSubstrIndex(docs: DataFrame, windowWords: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    positionWindows(docs, windowWords, idCol, textCol)
+      .groupBy(col("h")).agg(min(col(idCol)).as("first_id"))
+
+  /** Fold a batch into the standing window index: owners take the min.
+    * Under the append-only id contract a standing owner is never
+    * displaced, but min is correct (and idempotent) regardless. */
+  def foldExactSubstrIndex(standing: DataFrame, batch: DataFrame,
+                           windowWords: Int, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    standing.unionByName(
+        exactSubstrIndex(batch, windowWords, idCol, textCol))
+      .groupBy(col("h")).agg(min(col("first_id")).as("first_id"))
+
+  /** Incremental ExactSubstr (the q67/q159 standing-index recipe):
+    * duplicated spans of a NEW batch against everything seen so far.
+    * Batch windows probe the standing index UNIONED with their own
+    * batch-local owners (batch×standing and batch×batch duplication
+    * both mark; standing×standing was marked in earlier folds and is
+    * never re-generated) — a batch position is duplicated iff the
+    * combined owner of its window is a different doc. Under the
+    * append-only id contract, accumulating each fold's spans
+    * reproduces the one-shot [[exactSubstrSpans]] row-for-row: a new
+    * doc can never displace an old owner, so old spans never change
+    * (q180 oracles the accumulated union against the one-shot replay).
+    */
+  def exactSubstrSpansAgainst(standingIndex: DataFrame, batch: DataFrame,
+                              windowWords: Int,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val L = windowWords
+    val w = positionWindows(batch, L, idCol, textCol)
+    val combined = standingIndex.unionByName(
+        w.groupBy(col("h")).agg(min(col(idCol)).as("first_id")))
+      .groupBy(col("h")).agg(min(col("first_id")).as("first_id"))
+    val marked = w.join(combined, Seq("h"))
+      .filter(col(idCol) =!= col("first_id"))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    islandSpans(marked, L, idCol)
+  }
+
+  /** MDM survivorship: one GOLDEN record per entity cluster — for each
+    * listed field, the most frequent non-null value among the entity's
+    * member records (ties break to the lexicographically greatest
+    * value — one deterministic rule, no engine-chosen row), plus
+    * member count and the lowest member id as the representative key.
+    *
+    * One melt (fields explode to (entity, field, value) rows — field
+    * count scales the map side, not the shuffle count) + one counting
+    * aggregate + one max(struct) mode pick + one bounded pivot. Full
+    * records never shuffle; entity grain bounds every frame. */
+  def goldenRecords(records: DataFrame, entityCol: String,
+                    idCol: String, modeCols: Seq[String]): DataFrame = {
+    require(modeCols.nonEmpty, "goldenRecords needs at least one field")
+    val kvs = modeCols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val mode = records
+      .select(col(entityCol), explode(map(kvs: _*)).as(Seq("f", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col(entityCol), col("f"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(entityCol), col("f"))
+      .agg(max(struct(col("c"), col("v"))).as("m"))
+      .select(col(entityCol), col("f"), col("m.v").as("v"))
+    val wide = mode.groupBy(col(entityCol))
+      .pivot("f", modeCols).agg(first(col("v")))
+    records.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("rep_id"))
+      .join(wide, Seq(entityCol), "left")
   }
 
   /** Apply [[exactSubstrSpans]]: cut every marked word range and reassemble

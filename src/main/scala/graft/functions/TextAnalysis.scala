@@ -670,6 +670,17 @@ object TextAnalysis {
         col("dist"))
   }
 
+  /** Distinct gazetteer patterns occurring in `text`, ascending — ONE
+    * compiled Aho-Corasick pass (graft.plans.MultiPatternMatches)
+    * instead of |patterns| substring scans; the keyword/topic-tagging
+    * primitive. Case-sensitive: lowercase text and patterns together
+    * for case-folding. */
+  def gazetteerTags(text: Column, patterns: Seq[String]): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.MultiPatternMatches(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text),
+        patterns))
+
   /** C4 line-level cleaning (Raffel et al. 2020 §2.2) — the LINE-grain
     * companion to the doc-grain Gopher gate: a line survives iff it ends
     * in terminal punctuation (. ! ? "), carries ≥ `minLineWords`

@@ -6098,7 +6098,233 @@ object ExtensionQueries {
              |       CASE WHEN NOT bad AND len(kept) >= 3
              |            THEN array_to_string(kept, chr(10))
              |            ELSE '' END AS clean_text
-             |FROM kp ORDER BY doc_id""".stripMargin))
+             |FROM kp ORDER BY doc_id""".stripMargin)),
+
+    // Incremental ExactSubstr: three append-only doc waves probe and
+    // fold the standing window-owner index; the accumulated spans
+    // reproduce q171's one-shot answer row-for-row (the oracle IS the
+    // one-shot replay) — the standing-artifact recipe at span grain.
+    Q("q180_incremental_substr",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bounds = Seq((0L, 167L), (167L, 334L), (334L, 1000000L))
+        var idx = Dedup.exactSubstrIndex(docs.limit(0), 5)
+        val spans = bounds.map { case (lo, hi) =>
+          val wave = docs.filter(
+            col("doc_id") >= lo && col("doc_id") < hi)
+          val sp = Dedup.exactSubstrSpansAgainst(idx, wave, 5)
+          idx = Dedup.foldExactSubstrIndex(idx, wave, 5)
+          sp
+        }.reduce(_ unionByName _)
+        spans.orderBy("doc_id", "s")
+      },
+      Some(exactSubstrCtes +
+        """SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+          |       CAST(MAX(pos) + 5 AS BIGINT) AS e
+          |FROM grp GROUP BY doc_id, island
+          |ORDER BY doc_id, s""".stripMargin)),
+
+    // Gazetteer tagging via one compiled Aho-Corasick pass (1975) —
+    // nine patterns incl. multi-word phrases, an overlap ("join" ⊂
+    // "hash join") and an absent term; the oracle re-derives every tag
+    // with per-term substring scans, certifying automaton construction,
+    // failure links, and output propagation in one hash match.
+    Q("q181_gazetteer_tags",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gazetteerTags(col("text"), Seq("agg",
+            "hash join", "join", "scan filter", "slow", "spark",
+            "stream", "vector window", "zzz missing")).as("tg"))
+        .select(col("doc_id"),
+          size(col("tg")).cast("long").as("n_tags"),
+          array_join(col("tg"), ",").as("tags"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_tags,
+             |       COALESCE(array_to_string(tg, ','), '') AS tags
+             |FROM (
+             |  SELECT doc_id, list_sort(list_filter(
+             |    ['agg', 'hash join', 'join', 'scan filter', 'slow',
+             |     'spark', 'stream', 'vector window', 'zzz missing'],
+             |    t -> strpos(text, t) > 0)) AS tg
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MDM survivorship: one golden record per q157 entity — field-level
+    // mode with a deterministic tie rule over ALL member part rows,
+    // plus member count and representative key. Oracle replays the
+    // blocking-free closure + the melt/mode/pivot wholesale.
+    Q("q182_golden_records",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val names = part.groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("pid"))
+        val pairs = TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+          maxDist = 2, q = 2)
+        val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          assumeDistinctPairs = true)
+        val ent = names.join(comps, names("pid") === comps("id"), "left")
+          .select(col("p_name"),
+            coalesce(col("comp"), col("pid")).as("entity_id"))
+        val members = part.join(ent, Seq("p_name"))
+          .select(col("entity_id"), col("p_partkey"), col("p_brand"),
+            col("p_type"), col("p_size"))
+        Dedup.goldenRecords(members, "entity_id", "p_partkey",
+            Seq("p_brand", "p_type", "p_size"))
+          .orderBy("entity_id")
+      },
+      Some(entityResolutionCtes +
+        """, ent AS (
+          |  SELECT n.p_name, COALESCE(c.comp, n.pid) AS entity_id
+          |  FROM nm n LEFT JOIN comps c ON c.id = n.pid
+          |), mem AS (
+          |  SELECT e.entity_id, p.p_partkey,
+          |         CAST(p.p_brand AS STRING) AS p_brand,
+          |         CAST(p.p_type AS STRING) AS p_type,
+          |         CAST(p.p_size AS STRING) AS p_size
+          |  FROM part p JOIN ent e ON e.p_name = p.p_name
+          |), melt AS (
+          |  SELECT entity_id, 'p_brand' AS f, p_brand AS v FROM mem
+          |  UNION ALL SELECT entity_id, 'p_type', p_type FROM mem
+          |  UNION ALL SELECT entity_id, 'p_size', p_size FROM mem
+          |), cnt AS (
+          |  SELECT entity_id, f, v, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM melt WHERE v IS NOT NULL GROUP BY 1, 2, 3
+          |), md AS (
+          |  SELECT entity_id, f, v FROM (
+          |    SELECT entity_id, f, v,
+          |           ROW_NUMBER() OVER (PARTITION BY entity_id, f
+          |             ORDER BY c DESC, v DESC) AS rk
+          |    FROM cnt) WHERE rk = 1
+          |), agg AS (
+          |  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+          |         CAST(MIN(p_partkey) AS BIGINT) AS rep_id
+          |  FROM mem GROUP BY 1
+          |)
+          |SELECT a.entity_id, a.n_members, a.rep_id,
+          |       bb.v AS p_brand, tt.v AS p_type, ss.v AS p_size
+          |FROM agg a
+          |JOIN md bb ON bb.entity_id = a.entity_id AND bb.f = 'p_brand'
+          |JOIN md tt ON tt.entity_id = a.entity_id AND tt.f = 'p_type'
+          |JOIN md ss ON ss.entity_id = a.entity_id AND ss.f = 'p_size'
+          |ORDER BY a.entity_id""".stripMargin)),
+
+    // Hourly volume anomalies per event type: a 3-sigma test against
+    // the trailing 24 observed hours computed ENTIRELY in int64 —
+    // (c·n − S)² > 9·(n·Q − S²) is the z²>9 test with the variance
+    // denominator multiplied through, so there is no sqrt, no float,
+    // no engine divergence. Rows with under 12 hours of baseline
+    // never flag (cold start).
+    Q("q183_event_anomalies",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("nw", count(col("c")).over(tw))
+          .withColumn("s", coalesce(sum(col("c")).over(tw), lit(0L)))
+          .withColumn("q", coalesce(sum(col("c") * col("c")).over(tw),
+            lit(0L)))
+          .select(col("event_type"), col("hr"), col("c"), col("nw"),
+            ((col("c") * col("nw") - col("s"))
+              * (col("c") * col("nw") - col("s"))).as("dev2"),
+            (lit(9L) * (col("nw") * col("q") - col("s") * col("s")))
+              .as("bound"))
+          .withColumn("is_anomaly",
+            col("nw") >= 12 && col("dev2") > col("bound"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hr,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |), w AS (
+             |  SELECT event_type, hr, c,
+             |         CAST(COUNT(c) OVER tw AS BIGINT) AS nw,
+             |         CAST(COALESCE(SUM(c) OVER tw, 0) AS BIGINT) AS s,
+             |         CAST(COALESCE(SUM(c * c) OVER tw, 0) AS BIGINT)
+             |           AS q
+             |  FROM h WINDOW tw AS (PARTITION BY event_type
+             |    ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+             |)
+             |SELECT event_type, CAST(hr AS TIMESTAMP) AS hr, c, nw,
+             |       CAST((c * nw - s) * (c * nw - s) AS BIGINT)
+             |         AS dev2,
+             |       CAST(9 * (nw * q - s * s) AS BIGINT) AS bound,
+             |       nw >= 12 AND (c * nw - s) * (c * nw - s)
+             |         > 9 * (nw * q - s * s) AS is_anomaly
+             |FROM w ORDER BY event_type, hr""".stripMargin)),
+
+    // Embedding-distribution drift: two embedding populations compare
+    // per PROJECTED dimension — the q155 Rademacher projection folds
+    // 64-d vectors to 8 exact-integer coordinates map-side, and q121's
+    // factored-integer PSI runs per dimension (psiDriftByGroup), so a
+    // shift confined to one direction isn't averaged away. The high-d
+    // drift monitor with nothing high-d ever shuffled.
+    Q("q184_embedding_drift",
+      (s, dir) => {
+        val em = Tables.load(s, dir, "embeddings")
+        def pop(r: Int) = graft.functions.Projection.project(
+            em.filter(pmod(col("vec_id"), lit(2)) === r), 8, 64)
+          .select(posexplode(col("proj")).as(Seq("dim", "pv")))
+        Sketches.psiDriftByGroup(pop(0), pop(1), "dim", "pv",
+            binWidth = 2000000.0)
+          .orderBy("dim", "bin")
+      },
+      Some {
+        s"""WITH qv AS (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+           |  FROM embeddings
+           |), pz AS (
+           |  SELECT vec_id, vec_id % 2 AS pop,
+           |    [${rpProjExprs(8).mkString(",\n  ")}] AS projv
+           |  FROM qv
+           |), pr AS (
+           |  SELECT vec_id, pop, projv,
+           |         unnest(generate_series(1, 8)) AS i
+           |  FROM pz
+           |), px AS (
+           |  SELECT pop, CAST(i - 1 AS INT) AS g,
+           |         CAST(floor(projv[i] / 2000000.0) AS BIGINT) AS bin
+           |  FROM pr
+           |), ea AS (
+           |  SELECT g, bin, COUNT(*) AS c FROM px WHERE pop = 0
+           |  GROUP BY 1, 2
+           |), eb AS (
+           |  SELECT g, bin, COUNT(*) AS c FROM px WHERE pop = 1
+           |  GROUP BY 1, 2
+           |), j AS (
+           |  SELECT COALESCE(ea.g, eb.g) AS g,
+           |         COALESCE(ea.bin, eb.bin) AS bin,
+           |         COALESCE(ea.c, 0) AS ca, COALESCE(eb.c, 0) AS cb
+           |  FROM ea FULL OUTER JOIN eb
+           |    ON ea.g = eb.g AND ea.bin = eb.bin
+           |), t AS (
+           |  SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+           |         CAST(SUM(cb) AS BIGINT) AS nb,
+           |         CAST(COUNT(*) AS BIGINT) AS n_bins
+           |  FROM j GROUP BY 1
+           |), f AS (
+           |  SELECT j.g, j.bin, j.ca, j.cb, t.na, t.nb, t.n_bins,
+           |         (j.ca + 1) * (t.nb + t.n_bins) AS x,
+           |         (j.cb + 1) * (t.na + t.n_bins) AS y
+           |  FROM j JOIN t ON j.g = t.g
+           |)
+           |SELECT g AS dim, bin, CAST(ca AS BIGINT) AS cnt_a,
+           |       CAST(cb AS BIGINT) AS cnt_b,
+           |       na AS n_a, nb AS n_b, n_bins,
+           |       CAST(x - y AS BIGINT) AS delta_num,
+           |       CAST(floor(ln(CAST(x AS DOUBLE) / CAST(y AS DOUBLE))
+           |         * 1000) AS BIGINT) AS ln_milli,
+           |       CAST((x - y) * CAST(floor(ln(CAST(x AS DOUBLE)
+           |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
+           |         AS BIGINT) AS contrib
+           |FROM f ORDER BY 1, 2""".stripMargin
+      })
   )
 
   /** DuckDB replay of the BM25 multi-query scoring chain (the q85
@@ -6464,7 +6690,9 @@ object ExtensionQueries {
     * incremental fold — merged ≡ rebuilt): blocking-FREE n²
     * levenshtein pairs + recursive-CTE transitive closure + canonical
     * min-id entity per record (singletons self-canonical). */
-  private def entityResolutionOracle: String =
+  /** Blocking-free recursive-CTE entity closure over part names — the
+    * shared chain, ending at `comps (id, comp)` with `nm` available. */
+  private def entityResolutionCtes: String =
     """WITH RECURSIVE nm AS (
       |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
       |  FROM part GROUP BY p_name
@@ -6483,7 +6711,11 @@ object ExtensionQueries {
       |), comps AS (
       |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
       |)
-      |SELECT n.pid, n.p_name,
+      |""".stripMargin
+
+  private def entityResolutionOracle: String =
+    entityResolutionCtes +
+    """SELECT n.pid, n.p_name,
       |       COALESCE(c.comp, n.pid) AS entity_id,
       |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
       |FROM nm n LEFT JOIN comps c ON c.id = n.pid

@@ -215,6 +215,102 @@ class Round9Spec extends AnyFunSuite {
     assert(checks.queryExecution.optimizedPlan.collectLeaves().size == 1)
   }
 
+  // --- Aho-Corasick ------------------------------------------------------
+
+  test("AcAutomaton: matches equal the naive per-pattern contains scan " +
+    "on random strings, including prefix/overlap pattern sets") {
+    val rnd = new scala.util.Random(7)
+    val pats = Array("ab", "abc", "bc", "ca", "aa", "cab", "abca")
+    val aut = new graft.plans.AcAutomaton(pats)
+    (0 until 300).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(20))("abc" (rnd.nextInt(3))).mkString
+      val got = aut.matches(s).map(_.toString).toSeq
+      val want = pats.filter(s.contains(_)).sorted.toSeq
+      assert(got == want, s"text '$s'")
+    }
+    assert(aut.matches("").isEmpty)
+  }
+
+  test("AcAutomaton: fail-link crossing finds a pattern that starts " +
+    "inside another's match; multi-word phrases work") {
+    val aut = new graft.plans.AcAutomaton(
+      Array("hash join", "join order", "join"))
+    assert(aut.matches("a hash join order b").map(_.toString).toSeq ==
+      Seq("hash join", "join", "join order"))
+  }
+
+  test("gazetteerTags: one automaton pass over a DataFrame column " +
+    "matches per-term instr checks") {
+    val pats = Seq("agg", "hash join", "join", "slow")
+    val docs = Seq((0L, "the hash join was slow"), (1L, "agg only"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        array_join(TextAnalysis.gazetteerTags(col("text"), pats), ",")
+          .as("tags"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "hash join,join,slow"), (1L, "agg"),
+      (2L, "")))
+  }
+
+  // --- incremental ExactSubstr -------------------------------------------
+
+  test("exactSubstrSpansAgainst: accumulated fold spans equal one-shot " +
+    "spans under the append-only id contract") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e f z"),   // dup of doc 0's run
+      (2L, "p q r s t u v w"),
+      (3L, "m m p q r s t u n n"), // dup of doc 2's run (later wave)
+      (4L, "a b c d e tail words here")).toDF("doc_id", "text")
+    val oneShot = Dedup.exactSubstrSpans(docs, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val waves = Seq(
+      docs.filter(col("doc_id") <= 1),
+      docs.filter(col("doc_id") === 2 || col("doc_id") === 3),
+      docs.filter(col("doc_id") === 4))
+    var idx = Dedup.exactSubstrIndex(docs.limit(0), 5)
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    waves.foreach { w =>
+      acc ++= Dedup.exactSubstrSpansAgainst(idx, w, 5)
+        .as[(Long, Long, Long)].collect()
+      idx = Dedup.foldExactSubstrIndex(idx, w, 5)
+    }
+    assert(acc.toSet == oneShot && oneShot.nonEmpty)
+    // sanity: the later-wave doc 3 and doc 4 both got marked
+    assert(oneShot.map(_._1) == Set(1L, 3L, 4L))
+  }
+
+  // --- goldenRecords -----------------------------------------------------
+
+  test("goldenRecords: field-level mode with greatest-value tie rule; " +
+    "nulls never win; member count and representative id") {
+    val members = Seq(
+      (10L, 1L, Some("acme"), "blue"),
+      (10L, 2L, Some("acme"), "red"),
+      (10L, 3L, Some("acmy"), "red"),
+      (10L, 4L, None, "green"),
+      (20L, 5L, Some("solo"), "grey"))
+      .toDF("entity_id", "rid", "brand", "color")
+    val got = Dedup.goldenRecords(members, "entity_id", "rid",
+        Seq("brand", "color"))
+      .orderBy("entity_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    // entity 10: brand acme (2 > 1; null ignored), color red vs blue vs
+    // green all count 1..2 -> red has 2; entity 20 singleton
+    assert(got == Seq(
+      (10L, 4L, 1L, "acme", "red"),
+      (20L, 1L, 5L, "solo", "grey")))
+  }
+
+  test("goldenRecords: exact tie breaks to the lexicographically " +
+    "greatest value") {
+    val members = Seq((1L, 1L, "aa"), (1L, 2L, "bb"))
+      .toDF("entity_id", "rid", "f1")
+    val got = Dedup.goldenRecords(members, "entity_id", "rid", Seq("f1"))
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got._4 == "bb")
+  }
+
   // --- c4Clean -----------------------------------------------------------
 
   test("c4Clean: every rule fires — no-terminal, short, javascript " +
