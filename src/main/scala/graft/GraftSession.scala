@@ -95,6 +95,9 @@ object GraftSession {
           org.apache.spark.sql.catalyst.expressions.Literal(0))),
     ("char_class_counts", classOf[CharClassCounts],
       (e: Seq[Expression]) => CharClassCounts(e(0))),
+    ("multi_pattern_matches", classOf[graft.plans.MultiPatternMatches],
+      (e: Seq[Expression]) => graft.plans.MultiPatternMatches(e(0),
+        litStrings(e(1), "patterns"))),
     ("repetition_stats", classOf[graft.plans.RepetitionStats],
       (e: Seq[Expression]) => graft.plans.RepetitionStats(e(0))),
     ("minhash_agg", classOf[MinHashAgg],

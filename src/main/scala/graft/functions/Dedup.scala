@@ -1057,6 +1057,61 @@ object Dedup {
     islandSpans(marked, L, idCol)
   }
 
+  /** EXACT set-similarity join via prefix filtering (AllPairs, Bayardo
+    * Ma & Srikant, WWW 2007) — the deterministic complement of
+    * MinHash-LSH: banding can miss a qualifying pair (q129 measures
+    * that recall); prefix filtering CANNOT. With each doc's distinct
+    * shingle set ordered rarest-token-first (global df, then hash),
+    * a pair with Jaccard ≥ τ shares ≥ ⌈τ·|A|⌉ tokens, so A's prefix of
+    * length |A| − ⌈τ·|A|⌉ + 1 must contain a shared token — candidates
+    * = pairs sharing ANY prefix token, a complete set by construction
+    * (Round9Spec pins blocked ≡ brute force on random sets).
+    *
+    * Plan: one df aggregation (the global order), one per-doc
+    * row_number window over token rows, one equi-join on the prefix
+    * token (never all-pairs — rare tokens have tiny postings, and the
+    * frequent tokens that would blow up the join are exactly the ones
+    * the prefix drops), then the q37 sorted-merge intersect verify.
+    * The df join stays UNHINTED (corpus-derived — the r8 vocabulary
+    * discipline). Threshold math is all integer (inter·10⁴ ≥ τ·union).
+    */
+  def allPairsSimilarityJoin(docs: DataFrame, shingleN: Int = 3,
+                             minJaccardBp: Int = 3000,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(minJaccardBp > 0 && minJaccardBp <= 10000,
+      s"minJaccardBp must be in (0, 10000], got $minJaccardBp")
+    val hs = shingleSets(docs, idCol, textCol, shingleN)
+    val sz = hs.select(col(idCol), size(col("hs")).cast("long").as("n"))
+    val tok = hs.select(col(idCol), explode(col("hs")).as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    val prefix = tok.join(freq, Seq("h"))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .join(sz, Seq(idCol))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $minJaccardBp + 9999) div 10000") + 1L)
+      .select(col(idCol), col("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")),
+        Seq("id_a"))
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")),
+        Seq("id_b"))
+      .withColumn("inter",
+        sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))
+      .withColumn("uni",
+        size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+      .filter(col("inter") * 10000L >= lit(minJaccardBp.toLong) * col("uni"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 10000 div uni").as("jaccard_bp"))
+  }
+
   /** MDM survivorship: one GOLDEN record per entity cluster — for each
     * listed field, the most frequent non-null value among the entity's
     * member records (ties break to the lexicographically greatest

@@ -6324,7 +6324,168 @@ object ExtensionQueries {
            |         / CAST(y AS DOUBLE)) * 1000) AS BIGINT)
            |         AS BIGINT) AS contrib
            |FROM f ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // EXACT similarity join via AllPairs prefix filtering (Bayardo
+    // 2007) — the zero-false-negative complement of MinHash-LSH
+    // (q44): every pair at Jaccard ≥ 0.3 on distinct 3-shingle sets,
+    // found without an all-pairs comparison. The oracle is the
+    // blocking-FREE shared-token join over the same portable hashes,
+    // certifying the prefix candidates missed nothing.
+    Q("q185_allpairs_join",
+      (s, dir) => Dedup.allPairsSimilarityJoin(
+          Tables.load(s, dir, "documents"), shingleN = 3,
+          minJaccardBp = 3000)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         CASE WHEN length(trim(text)) = 0
+             |              THEN CAST([] AS VARCHAR[])
+             |              ELSE string_split_regex(lower(trim(text)),
+             |                     '\s+') END AS w
+             |  FROM documents
+             |), sp AS (
+             |  SELECT doc_id, w,
+             |         unnest(generate_series(0, len(w) - 3)) AS i
+             |  FROM d WHERE len(w) >= 3
+             |), shd AS (
+             |  SELECT DISTINCT doc_id,
+             |         ('0x' || substr(md5(array_to_string(
+             |           w[i + 1 : i + 3], ' ')), 1, 15))::BIGINT AS h
+             |  FROM sp
+             |), sz AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM shd GROUP BY 1
+             |), ov AS (
+             |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |         CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM shd a JOIN shd b
+             |    ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT ida AS id_a, idb AS id_b,
+             |       CAST(inter * 10000
+             |         // (za.n + zb.n - inter) AS BIGINT) AS jaccard_bp
+             |FROM ov
+             |JOIN sz za ON za.doc_id = ida
+             |JOIN sz zb ON zb.doc_id = idb
+             |WHERE inter * 10000 >= 3000 * (za.n + zb.n - inter)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Winsorization (robust feature scaling): clamp each event's value
+    // to its type's [p05, p95] from the sort-free histogram percentiles
+    // (q111's rule) — the preprocessing step that stops metric
+    // outliers from dominating normalization. Cut frame = one row per
+    // type (bounded dim → broadcast); integer grid end to end.
+    Q("q186_winsorize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cuts = Sketches.percentilesByValue(ev, "event_type",
+          "value", Seq(5, 95))
+        ev.select(col("event_id"), col("event_type"),
+            floor(col("value")).cast("long").as("v"))
+          .join(broadcast(cuts.select(col("event_type"), col("p5"),
+            col("p95"))), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("v"),
+            greatest(least(col("v"), col("p95")), col("p5"))
+              .as("v_wins"),
+            (col("v") < col("p5")).as("clipped_lo"),
+            (col("v") > col("p95")).as("clipped_hi"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+             |         COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT event_type, v,
+             |         SUM(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM c
+             |), cuts AS (
+             |  SELECT event_type,
+             |         CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100
+             |           THEN v END) AS BIGINT) AS p5,
+             |         CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+             |           THEN v END) AS BIGINT) AS p95
+             |  FROM cum GROUP BY 1
+             |)
+             |SELECT e.event_id, e.event_type,
+             |       CAST(floor(e.value) AS BIGINT) AS v,
+             |       greatest(least(CAST(floor(e.value) AS BIGINT),
+             |         c.p95), c.p5) AS v_wins,
+             |       CAST(floor(e.value) AS BIGINT) < c.p5 AS clipped_lo,
+             |       CAST(floor(e.value) AS BIGINT) > c.p95 AS clipped_hi
+             |FROM events e JOIN cuts c ON c.event_type = e.event_type
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Median/MAD robust outliers per event type (the robust z-score):
+    // med and MAD both from the q111 histogram-percentile rule, the
+    // 3·1.4826·MAD test kept integral as 10000·|v−med| > 44478·MAD —
+    // no sqrt, no floats, immune to the outliers it hunts (unlike the
+    // mean/σ test, whose baseline the outlier itself inflates).
+    Q("q187_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value")).cast("long").as("v"))
+        val med = Sketches.percentilesByValue(ev, "event_type", "v",
+          Seq(50))
+        val dev = ev.join(broadcast(med.select(col("event_type"),
+            col("p50").as("med"))), Seq("event_type"))
+          .withColumn("d", abs(col("v") - col("med")))
+        val mad = Sketches.percentilesByValue(dev, "event_type", "d",
+          Seq(50))
+        dev.join(broadcast(mad.select(col("event_type"),
+            col("p50").as("mad"))), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("v"),
+            col("med"), col("mad"), col("d"),
+            (col("d") * 10000L > col("mad") * 44478L).as("is_outlier"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |         CAST(floor(value) AS BIGINT) AS v
+             |  FROM events
+             |), c AS (
+             |  SELECT event_type, v, COUNT(*) AS cnt
+             |  FROM ev GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT event_type, v,
+             |         SUM(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM c
+             |), med AS (
+             |  SELECT event_type,
+             |         CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |           THEN v END) AS BIGINT) AS med
+             |  FROM cum GROUP BY 1
+             |), dv AS (
+             |  SELECT e.event_id, e.event_type, e.v, m.med,
+             |         abs(e.v - m.med) AS d
+             |  FROM ev e JOIN med m ON m.event_type = e.event_type
+             |), dc AS (
+             |  SELECT event_type, d, COUNT(*) AS cnt
+             |  FROM dv GROUP BY 1, 2
+             |), dcum AS (
+             |  SELECT event_type, d,
+             |         SUM(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY d) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM dc
+             |), mad AS (
+             |  SELECT event_type,
+             |         CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |           THEN d END) AS BIGINT) AS mad
+             |  FROM dcum GROUP BY 1
+             |)
+             |SELECT dv.event_id, dv.event_type, dv.v, dv.med,
+             |       ma.mad, CAST(dv.d AS BIGINT) AS d,
+             |       dv.d * 10000 > ma.mad * 44478 AS is_outlier
+             |FROM dv JOIN mad ma ON ma.event_type = dv.event_type
+             |ORDER BY dv.event_id""".stripMargin))
   )
 
   /** DuckDB replay of the BM25 multi-query scoring chain (the q85

@@ -280,6 +280,32 @@ class Round9Spec extends AnyFunSuite {
     assert(oneShot.map(_._1) == Set(1L, 3L, 4L))
   }
 
+  // --- allPairsSimilarityJoin --------------------------------------------
+
+  test("allPairsSimilarityJoin: prefix-filtered candidates find EVERY " +
+    "qualifying pair — blocked ≡ blocking-free brute force on random " +
+    "docs (the zero-false-negative contract LSH lacks)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 40L).map(i => (i,
+        Seq.fill(rnd.nextInt(15) + 5)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val tau = 2500
+    val got = Dedup.allPairsSimilarityJoin(docs, shingleN = 2,
+        minJaccardBp = tau)
+      .as[(Long, Long, Long)].collect().toSet
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toLong
+      uni = sets(a).size + sets(b).size - inter
+      if inter * 10000L >= tau.toLong * uni
+    } yield (a, b, inter * 10000L / uni)).toSet
+    assert(got == brute && brute.nonEmpty, s"got ${got.size} brute ${brute.size}")
+  }
+
   // --- goldenRecords -----------------------------------------------------
 
   test("goldenRecords: field-level mode with greatest-value tie rule; " +

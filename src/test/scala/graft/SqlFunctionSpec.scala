@@ -193,4 +193,18 @@ class SqlFunctionSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(mk == Seq(1L, 3L, 5L))
   }
+
+  test("multi_pattern_matches callable from SQL; pattern list must be " +
+    "a literal array") {
+    GraftSession.registerFunctions(spark)
+    val got = spark.sql(
+      """SELECT multi_pattern_matches('the hash join was slow',
+        |  array('hash join', 'join', 'scan', 'slow')) AS tags
+        |""".stripMargin).collect().head.getSeq[String](0)
+    assert(got == Seq("hash join", "join", "slow"))
+    intercept[Exception] {
+      spark.sql("SELECT multi_pattern_matches('x', array(s)) FROM " +
+        "(SELECT 'a' AS s)").collect()
+    }
+  }
 }
