@@ -129,6 +129,44 @@ object Layout {
         min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"),
         min(col("min_y")).as("min_y"), max(col("max_y")).as("max_y"))
 
+  /** Hilbert position of two long columns in [0, 2^16) (native kernel,
+    * graft.plans.HilbertIndex) — the locality-preserving alternative to
+    * [[zOrderKey]]: consecutive positions are always grid neighbours,
+    * so buckets are connected blobs with tighter bounding boxes. */
+  def hilbertKey(x: Column, y: Column): Column =
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.HilbertIndex(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(x),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(y), 16))
+
+  /** [[zOrderBucketStats]] with the Hilbert key instead of Morton —
+    * identical normalization, bucketing and aggregate shape (and the
+    * same ≤ 2^47 range contract), so the two reports compare
+    * bucket-for-bucket: the Hilbert buckets' per-dimension bounding
+    * boxes are the tighter ones on range probes (its buckets are
+    * connected curve segments; a same-size Morton bucket can span two
+    * disconnected quadrants at every power-of-two seam). */
+  def hilbertBucketStats(df: DataFrame, xCol: String, yCol: String,
+                         bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val k = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mm = k.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    k.crossJoin(broadcast(mm))
+      .withColumn("xn", expr("CASE WHEN mxx = mnx THEN CAST(0 AS BIGINT) " +
+        "ELSE ((x - mnx) * 65535) DIV (mxx - mnx) END"))
+      .withColumn("yn", expr("CASE WHEN mxy = mny THEN CAST(0 AS BIGINT) " +
+        "ELSE ((y - mny) * 65535) DIV (mxy - mny) END"))
+      .withColumn("h", hilbertKey(col("xn"), col("yn")))
+      .groupBy(shiftrightunsigned(col("h"), 32 - bucketBits)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+  }
+
   /** 63-bit Morton code of three long columns in [0, 2^21) (native
     * kernel, graft.plans.InterleaveBits3x21). */
   def zOrderKey3(x: Column, y: Column, z: Column): Column =

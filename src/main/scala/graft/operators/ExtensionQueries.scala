@@ -6485,8 +6485,172 @@ object ExtensionQueries {
              |       ma.mad, CAST(dv.d AS BIGINT) AS d,
              |       dv.d * 10000 > ma.mad * 44478 AS is_outlier
              |FROM dv JOIN mad ma ON ma.event_type = dv.event_type
-             |ORDER BY dv.event_id""".stripMargin))
+             |ORDER BY dv.event_id""".stripMargin)),
+
+    // Hilbert-curve layout stats — q117's report with the locality-
+    // preserving curve instead of Morton: consecutive positions are
+    // always grid neighbours, so each bucket is one connected curve
+    // segment with a tighter bounding box. The oracle UNROLLS the
+    // 16-round xy2d bit recursion into a generated 16-step CTE chain —
+    // rotation state, quadrant offsets and all — so the kernel's every
+    // bit decision is hash-checked in DuckDB.
+    Q("q188_hilbert_stats",
+      (s, dir) => Layout.hilbertBucketStats(
+          Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bucketBits = 6)
+        .orderBy("bucket"),
+      Some(hilbertOracle)),
+
+    // Referential-integrity checks (the cross-table Deequ face of
+    // q178): orphan rates of three FK edges — two real TPC-H edges
+    // that must pass at exactly 0, and one against a deliberately
+    // halved parent so a genuine violation rate flows through the
+    // verdict path.
+    Q("q189_fk_checks",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        val lineitem = Tables.load(s, dir, "lineitem")
+        val part = Tables.load(s, dir, "part")
+        Quality.verifyReferential(Seq(
+          Quality.FkCheck("fk_orders_customer", orders, "o_custkey",
+            customer, "c_custkey", 0L, 0L),
+          Quality.FkCheck("fk_lineitem_part", lineitem, "l_partkey",
+            part, "p_partkey", 0L, 0L),
+          Quality.FkCheck("fk_orders_even_customers", orders,
+            "o_custkey",
+            customer.filter(col("c_custkey") % 2 === 0), "c_custkey",
+            0L, 0L)))
+          .orderBy("check_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'fk_lineitem_part' AS check_name,
+             |         CAST(SUM(CASE WHEN p.p_partkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT) AS metric,
+             |         CAST(SUM(CASE WHEN p.p_partkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT) = 0 AS pass
+             |  FROM lineitem l LEFT JOIN (
+             |    SELECT DISTINCT p_partkey FROM part) p
+             |    ON p.p_partkey = l.l_partkey
+             |  UNION ALL
+             |  SELECT 'fk_orders_customer',
+             |         CAST(SUM(CASE WHEN c.c_custkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN c.c_custkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT) = 0
+             |  FROM orders o LEFT JOIN (
+             |    SELECT DISTINCT c_custkey FROM customer) c
+             |    ON c.c_custkey = o.o_custkey
+             |  UNION ALL
+             |  SELECT 'fk_orders_even_customers',
+             |         CAST(SUM(CASE WHEN c.c_custkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN c.c_custkey IS NULL
+             |                  THEN 1 ELSE 0 END) * 10000
+             |           // COUNT(*) AS BIGINT) = 0
+             |  FROM orders o LEFT JOIN (
+             |    SELECT DISTINCT c_custkey FROM customer
+             |    WHERE c_custkey % 2 = 0) c
+             |    ON c.c_custkey = o.o_custkey
+             |) ORDER BY check_name""".stripMargin)),
+
+    // Training-run manifest: the release artifact for a PACKED corpus
+    // (the q170 data card's counterpart at the training-stream grain)
+    // — per source: examples, token mass, loss-mask mass and fraction,
+    // sequences touched. Pure rollup of the q177 layout.
+    Q("q190_training_manifest",
+      (s, dir) => Mixing.packSft(
+          Tables.load(s, dir, "documents"), budget = 1024)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_examples"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("mask_end") - col("mask_start")).as("n_mask_tokens"),
+          expr("sum(mask_end - mask_start) * 10000 div sum(n_tokens)")
+            .as("mask_bp"),
+          countDistinct(col("seq_id")).as("n_seqs"))
+        .orderBy("source"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text),
+             |                       '\s+')) END AS n_words
+             |  FROM documents
+             |), e AS (
+             |  SELECT doc_id, source, n_words,
+             |         greatest(1, n_words // 3) AS prompt_tokens,
+             |         n_words + 3 AS example_tokens
+             |  FROM d WHERE n_words > 0
+             |), p AS (
+             |  SELECT *, SUM(example_tokens) OVER (PARTITION BY source
+             |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+             |           PRECEDING AND CURRENT ROW) - example_tokens
+             |           AS start_tok
+             |  FROM e
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_examples,
+             |       CAST(SUM(example_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(example_tokens - prompt_tokens - 2)
+             |         AS BIGINT) AS n_mask_tokens,
+             |       CAST(SUM(example_tokens - prompt_tokens - 2)
+             |         * 10000 // SUM(example_tokens) AS BIGINT)
+             |         AS mask_bp,
+             |       CAST(COUNT(DISTINCT start_tok // 1024) AS BIGINT)
+             |         AS n_seqs
+             |FROM p GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  /** DuckDB replay of the full 16-bit Hilbert xy2d recursion: one CTE
+    * per bit level carrying the rotated (hx, hy) state and the
+    * accumulated distance — generated from the same loop structure as
+    * graft.plans.HilbertKernel.xy2d, so the two cannot drift. */
+  private def hilbertOracle: String = {
+    val steps = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val p = i + 1
+      s""", h$i AS (
+         |  SELECT x, y,
+         |    d$p + CAST(${s * s} AS BIGINT) * (CASE
+         |      WHEN (hx$p & $s) = 0 AND (hy$p & $s) = 0 THEN 0
+         |      WHEN (hx$p & $s) = 0 THEN 1
+         |      WHEN (hy$p & $s) > 0 THEN 2
+         |      ELSE 3 END) AS d$i,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hx$p
+         |         WHEN (hx$p & $s) > 0 THEN $s - 1 - hy$p
+         |         ELSE hy$p END AS hx$i,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hy$p
+         |         WHEN (hx$p & $s) > 0 THEN $s - 1 - hx$p
+         |         ELSE hx$p END AS hy$i
+         |  FROM h$p
+         |)""".stripMargin
+    }.mkString
+    s"""WITH k AS (
+       |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+       |), mm AS (
+       |  SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+       |         MIN(y) AS mny, MAX(y) AS mxy
+       |  FROM k
+       |), s AS (
+       |  SELECT x, y,
+       |    CASE WHEN mxx = mnx THEN 0
+       |         ELSE ((x - mnx) * 65535) // (mxx - mnx) END AS xn,
+       |    CASE WHEN mxy = mny THEN 0
+       |         ELSE ((y - mny) * 65535) // (mxy - mny) END AS yn
+       |  FROM k CROSS JOIN mm
+       |), h16 AS (
+       |  SELECT x, y, CAST(0 AS BIGINT) AS d16,
+       |         xn AS hx16, yn AS hy16
+       |  FROM s
+       |)$steps
+       |SELECT d0 >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(x) AS min_x, MAX(x) AS max_x,
+       |       MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** DuckDB replay of the BM25 multi-query scoring chain (the q85
     * pipeline before its rank cut) — identical float expression tree,

@@ -88,4 +88,36 @@ object Quality {
     * 10000 ⟺ the column is a key. */
   def uniquenessBp(c: String): Column =
     expr(s"count(DISTINCT `$c`) * 10000 div count(`$c`)")
+
+  /** A referential-integrity check: orphan rate of `child.childKey`
+    * against `parent.parentKey` (non-null child keys with no parent
+    * row), in basis points; passes when the rate lands in [lo, hi]
+    * (normally [0, 0]). */
+  final case class FkCheck(name: String, child: DataFrame,
+                           childKey: String, parent: DataFrame,
+                           parentKey: String, lo: Long, hi: Long)
+
+  /** Cross-table companion to [[verifyConstraints]] (Deequ's
+    * isContainedIn/foreign-key check): each FK check is one
+    * left join of the child's key column against the parent's distinct
+    * keys + a 1-row orphan-rate aggregate — the child table scans
+    * once per check, only its key column shuffles, and the parent's
+    * distinct key side is exactly the Bloom-prunable build side at
+    * scale. Same (check_name, metric, pass) report shape, so callers
+    * union the two verifiers into one report. */
+  def verifyReferential(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty, "no checks")
+    checks.map { ck =>
+      val parents = ck.parent
+        .select(col(ck.parentKey).as("k")).na.drop().distinct()
+        .withColumn("_p", lit(true))
+      ck.child.select(col(ck.childKey).as("k")).na.drop()
+        .join(parents, Seq("k"), "left")
+        .agg(coalesce(
+          expr("sum(CASE WHEN _p IS NULL THEN 1 ELSE 0 END) " +
+            "* 10000 div count(1)"), lit(0L)).as("metric"))
+        .select(lit(ck.name).as("check_name"), col("metric"),
+          (col("metric") >= ck.lo && col("metric") <= ck.hi).as("pass"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.functions.Retrieval
 
@@ -181,5 +182,129 @@ object IndexStreams {
       .filter(_.startsWith("v=")).map(_.drop(2).toLong)
     require(vs.nonEmpty, s"no committed word-table versions under $stateDir")
     spark.read.parquet(versionPath(stateDir, vs.max))
+  }
+
+  // -----------------------------------------------------------------
+  // Streaming ExactSubstr — the span-dedup member of the family. The
+  // standing artifact is the window-owner index (h, first_id), folded
+  // by min per batch (q180's recipe); each batch's duplicated spans
+  // derive at ingest time and land under spans/b=<batch>, so the
+  // accumulated span table over any prefix of the stream equals the
+  // one-shot exactSubstrSpans over the documents streamed so far.
+  // Contract: doc ids ascend across batches (append-only — the q180
+  // condition under which old owners are never displaced).
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the ExactSubstr fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def substrBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                  windowWords: Int): Unit = {
+    val spark = batch.sparkSession
+    val idxDir = s"$stateDir/idx"
+    val prev = new org.apache.hadoop.fs.Path(versionPath(idxDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(idxDir, batchId - 1))
+      else graft.functions.Dedup
+        .exactSubstrIndex(batch.limit(0), windowWords)
+    graft.functions.Dedup
+      .exactSubstrSpansAgainst(standing, batch, windowWords)
+      .write.mode("overwrite").parquet(s"$stateDir/spans/b=$batchId")
+    graft.functions.Dedup
+      .foldExactSubstrIndex(standing, batch, windowWords)
+      .write.mode("overwrite").parquet(versionPath(idxDir, batchId))
+  }
+
+  /** Start the streaming ExactSubstr maintainer. */
+  def ingestSubstr(docs: DataFrame, stateDir: String, checkpoint: String,
+                   windowWords: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          substrBatch(batch.toDF(), batchId, stateDir, windowWords)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Every span landed so far (partition-discovered over spans/b=*). */
+  def substrSpans(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/spans").drop("b")
+
+  // -----------------------------------------------------------------
+  // Streaming entity resolution — q159's incremental fold as a
+  // maintained artifact pair: the NAME table (what new batches block
+  // against) and the COMPONENT table (what the contraction folds new
+  // pairs into). Each micro-batch generates only batch×standing and
+  // batch×batch candidates; standing×standing never re-compares, so
+  // the entity table of any committed version equals the one-shot
+  // closure over the names streamed so far (q157's oracle property).
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the entity fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def entityBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                  idCol: String, textCol: String, maxDist: Int,
+                  q: Int): Unit = {
+    val spark = batch.sparkSession
+    val nmDir = s"$stateDir/names"
+    val cpDir = s"$stateDir/comps"
+    val prev = new org.apache.hadoop.fs.Path(versionPath(nmDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrap = !fs.exists(
+      new org.apache.hadoop.fs.Path(prev, "_SUCCESS"))
+    val names = batch.select(col(idCol), col(textCol))
+    if (bootstrap) {
+      val pairs = graft.functions.TextAnalysis.fuzzyPairs(names, idCol,
+        textCol, maxDist, q)
+      graft.functions.Dedup.connectedComponents(pairs, "id_a", "id_b",
+          assumeDistinctPairs = true)
+        .write.mode("overwrite").parquet(versionPath(cpDir, batchId))
+      names.write.mode("overwrite").parquet(versionPath(nmDir, batchId))
+    } else {
+      val standNames = spark.read.parquet(versionPath(nmDir, batchId - 1))
+      val standComps = spark.read.parquet(versionPath(cpDir, batchId - 1))
+      val newPairs = graft.functions.TextAnalysis.fuzzyPairsAgainst(
+        standNames, names, idCol, textCol, maxDist, q)
+      graft.functions.Dedup.applyClusterBatch(standComps,
+          newPairs.select("id_a", "id_b"))
+        .write.mode("overwrite").parquet(versionPath(cpDir, batchId))
+      standNames.unionByName(names)
+        .write.mode("overwrite").parquet(versionPath(nmDir, batchId))
+    }
+  }
+
+  /** Start the streaming entity-resolution maintainer. */
+  def ingestEntities(rows: DataFrame, stateDir: String,
+                     checkpoint: String, idCol: String, textCol: String,
+                     maxDist: Int, q: Int):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          entityBatch(batch.toDF(), batchId, stateDir, idCol, textCol,
+            maxDist, q)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest committed component table under `stateDir`. */
+  def latestEntities(spark: SparkSession, stateDir: String): DataFrame =
+    latestUnder(spark, s"$stateDir/comps")
+
+  private def latestUnder(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    spark.read.parquet(versionPath(dir, vs.max))
   }
 }

@@ -337,6 +337,77 @@ class Round9Spec extends AnyFunSuite {
     assert(got._4 == "bb")
   }
 
+  // --- Hilbert curve -----------------------------------------------------
+
+  test("HilbertKernel: the 4-bit curve is a bijection, inverts " +
+    "exactly, and consecutive positions are ALWAYS grid neighbours — " +
+    "the locality property the Morton curve lacks") {
+    import graft.plans.{HilbertKernel, InterleaveBitsKernel}
+    val bits = 4
+    val n = 1 << bits
+    val cells = for { x <- 0 until n; y <- 0 until n }
+      yield (x.toLong, y.toLong)
+    val ds = cells.map { case (x, y) => HilbertKernel.xy2d(bits, x, y) }
+    assert(ds.toSet == (0L until n.toLong * n).toSet)
+    cells.zip(ds).foreach { case ((x, y), d) =>
+      val p = HilbertKernel.d2xy(bits, d)
+      assert((p >> 32) == x && (p & 0xffffffffL) == y)
+    }
+    def gridDist(a: Long, b: Long): Long =
+      math.abs((a >> 32) - (b >> 32)) +
+        math.abs((a & 0xffffffffL) - (b & 0xffffffffL))
+    (0L until n.toLong * n - 1).foreach { d =>
+      assert(gridDist(HilbertKernel.d2xy(bits, d),
+        HilbertKernel.d2xy(bits, d + 1)) == 1, s"jump at d=$d")
+    }
+    // the motivating contrast: Morton order DOES jump
+    val mortonByD = cells.sortBy { case (x, y) =>
+      InterleaveBitsKernel.interleave31(x, y) }
+    val jumps = mortonByD.sliding(2).count { case Seq(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) > 1 }
+    assert(jumps > 0)
+  }
+
+  test("hilbertBucketStats: bucket counts cover the table, and the " +
+    "summed bounding-box area is no worse than the Morton report's " +
+    "on the same data (the pruning win, pinned on this dataset)") {
+    val li = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "lineitem")
+    val h = graft.functions.Layout
+      .hilbertBucketStats(li, "l_partkey", "l_suppkey", 6)
+    val z = graft.functions.Layout
+      .zOrderBucketStats(li, "l_partkey", "l_suppkey", 6)
+    def area(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.collect()
+      (rows.map(_.getLong(1)).sum,
+        rows.map(r => (r.getLong(3) - r.getLong(2) + 1)
+          * (r.getLong(5) - r.getLong(4) + 1)).sum)
+    }
+    val (hn, ha) = area(h)
+    val (zn, za) = area(z)
+    assert(hn == li.count() && zn == hn)
+    assert(ha <= za, s"hilbert bbox area $ha should be <= morton $za")
+  }
+
+  // --- verifyReferential -------------------------------------------------
+
+  test("verifyReferential: orphan rates are exact bp; null child keys " +
+    "don't count; duplicate parents don't inflate") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    val got = Quality.verifyReferential(Seq(
+        Quality.FkCheck("fk_ok_range", child, "fk", parent, "pk",
+          0L, 3000L),
+        Quality.FkCheck("fk_strict", child, "fk", parent, "pk",
+          0L, 0L)))
+      .orderBy("check_name")
+      .as[(String, Long, Boolean)].collect().toSeq
+    // 1 orphan (9) of 4 non-null keys = 2500 bp
+    assert(got == Seq(("fk_ok_range", 2500L, true),
+      ("fk_strict", 2500L, false)))
+  }
+
   // --- c4Clean -----------------------------------------------------------
 
   test("c4Clean: every rule fires — no-terminal, short, javascript " +

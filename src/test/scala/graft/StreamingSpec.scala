@@ -873,6 +873,107 @@ class StreamingSpec extends AnyFunSuite {
       regs(oneShot))
   }
 
+  test("streaming ExactSubstr: append-only doc waves fold the window-" +
+    "owner index; accumulated landed spans equal the one-shot span " +
+    "table; restart adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ssub").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-ssub-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.IndexStreams.ingestSubstr(
+        spark.readStream.schema(docs.schema).parquet(src), st, ckpt,
+        windowWords = 5)
+        .awaitTermination(120000)
+
+    // append-only id contract: waves ascend
+    stage("w0", docs.filter(col("doc_id") < 167))
+    runOnce()
+    stage("w1", docs.filter(col("doc_id") >= 167 && col("doc_id") < 334))
+    runOnce()
+    stage("w2", docs.filter(col("doc_id") >= 334))
+    runOnce()
+
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "s", "e").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.refreshByPath(st)
+    val landed = spanSet(
+      graft.streaming.IndexStreams.substrSpans(spark, st))
+    val oneShot = spanSet(
+      graft.functions.Dedup.exactSubstrSpans(docs, 5))
+    assert(landed == oneShot && oneShot.nonEmpty)
+
+    runOnce() // restart with no new files
+    spark.catalog.refreshByPath(st)
+    assert(spanSet(graft.streaming.IndexStreams.substrSpans(spark, st))
+      == oneShot)
+  }
+
+  test("streaming entity resolution: name waves fold batch-only " +
+    "candidates into the standing components; the landed entity table " +
+    "equals the one-shot closure over everything streamed") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sent").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val names = graft.sources.Tables.load(spark, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+      .select(col("pid"), col("p_name"))
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sent-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.IndexStreams.ingestEntities(
+        spark.readStream.schema(names.schema).parquet(src), st, ckpt,
+        "pid", "p_name", maxDist = 2, q = 2)
+        .awaitTermination(120000)
+
+    stage("w0", names.filter(col("pid") % 3 === 0))
+    runOnce()
+    stage("w1", names.filter(col("pid") % 3 === 1))
+    runOnce()
+    stage("w2", names.filter(col("pid") % 3 === 2))
+    runOnce()
+
+    def compSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "comp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.refreshByPath(st)
+    val landed = compSet(
+      graft.streaming.IndexStreams.latestEntities(spark, st))
+    val oneShot = compSet(graft.functions.Dedup.connectedComponents(
+      graft.functions.TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+        maxDist = 2, q = 2), "id_a", "id_b",
+      assumeDistinctPairs = true))
+    assert(landed == oneShot && oneShot.nonEmpty)
+  }
+
   test("streaming drift monitoring: histogram waves fold into the " +
     "standing state; PSI vs a landed reference ≡ the batch psiDrift " +
     "over the full stream; replay adds nothing") {
