@@ -158,6 +158,43 @@ object Retrieval {
       .agg(sum(col("w_unats")).as("score_unats"))
   }
 
+  /** Keyword-in-context snippets for retrieval results (the KWIC /
+    * search-result-highlighting step): for each of a query's top-k
+    * BM25 documents, the `window`-token span with the most query-term
+    * occurrences (ties to the earliest start) — the text a result page
+    * actually shows. The argmax over window positions is ONE map-side
+    * array_max over per-row structs ordered (hits, −start): no
+    * explode, no per-position rows, nothing beyond the top-k join ever
+    * shuffles. */
+  def kwicSnippets(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                   topK: Int, window: Int = 10,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = bm25TopKIndexed(docs, queries, topK, idCol, textCol)
+    val qterms = broadcast(queries
+      .map { case (q, ts) => (q, ts.map(_.toLowerCase).distinct) }
+      .toDF("qid", "terms"))
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("ws"))
+    top.join(toks, Seq(idCol)).join(qterms, Seq("qid"))
+      .withColumn("npos",
+        greatest(lit(1), size(col("ws")) - lit(window) + 1))
+      .withColumn("best", array_max(transform(
+        sequence(lit(0), col("npos") - 1),
+        i => struct(
+          size(filter(slice(col("ws"), i + 1, lit(window)),
+            t => array_contains(col("terms"), t))).as("h"),
+          (-i).as("ni"), i.as("start")))))
+      .select(col("qid"), col("rank"), col(idCol), col("score_unats"),
+        col("best.h").cast("long").as("n_hits"),
+        col("best.start").cast("long").as("snippet_start"),
+        concat_ws(" ",
+          slice(col("ws"), col("best.start") + 1, lit(window)))
+          .as("snippet"))
+  }
+
   /** Hard-negative mining for retriever/embedder training (the DPR/ANCE
     * data-prep step, Karpukhin et al. 2020 §4.2): for each query, the
     * top-scored documents NOT labeled relevant are exactly the negatives

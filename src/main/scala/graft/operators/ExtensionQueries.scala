@@ -6601,8 +6601,328 @@ object ExtensionQueries {
              |         AS mask_bp,
              |       CAST(COUNT(DISTINCT start_tok // 1024) AS BIGINT)
              |         AS n_seqs
-             |FROM p GROUP BY source ORDER BY source""".stripMargin))
+             |FROM p GROUP BY source ORDER BY source""".stripMargin)),
+
+    // First-order behavioral Markov model: event-type transition
+    // counts and probabilities over each user's (ts, event_id)-ordered
+    // stream — the text-LM recipe applied to behavior. One lag window
+    // per user + one (from, to)-grain aggregate; probabilities are
+    // exact-integer micro-units.
+    Q("q191_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, dir)
+          .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("event_type").as("to_type"))
+        val counts = trans.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy("from_type")
+          .agg(sum(col("n")).as("from_total"))
+        counts.join(totals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("from_total"),
+            expr("n * 1000000 div from_total").as("p_micro"))
+          .orderBy("from_type", "to_type")
+      },
+      Some(transitionCtes +
+        """SELECT from_type, to_type, n, from_total,
+          |       CAST(n * 1000000 // from_total AS BIGINT) AS p_micro
+          |FROM model ORDER BY from_type, to_type""".stripMargin)),
+
+    // Behavioral anomaly scores: each user's event stream scored under
+    // the corpus transition model (Σ ln P(to|from), floored micro-nats
+    // — the q83 LM discipline on events instead of text). Users whose
+    // behavior the fleet's model finds improbable surface at the
+    // bottom of avg_micro.
+    Q("q192_behavior_scores",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, dir)
+          .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("from_type").isNotNull)
+          .select(col("user_id"), col("from_type"),
+            col("event_type").as("to_type"))
+        val counts = trans.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+        val model = counts.join(
+            counts.groupBy("from_type")
+              .agg(sum(col("n")).as("from_total")),
+            Seq("from_type"))
+          .select(col("from_type"), col("to_type"),
+            floor(log(col("n").cast("double")
+              / col("from_total").cast("double")) * 1e6)
+              .cast("long").as("lp_micro"))
+        trans.join(broadcast(model), Seq("from_type", "to_type"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_trans"),
+            sum(col("lp_micro")).as("score_micro"))
+          .withColumn("avg_micro",
+            expr("score_micro div n_trans"))
+          .orderBy("user_id")
+      },
+      Some(transitionCtes +
+        """, scored AS (
+          |  SELECT t.user_id,
+          |         CAST(floor(ln(CAST(m.n AS DOUBLE)
+          |           / CAST(m.from_total AS DOUBLE)) * 1000000.0)
+          |           AS BIGINT) AS lp_micro
+          |  FROM trans t JOIN model m
+          |    ON m.from_type = t.from_type AND m.to_type = t.to_type
+          |)
+          |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+          |       CAST(SUM(lp_micro) AS BIGINT) AS score_micro,
+          |       CAST(SUM(lp_micro) // COUNT(*) AS BIGINT)
+          |         AS avg_micro
+          |FROM scored GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // KWIC snippet extraction (search-result highlighting): for each
+    // query's top-3 BM25 docs, the 10-token span with the most
+    // query-term hits, earliest-start tiebreak — the argmax is one
+    // map-side array_max over (hits, −start) structs; the oracle
+    // re-derives every window's hit count and the tie rule.
+    Q("q193_kwic_snippets",
+      (s, dir) => Retrieval.kwicSnippets(
+          Tables.load(s, dir, "documents"),
+          Seq("q1" -> Seq("spark", "table"), "q2" -> Seq("query", "data"),
+            "q3" -> Seq("window", "zzz_absent_term")),
+          topK = 3, window = 10)
+        .orderBy("qid", "rank"),
+      Some(bm25ScoredCtes +
+        """, top AS (
+          |  SELECT qid, doc_id, score_unats,
+          |         ROW_NUMBER() OVER (PARTITION BY qid
+          |           ORDER BY score_unats DESC, doc_id) AS rnk
+          |  FROM sc
+          |), t3 AS (
+          |  SELECT * FROM top WHERE rnk <= 3
+          |), qts AS (
+          |  SELECT 'q1' AS qid, ['spark', 'table'] AS terms
+          |  UNION ALL SELECT 'q2', ['query', 'data']
+          |  UNION ALL SELECT 'q3', ['window', 'zzz_absent_term']
+          |), wins AS (
+          |  SELECT t.qid, t.rnk, t.doc_id, t.score_unats, dd.ws,
+          |         q.terms,
+          |         unnest(generate_series(0,
+          |           greatest(1, len(dd.ws) - 10 + 1) - 1)) AS i
+          |  FROM t3 t
+          |  JOIN d dd ON dd.doc_id = t.doc_id
+          |  JOIN qts q ON q.qid = t.qid
+          |), hits AS (
+          |  SELECT qid, rnk, doc_id, score_unats, ws, i,
+          |         len(list_filter(ws[i + 1 : i + 10],
+          |           x -> list_contains(terms, x))) AS h
+          |  FROM wins
+          |), best AS (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, doc_id
+          |           ORDER BY h DESC, i ASC) AS rb
+          |  FROM hits
+          |)
+          |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id,
+          |       score_unats, CAST(h AS BIGINT) AS n_hits,
+          |       CAST(i AS BIGINT) AS snippet_start,
+          |       array_to_string(ws[i + 1 : i + 10], ' ') AS snippet
+          |FROM best WHERE rb = 1 ORDER BY qid, rank""".stripMargin)),
+
+    // Template dedup (boilerplate/spam detection): docs identical
+    // AFTER masking the volatile tokens — here id-derived order/total
+    // fields injected per the q149 enrichment pattern, masked by one
+    // digit-run regexp (DuckDB needs the 'g' flag to match Spark's
+    // replace-all). Groups invisible to exact dedup reappear at the
+    // template grain.
+    Q("q194_template_dedup",
+      (s, dir) => {
+        val enriched = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit("invoice customer "), col("doc_id"),
+                lit(" amount "), (col("doc_id") * 37) % 1000,
+                lit(" thank you")))
+              .when(col("doc_id") % 7 === 1,
+                concat(lit("receipt customer "), col("doc_id"),
+                  lit(" amount "), (col("doc_id") * 37) % 1000,
+                  lit(" thank you")))
+              .otherwise(concat(col("text"), lit(" order "),
+                col("doc_id")))
+              .as("text"))
+        enriched
+          .select(col("doc_id"),
+            md5(regexp_replace(col("text"), "[0-9]+", "#"))
+              .as("template_fp"))
+          .groupBy("template_fp")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("rep_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy("rep_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 7 = 0
+             |              THEN 'invoice customer '
+             |                || CAST(doc_id AS STRING) || ' amount '
+             |                || CAST((doc_id * 37) % 1000 AS STRING)
+             |                || ' thank you'
+             |              WHEN doc_id % 7 = 1
+             |              THEN 'receipt customer '
+             |                || CAST(doc_id AS STRING) || ' amount '
+             |                || CAST((doc_id * 37) % 1000 AS STRING)
+             |                || ' thank you'
+             |              ELSE text || ' order '
+             |                || CAST(doc_id AS STRING)
+             |         END AS text
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id,
+             |         md5(regexp_replace(text, '[0-9]+', '#', 'g'))
+             |           AS template_fp
+             |  FROM e
+             |)
+             |SELECT template_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(MIN(doc_id) AS BIGINT) AS rep_id
+             |FROM t GROUP BY 1 HAVING COUNT(*) > 1
+             |ORDER BY rep_id""".stripMargin)),
+
+    // n-gram novelty vs a reference corpus (the decontamination
+    // complement): for each held-out doc, the fraction of its distinct
+    // 3-shingles the reference has NEVER seen — low novelty flags
+    // derivative/duplicated content, high novelty genuinely new text.
+    // One unhinted join against the reference's distinct-shingle set.
+    Q("q195_ngram_novelty",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val hs = Dedup.shingleSets(docs, "doc_id", "text", 3)
+        val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+        val ref = tok.filter(col("doc_id") % 2 === 0)
+          .select("h").distinct().withColumn("_seen", lit(true))
+        tok.filter(col("doc_id") % 2 === 1)
+          .join(ref, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("_seen").isNull, 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_bp",
+            expr("n_novel * 10000 div n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some(neardupScoredCtes +
+        """SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          |       CAST(SUM(CASE WHEN r.shingle IS NULL
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |       CAST(SUM(CASE WHEN r.shingle IS NULL
+          |                THEN 1 ELSE 0 END) * 10000
+          |         // COUNT(*) AS BIGINT) AS novelty_bp
+          |FROM sh o LEFT JOIN (
+          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0) r
+          |  ON r.shingle = o.shingle
+          |WHERE o.doc_id % 2 = 1
+          |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin)),
+
+    // Contrastive training-pair manifest (SimCSE/DPR data prep): from
+    // every near-dup cluster, (anchor = representative, positive =
+    // other member) pairs, each with a HARD negative — the most
+    // shingle-overlapping doc OUTSIDE the anchor's cluster (ties to
+    // the lowest id). Consumes the memoized cluster table; the oracle
+    // replays closure, overlap ranking and tie rule wholesale.
+    Q("q196_contrastive_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = clustersTable(s, dir)
+        val pos = clusters.filter(col("id") =!= col("comp"))
+          .select(col("comp").as("anchor_id"),
+            col("id").as("positive_id"))
+        val hs = Dedup.shingleSets(docs, "doc_id", "text", 3)
+        val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+        val anchors = pos.select(col("anchor_id").as("doc_id")).distinct()
+        val aTok = tok.join(anchors, Seq("doc_id"))
+          .select(col("doc_id").as("a"), col("h"))
+        val ov = aTok
+          .join(tok.select(col("doc_id").as("b"), col("h")), Seq("h"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        val bComp = clusters.select(col("id").as("b"),
+          col("comp").as("bcomp"))
+        val w = Window.partitionBy(col("a"))
+          .orderBy(desc("inter"), asc("b"))
+        val neg = ov.join(bComp, Seq("b"), "left")
+          .withColumn("bcomp", coalesce(col("bcomp"), col("b")))
+          .filter(col("bcomp") =!= col("a"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("a").as("anchor_id"),
+            col("b").as("negative_id"), col("inter").as("neg_overlap"))
+        pos.join(neg, Seq("anchor_id"), "left")
+          .select(col("anchor_id"), col("positive_id"),
+            col("negative_id"), col("neg_overlap"))
+          .orderBy("anchor_id", "positive_id")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e
+          |  ON w.reach = e.src
+          |), comps AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), pos AS (
+          |  SELECT comp AS anchor_id, id AS positive_id
+          |  FROM comps WHERE id <> comp
+          |), anc AS (
+          |  SELECT DISTINCT anchor_id FROM pos
+          |), ov AS (
+          |  SELECT sa.doc_id AS a, sb.doc_id AS b,
+          |         CAST(COUNT(*) AS BIGINT) AS inter
+          |  FROM sh sa
+          |  JOIN anc ON anc.anchor_id = sa.doc_id
+          |  JOIN sh sb ON sb.shingle = sa.shingle
+          |    AND sb.doc_id <> sa.doc_id
+          |  GROUP BY 1, 2
+          |), bc AS (
+          |  SELECT o.a, o.b, o.inter,
+          |         COALESCE(c.comp, o.b) AS bcomp
+          |  FROM ov o LEFT JOIN comps c ON c.id = o.b
+          |), neg AS (
+          |  SELECT a, b, inter FROM (
+          |    SELECT a, b, inter,
+          |           ROW_NUMBER() OVER (PARTITION BY a
+          |             ORDER BY inter DESC, b ASC) AS rk
+          |    FROM bc WHERE bcomp <> a) WHERE rk = 1
+          |)
+          |SELECT p.anchor_id, p.positive_id,
+          |       n.b AS negative_id, n.inter AS neg_overlap
+          |FROM pos p LEFT JOIN neg n ON n.a = p.anchor_id
+          |ORDER BY p.anchor_id, p.positive_id""".stripMargin))
   )
+
+  /** DuckDB replay of the behavioral transition model: per-user
+    * (ts, event_id)-ordered lag pairs → (from, to) counts + outgoing
+    * totals. Ends at `trans (user_id, from_type, to_type)` and
+    * `model (from_type, to_type, n, from_total)`. */
+  private def transitionCtes: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type
+      |  FROM events
+      |), trans AS (
+      |  SELECT user_id, from_type, event_type AS to_type
+      |  FROM seq WHERE from_type IS NOT NULL
+      |), model AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type)
+      |           AS BIGINT) AS from_total
+      |  FROM trans GROUP BY 1, 2
+      |)
+      |""".stripMargin
 
   /** DuckDB replay of the full 16-bit Hilbert xy2d recursion: one CTE
     * per bit level carrying the rotated (hx, hy) state and the

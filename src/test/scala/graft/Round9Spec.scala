@@ -389,6 +389,24 @@ class Round9Spec extends AnyFunSuite {
     assert(ha <= za, s"hilbert bbox area $ha should be <= morton $za")
   }
 
+  // --- kwicSnippets ------------------------------------------------------
+
+  test("kwicSnippets: densest window wins, ties break to the earliest " +
+    "start; short docs yield their whole text") {
+    val docs = Seq(
+      (0L, "a b spark c d e f g h i j spark spark x"),
+      (1L, "spark tiny")).toDF("doc_id", "text")
+    val out = Retrieval.kwicSnippets(docs, Seq("q1" -> Seq("spark")),
+        topK = 2, window = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_hits", "snippet_start", "snippet")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 0's densest 5-window is [8, 13) — two sparks, and the
+    // earlier two-spark window at 8 beats the equal one at 9
+    assert(out.head == ((0L, 2L, 8L, "h i j spark spark")))
+    assert(out(1) == ((1L, 1L, 0L, "spark tiny")))
+  }
+
   // --- verifyReferential -------------------------------------------------
 
   test("verifyReferential: orphan rates are exact bp; null child keys " +
