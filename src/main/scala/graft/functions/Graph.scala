@@ -138,6 +138,34 @@ object Graph {
         col("tri").getItem(2).as("id_c"))
   }
 
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) in exact basis points, where
+    * T(v) counts triangles through v — how close each node's
+    * neighbourhood is to a clique, the community-structure signal at
+    * node grain (the global q110 count averages it away). Nodes of
+    * degree < 2 report 0.
+    *
+    * Per-node triangle counts are the [[triangles]] enumeration (each
+    * triangle credits its three corners — one explode over the
+    * triangle table, which the Schank-Wagner orientation already
+    * bounds at O(m^1.5)) joined onto the degree table; everything
+    * after the enumeration is node-table-sized. */
+  def clusteringCoefficients(pairs: DataFrame, srcCol: String = "id_a",
+                             dstCol: String = "id_b"): DataFrame = {
+    val tcount = triangles(pairs, srcCol, dstCol)
+      .select(explode(array(col("id_a"), col("id_b"), col("id_c")))
+        .as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    degrees(pairs, srcCol, dstCol)
+      .join(tcount, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_bp",
+        when(col("deg") >= 2,
+          expr("n_tri * 2 * 10000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** Degree table of an undirected DISTINCT pair list: (id, deg) — the
     * node-level standing artifact of an incremental graph (feeds
     * [[triangles]]' orientation and [[pagerank]]'s contribution split).

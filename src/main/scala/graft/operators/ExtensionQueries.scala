@@ -6900,7 +6900,137 @@ object ExtensionQueries {
           |SELECT p.anchor_id, p.positive_id,
           |       n.b AS negative_id, n.inter AS neg_overlap
           |FROM pos p LEFT JOIN neg n ON n.a = p.anchor_id
-          |ORDER BY p.anchor_id, p.positive_id""".stripMargin))
+          |ORDER BY p.anchor_id, p.positive_id""".stripMargin)),
+
+    // Local clustering coefficient over the near-dup graph (Watts &
+    // Strogatz 1998): per node, how close its neighbourhood is to a
+    // clique — exact basis points, per-node triangle credits from the
+    // Schank-Wagner enumeration. The node-grain community signal the
+    // global triangle count (q110) averages away.
+    Q("q197_clustering_coefficients",
+      (s, dir) => Graph.clusteringCoefficients(
+          Dedup.nearDuplicatesPortable(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4,
+            minJaccardBp = 2000))
+        .orderBy("id"),
+      Some(neardupScoredCtes +
+        """, pr AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), tri AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM (SELECT id_a AS a, id_b AS b FROM pr) e1
+          |  JOIN (SELECT id_a AS a, id_b AS b FROM pr) e2
+          |    ON e2.a = e1.b
+          |  JOIN (SELECT id_a AS a, id_b AS b FROM pr) e3
+          |    ON e3.a = e1.a AND e3.b = e2.b
+          |), tcnt AS (
+          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          |    SELECT x AS id FROM tri
+          |    UNION ALL SELECT y FROM tri
+          |    UNION ALL SELECT z FROM tri) GROUP BY 1
+          |), dg AS (
+          |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          |    SELECT id_a AS id FROM pr
+          |    UNION ALL SELECT id_b FROM pr) GROUP BY 1
+          |)
+          |SELECT d.id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+          |       CASE WHEN d.deg >= 2
+          |            THEN COALESCE(t.n_tri, 0) * 2 * 10000
+          |                 // (d.deg * (d.deg - 1))
+          |            ELSE 0 END AS cc_bp
+          |FROM dg d LEFT JOIN tcnt t ON t.id = d.id
+          |ORDER BY d.id""".stripMargin)),
+
+    // Inter-arrival SLA report: p50/p95/p99 of the seconds between
+    // consecutive events per type ((ts, event_id)-ordered), via the
+    // q111 sort-free histogram percentiles — the latency-style ops
+    // metric, integer seconds end to end.
+    Q("q198_interarrival_sla",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byType = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byType))
+          .filter(col("prev_ts").isNotNull)
+          .select(col("event_type"),
+            (unix_timestamp(col("ts"))
+              - unix_timestamp(col("prev_ts"))).as("gap_s"))
+        Sketches.percentilesByValue(gaps, "event_type", "gap_s",
+            Seq(50, 95, 99))
+          .orderBy("event_type")
+      },
+      Some("""WITH g0 AS (
+             |  SELECT event_type, ts,
+             |         LAG(ts) OVER (PARTITION BY event_type
+             |           ORDER BY ts, event_id) AS prev_ts
+             |  FROM events
+             |), g AS (
+             |  SELECT event_type,
+             |         CAST(date_diff('second', prev_ts, ts) AS BIGINT)
+             |           AS v
+             |  FROM g0 WHERE prev_ts IS NOT NULL
+             |), c AS (
+             |  SELECT event_type, v, COUNT(*) AS cnt
+             |  FROM g GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT event_type, v,
+             |         SUM(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM c
+             |)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p50,
+             |       CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p95,
+             |       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p99
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Near-dup cluster-size distribution: how much of the corpus sits
+    // in how-big duplicate families (the release-notes figure behind
+    // the q63 dedup rate) — size histogram over the memoized cluster
+    // table, singletons included.
+    Q("q199_cluster_sizes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val comp = docs.select(col("doc_id"))
+          .join(clustersTable(s, dir),
+            docs("doc_id") === col("id"), "left")
+          .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+        comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e
+          |  ON w.reach = e.src
+          |), comps AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), assigned AS (
+          |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+          |  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+          |), sizes AS (
+          |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          |  FROM assigned GROUP BY 1
+          |)
+          |SELECT cluster_size,
+          |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user

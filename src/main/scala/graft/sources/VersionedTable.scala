@@ -296,6 +296,29 @@ object VersionedTable {
     commit(clustered, dir, "compact")
   }
 
+  /** Table-maintenance report: one row per committed version — action,
+    * file count, total bytes (live files only; vacuumed files report
+    * what survives), plus whether the snapshot resolves entirely from
+    * this commit (reset points) or accumulates. The small-files signal
+    * that schedules [[compact]]/[[vacuum]]: log + FS metadata only,
+    * nothing data-sized is read. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = fsFor(spark, root)
+    val rows = versions(spark, dir).map { v =>
+      val c = readCommit(spark, dir, v)
+      val sizes = c.files.map { f =>
+        val p = new Path(s"$dir/$f")
+        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      }
+      (v, c.action, c.files.size.toLong, sizes.sum,
+        filesAt(spark, dir, v).size.toLong)
+    }
+    rows.toDF("version", "action", "n_files", "bytes",
+      "snapshot_files")
+  }
+
   /** MERGE INTO (the Delta/Iceberg upsert statement) against the
     * CURRENT snapshot:
     *   - WHEN MATCHED AND deleteWhen THEN DELETE

@@ -149,6 +149,34 @@ class Round9Spec extends AnyFunSuite {
     assert(out.map(_._4) == Seq(33L, 33L, 33L))
   }
 
+  test("unimaxAllocation properties on random inputs: caps respected, " +
+    "budget never exceeded and exhausted up to floor slack, uncapped " +
+    "sources all sit at one common level") {
+    val rnd = new scala.util.Random(23)
+    (0 until 20).foreach { _ =>
+      val n = rnd.nextInt(8) + 2
+      val counts = (0 until n)
+        .map(i => (s"s$i", (rnd.nextInt(1000) + 1).toLong))
+      val budget = (rnd.nextInt(3000) + 100).toLong
+      val cap = rnd.nextInt(3) + 1
+      val out = Mixing.unimaxAllocation(counts.toDF("source", "tokens"),
+          budget, cap)
+        .as[(String, Long, Long, Long, Long)].collect()
+      val total = out.map(_._4).sum
+      val capTotal = out.map(_._3).sum
+      out.foreach { case (_, _, capacity, alloc, _) =>
+        assert(alloc <= capacity && alloc >= 0) }
+      if (capTotal <= budget) assert(total == capTotal)
+      else {
+        assert(total <= budget && budget - total < n,
+          s"slack ${budget - total} at n=$n")
+        val uncapped = out.filter(r => r._4 < r._3).map(_._4)
+        assert(uncapped.toSet.size <= 1, // one waterfill level
+          s"uncapped levels ${uncapped.toSet}")
+      }
+    }
+  }
+
   // --- hardNegatives -----------------------------------------------------
 
   test("hardNegatives: labeled positives are excluded, negatives rank " +
@@ -387,6 +415,22 @@ class Round9Spec extends AnyFunSuite {
     val (zn, za) = area(z)
     assert(hn == li.count() && zn == hn)
     assert(ha <= za, s"hilbert bbox area $ha should be <= morton $za")
+  }
+
+  // --- clusteringCoefficients --------------------------------------------
+
+  test("clusteringCoefficients: exact bp on a hand graph — clique " +
+    "members at 10000, the hub diluted by its pendant, degree-1 at 0") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = graft.functions.Graph.clusteringCoefficients(pairs)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 3333L), // deg 3, 1 triangle: 2/(3·2) = 3333 bp
+      (2L, 2L, 1L, 10000L),
+      (3L, 2L, 1L, 10000L),
+      (4L, 1L, 0L, 0L)))
   }
 
   // --- kwicSnippets ------------------------------------------------------

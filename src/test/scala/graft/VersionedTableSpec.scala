@@ -258,6 +258,26 @@ class VersionedTableSpec extends AnyFunSuite {
       == got)
   }
 
+  test("stats: one row per version with action, live file counts and " +
+    "snapshot resolution size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vtable-stats").toString
+    VersionedTable.append(wave(0), dir)
+    VersionedTable.append(wave(1), dir)
+    VersionedTable.compact(spark, dir, targetFiles = 1)
+    val st = VersionedTable.stats(spark, dir)
+      .orderBy("version")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(st.map(r => (r._1, r._2)) ==
+      Seq((0L, "append"), (1L, "append"), (2L, "compact")))
+    // appends accumulate: v1's snapshot spans both commits' files
+    assert(st(1)._5 == st(0)._3 + st(1)._3)
+    // the compaction resets: snapshot == its own single file
+    assert(st(2)._3 == 1L && st(2)._5 == 1L)
+    assert(st.forall(_._4 > 0L))
+  }
+
   test("merge: schema mismatch and empty keys are rejected loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files
