@@ -999,7 +999,12 @@ object Dedup {
                        textCol: String = "text"): DataFrame = {
     require(windowWords > 0, s"windowWords must be positive, got $windowWords")
     val L = windowWords
+    // the window table feeds BOTH the owner aggregation and the probe
+    // side of the marking join — materialize it once (lazy
+    // localCheckpoint, token-count-sized narrow rows, spills past
+    // memory) instead of running the tokenize+md5 generator twice
     val spans = positionWindows(docs, L, idCol, textCol)
+      .localCheckpoint(false)
     val crossDoc = spans.groupBy(col("h"))
       .agg(min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
       .filter(col("first_id") =!= col("last_id"))
@@ -1047,7 +1052,10 @@ object Dedup {
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
     val L = windowWords
+    // same double-consumer shape as the one-shot: batch windows feed
+    // the batch-local owner aggregate AND the probe join
     val w = positionWindows(batch, L, idCol, textCol)
+      .localCheckpoint(false)
     val combined = standingIndex.unionByName(
         w.groupBy(col("h")).agg(min(col(idCol)).as("first_id")))
       .groupBy(col("h")).agg(min(col("first_id")).as("first_id"))
