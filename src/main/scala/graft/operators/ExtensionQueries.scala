@@ -178,6 +178,30 @@ object ExtensionQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Entity component table (the q157 fuzzyPairs + CC chain),
+    * materialized once per (session, dir) — the ndTable pattern at the
+    * record-linkage grain: survivorship (q182) and any other entity
+    * consumer read the computed-once table; q157/q159 remain the full
+    * from-pairs computations. */
+  private val entityCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+
+  private def entitiesTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    entityCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(entityCache.remove)
+    entityCache.getOrElseUpdate((s, dir), {
+      val names = Tables.load(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+      Dedup.connectedComponents(
+        TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+          maxDist = 2, q = 2), "id_a", "id_b",
+        assumeDistinctPairs = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   /** Incremental-dedup fixture split: docs with doc_id % 10 == 7 play
     * "today's batch"; the rest are the historical corpus whose standing
     * index (band rows bucketed on the join key + shingle sets) is
@@ -6158,10 +6182,9 @@ object ExtensionQueries {
         val part = Tables.load(s, dir, "part")
         val names = part.groupBy(col("p_name"))
           .agg(min(col("p_partkey")).as("pid"))
-        val pairs = TextAnalysis.fuzzyPairs(names, "pid", "p_name",
-          maxDist = 2, q = 2)
-        val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
-          assumeDistinctPairs = true)
+        // consume the memoized entity table (the ndTable pattern —
+        // q157 remains the full from-pairs computation)
+        val comps = entitiesTable(s, dir)
         val ent = names.join(comps, names("pid") === comps("id"), "left")
           .select(col("p_name"),
             coalesce(col("comp"), col("pid")).as("entity_id"))
