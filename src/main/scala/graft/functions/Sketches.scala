@@ -734,6 +734,47 @@ object Sketches {
     a.unionByName(b).groupBy(col(groupCol), col("idx"))
       .agg(max(col("rho")).as("rho"))
 
+  /** HLL set-operation estimates over all unordered group PAIRS: union
+    * cardinality from the max-merged registers (exact for HLL — the
+    * union sketch IS the sketch of the union), intersection by
+    * inclusion-exclusion (est_a + est_b − est_union, clamped at 0 —
+    * the standard estimator; its error grows as the true intersection
+    * shrinks, which is why the exact count should ride along where
+    * auditable). This is the audience-overlap query a standing
+    * register table answers WITHOUT rescanning any data: pairs ×
+    * register-table-sized joins only. */
+  def hllPairOverlaps(regs: DataFrame, groupCol: String,
+                      p: Int = 9): DataFrame = {
+    val pairs = regs.select(col(groupCol)).distinct()
+      .select(col(groupCol).as("ga"))
+      .join(regs.select(col(groupCol)).distinct()
+        .select(col(groupCol).as("gb")), col("ga") < col("gb"))
+    val ra = pairs.join(
+      regs.select(col(groupCol).as("ga"), col("idx"), col("rho")),
+      Seq("ga"))
+    val rb = pairs.join(
+      regs.select(col(groupCol).as("gb"), col("idx"), col("rho")),
+      Seq("gb"))
+    val unionRegs = ra.unionByName(rb)
+      .withColumn("pk", concat_ws("|", col("ga"), col("gb")))
+      .groupBy(col("pk"), col("idx")).agg(max(col("rho")).as("rho"))
+    val estU = hllEstimate(unionRegs, "pk", p)
+      .select(col("pk"), col("estimate").as("est_union"))
+    val est1 = hllEstimate(regs, groupCol, p)
+    pairs
+      .join(est1.select(col(groupCol).as("ga"),
+        col("estimate").as("est_a")), Seq("ga"))
+      .join(est1.select(col(groupCol).as("gb"),
+        col("estimate").as("est_b")), Seq("gb"))
+      .withColumn("pk", concat_ws("|", col("ga"), col("gb")))
+      .join(estU, Seq("pk"))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union"))
+          .as("est_inter"))
+  }
+
   /** Cardinality estimates from an HLL register table. The harmonic
     * sum is computed in EXACT int64 — Σ_j 2^(rMax − rho_j) with
     * rMax = 60−p+1, absent registers contributing 2^rMax — so both

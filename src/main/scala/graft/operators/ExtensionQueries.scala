@@ -7053,7 +7053,124 @@ object ExtensionQueries {
           |SELECT cluster_size,
           |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
           |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
-          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL set operations: audience overlap between every event-type
+    // pair from the STANDING register table — union via max-merged
+    // registers (the union sketch IS the sketch of the union),
+    // intersection by inclusion-exclusion, the exact distinct count
+    // riding along as the audit column. No event data is rescanned
+    // for any pair.
+    Q("q200_hll_overlap",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val regs = Sketches.hllRegisters(ev, "event_type", "user_id")
+        val du = ev.select(col("event_type"), col("user_id")).distinct()
+        val exact = du.as("a")
+          .join(du.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ga"),
+            col("b.event_type").as("gb"))
+          .agg(count(lit(1)).as("n_exact_inter"))
+        Sketches.hllPairOverlaps(regs, "event_type")
+          .join(exact, Seq("ga", "gb"), "left")
+          .select(col("ga"), col("gb"),
+            coalesce(col("n_exact_inter"), lit(0L))
+              .as("n_exact_inter"),
+            col("est_a"), col("est_b"), col("est_union"),
+            col("est_inter"))
+          .orderBy("ga", "gb")
+      },
+      Some("""WITH hh AS (
+             |  SELECT event_type,
+             |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+             |           1, 15))::BIGINT AS h
+             |  FROM events
+             |), rw AS (
+             |  SELECT event_type, h >> 51 AS idx,
+             |         h & ((1::BIGINT << 51) - 1) AS wv
+             |  FROM hh
+             |), regs AS (
+             |  SELECT event_type, idx,
+             |         MAX(CASE WHEN wv = 0 THEN 52
+             |             ELSE 52 - length(bin(wv)) END) AS rho
+             |  FROM rw GROUP BY 1, 2
+             |), tys AS (
+             |  SELECT DISTINCT event_type FROM events
+             |), prs AS (
+             |  SELECT a.event_type AS ga, b.event_type AS gb
+             |  FROM tys a JOIN tys b ON a.event_type < b.event_type
+             |), ureg AS (
+             |  SELECT p.ga, p.gb, r.idx, MAX(r.rho) AS rho
+             |  FROM prs p JOIN regs r
+             |    ON r.event_type = p.ga OR r.event_type = p.gb
+             |  GROUP BY 1, 2, 3
+             |), agg1 AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+             |         CAST(SUM(1::BIGINT << CAST(52 - rho AS INT))
+             |           AS BIGINT) AS s_occ
+             |  FROM regs GROUP BY 1
+             |), fin1 AS (
+             |  SELECT event_type, occupied,
+             |         512 - occupied AS zeros,
+             |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |           * CAST(1::BIGINT << 52 AS DOUBLE)
+             |           / CAST(s_occ + (512 - occupied)
+             |                  * (1::BIGINT << 52) AS DOUBLE)
+             |           AS est_raw
+             |  FROM agg1
+             |), est1 AS (
+             |  SELECT event_type,
+             |         CAST(CASE WHEN zeros > 0 AND est_raw <= 1280.0
+             |              THEN floor(512.0 * ln(512.0
+             |                     / CAST(zeros AS DOUBLE)))
+             |              ELSE floor(est_raw) END AS BIGINT) AS est
+             |  FROM fin1
+             |), aggu AS (
+             |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS occupied,
+             |         CAST(SUM(1::BIGINT << CAST(52 - rho AS INT))
+             |           AS BIGINT) AS s_occ
+             |  FROM ureg GROUP BY 1, 2
+             |), finu AS (
+             |  SELECT ga, gb, occupied,
+             |         512 - occupied AS zeros,
+             |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+             |           * CAST(1::BIGINT << 52 AS DOUBLE)
+             |           / CAST(s_occ + (512 - occupied)
+             |                  * (1::BIGINT << 52) AS DOUBLE)
+             |           AS est_raw
+             |  FROM aggu
+             |), estu AS (
+             |  SELECT ga, gb,
+             |         CAST(CASE WHEN zeros > 0 AND est_raw <= 1280.0
+             |              THEN floor(512.0 * ln(512.0
+             |                     / CAST(zeros AS DOUBLE)))
+             |              ELSE floor(est_raw) END AS BIGINT) AS est
+             |  FROM finu
+             |), ex AS (
+             |  SELECT a.event_type AS ga, b.event_type AS gb,
+             |         CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+             |  FROM (SELECT DISTINCT event_type, user_id
+             |        FROM events) a
+             |  JOIN (SELECT DISTINCT event_type, user_id
+             |        FROM events) b
+             |    ON b.user_id = a.user_id
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.ga, p.gb,
+             |       COALESCE(x.n_exact_inter, 0) AS n_exact_inter,
+             |       ea.est AS est_a, eb.est AS est_b,
+             |       u.est AS est_union,
+             |       CAST(greatest(0, ea.est + eb.est - u.est)
+             |         AS BIGINT) AS est_inter
+             |FROM prs p
+             |JOIN est1 ea ON ea.event_type = p.ga
+             |JOIN est1 eb ON eb.event_type = p.gb
+             |JOIN estu u ON u.ga = p.ga AND u.gb = p.gb
+             |LEFT JOIN ex x ON x.ga = p.ga AND x.gb = p.gb
+             |ORDER BY p.ga, p.gb""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user

@@ -110,6 +110,26 @@ class Round9Spec extends AnyFunSuite {
     assert(r._4 == 3L) // m ln(m/(m-3)) floors to 3 at m=512
   }
 
+  test("hllPairOverlaps: identical populations estimate full overlap, " +
+    "disjoint populations estimate near-zero; union of disjoint " +
+    "halves tracks the sum") {
+    val df = ((1 to 400).map(i => ("dup_a", s"u$i")) ++
+      (1 to 400).map(i => ("dup_b", s"u$i")) ++
+      (1 to 400).map(i => ("left", s"L$i")) ++
+      (401 to 800).map(i => ("right", s"L$i"))).toDF("grp", "v")
+    val out = Sketches.hllPairOverlaps(
+        Sketches.hllRegisters(df, "grp", "v"), "grp")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val dup = out(("dup_a", "dup_b"))
+    assert(dup._5 == dup._3 && dup._6 == math.min(dup._3, dup._4))
+    val dis = out(("left", "right"))
+    // inclusion-exclusion noise on truly disjoint 400+400: small
+    assert(dis._6 <= 60L, s"disjoint est_inter ${dis._6}")
+    assert(math.abs(dis._5 - 800L) <= 120L,
+      s"union estimate ${dis._5} too far from 800")
+  }
+
   // --- unimaxAllocation --------------------------------------------------
 
   test("unimaxAllocation: waterfilling hand case — small source capped, " +
