@@ -7170,7 +7170,50 @@ object ExtensionQueries {
              |JOIN est1 eb ON eb.event_type = p.gb
              |JOIN estu u ON u.ga = p.ga AND u.gb = p.gb
              |LEFT JOIN ex x ON x.ga = p.ga AND x.gb = p.gb
-             |ORDER BY p.ga, p.gb""".stripMargin))
+             |ORDER BY p.ga, p.gb""".stripMargin)),
+
+    // Seasonal baseline + deviation (the q183 complement): each hourly
+    // count compares against its HOUR-OF-DAY's long-run mean per type
+    // — the "is 3am traffic normal FOR 3am" question a trailing window
+    // can't ask. Baseline in exact milli-counts, deviation in bp; all
+    // integer floor division.
+    Q("q201_seasonal_baseline",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("h24", hour(col("hr")).cast("long"))
+        val baseline = hourly.groupBy("event_type", "h24")
+          .agg(expr("sum(c) * 1000 div count(1)").as("baseline_milli"))
+        hourly.join(baseline, Seq("event_type", "h24"))
+          .select(col("event_type"), col("hr"), col("h24"), col("c"),
+            col("baseline_milli"),
+            expr("(c * 1000 - baseline_milli) * 10000 " +
+              "div baseline_milli").as("dev_bp"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hr,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |), hh AS (
+             |  SELECT event_type, hr, c,
+             |         CAST(hour(hr) AS BIGINT) AS h24
+             |  FROM h
+             |), bl AS (
+             |  SELECT event_type, h24,
+             |         CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT)
+             |           AS baseline_milli
+             |  FROM hh GROUP BY 1, 2
+             |)
+             |SELECT hh.event_type, CAST(hh.hr AS TIMESTAMP) AS hr,
+             |       hh.h24, hh.c, bl.baseline_milli,
+             |       CAST((hh.c * 1000 - bl.baseline_milli) * 10000
+             |         // bl.baseline_milli AS BIGINT) AS dev_bp
+             |FROM hh JOIN bl ON bl.event_type = hh.event_type
+             |  AND bl.h24 = hh.h24
+             |ORDER BY hh.event_type, hh.hr""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user
