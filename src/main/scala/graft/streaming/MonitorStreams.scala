@@ -220,4 +220,71 @@ object MonitorStreams {
     require(vs.nonEmpty, s"no committed histogram versions under $stateDir")
     spark.read.parquet(versionPath(stateDir, vs.max))
   }
+
+  // -----------------------------------------------------------------
+  // Streaming seasonal baseline (q201's state as a standing artifact):
+  // per (event_type, hour-of-day), the (sum_c, n_hours) sufficient
+  // statistics of the hourly counts — both ADD across batches, so the
+  // standing table folds additively and the milli-count baseline
+  // derives from any committed version. Contract: batches partition
+  // the event stream by WHOLE HOURS (an hour's events arrive in one
+  // batch) — the q92 corpus-partitioning contract at hour grain;
+  // splitting an hour would double-count it in n_hours.
+  // -----------------------------------------------------------------
+
+  /** One micro-batch of the seasonal fold (public so tests and any
+    * foreachBatch caller run the exact same code path). */
+  def seasonalBatch(batch: DataFrame, batchId: Long,
+                    stateDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val batchStats = batch
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), hour(col("hr")).cast("long").as("h24"))
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_hours"))
+    val prev = new org.apache.hadoop.fs.Path(versionPath(stateDir,
+      batchId - 1))
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(prev, "_SUCCESS")))
+        spark.read.parquet(versionPath(stateDir, batchId - 1))
+      else batchStats.limit(0)
+    standing.unionByName(batchStats)
+      .groupBy(col("event_type"), col("h24"))
+      .agg(sum(col("sum_c")).as("sum_c"),
+        sum(col("n_hours")).as("n_hours"))
+      .write.mode("overwrite").parquet(versionPath(stateDir, batchId))
+  }
+
+  /** Start the streaming seasonal-baseline maintainer. */
+  def ingestSeasonal(rows: DataFrame, stateDir: String,
+                     checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          seasonalBatch(batch.toDF(), batchId, stateDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Baselines in exact milli-counts from the latest committed
+    * seasonal state — the q201 formula answered from the landed
+    * sufficient statistics. */
+  def seasonalBaselines(spark: SparkSession,
+                        stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+    require(vs.nonEmpty, s"no committed seasonal versions under $stateDir")
+    spark.read.parquet(versionPath(stateDir, vs.max))
+      .select(col("event_type"), col("h24"),
+        expr("sum_c * 1000 div n_hours").as("baseline_milli"))
+  }
 }

@@ -974,6 +974,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed == oneShot && oneShot.nonEmpty)
   }
 
+  test("streaming seasonal baseline: whole-day waves fold the " +
+    "(type, hour-of-day) sufficient statistics additively; landed " +
+    "baselines equal the one-shot q201 computation") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sseas").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type", "ts")
+    def stage(name: String,
+              df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-sseas-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.MonitorStreams.ingestSeasonal(
+        spark.readStream.schema(ev.schema).parquet(src), st, ckpt)
+        .awaitTermination(120000)
+
+    // whole-day waves respect the whole-hour batch contract
+    stage("w0", ev.filter(dayofmonth(col("ts")) <= 10))
+    runOnce()
+    stage("w1", ev.filter(
+      dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20))
+    runOnce()
+    stage("w2", ev.filter(dayofmonth(col("ts")) > 20))
+    runOnce()
+
+    spark.catalog.refreshByPath(st)
+    val landed = graft.streaming.MonitorStreams
+      .seasonalBaselines(spark, st)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val oneShot = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), hour(col("hr")).cast("long").as("h24"))
+      .agg(expr("sum(c) * 1000 div count(1)").as("bl"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(landed == oneShot && oneShot.nonEmpty)
+  }
+
   test("streaming drift monitoring: histogram waves fold into the " +
     "standing state; PSI vs a landed reference ≡ the batch psiDrift " +
     "over the full stream; replay adds nothing") {
