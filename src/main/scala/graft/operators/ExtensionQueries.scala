@@ -7213,7 +7213,58 @@ object ExtensionQueries {
              |         // bl.baseline_milli AS BIGINT) AS dev_bp
              |FROM hh JOIN bl ON bl.event_type = hh.event_type
              |  AND bl.h24 = hh.h24
-             |ORDER BY hh.event_type, hh.hr""".stripMargin))
+             |ORDER BY hh.event_type, hh.hr""".stripMargin)),
+
+    // Theil-Sen robust trend (Sen 1968): per event type, the MEDIAN of
+    // all pairwise daily-count slopes — the trend estimate a single
+    // outlier day cannot drag (unlike least squares). Slopes in exact
+    // milli-counts/day; the median via the q111 histogram rule. The
+    // pairwise stage is per-GROUP quadratic in the number of DAYS — a
+    // bounded time-series domain, never row-count — the same
+    // bounded-group contract as the radix quantiles.
+    Q("q202_theil_sen_trend",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            dayofmonth(col("ts")).cast("long").as("d"))
+          .agg(count(lit(1)).as("c"))
+        val slopes = daily.as("a")
+          .join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.d") < col("b.d"))
+          .select(col("a.event_type").as("event_type"),
+            expr("((b.c - a.c) * 1000) div (b.d - a.d)")
+              .as("slope_milli"))
+        Sketches.percentilesByValue(slopes, "event_type",
+            "slope_milli", Seq(50))
+          .select(col("event_type"), col("n").as("n_pairs"),
+            col("p50").as("slope_milli_p50"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |), sl AS (
+             |  SELECT a.event_type,
+             |         CAST((b.c - a.c) * 1000 // (b.d - a.d)
+             |           AS BIGINT) AS v
+             |  FROM daily a JOIN daily b
+             |    ON b.event_type = a.event_type AND a.d < b.d
+             |), cc AS (
+             |  SELECT event_type, v, COUNT(*) AS cnt
+             |  FROM sl GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT event_type, v,
+             |         SUM(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM cc
+             |)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |         THEN v END) AS BIGINT) AS slope_milli_p50
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user

@@ -437,6 +437,28 @@ class Round9Spec extends AnyFunSuite {
     assert(ha <= za, s"hilbert bbox area $ha should be <= morton $za")
   }
 
+  // --- Theil-Sen ---------------------------------------------------------
+
+  test("Theil-Sen median slope shrugs off the outlier day that drags " +
+    "a least-squares fit") {
+    // daily counts 10,11,12 then an outlier 107: pairwise slopes are
+    // [1000,1000,1000, 32333,48000,95000] milli/day -> median 1000
+    val daily = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 107L))
+      .toDF("d", "c").withColumn("event_type", lit("t"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        expr("((b.c - a.c) * 1000) div (b.d - a.d)").as("slope_milli"))
+    val p50 = Sketches.percentilesByValue(slopes, "event_type",
+        "slope_milli", Seq(50))
+      .collect().head.getLong(2)
+    assert(p50 == 1000L)
+    // the mean of the same slopes is dragged far above the trend
+    val mean = slopes.agg(avg(col("slope_milli"))).head.getDouble(0)
+    assert(mean > 20000.0)
+  }
+
   // --- clusteringCoefficients --------------------------------------------
 
   test("clusteringCoefficients: exact bp on a hand graph — clique " +
