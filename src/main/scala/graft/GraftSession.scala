@@ -98,6 +98,10 @@ object GraftSession {
     ("multi_pattern_matches", classOf[graft.plans.MultiPatternMatches],
       (e: Seq[Expression]) => graft.plans.MultiPatternMatches(e(0),
         litStrings(e(1), "patterns"))),
+    ("hilbert_index", classOf[graft.plans.HilbertIndex],
+      (e: Seq[Expression]) =>
+        if (e.length == 2) graft.plans.HilbertIndex(e(0), e(1), 16)
+        else graft.plans.HilbertIndex(e(0), e(1), litInt(e(2), "bits"))),
     ("repetition_stats", classOf[graft.plans.RepetitionStats],
       (e: Seq[Expression]) => graft.plans.RepetitionStats(e(0))),
     ("minhash_agg", classOf[MinHashAgg],

@@ -207,4 +207,14 @@ class SqlFunctionSpec extends AnyFunSuite {
         "(SELECT 'a' AS s)").collect()
     }
   }
+
+  test("hilbert_index callable from SQL; agrees with the kernel at " +
+    "both the default and an explicit curve order") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT hilbert_index(3L, 5L) AS a, hilbert_index(1L, 2L, 4) AS b")
+      .collect().head
+    assert(r.getLong(0) == graft.plans.HilbertKernel.xy2d(16, 3L, 5L))
+    assert(r.getLong(1) == graft.plans.HilbertKernel.xy2d(4, 1L, 2L))
+  }
 }
