@@ -195,6 +195,57 @@ object Retrieval {
           .as("snippet"))
   }
 
+  /** Graded retrieval evaluation (the TREC metrics): per query, MRR and
+    * binary-relevance NDCG@k of the BM25 top-k against a label table —
+    * the measurement layer that closes the retrieval loop (rankers
+    * exist, hard negatives exist; this grades them). Exactness
+    * discipline: MRR is the exact rational 10⁶ div first_rank; DCG/IDCG
+    * quantize PER TERM to micro before the integer sum (a float sum of
+    * 1/log₂ terms would be addition-order-dependent across engines),
+    * and log₂ is written as ln(x)/ln(2) so both engines run the
+    * identical IEEE sequence. */
+  def gradedRetrievalMetrics(docs: DataFrame,
+                             queries: Seq[(String, Seq[String])],
+                             positives: DataFrame, k: Int,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = bm25TopKIndexed(docs, queries, k, idCol, textCol)
+    def termMicro(r: Column): Column =
+      floor(lit(1000000.0) / (log(r.cast("double") + lit(1.0))
+        / log(lit(2.0)))).cast("long")
+    val hits = top.join(positives, Seq("qid", idCol))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_pos_topk"),
+        min(col("rank")).cast("long").as("first_rank"),
+        sum(termMicro(col("rank"))).as("dcg_micro"))
+    val npos = positives.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_pos"))
+    val qids = broadcast(queries.map(_._1).toDF("qid"))
+    qids.join(npos, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_pos_topk"), lit(0L)).as("n_pos_topk"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        when(col("first_rank").isNotNull,
+          expr("1000000 div first_rank")).otherwise(lit(0L))
+          .as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        // guard the empty-label query: sequence(1, 0) would infer
+        // step -1 and yield [1, 0]
+        when(coalesce(col("n_pos"), lit(0L)) >= 1, aggregate(
+          sequence(lit(1), least(coalesce(col("n_pos"), lit(0L)),
+            lit(k.toLong)).cast("int")),
+          lit(0L), (acc, i) => acc + termMicro(i)))
+          .otherwise(lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg_bp",
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 10000 div idcg_micro")).otherwise(lit(0L)))
+  }
+
   /** Hard-negative mining for retriever/embedder training (the DPR/ANCE
     * data-prep step, Karpukhin et al. 2020 §4.2): for each query, the
     * top-scored documents NOT labeled relevant are exactly the negatives

@@ -7264,7 +7264,86 @@ object ExtensionQueries {
              |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
              |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
              |         THEN v END) AS BIGINT) AS slope_milli_p50
-             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Graded retrieval evaluation (TREC metrics): MRR and binary NDCG@10
+    // of the BM25 ranking against the q176 id-derived labels — the
+    // measurement layer that closes the retrieval loop. MRR is the
+    // exact rational 10^6 div first_rank; DCG/IDCG terms quantize to
+    // micro BEFORE the sum (float sums are addition-order-dependent)
+    // with log2 spelled ln(x)/ln(2) in both engines.
+    Q("q203_retrieval_metrics",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val qidx = Seq(("q1", 0L), ("q2", 1L), ("q3", 2L))
+          .toDF("qid", "r")
+        val positives = docs.select(col("doc_id"))
+          .crossJoin(broadcast(qidx))
+          .filter(pmod(col("doc_id"), lit(100L)) === col("r"))
+          .select("qid", "doc_id")
+        Retrieval.gradedRetrievalMetrics(docs,
+            Seq("q1" -> Seq("spark", "table"),
+              "q2" -> Seq("query", "data"),
+              "q3" -> Seq("window", "zzz_absent_term")),
+            positives, k = 10)
+          .orderBy("qid")
+      },
+      Some(bm25ScoredCtes +
+        """, top AS (
+          |  SELECT qid, doc_id, score_unats,
+          |         ROW_NUMBER() OVER (PARTITION BY qid
+          |           ORDER BY score_unats DESC, doc_id) AS rnk
+          |  FROM sc
+          |), t10 AS (
+          |  SELECT * FROM top WHERE rnk <= 10
+          |), pos AS (
+          |  SELECT q.qid, d.doc_id
+          |  FROM (VALUES ('q1', 0), ('q2', 1), ('q3', 2)) q(qid, r)
+          |  CROSS JOIN documents d
+          |  WHERE d.doc_id % 100 = q.r
+          |), np AS (
+          |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_pos
+          |  FROM pos GROUP BY 1
+          |), hits AS (
+          |  SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_pos_topk,
+          |         CAST(MIN(t.rnk) AS BIGINT) AS first_rank,
+          |         CAST(SUM(CAST(floor(1000000.0
+          |           / (ln(CAST(t.rnk AS DOUBLE) + 1.0) / ln(2.0)))
+          |           AS BIGINT)) AS BIGINT) AS dcg_micro
+          |  FROM t10 t JOIN pos p
+          |    ON p.qid = t.qid AND p.doc_id = t.doc_id
+          |  GROUP BY 1
+          |), ii AS (
+          |  SELECT qid, unnest(generate_series(1,
+          |    CAST(least(n_pos, 10) AS INT))) AS i
+          |  FROM np
+          |), idcg AS (
+          |  SELECT qid, CAST(SUM(CAST(floor(1000000.0
+          |    / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)))
+          |    AS BIGINT)) AS BIGINT) AS idcg_micro
+          |  FROM ii GROUP BY 1
+          |), qs AS (
+          |  SELECT 'q1' AS qid UNION ALL SELECT 'q2'
+          |  UNION ALL SELECT 'q3'
+          |)
+          |SELECT q.qid, COALESCE(np.n_pos, 0) AS n_pos,
+          |       COALESCE(h.n_pos_topk, 0) AS n_pos_topk,
+          |       COALESCE(h.first_rank, 0) AS first_rank,
+          |       CASE WHEN h.first_rank IS NOT NULL
+          |            THEN 1000000 // h.first_rank
+          |            ELSE 0 END AS mrr_micro,
+          |       COALESCE(h.dcg_micro, 0) AS dcg_micro,
+          |       COALESCE(i.idcg_micro, 0) AS idcg_micro,
+          |       CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+          |            THEN COALESCE(h.dcg_micro, 0) * 10000
+          |                 // i.idcg_micro
+          |            ELSE 0 END AS ndcg_bp
+          |FROM qs q
+          |LEFT JOIN np ON np.qid = q.qid
+          |LEFT JOIN hits h ON h.qid = q.qid
+          |LEFT JOIN idcg i ON i.qid = q.qid
+          |ORDER BY q.qid""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user

@@ -220,6 +220,19 @@ class Round9Spec extends AnyFunSuite {
     assert(out.forall(_._5 < 0L)) // the positive outscores both here
   }
 
+  test("gradedRetrievalMetrics: hand-exact MRR and NDCG — positive at " +
+    "rank 2 of 2 gives mrr 500000 and ndcg 6309 bp") {
+    val docs = Seq((0L, "spark spark"), (1L, "spark other"))
+      .toDF("doc_id", "text")
+    val positives = Seq(("q1", 1L)).toDF("qid", "doc_id")
+    val m = Retrieval.gradedRetrievalMetrics(docs,
+        Seq("q1" -> Seq("spark")), positives, k = 10)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // (qid, n_pos, n_pos_topk, first_rank, mrr, dcg, idcg, ndcg_bp)
+    assert(m == (("q1", 1L, 1L, 2L, 500000L, 630929L, 1000000L, 6309L)))
+  }
+
   // --- packSft -----------------------------------------------------------
 
   test("packSft: prompt/mask arithmetic and contiguous per-source " +
