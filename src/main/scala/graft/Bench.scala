@@ -59,15 +59,34 @@ object Bench {
     // iterative query's final checkpoint + its burst of small jobs leave
     // GC/cleaner residue; ordering them last means that residue can only
     // bill the pass boundary, never the next query's timing window.
-    val iterative = Set("q61_dedup_clusters", "q101_incremental_clusters",
-      "q157_entity_resolution", "q159_incremental_entities")
-    val execOrder = names.filterNot(iterative) ++ names.filter(iterative)
+    // Within the tail the order is FIXED with q61 first: round 9 ran the
+    // tail in sorted order (q101, q157, q159, q61), so q61 inherited the
+    // residue of three predecessor CC runs and regressed 3.9× with zero
+    // code change. Each tail query now also gets a GC barrier before its
+    // timing window (gcBarrier below) so no tail position is billed for
+    // its predecessors' garbage.
+    val iterativeOrder = Seq("q61_dedup_clusters",
+      "q101_incremental_clusters", "q157_entity_resolution",
+      "q159_incremental_entities").filter(names.contains)
+    val iterative = iterativeOrder.toSet
+    val execOrder = names.filterNot(iterative) ++ iterativeOrder
     execOrder.foreach(run)
+    // Standing-cache pressure report: bytes held by the block-manager
+    // storage pool after warmup (when every standing memo frame is built)
+    // — the pool the iterative queries' own persists must share.
+    val (standMem, standDisk) = graft.sources.Standing.storageBytes(spark)
+
+    // Drain JVM garbage + give the ContextCleaner a beat to process
+    // queued RDD/broadcast cleanups before a timing window opens. Cheap
+    // (~100ms) and only used at iterative-tail boundaries, where the
+    // predecessor is guaranteed to have left checkpoint/broadcast litter.
+    def gcBarrier(): Unit = { System.gc(); Thread.sleep(200) }
 
     // Two timed passes, report the min per query: single-pass numbers on a
     // shared 32-thread box carry ±30% GC/scheduling noise that drowns real
     // regressions; min-of-2 is the steady-state cost.
     def timed(name: String): Double = {
+      if (iterative(name)) gcBarrier()
       val t0 = System.nanoTime()
       run(name)
       (System.nanoTime() - t0) / 1e9
@@ -83,13 +102,7 @@ object Bench {
     val results = names.map { name =>
       name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
     }
-    // 3-decimal rounding: the harness reading this line keeps only the last
-    // ~2000 chars of output, and 60+ entries at full double precision push
-    // the line start past that window (round-3 parse failure). Milliseconds
-    // are far below run-to-run noise anyway.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // Write-side throughput (one pass, reported under its own key so the
@@ -137,48 +150,49 @@ object Bench {
     val (nFiles, nBytes) = layout(s"$wdir/orders_by_day")
     val ws = writes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // Stop Spark BEFORE printing so no shutdown log line lands after the
-    // contract line, then print writes first and the driver-contract line
-    // last: the harness tails output, so the line it parses must be the
-    // final (and shortest possible) thing on stdout.
     val calibEnd = calibrate()
+
+    // Full results go to a FILE; stdout gets a short fixed-size line.
+    // Rounds 8 and 9 both lost per-query data to the harness's ~2000-char
+    // stdout tail window (r9: 199 queries × 12 chars overflowed it and the
+    // driver recorded parsed:null — the totals were unrecoverable). The
+    // file has no size constraint, so it carries everything at full
+    // precision; the stdout contract line only carries the total and a
+    // pointer to the file, and its length is independent of query count
+    // (pinned by BenchLineSpec).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val resultsFile = java.nio.file.Paths
+      .get(sys.props("user.dir"), "bench_results.json")
+    val fileJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"queries":$qs,""" +
+      s""""writes":$ws,"partitioned_files":$nFiles,""" +
+      s""""partitioned_bytes":$nBytes,"calib_start":${fmt(calibStart)},""" +
+      s""""calib_end":${fmt(calibEnd)},"standing_mem_bytes":$standMem,""" +
+      s""""standing_disk_bytes":$standDisk}""" + "\n"
+    java.nio.file.Files.write(resultsFile,
+      fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Stop Spark BEFORE printing so no shutdown log line lands after the
+    // contract line; the line the harness parses must be the final thing
+    // on stdout.
     spark.stop()
     println(s"""{"metric":"writes","unit":"sec","writes":$ws,""" +
       s""""partitioned_files":$nFiles,"partitioned_bytes":$nBytes,""" +
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)}}""")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // hard safety: the tail window is ~2000 chars and sbt appends its own
-    // [success] line after us; past 1800 drop to 2 decimals (noise floor
-    // is ±15% cross-run anyway — centiseconds lose nothing). Past ~80
-    // queries even 2dp full-name entries overflow the window, so the
-    // final tier keys each entry by its qNN prefix (names are unique by
-    // number; the full name ↔ number mapping is SparkEntry's registry):
-    // 83 short-key entries ≈ 1100 chars — parse safety beats key beauty.
-    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val line2 = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs2,"sf":"$sfDir"}"""
-    if (line.length <= 1800) println(line)
-    else if (line2.length <= 1900) println(line2)
-    else {
-      val qs3 = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-      }.mkString("{", ",", "}")
-      val line3 = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
-      // past ~140 queries even 3dp qNN-key entries brush the ~2000-char
-      // tail window — final tier drops to 2dp AND strips trailing zeros
-      // ("1.20"→"1.2", "0.00"→"0"): ~2 chars/entry back, headroom to
-      // ~190 queries. Valid JSON numbers throughout.
-      def f2s(v: Double): String = {
-        val s = f2(v)
-        if (!s.contains('.')) s
-        else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      }
-      val qs4 = results.map { case (k, v) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f2s(v)
-      }.mkString("{", ",", "}")
-      if (line3.length <= 1900) println(line3)
-      else println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs4,"sf":"$sfDir"}""")
-    }
+    println(totalLine(total, results.size, sfDir, resultsFile.toString))
+  }
+
+  /** The driver-contract stdout line: total + query count + a pointer to
+    * the full per-query artifact. Deliberately does NOT embed the
+    * per-query map — the line must stay inside the harness's ~2000-char
+    * tail window at ANY query count (BenchLineSpec pins the bound).
+    */
+  def totalLine(total: Double, nQueries: Int, sfDir: String,
+                file: String): String = {
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":$nQueries,"sf":"$sfDir","file":"$file"}"""
   }
 }

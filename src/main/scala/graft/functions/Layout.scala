@@ -255,26 +255,77 @@ object Layout {
       .select(lit(label).as("layout"), col("n_files"), col("n_rows"),
         col("sum_x_extent"), col("sum_y_extent"), col("sum_area"))
 
-  /** The OPTIMIZE ZORDER maintenance job: read a landed table, rewrite
-    * it z-order-clustered into `numFiles` files at `outPath`
-    * (idempotent overwrite — re-runs rewrite the same layout), and
-    * return the before/after [[layoutReport]] pair. A clustered
-    * rewrite's per-file bounding boxes cover ~1/files of the plane
-    * instead of ~all of it (Round8Spec pins the area reduction), which
-    * is precisely the file-skipping win a reader gets on BOTH columns.
-    * The rewrite is one range shuffle of the table — the once-per-
+  /** [[zOrderCluster]]'s Hilbert-curve sibling: normalize both
+    * dimensions to the curve's 2^16 grid (16-bit fixed point over the
+    * table's global min/max — a one-row broadcast, the A5 scalar
+    * pattern; the Hilbert kernel's domain is [0, 2^16) where Morton's
+    * is [0, 2^31), hence the explicit normalization here), then
+    * range-partition + sort by the Hilbert position. Because
+    * consecutive Hilbert positions are always grid NEIGHBOURS, each
+    * written file covers one connected blob of the plane — no
+    * power-of-two seam jumps — so per-file bounding boxes on a
+    * diagonal range probe are tighter than the Morton layout's
+    * (Round10Spec pins files-touched hilbert ≤ z-order). */
+  def hilbertCluster(df: DataFrame, xCol: String, yCol: String,
+                     numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val mm = df.agg(
+      min(col(xCol).cast("long")).as("_mnx"),
+      max(col(xCol).cast("long")).as("_mxx"),
+      min(col(yCol).cast("long")).as("_mny"),
+      max(col(yCol).cast("long")).as("_mxy"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("_xn",
+        expr(s"CASE WHEN _mxx = _mnx THEN CAST(0 AS BIGINT) " +
+          s"ELSE ((CAST(`$xCol` AS BIGINT) - _mnx) * 65535) " +
+          s"DIV (_mxx - _mnx) END"))
+      .withColumn("_yn",
+        expr(s"CASE WHEN _mxy = _mny THEN CAST(0 AS BIGINT) " +
+          s"ELSE ((CAST(`$yCol` AS BIGINT) - _mny) * 65535) " +
+          s"DIV (_mxy - _mny) END"))
+      .withColumn("h", hilbertKey(col("_xn"), col("_yn")))
+      .drop("_mnx", "_mxx", "_mny", "_mxy", "_xn", "_yn")
+      .repartitionByRange(numFiles, col("h"))
+      .sortWithinPartitions(col("h"))
+  }
+
+  /** The OPTIMIZE maintenance job: read a landed table, rewrite it
+    * curve-clustered (`curve` = "zorder" | "hilbert") into `numFiles`
+    * files at `outPath` (idempotent overwrite — re-runs rewrite the
+    * same layout), and return the before/after [[layoutReport]] pair.
+    * A clustered rewrite's per-file bounding boxes cover ~1/files of
+    * the plane instead of ~all of it (Round8Spec pins the area
+    * reduction), which is precisely the file-skipping win a reader
+    * gets on BOTH columns; the Hilbert curve's connected buckets prune
+    * strictly better on diagonal range probes (Round10Spec). The
+    * rewrite is one range shuffle of the table — the once-per-
     * maintenance-window cost that every subsequent scan amortizes. */
-  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
-                     inPath: String, outPath: String, xCol: String,
-                     yCol: String, numFiles: Int): DataFrame = {
+  def optimize(spark: org.apache.spark.sql.SparkSession,
+               inPath: String, outPath: String, xCol: String,
+               yCol: String, numFiles: Int,
+               curve: String = "zorder"): DataFrame = {
     require(inPath != outPath,
-      "optimizeZOrder rewrites to a NEW path (swap after commit); " +
+      "optimize rewrites to a NEW path (swap after commit); " +
         "overwriting the input while reading it would corrupt the table")
     val before = layoutReport(spark, inPath, xCol, yCol, "before")
-    zOrderCluster(spark.read.parquet(inPath), xCol, yCol, numFiles)
-      .drop("z")
-      .write.mode("overwrite").parquet(outPath)
+    val clustered = curve match {
+      case "zorder" =>
+        zOrderCluster(spark.read.parquet(inPath), xCol, yCol, numFiles)
+          .drop("z")
+      case "hilbert" =>
+        hilbertCluster(spark.read.parquet(inPath), xCol, yCol, numFiles)
+          .drop("h")
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other': expected zorder or hilbert")
+    }
+    clustered.write.mode("overwrite").parquet(outPath)
     before.unionByName(
-      layoutReport(spark, outPath, xCol, yCol, "after_zorder"))
+      layoutReport(spark, outPath, xCol, yCol, s"after_$curve"))
   }
+
+  /** Back-compat face of [[optimize]] with curve = zorder. */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String, xCol: String,
+                     yCol: String, numFiles: Int): DataFrame =
+    optimize(spark, inPath, outPath, xCol, yCol, numFiles, "zorder")
 }

@@ -755,8 +755,11 @@ object Sketches {
     val rb = pairs.join(
       regs.select(col(groupCol).as("gb"), col("idx"), col("rho")),
       Seq("gb"))
+    // pair key is a STRUCT, not a string concat: group values containing
+    // the would-be separator can't alias two distinct pairs into one key
+    // (which would silently max-merge their registers)
     val unionRegs = ra.unionByName(rb)
-      .withColumn("pk", concat_ws("|", col("ga"), col("gb")))
+      .withColumn("pk", struct(col("ga"), col("gb")))
       .groupBy(col("pk"), col("idx")).agg(max(col("rho")).as("rho"))
     val estU = hllEstimate(unionRegs, "pk", p)
       .select(col("pk"), col("estimate").as("est_union"))
@@ -766,7 +769,7 @@ object Sketches {
         col("estimate").as("est_a")), Seq("ga"))
       .join(est1.select(col(groupCol).as("gb"),
         col("estimate").as("est_b")), Seq("gb"))
-      .withColumn("pk", concat_ws("|", col("ga"), col("gb")))
+      .withColumn("pk", struct(col("ga"), col("gb")))
       .join(estU, Seq("pk"))
       .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
         col("est_union"),
@@ -788,9 +791,17 @@ object Sketches {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     val m = (1 << p).toLong
     val rMax = 60 - p + 1
-    // alpha_m for m ≥ 128 (Flajolet 2007 §4), as the literal expression
-    // both engines evaluate identically
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    // alpha_m as the literal expression both engines evaluate identically:
+    // the closed form 0.7213/(1+1.079/m) is Flajolet 2007 §4's constant
+    // for m ≥ 128; below that the paper prescribes the measured constants
+    // 0.673 / 0.697 / 0.709 for m = 16 / 32 / 64 (using the closed form
+    // there biases estimates noticeably).
+    val alpha = m match {
+      case 16L => "0.673"
+      case 32L => "0.697"
+      case 64L => "0.709"
+      case _   => s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    }
     regs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("occupied"),
         sum(expr(s"shiftleft(cast(1 as bigint), $rMax - cast(rho as int))"))

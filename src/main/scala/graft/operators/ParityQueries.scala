@@ -135,21 +135,16 @@ object ParityQueries {
     * (dim-sized, persisted) materialization; q03 itself remains the full
     * from-facts computation.
     */
-  private val ndTableCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def ndTable(s: SparkSession, dir: String): DataFrame =
-    ndTableCache.getOrElseUpdate((s, dir),
+    graft.sources.Standing.frame(s, dir, "net_demand")(
       ndReplay(s, dir)
         .withColumn("calculation_date",
-          lit(java.sql.Date.valueOf("1996-12-31")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          lit(java.sql.Date.valueOf("1996-12-31"))))
 
   /** Same for the aggregated_orders table (aggregate_orders.sql:6). */
   private def aggOrdersTable(s: SparkSession, dir: String): DataFrame =
-    ndTableCache.getOrElseUpdate((s, dir + "#agg"),
-      Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.sources.Standing.frame(s, dir, "agg_orders")(
+      Procurement.aggregateOrders(Replay.orders(s, dir), Replay.ordersWhen))
 
   val parity: Seq[Q] = Seq(
     Q("q01_aggregate_orders",

@@ -67,7 +67,11 @@ object Quality {
                         constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints")
     val entries = constraints.map { c =>
-      val m = c.metric.cast("long")
+      // NULL metric (e.g. a ratio whose denominator collapsed to 0 on a
+      // degenerate input) must FAIL, not propagate NULL: a consumer
+      // filtering pass=false would silently drop a NULL-pass row and the
+      // gate would wave through exactly the inputs it exists to catch.
+      val m = coalesce(c.metric.cast("long"), lit(-1L))
       struct(lit(c.name).as("check_name"), m.as("metric"),
         (m >= c.lo && m <= c.hi).as("pass"))
     }
@@ -80,14 +84,20 @@ object Quality {
   /** Standard constraint metrics, all exact int64. */
   def sizeMetric: Column = count(lit(1))
 
-  /** Fraction of non-null values, basis points. */
+  /** Fraction of non-null values, basis points. A zero denominator
+    * (empty table) yields -1 — an explicit out-of-range failure, never a
+    * NULL that a pass=false filter would silently drop. */
   def completenessBp(c: String): Column =
-    expr(s"count(`$c`) * 10000 div count(1)")
+    coalesce(expr(s"count(`$c`) * 10000 div nullif(count(1), 0)"),
+      lit(-1L))
 
   /** Distinct non-null values over non-null rows, basis points —
-    * 10000 ⟺ the column is a key. */
+    * 10000 ⟺ the column is a key. All-null column (denominator 0) → -1,
+    * an explicit failure (same rationale as [[completenessBp]]). */
   def uniquenessBp(c: String): Column =
-    expr(s"count(DISTINCT `$c`) * 10000 div count(`$c`)")
+    coalesce(
+      expr(s"count(DISTINCT `$c`) * 10000 div nullif(count(`$c`), 0)"),
+      lit(-1L))
 
   /** A referential-integrity check: orphan rate of `child.childKey`
     * against `parent.parentKey` (non-null child keys with no parent
@@ -115,7 +125,7 @@ object Quality {
         .join(parents, Seq("k"), "left")
         .agg(coalesce(
           expr("sum(CASE WHEN _p IS NULL THEN 1 ELSE 0 END) " +
-            "* 10000 div count(1)"), lit(0L)).as("metric"))
+            "* 10000 div nullif(count(1), 0)"), lit(0L)).as("metric"))
         .select(lit(ck.name).as("check_name"), col("metric"),
           (col("metric") >= ck.lo && col("metric") <= ck.hi).as("pass"))
     }.reduce(_ unionByName _)

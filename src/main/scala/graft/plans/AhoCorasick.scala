@@ -101,6 +101,17 @@ case class MultiPatternMatches(child: Expression, patterns: Seq[String])
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "multi_pattern_matches"
 
+  // analysis-time type error, not an execution-time ClassCastException
+  // (the SortableBits convention)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string argument, got " +
+          child.dataType.catalogString)
+
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(automaton
       .matches(input.asInstanceOf[UTF8String].toString)

@@ -77,6 +77,18 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "hilbert_index"
 
+  // analysis-time type error, not an execution-time ClassCastException
+  // (the SortableBits convention — SQL `hilbert_index(3, 5)` with INT
+  // literals must fail cleanly at analysis)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two long arguments, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
   override protected def nullSafeEval(x: Any, y: Any): Any =
     HilbertKernel.xy2d(bits, x.asInstanceOf[Long], y.asInstanceOf[Long])
 

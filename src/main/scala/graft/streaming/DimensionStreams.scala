@@ -62,6 +62,34 @@ object DimensionStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming MERGE INTO a [[graft.sources.VersionedTable]]: every
+    * micro-batch lands as one transactional MERGE commit whose log
+    * record carries the batch id, so a crash-replayed batch is a no-op
+    * (VersionedTable.mergeBatch) — exactly-once table state from
+    * at-least-once delivery, with every pre-merge version still
+    * time-travel readable. This unifies the two r9 halves: the
+    * versioned table's transactional MERGE and the streaming sinks'
+    * batch-keyed idempotence (r9 verdict item 5).
+    *
+    * `deleteWhen` (over the SOURCE schema) flags rows to delete — the
+    * streaming face of SCD-style retractions. */
+  def ingestMerge(source: DataFrame, tableDir: String,
+                  keys: Seq[String], checkpoint: String,
+                  deleteWhen: Option[org.apache.spark.sql.Column] = None):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.sources.VersionedTable.mergeBatch(
+            batch.sparkSession, tableDir, batch.toDF(), keys, batchId,
+            deleteWhen)
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The latest committed dimension version under `dimDir`. */
   def latestDim(spark: SparkSession, dimDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dimDir)

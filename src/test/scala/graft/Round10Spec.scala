@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Standing
+
+/** Round-10 items: bench stdout contract, standing-cache lifecycle. */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- bench stdout contract ---------------------------------------------
+
+  test("Bench.totalLine stays far inside the harness tail window at any " +
+    "query count (the r8/r9 overflow can't recur by construction)") {
+    // worst plausible inputs: huge total, 5-digit query count, long paths
+    val line = Bench.totalLine(99999.999, 99999,
+      "/root/testdata/sf1000.0" + "x" * 60,
+      "/very/long/checkout/path/" + "y" * 120 + "/bench_results.json")
+    assert(line.length < 400, s"line length ${line.length}")
+    // and it parses as one JSON object on its own line
+    assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
+  }
+
+  test("Bench.totalLine carries total, n_queries, sf and the file pointer") {
+    val line = Bench.totalLine(12.345, 199, "/d/sf0.1", "/r/bench_results.json")
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"value\":12.345"))
+    assert(line.contains("\"n_queries\":199"))
+    assert(line.contains("\"sf\":\"/d/sf0.1\""))
+    assert(line.contains("\"file\":\"/r/bench_results.json\""))
+  }
+
+  // --- hilbert vs z-order layout -----------------------------------------
+
+  test("Layout.optimize(curve=hilbert): on a diagonal range probe at a " +
+    "power-of-two seam, the hilbert layout touches no more files than " +
+    "z-order (and both far fewer than the unclustered table would)") {
+    import graft.functions.Layout
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-layout-curve").toString
+    // 256×256 uniform grid, landed in row-major order (the typical
+    // ingest order: clustered in x, scattered in y)
+    spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).cast("long").as("y"))
+      .write.mode("overwrite").parquet(s"$base/in")
+    val rz = Layout.optimize(spark, s"$base/in", s"$base/z",
+      "x", "y", 16, "zorder").collect()
+    val rh = Layout.optimize(spark, s"$base/in", s"$base/h",
+      "x", "y", 16, "hilbert").collect()
+    assert(rz.map(_.getString(0)).toSet == Set("before", "after_zorder"))
+    assert(rh.map(_.getString(0)).toSet == Set("before", "after_hilbert"))
+    // probe square straddling the (128, 128) seam, where the Morton
+    // curve jumps across the plane but Hilbert stays connected
+    def touched(path: String): Long =
+      Layout.fileStats(spark, path, "x", "y")
+        .filter(col("max_x") >= 112 && col("min_x") <= 143 &&
+          col("max_y") >= 112 && col("min_y") <= 143)
+        .count()
+    val (tz, th) = (touched(s"$base/z"), touched(s"$base/h"))
+    assert(th <= tz, s"hilbert touched $th files vs z-order $tz")
+    assert(th < 16, s"hilbert should skip files, touched $th of 16")
+    // the rewrite actually landed 16 files, and a y-only range probe —
+    // where the row-major input's every file spans all of y (zero
+    // skipping) — skips most hilbert files
+    val nFilesH = rh.find(_.getString(0) == "after_hilbert").get
+      .getAs[Long]("n_files")
+    assert(nFilesH == 16L)
+    val yProbe = Layout.fileStats(spark, s"$base/h", "x", "y")
+      .filter(col("max_y") >= 0 && col("min_y") <= 15).count()
+    assert(yProbe <= 8, s"y-slab probe should skip most files, hit $yProbe")
+  }
+
+  // --- standing-cache lifecycle ------------------------------------------
+
+  test("Standing.frame builds once, release unpersists and forces rebuild") {
+    var builds = 0
+    def build() = { builds += 1; Seq((1, "a"), (2, "b")).toDF("k", "v") }
+    val dir = "round10-standing-test"
+    val f1 = Standing.frame(spark, dir, "t")(build())
+    assert(f1.count() == 2)
+    assert(builds == 1)
+    assert(f1.storageLevel.useMemory, "frame should be persisted")
+    // memoized: second access does not rebuild
+    val f2 = Standing.frame(spark, dir, "t")(build())
+    assert(builds == 1)
+    assert(f2 eq f1)
+    assert(Standing.registered(spark, dir) == Seq("t"))
+    // release: blocking unpersist + registry removal
+    assert(Standing.release(spark, dir) == 1)
+    assert(f1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(Standing.registered(spark, dir).isEmpty)
+    // next access rebuilds
+    val f3 = Standing.frame(spark, dir, "t")(build())
+    assert(builds == 2)
+    assert(f3.count() == 2)
+    Standing.release(spark, dir)
+  }
+
+  // --- retired rows-only queries stay alive as specs ---------------------
+
+  test("retired q29/q30/q49 query shapes (JVM-hash near-dup, SimHash, " +
+    "content chunks) still run and produce rows on test docs") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely unrelated text about procurement data pipelines"))
+      .toDF("doc_id", "text")
+    // q29 shape: JVM-hash MinHash-LSH near-dup candidates
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    // q30 shape: SimHash signatures over every doc
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash64Fast(col("text")).as("simhash")).collect()
+    assert(sh.length == 3 && sh.forall(!_.isNullAt(1)))
+    // q49 shape: content-defined chunk fingerprints
+    val ch = docs.select(col("doc_id"),
+      posexplode(Dedup.contentChunks(col("text"))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("chunk_hash"))
+    assert(ch.count() >= 3)
+  }
+
+  // --- ADVICE round-9 fixes ----------------------------------------------
+
+  test("quality metrics fail closed on degenerate inputs: empty table / " +
+    "all-null column yield metric -1 and pass=false, never NULL") {
+    import graft.operators.Quality
+    val empty = Seq.empty[(Int, String)].toDF("k", "v")
+    val r1 = Quality.verifyConstraints(empty, Seq(
+      Quality.Constraint("complete_v", Quality.completenessBp("v"),
+        9000, 10000))).collect().head
+    assert(r1.getLong(1) == -1L)
+    assert(!r1.isNullAt(2) && !r1.getBoolean(2))
+    val allNull = Seq((1, None: Option[String]), (2, None))
+      .toDF("k", "v")
+    val r2 = Quality.verifyConstraints(allNull, Seq(
+      Quality.Constraint("unique_v", Quality.uniquenessBp("v"),
+        10000, 10000))).collect().head
+    assert(r2.getLong(1) == -1L)
+    assert(!r2.isNullAt(2) && !r2.getBoolean(2))
+  }
+
+  test("hllEstimate at small m (p=4..6) uses the measured small-m alphas " +
+    "and lands near truth on a raw-branch population") {
+    import graft.functions.Sketches
+    // 3000 distinct values at m=16: registers saturate (zeros == 0), so
+    // the RAW estimator (and thus alpha) is exercised, not linear
+    // counting. With the closed-form alpha the estimate biases high by
+    // ~7%; the measured 0.673 keeps it inside HLL's ±1.04/√16 ≈ ±26% σ.
+    val df = spark.range(3000).select(lit("g").as("grp"),
+      col("id").cast("string").as("v"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, "grp", "v", p = 4), "grp", p = 4)
+      .collect().head.getAs[Long]("estimate")
+    assert(est > 1500 && est < 4500, s"estimate $est for true 3000")
+  }
+
+  test("hllPairOverlaps: group names containing '|' cannot alias two " +
+    "distinct pairs (struct pair key, not string concat)") {
+    import graft.functions.Sketches
+    // ("x|","y") hold IDENTICAL sets; ("x","|y") hold DISJOINT sets.
+    // Under a "ga|gb" string key both pairs collapse to "x||y" and
+    // max-merge into one union; the struct key keeps them apart, so the
+    // identical pair's union must come out well below the disjoint one's.
+    val a = spark.range(2000).select(col("id").cast("string").as("v"))
+    val b = spark.range(2000, 4000).select(col("id").cast("string").as("v"))
+    val df = a.select(lit("x|").as("grp"), col("v"))
+      .unionByName(a.select(lit("y").as("grp"), col("v")))
+      .unionByName(a.select(lit("x").as("grp"), col("v")))
+      .unionByName(b.select(lit("|y").as("grp"), col("v")))
+    val out = Sketches.hllPairOverlaps(
+      Sketches.hllRegisters(df, "grp", "v"), "grp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("est_union"), r.getAs[Long]("est_inter"))).toMap
+    val (uSame, iSame) = out(("x|", "y"))
+    val (uDisj, iDisj) = out(("x", "|y"))
+    assert(uSame < uDisj,
+      s"identical-set union $uSame should be < disjoint union $uDisj")
+    assert(iSame > iDisj,
+      s"identical-set inter $iSame should be > disjoint inter $iDisj")
+  }
+
+  test("hilbert_index / multi_pattern_matches reject wrong argument " +
+    "types at analysis, not execution") {
+    GraftSession.registerFunctions(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT hilbert_index(3, 5)").collect()
+    }
+    assert(e1.getMessage.contains("long"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT multi_pattern_matches(42, array('a'))").collect()
+    }
+    assert(e2.getMessage.contains("string"), e2.getMessage)
+    // the happy path still works
+    assert(spark.sql("SELECT hilbert_index(3L, 5L) AS h").collect()
+      .head.getLong(0) == graft.plans.HilbertKernel.xy2d(16, 3L, 5L))
+  }
+
+  test("VersionedTable.merge rejects schemas using the reserved '_s_' " +
+    "column prefix instead of silently corrupting the merge") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vt-reserved").toString
+    val t = Seq((1L, "a", true)).toDF("k", "v", "_s_present")
+    VersionedTable.overwrite(t, dir)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((1L, "b", false)).toDF("k", "v", "_s_present"), Seq("k"))
+    }
+    assert(e.getMessage.contains("_s_present"), e.getMessage)
+  }
+
+  test("Standing.release is scoped to its dir; storageBytes reports the " +
+    "pool") {
+    val d1 = "round10-standing-d1"
+    val d2 = "round10-standing-d2"
+    val a = Standing.frame(spark, d1, "a")(
+      spark.range(10000).select(col("id"), md5(col("id").cast("string"))))
+    val b = Standing.frame(spark, d2, "b")(
+      spark.range(100).toDF("id"))
+    a.count(); b.count()
+    val (mem, _) = Standing.storageBytes(spark)
+    assert(mem > 0, "persisted frames should occupy storage memory")
+    assert(Standing.release(spark, d1) == 1)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(b.storageLevel.useMemory, "other dir's frame must survive")
+    assert(Standing.releaseAll(spark) == 1)
+    assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+}

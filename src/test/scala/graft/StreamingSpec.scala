@@ -1455,4 +1455,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(predictFromLanded(docs) == want,
       "replayed fold changed the classifier")
   }
+
+  test("streaming MERGE INTO the versioned table: each micro-batch " +
+    "lands as one transactional MERGE commit; a crash-replayed batch " +
+    "(same batchId) is a no-op; history stays time-travel readable") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-smerge").toString
+    val src = s"$base/src"
+    val tbl = s"$base/tbl"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-smerge-$name").toString
+      rows.toDF("k", "status", "qty").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val schema = Seq((0L, "", 0L)).toDF("k", "status", "qty").schema
+    def runOnce(): Unit =
+      graft.streaming.DimensionStreams.ingestMerge(
+        spark.readStream.schema(schema).parquet(src), tbl,
+        Seq("k"), ckpt,
+        deleteWhen = Some(col("status") === "DELETED"))
+        .awaitTermination(120000)
+    def snapshot(): Set[(Long, String, Long)] =
+      VersionedTable.read(spark, tbl).as[(Long, String, Long)]
+        .collect().toSet
+
+    // wave 0: bootstrap insert
+    stage("w0", Seq((1L, "NEW", 10L), (2L, "NEW", 20L)))
+    runOnce()
+    assert(snapshot() == Set((1L, "NEW", 10L), (2L, "NEW", 20L)))
+    // wave 1: update k=1, delete k=2, insert k=3
+    stage("w1", Seq((1L, "SHIPPED", 11L), (2L, "DELETED", 0L),
+      (3L, "NEW", 30L)))
+    runOnce()
+    val want = Set((1L, "SHIPPED", 11L), (3L, "NEW", 30L))
+    assert(snapshot() == want)
+    // restart with no new files: nothing replays, table unchanged
+    runOnce()
+    assert(snapshot() == want)
+    // crash-replay of batch 1 BY HAND (same batchId): no-op — no new
+    // version, same snapshot, and the returned version is the original
+    val versionsBefore = VersionedTable.versions(spark, tbl)
+    val v = VersionedTable.mergeBatch(spark, tbl,
+      Seq((1L, "SHIPPED", 11L), (2L, "DELETED", 0L), (3L, "NEW", 30L))
+        .toDF("k", "status", "qty"),
+      Seq("k"), batchId = 1,
+      deleteWhen = Some(col("status") === "DELETED"))
+    assert(VersionedTable.versions(spark, tbl) == versionsBefore,
+      "replayed batch must not create a new version")
+    assert(versionsBefore.contains(v))
+    assert(snapshot() == want)
+    // a NEW batch id still lands, and pre-merge versions time-travel
+    VersionedTable.mergeBatch(spark, tbl,
+      Seq((3L, "SHIPPED", 31L)).toDF("k", "status", "qty"),
+      Seq("k"), batchId = 2)
+    assert(snapshot() == Set((1L, "SHIPPED", 11L), (3L, "SHIPPED", 31L)))
+    assert(VersionedTable.readAsOf(spark, tbl, versionsBefore.head)
+      .as[(Long, String, Long)].collect().toSet ==
+        Set((1L, "NEW", 10L), (2L, "NEW", 20L)))
+  }
 }
