@@ -286,6 +286,30 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rank", "cell")
   }
 
+  /** Candidate volume of a [[ivfTopKProbed]] run — the probe-cost side
+    * of the ANN bake-off (q204): how many corpus rows the nprobe probed
+    * cells admit to exact scoring, summed over the query set. Reuses
+    * the exact centroid/assignment/probe frames of the search itself,
+    * so the count is the search's true join volume, not an estimate.
+    * One row: (cand_rows). */
+  def ivfProbedCandidateCount(corpus: DataFrame, queries: DataFrame,
+                              cells: Int, nprobe: Int,
+                              lloydIters: Int = 1): DataFrame = {
+    val carr = centroidArrayShared(corpus, cells, lloydIters)
+    val assigned = assignWith(corpus, carr)
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .crossJoin(carr)
+      .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
+        struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
+          c.getField("centroid_id").as("cell")))), 1, nprobe))
+      .select(col("query_id"), explode(col("ranked.cell")).as("cell"))
+    assigned.select("vec_id", "cell")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .agg(count(lit(1)).as("cand_rows"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space (the k-means-refined
     * IVF cells), then within each cluster drop every vector that has a

@@ -7311,7 +7311,238 @@ object ExtensionQueries {
           |LEFT JOIN np ON np.qid = q.qid
           |LEFT JOIN hits h ON h.qid = q.qid
           |LEFT JOIN idcg i ON i.qid = q.qid
-          |ORDER BY q.qid""".stripMargin))
+          |ORDER BY q.qid""".stripMargin)),
+
+    // ANN bake-off (r9 verdict item 6): the three ANN families — IVF
+    // multi-probe, PQ ADC+rerank, HNSW — on IDENTICAL corpus/queries,
+    // one row each reporting recall@10 against the family's own exact
+    // metric (cosine for IVF/HNSW, L2 d² for PQ) plus probe cost:
+    // exact_evals = full-precision distance computations admitted by
+    // the family's candidate stage (measured join volume for IVF;
+    // the 50-candidate rerank budget for PQ; the whole corpus for HNSW
+    // at its exhaustive-certified efSearch — the q137 regime, where
+    // the oracle can pin recall exactly at 10000), approx_evals =
+    // cheap approximate scoring ops (centroid rankings, ADC lookups).
+    // The genuinely-approximate HNSW regime (low efSearch) can't be
+    // SQL-oracled — Round10Spec pins hnsw-recall ≥ ivf-recall at an
+    // equal exact-eval budget there. Every number is exact int64.
+    Q("q204_ann_bakeoff",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sOuter = s
+        import sOuter.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 5)
+        val nRow = emb.agg(count(lit(1)).as("n_corpus"))
+        // exact cosine top-10 (the IVF/HNSW baseline)
+        val exactCos = Similarity.bruteForceTopK(emb, qs, 10)
+          .select(col("query_id"), col("vec_id"))
+        // HNSW over the standing index, exhaustive-certified setting
+        val idx = Tables.memoTable(s, dir, "hnsw_idx_1s_m8") {
+          Hnsw.buildIndex(emb, nShards = 1, m = 8,
+            efConstruction = 64).toDF()
+        }.as[graft.functions.HnswNode]
+        val hnsw = Hnsw.searchIndex(idx, qs, k = 10, efSearch = 4096)
+          .select(col("query_id"), col("vec_id"))
+        // IVF multi-probe + its measured candidate volume
+        val ivf = Similarity.ivfTopKProbed(emb, qs, cells = 8, k = 10,
+            nprobe = 2, lloydIters = 1)
+          .select(col("query_id"), col("vec_id"))
+        val ivfCand = Similarity.ivfProbedCandidateCount(emb, qs,
+          cells = 8, nprobe = 2, lloydIters = 1)
+        // PQ ADC shortlist → exact rerank, vs the exact-d² baseline
+        val cb = Tables.memoTable(s, dir, "pq_cb_8x16") {
+          graft.functions.Pq.codebook(emb, nsub = 8, k = 16, dsub = 8,
+            lloydIters = 1)
+        }
+        val codes = graft.functions.Pq.encode(emb, cb, nsub = 8,
+          dsub = 8)
+        val pq = graft.functions.Pq.adcRerankTopK(codes, cb, emb, qs,
+            k = 10, shortlist = 50, nsub = 8, dsub = 8)
+          .select(col("query_id"), col("vec_id"))
+        val qv = qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))
+        val wd = Window.partitionBy(col("query_id"))
+          .orderBy(asc("d2"), asc("vec_id"))
+        val exactD2 = emb.select(col("vec_id"), col("embedding").as("ve"))
+          .crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("d2", round(
+            Similarity.dotFast(col("qe"), col("qe"))
+              - lit(2.0) * Similarity.dotFast(col("qe"), col("ve"))
+              + Similarity.dotFast(col("ve"), col("ve")), 6))
+          .withColumn("rank", row_number().over(wd))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+        // measured recall: |approx ∩ exact| over |exact|, exact int64
+        def hitsAgg(approx: org.apache.spark.sql.DataFrame,
+                    exact: org.apache.spark.sql.DataFrame) =
+          exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        val hnswRow = hitsAgg(hnsw, exactCos).crossJoin(nRow)
+          .select(lit("hnsw_ef4096").as("family"),
+            lit(5L).as("n_queries"),
+            expr("CAST(n_hit * 10000 DIV n_exact AS BIGINT)")
+              .as("recall_bp"),
+            ((col("n_corpus") - 1) * 5).as("exact_evals"),
+            lit(0L).as("approx_evals"))
+        val ivfRow = hitsAgg(ivf, exactCos).crossJoin(ivfCand)
+          .select(lit("ivf_c8_p2").as("family"),
+            lit(5L).as("n_queries"),
+            expr("CAST(n_hit * 10000 DIV n_exact AS BIGINT)")
+              .as("recall_bp"),
+            col("cand_rows").as("exact_evals"),
+            lit(40L).as("approx_evals"))
+        val pqRow = hitsAgg(pq, exactD2).crossJoin(nRow)
+          .select(lit("pq_m8_s50").as("family"),
+            lit(5L).as("n_queries"),
+            expr("CAST(n_hit * 10000 DIV n_exact AS BIGINT)")
+              .as("recall_bp"),
+            lit(250L).as("exact_evals"),
+            ((col("n_corpus") - 1) * 5).as("approx_evals"))
+        hnswRow.unionByName(ivfRow).unionByName(pqRow)
+          .orderBy("family")
+      },
+      Some(ivfLloydCtes + """, scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored
+             |  WHERE rk = 1
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+             |), cellrank AS (
+             |  SELECT q.query_id, q.qv, c.centroid_id AS cell,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             |           list_dot_product(q.qv, c.cv)
+             |             / (sqrt(list_dot_product(q.qv, q.qv))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS prk
+             |  FROM q CROSS JOIN c
+             |), pr AS (
+             |  SELECT query_id, qv, cell FROM cellrank WHERE prk <= 2
+             |), ivsims AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         round(list_dot_product(p.qv, a.v)
+             |           / (sqrt(list_dot_product(p.qv, p.qv))
+             |              * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
+             |), iv10 AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, vec_id) AS rk
+             |    FROM ivsims) WHERE rk <= 10
+             |), ivcand AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS cand_rows
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
+             |), exsims AS (
+             |  SELECT q.query_id, e.vec_id,
+             |         round(list_dot_product(q.qv, e.v)
+             |           / (sqrt(list_dot_product(q.qv, q.qv))
+             |              * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+             |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+             |), exc AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, vec_id) AS rk
+             |    FROM exsims) WHERE rk <= 10
+             |), """.stripMargin + pqOracleTail + """, qp AS (
+             |  SELECT vec_id AS query_id, m, sv AS qv2 FROM sv
+             |  WHERE vec_id < 5
+             |), dt AS (
+             |  SELECT qp.query_id, c.m, c.code,
+             |         CAST(floor((list_dot_product(qp.qv2, qp.qv2)
+             |           - 2 * list_dot_product(qp.qv2, c.cv)
+             |           + list_dot_product(c.cv, c.cv)) * 1000000)
+             |           AS BIGINT) AS dq
+             |  FROM qp JOIN cb1 c ON qp.m = c.m
+             |), ap2 AS (
+             |  SELECT d.query_id, x.vec_id,
+             |         CAST(SUM(d.dq) AS BIGINT) AS approx_d2_micro
+             |  FROM codes x JOIN dt d ON x.m = d.m AND x.code = d.code
+             |  WHERE x.vec_id <> d.query_id
+             |  GROUP BY 1, 2
+             |), sl AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY approx_d2_micro, vec_id) AS rk
+             |    FROM ap2) WHERE rk <= 50
+             |), pqex AS (
+             |  SELECT s.query_id, s.vec_id,
+             |         round(list_dot_product(eq.v, eq.v)
+             |           - 2 * list_dot_product(eq.v, ex0.v)
+             |           + list_dot_product(ex0.v, ex0.v), 6) AS d2
+             |  FROM sl s
+             |  JOIN e eq ON eq.vec_id = s.query_id
+             |  JOIN e ex0 ON ex0.vec_id = s.vec_id
+             |), pq10 AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY d2, vec_id) AS rk
+             |    FROM pqex) WHERE rk <= 10
+             |), exd2all AS (
+             |  SELECT q.query_id, e2.vec_id,
+             |         round(list_dot_product(eq.v, eq.v)
+             |           - 2 * list_dot_product(eq.v, e2.v)
+             |           + list_dot_product(e2.v, e2.v), 6) AS d2
+             |  FROM q
+             |  JOIN e eq ON eq.vec_id = q.query_id
+             |  CROSS JOIN e e2
+             |  WHERE e2.vec_id <> q.query_id
+             |), exd2 AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |           ROW_NUMBER() OVER (PARTITION BY query_id
+             |             ORDER BY d2, vec_id) AS rk
+             |    FROM exd2all) WHERE rk <= 10
+             |), nn AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM e
+             |), ivhit AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+             |  FROM exc x JOIN iv10 a
+             |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             |), pqhit AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+             |  FROM exd2 x JOIN pq10 a
+             |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+             |), exn AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exc
+             |), exn2 AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exd2
+             |)
+             |SELECT * FROM (
+             |  SELECT 'hnsw_ef4096' AS family,
+             |         CAST(5 AS BIGINT) AS n_queries,
+             |         CAST(10000 AS BIGINT) AS recall_bp,
+             |         CAST((nn.n_corpus - 1) * 5 AS BIGINT)
+             |           AS exact_evals,
+             |         CAST(0 AS BIGINT) AS approx_evals
+             |  FROM nn
+             |  UNION ALL
+             |  SELECT 'ivf_c8_p2', CAST(5 AS BIGINT),
+             |         CAST(ivhit.n_hit * 10000 // exn.n_exact AS BIGINT),
+             |         ivcand.cand_rows, CAST(40 AS BIGINT)
+             |  FROM ivhit, exn, ivcand
+             |  UNION ALL
+             |  SELECT 'pq_m8_s50', CAST(5 AS BIGINT),
+             |         CAST(pqhit.n_hit * 10000 // exn2.n_exact AS BIGINT),
+             |         CAST(250 AS BIGINT),
+             |         CAST((nn.n_corpus - 1) * 5 AS BIGINT)
+             |  FROM pqhit, exn2, nn
+             |)
+             |ORDER BY family""".stripMargin))
   )
 
   /** DuckDB replay of the behavioral transition model: per-user
@@ -7544,7 +7775,13 @@ object ExtensionQueries {
   private def pqOracleCtes: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      |), sv AS (
+      |), """.stripMargin + pqOracleTail
+
+  /** The PQ chain WITHOUT its `WITH e AS` header, so it can be chained
+    * after another CTE set that already defines `e` (the q204 bake-off
+    * concatenates it after ivfLloydCtes — same `e` definition). */
+  private def pqOracleTail: String =
+    """sv AS (
       |  SELECT vec_id, CAST(ms.m AS INT) AS m,
       |         v[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
       |  FROM e, (SELECT unnest(range(8)) AS m) ms

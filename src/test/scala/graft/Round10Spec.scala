@@ -32,6 +32,42 @@ class Round10Spec extends AnyFunSuite {
     assert(line.contains("\"file\":\"/r/bench_results.json\""))
   }
 
+  // --- ANN bake-off: equal-budget recall pin -----------------------------
+
+  test("ANN bake-off (q204 companion): HNSW recall@10 >= IVF multi-probe " +
+    "recall at an EQUAL exact-candidate budget, in the genuinely " +
+    "approximate regime the SQL oracle can't replay") {
+    import graft.functions.{Hnsw, Similarity}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, qs, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val a = approx.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & a).size.toDouble / exact.size
+    }
+    // IVF's budget: measured candidate rows per query at cells=8,
+    // nprobe=2 — HNSW gets the SAME per-query exact-eval allowance as
+    // its efSearch beam width (the beam is what bounds its exact
+    // distance computations per entry point)
+    val nQ = qs.count()
+    val ivfBudget = (Similarity.ivfProbedCandidateCount(emb, qs,
+      cells = 8, nprobe = 2, lloydIters = 1)
+      .head.getLong(0) / nQ).toInt
+    val rIvf = recallOf(Similarity.ivfTopKProbed(emb, qs, cells = 8,
+      k = 10, nprobe = 2, lloydIters = 1))
+    val rHnsw = recallOf(Hnsw.topK(emb, qs, k = 10, nShards = 1, m = 8,
+      efConstruction = 48, efSearch = ivfBudget))
+    assert(rHnsw >= rIvf,
+      s"hnsw recall $rHnsw (efSearch=$ivfBudget) < ivf recall $rIvf " +
+        s"at equal per-query budget $ivfBudget")
+    assert(rHnsw >= 0.9, s"hnsw recall $rHnsw below 0.9 floor")
+  }
+
   // --- hilbert vs z-order layout -----------------------------------------
 
   test("Layout.optimize(curve=hilbert): on a diagonal range probe at a " +
