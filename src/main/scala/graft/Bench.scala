@@ -67,7 +67,7 @@ object Bench {
     // its predecessors' garbage.
     val iterativeOrder = Seq("q61_dedup_clusters",
       "q101_incremental_clusters", "q157_entity_resolution",
-      "q159_incremental_entities").filter(names.contains)
+      "q159_incremental_entities", "q207_kcore").filter(names.contains)
     val iterative = iterativeOrder.toSet
     val execOrder = names.filterNot(iterative) ++ iterativeOrder
     execOrder.foreach(run)

@@ -177,6 +177,55 @@ object Graph {
         col(dstCol).cast("long"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
+  /** k-core decomposition membership (Seidman 1983): iteratively peel
+    * nodes of degree < k until the remaining subgraph is stable; what
+    * survives is the k-core — the dense backbone spam/bot filtering and
+    * community seeding use (a near-dup cluster's 2-core is its
+    * non-pendant body). Returns (id, core_deg): nodes in the k-core
+    * with their within-core degree.
+    *
+    * Scale posture: the connectedComponents discipline — the symmetric
+    * edge list localCheckpoints per round (each round references it
+    * twice: degree + two anti-joins; an untruncated plan would re-embed
+    * the whole upstream pipeline exponentially), peeling is monotone so
+    * rounds ≤ the peel depth (graph-shape-bounded, typically a handful),
+    * each round is one hash-aggregate + two unhinted anti-joins on the
+    * edge frame. The per-round emptiness check is the CC loop-control
+    * driver read. Converge-or-throw at `maxRounds`: silently stopping
+    * early would report a SUPERSET of the core. */
+  def kcore(pairs: DataFrame, k: Int, srcCol: String = "id_a",
+            dstCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val low = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select("src")
+      if (low.isEmpty) done = true
+      else {
+        val prev = edges
+        edges = edges
+          .join(low, Seq("src"), "left_anti")
+          .join(low.withColumnRenamed("src", "dst"), Seq("dst"),
+            "left_anti")
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+      }
+      rounds += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"k-core peel did not converge in $maxRounds rounds")
+    edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+  }
+
   /** Fold a batch of NEW distinct edges into the standing degree table
     * — counts add; history is never re-read (the q101 applyClusterBatch
     * discipline at the node level: the cluster table tracks

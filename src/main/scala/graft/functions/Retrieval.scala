@@ -158,6 +158,93 @@ object Retrieval {
       .agg(sum(col("w_unats")).as("score_unats"))
   }
 
+  /** Maximal-marginal-relevance result diversification (Carbonell &
+    * Goldstein, SIGIR 1998): greedily re-rank a query's BM25 top-`pool`
+    * so each pick maximizes `relevance − simWeight·redundancy`, where
+    * redundancy is the pick's highest 3-shingle Jaccard (basis points)
+    * against the already-selected set — the search/RAG step that stops
+    * near-duplicate results crowding a result page or a context window.
+    *
+    * All-integer scoring (micro-nat BM25 scores, bp Jaccard, int64
+    * mmr = score_unats − simWeight·penalty_bp), greedy ties to the
+    * lower doc_id — deterministic and engine-replayable. The greedy
+    * loop is inherently sequential but BOUNDED: `k` unrolled rounds of
+    * window-argmax + anti-join over per-query frames of ≤ `pool` rows
+    * (the candidate pool is the only thing that ever leaves the BM25
+    * top-k join, so corpus size never enters the loop). Pairwise
+    * similarity is pool²-bounded per query, computed once up front.
+    *
+    * Returns (qid, pick, doc_id, score_unats, penalty_bp, mmr_score),
+    * pick = 1..k in selection order; a query whose pool is smaller
+    * than k just yields fewer picks. */
+  def mmrDiversify(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                   k: Int = 5, pool: Int = 20, simWeight: Long = 100,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    val top = bm25TopKIndexed(docs, queries, pool, idCol, textCol)
+      .select(col("qid"), col(idCol).as("doc_id"), col("score_unats"))
+    // distinct 3-shingles of pool docs only (same lower/trim/split
+    // normalization as the BM25 tokenizer, so the oracle shares one
+    // token stream)
+    val poolSh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(lower(trim(col(textCol))), 3))
+          .as("shingle"))
+      .join(top.select("doc_id").distinct(), Seq("doc_id"))
+      .distinct()
+    val cnt = poolSh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = top.select(col("qid"), col("doc_id").as("id_a"))
+      .join(top.select(col("qid"), col("doc_id").as("id_b")), Seq("qid"))
+      .filter(col("id_a") =!= col("id_b"))
+    val inter = pairs
+      .join(poolSh.select(col("doc_id").as("id_a"), col("shingle")),
+        Seq("id_a"))
+      .join(poolSh.select(col("doc_id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("qid", "id_a", "id_b").agg(count(lit(1)).as("ninter"))
+    val sim = pairs
+      .join(cnt.select(col("doc_id").as("id_a"), col("nsh").as("na")),
+        Seq("id_a"), "left")
+      .join(cnt.select(col("doc_id").as("id_b"), col("nsh").as("nb")),
+        Seq("id_b"), "left")
+      .join(inter, Seq("qid", "id_a", "id_b"), "left")
+      .select(col("qid"), col("id_a"), col("id_b"),
+        expr("CASE WHEN coalesce(na,0) + coalesce(nb,0)" +
+          " - coalesce(ninter,0) <= 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(coalesce(ninter,0) * 10000" +
+          " DIV (coalesce(na,0) + coalesce(nb,0) - coalesce(ninter,0))" +
+          " AS BIGINT) END").as("sim_bp"))
+    import org.apache.spark.sql.expressions.Window
+    def argmax(cands: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("mmr_score"), asc("doc_id"))
+      cands.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+    }
+    var picks = argmax(top
+      .withColumn("penalty_bp", lit(0L))
+      .withColumn("mmr_score", col("score_unats")))
+      .withColumn("pick", lit(1))
+    for (r <- 2 to k) {
+      val selected = picks.select("qid", "doc_id")
+      val remaining = top.join(selected, Seq("qid", "doc_id"),
+        "left_anti")
+      val pen = remaining
+        .join(selected.withColumnRenamed("doc_id", "id_b"), Seq("qid"))
+        .join(sim.withColumnRenamed("id_a", "doc_id"),
+          Seq("qid", "doc_id", "id_b"))
+        .groupBy("qid", "doc_id", "score_unats")
+        .agg(max(col("sim_bp")).as("penalty_bp"))
+      val next = argmax(pen.withColumn("mmr_score",
+          col("score_unats") - lit(simWeight) * col("penalty_bp")))
+        .withColumn("pick", lit(r))
+      picks = picks.unionByName(next)
+    }
+    picks.select(col("qid"), col("pick"), col("doc_id"),
+      col("score_unats"), col("penalty_bp"), col("mmr_score"))
+  }
+
   /** Keyword-in-context snippets for retrieval results (the KWIC /
     * search-result-highlighting step): for each of a query's top-k
     * BM25 documents, the `window`-token span with the most query-term

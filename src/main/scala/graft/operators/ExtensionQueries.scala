@@ -7542,8 +7542,231 @@ object ExtensionQueries {
              |         CAST((nn.n_corpus - 1) * 5 AS BIGINT)
              |  FROM pqhit, exn2, nn
              |)
-             |ORDER BY family""".stripMargin))
+             |ORDER BY family""".stripMargin)),
+
+    // MMR result diversification (Carbonell-Goldstein 1998): greedy
+    // re-rank of each query's BM25 top-20 where every pick pays
+    // 100·(max 3-shingle Jaccard bp vs the already-picked set) — the
+    // search/RAG step that keeps near-duplicate results from crowding
+    // a context window. All-integer scoring; the greedy loop is k=5
+    // UNROLLED rounds over ≤20-row per-query frames (corpus size never
+    // enters the loop). Oracle: the identical 5 rounds generated as
+    // CTE blocks (the bpeOracleCtes unroll pattern).
+    Q("q205_mmr_diversify",
+      (s, dir) => Retrieval.mmrDiversify(
+          Tables.load(s, dir, "documents"),
+          Seq("q1" -> Seq("spark", "table"),
+            "q2" -> Seq("query", "data"),
+            "q3" -> Seq("window", "zzz_absent_term")),
+          k = 5, pool = 20, simWeight = 100L)
+        .orderBy("qid", "pick"),
+      Some(mmrOracle(5))),
+
+    // Event-type co-occurrence lift (the market-basket association
+    // table, Agrawal-Srikant style support/confidence/lift at the
+    // user grain): which behaviors coincide in the same users beyond
+    // what their base rates predict. One distinct (user, type) frame,
+    // one per-user self-join over a SMALL bounded type domain (pair
+    // volume = users · types², never events²), exact integer lift in
+    // micro-units via staged division (t = n_ab·10⁶ div n_a, then
+    // t·n_users div n_b — each stage bounded, no 3-factor product to
+    // overflow int64 at fleet user counts).
+    Q("q206_cooccurrence_lift",
+      (s, dir) => {
+        val ut = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type")).distinct()
+        val totals = ut.groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        val nUsers = broadcast(ut.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users")))
+        val co = ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+            Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+        co.join(totals.select(col("event_type").as("type_a"),
+            col("n").as("n_a")), Seq("type_a"))
+          .join(totals.select(col("event_type").as("type_b"),
+            col("n").as("n_b")), Seq("type_b"))
+          .crossJoin(nUsers)
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_ab"), col("n_users"),
+            expr("CAST((n_ab * 1000000 DIV n_a) * n_users DIV n_b" +
+              " AS BIGINT)").as("lift_micro"),
+            expr("CAST(n_ab * 10000 DIV n_a AS BIGINT)")
+              .as("conf_a_to_b_bp"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |), totals AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM ut GROUP BY 1
+             |), nu AS (
+             |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM ut
+             |), co AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_ab
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |   AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT co.type_a, co.type_b, ta.n AS n_a, tb.n AS n_b,
+             |       co.n_ab, nu.n_users,
+             |       CAST((co.n_ab * 1000000 // ta.n) * nu.n_users
+             |         // tb.n AS BIGINT) AS lift_micro,
+             |       CAST(co.n_ab * 10000 // ta.n AS BIGINT)
+             |         AS conf_a_to_b_bp
+             |FROM co
+             |JOIN totals ta ON ta.event_type = co.type_a
+             |JOIN totals tb ON tb.event_type = co.type_b
+             |CROSS JOIN nu
+             |ORDER BY co.type_a, co.type_b""".stripMargin)),
+
+    // k-core decomposition (Seidman 1983) of the near-dup similarity
+    // graph: iteratively peel degree-<k nodes; the surviving 2-core is
+    // each duplicate family's dense backbone (pendants and chains — the
+    // weakly-attached docs a curator reviews by hand — drop out). The
+    // Spark peel runs to TRUE convergence (converge-or-throw); the
+    // oracle unrolls enough peel rounds that the fixpoint is reached —
+    // extra rounds past convergence are no-ops, so oracle ≡ Spark iff
+    // Spark's fixpoint is the fixpoint.
+    Q("q207_kcore",
+      (s, dir) => Graph.kcore(
+          Dedup.nearDuplicatesPortable(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4,
+            minJaccardBp = 2000)
+            .select("id_a", "id_b"),
+          k = 2)
+        .orderBy("id"),
+      Some(kcoreOracle(k = 2, rounds = 8))),
   )
+
+  /** DuckDB replay of q207's k-core peel: `rounds` generated
+    * peel blocks (degree → low set → anti-filtered edge set) over the
+    * symmetrized near-dup edge list; monotone, so rounds past the
+    * fixpoint change nothing. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every peel round references its predecessor three times (degree
+    // pass + two NOT-IN filters) — without MATERIALIZED the planner
+    // inlines the whole chain exponentially (3^rounds base-scan copies
+    // ran the fixture out of file handles)
+    val base = neardupScoredCtes + """, npairs AS (
+      |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+      |), e0 AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM npairs
+      |  UNION SELECT id_b, id_a FROM npairs
+      |)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s""", low$r AS MATERIALIZED (
+         |  SELECT src FROM e${r - 1} GROUP BY src
+         |  HAVING COUNT(*) < $k
+         |), e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  WHERE e.src NOT IN (SELECT src FROM low$r)
+         |    AND e.dst NOT IN (SELECT src FROM low$r)
+         |)""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e$rounds GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB replay of q205's greedy MMR: bm25ScoredCtes' `sc` → top-20
+    * pool, pool-doc shingle sets off the same lower/trim token stream
+    * (`d.ws`), pool² Jaccard table, then `k` generated selection
+    * rounds (round 1 = pure relevance argmax; round r = argmax of
+    * score − 100·max-sim-to-selected over the anti-joined remainder,
+    * ties to the lower doc_id in both engines). */
+  private def mmrOracle(k: Int): String = {
+    val base = bm25ScoredCtes + """, mpool AS (
+      |  SELECT qid, doc_id, score_unats,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY score_unats DESC, doc_id) AS rnk
+      |  FROM sc
+      |), p20 AS (
+      |  SELECT qid, doc_id, score_unats FROM mpool WHERE rnk <= 20
+      |), mtr AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tk,
+      |         len(ws) AS n
+      |  FROM d
+      |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM p20)
+      |), msh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tk || ' ' || lead(tk, 1) OVER win || ' ' ||
+      |           lead(tk, 2) OVER win AS shingle
+      |  FROM mtr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), msh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM msh0 WHERE i <= n - 2
+      |), mcnt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+      |  FROM msh GROUP BY 1
+      |), mprs AS (
+      |  SELECT a.qid, a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM p20 a JOIN p20 b
+      |    ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      |), mint AS (
+      |  SELECT c.qid, c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      |  FROM mprs c
+      |  JOIN msh sa ON sa.doc_id = c.id_a
+      |  JOIN msh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2, 3
+      |), msim AS (
+      |  SELECT c.qid, c.id_a, c.id_b,
+      |         CASE WHEN COALESCE(ca.nsh, 0) + COALESCE(cb.nsh, 0)
+      |                   - COALESCE(i.ninter, 0) <= 0
+      |              THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(COALESCE(i.ninter, 0) * 10000
+      |                // (COALESCE(ca.nsh, 0) + COALESCE(cb.nsh, 0)
+      |                    - COALESCE(i.ninter, 0)) AS BIGINT)
+      |         END AS sim_bp
+      |  FROM mprs c
+      |  LEFT JOIN mcnt ca ON ca.doc_id = c.id_a
+      |  LEFT JOIN mcnt cb ON cb.doc_id = c.id_b
+      |  LEFT JOIN mint i
+      |    ON i.qid = c.qid AND i.id_a = c.id_a AND i.id_b = c.id_b
+      |), sel1 AS (
+      |  SELECT qid, doc_id, score_unats,
+      |         CAST(0 AS BIGINT) AS penalty_bp,
+      |         score_unats AS mmr_score
+      |  FROM mpool WHERE rnk = 1
+      |), selall1 AS (
+      |  SELECT qid, doc_id FROM sel1
+      |)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s""", pen$r AS (
+         |  SELECT c.qid, c.doc_id, c.score_unats,
+         |         MAX(ps.sim_bp) AS penalty_bp
+         |  FROM p20 c
+         |  JOIN selall${r - 1} s ON s.qid = c.qid
+         |  JOIN msim ps ON ps.qid = c.qid AND ps.id_a = c.doc_id
+         |    AND ps.id_b = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${r - 1} x
+         |    WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+         |  GROUP BY 1, 2, 3
+         |), sel$r AS (
+         |  SELECT qid, doc_id, score_unats, penalty_bp,
+         |         score_unats - 100 * penalty_bp AS mmr_score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY (score_unats - 100 * penalty_bp) DESC,
+         |            doc_id) AS rk
+         |        FROM pen$r) WHERE rk = 1
+         |), selall$r AS (
+         |  SELECT qid, doc_id FROM selall${r - 1}
+         |  UNION ALL SELECT qid, doc_id FROM sel$r
+         |)""".stripMargin
+    }.mkString
+    val finalSel = (1 to k).map { r =>
+      s"""SELECT qid, CAST($r AS INTEGER) AS pick, doc_id, score_unats,
+         |       penalty_bp, CAST(mmr_score AS BIGINT) AS mmr_score
+         |FROM sel$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    base + rounds + "\nSELECT * FROM (\n" + finalSel +
+      "\n)\nORDER BY qid, pick"
+  }
 
   /** DuckDB replay of the behavioral transition model: per-user
     * (ts, event_id)-ordered lag pairs → (from, to) counts + outgoing

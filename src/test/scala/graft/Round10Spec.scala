@@ -32,6 +32,60 @@ class Round10Spec extends AnyFunSuite {
     assert(line.contains("\"file\":\"/r/bench_results.json\""))
   }
 
+  // --- k-core decomposition ----------------------------------------------
+
+  test("Graph.kcore: pendant chain peels away transitively, the clique " +
+    "survives with full within-core degree") {
+    import graft.functions.Graph
+    // 4-clique {1,2,3,4} + chain 4-5-6 + isolated edge 7-8
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val core = Graph.kcore(pairs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 6 peels first (deg 1), THEN 5 becomes deg-1 and peels, then the
+    // 7-8 edge — transitive peeling that a single degree filter misses
+    assert(core.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core.values.toSet == Set(3L), s"clique degrees: $core")
+    // k=3: the clique still stands; k=4 empties the graph
+    assert(Graph.kcore(pairs, k = 3).count() == 4)
+    assert(Graph.kcore(pairs, k = 4).count() == 0)
+  }
+
+  // --- co-occurrence lift -------------------------------------------------
+
+  test("co-occurrence lift: perfectly coupled types lift above 1, " +
+    "anti-correlated types lift below 1 (micro-units)") {
+    // users 0..9: B on every user; A and C both only on evens
+    // (perfectly coupled); D only on odds (disjoint from A/C)
+    val ut = (0L to 9L).flatMap { u =>
+      Seq((u, "B")) ++
+        (if (u % 2 == 0) Seq((u, "A"), (u, "C")) else Seq((u, "D")))
+    }.toDF("user_id", "event_type")
+    val totals = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val nUsers = ut.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val co = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    val lift = co
+      .join(totals.select(col("event_type").as("type_a"),
+        col("n").as("n_a")), Seq("type_a"))
+      .join(totals.select(col("event_type").as("type_b"),
+        col("n").as("n_b")), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"),
+        expr("CAST((n_ab * 1000000 DIV n_a) * n_users DIV n_b" +
+          " AS BIGINT)").as("lift_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(lift(("A", "B")) == 1000000L) // B on everyone: lift exactly 1
+    assert(lift(("A", "C")) == 2000000L) // perfectly coupled: 2x base rate
+    assert(!lift.contains(("A", "D")), "A and D never co-occur")
+    assert(!lift.contains(("C", "D")), "C and D never co-occur")
+  }
+
   // --- ANN bake-off: equal-budget recall pin -----------------------------
 
   test("ANN bake-off (q204 companion): HNSW recall@10 >= IVF multi-probe " +
