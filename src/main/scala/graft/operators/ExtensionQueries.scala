@@ -7642,6 +7642,243 @@ object ExtensionQueries {
           k = 2)
         .orderBy("id"),
       Some(kcoreOracle(k = 2, rounds = 8))),
+
+    // Conversion attribution (first-touch / last-touch): every purchase
+    // credits the user's earliest / latest click-or-view inside a 7-day
+    // lookback. ONE window pass — a conditional (ts_s, event_id, type)
+    // struct min/max over a RANGE frame on epoch seconds (purchases and
+    // other types null out, so the frame needs no pre-filter) — the
+    // per-user stream never joins itself; purchases with an empty
+    // lookback attribute to 'none'. Struct ordering = (ts, event_id)
+    // with event_id unique, so ties are impossible by construction and
+    // the oracle's ORDER BY ... LIMIT-1 replay agrees exactly.
+    Q("q208_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lookback = 7L * 86400L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s"))
+          .rangeBetween(-lookback, -1L)
+        val touch = when(
+          col("event_type") === "click" || col("event_type") === "view",
+          struct(col("ts_s"), col("event_id"), col("event_type")))
+        val attributed = Tables.events(s, dir)
+          .withColumn("ts_s", col("ts").cast("long"))
+          .withColumn("first_t", min(touch).over(w))
+          .withColumn("last_t", max(touch).over(w))
+          .filter(col("event_type") === "purchase")
+        def model(name: String, c: org.apache.spark.sql.Column) =
+          attributed
+            .select(coalesce(c.getField("event_type"), lit("none"))
+              .as("touch_type"))
+            .groupBy("touch_type")
+            .agg(count(lit(1)).as("n_conv"))
+            .select(lit(name).as("model"), col("touch_type"),
+              col("n_conv"))
+        model("first_touch", col("first_t"))
+          .unionByName(model("last_touch", col("last_t")))
+          .orderBy("model", "touch_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+             |  FROM events
+             |), p AS (
+             |  SELECT user_id, event_id, ts_s FROM e
+             |  WHERE event_type = 'purchase'
+             |), ft AS (
+             |  SELECT p.event_id,
+             |         (SELECT t.event_type FROM e t
+             |          WHERE t.user_id = p.user_id
+             |            AND t.event_type IN ('click', 'view')
+             |            AND t.ts_s >= p.ts_s - 604800
+             |            AND t.ts_s <= p.ts_s - 1
+             |          ORDER BY t.ts_s, t.event_id LIMIT 1) AS first_type,
+             |         (SELECT t.event_type FROM e t
+             |          WHERE t.user_id = p.user_id
+             |            AND t.event_type IN ('click', 'view')
+             |            AND t.ts_s >= p.ts_s - 604800
+             |            AND t.ts_s <= p.ts_s - 1
+             |          ORDER BY t.ts_s DESC, t.event_id DESC LIMIT 1)
+             |           AS last_type
+             |  FROM p
+             |)
+             |SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conv
+             |FROM (
+             |  SELECT 'first_touch' AS model,
+             |         COALESCE(first_type, 'none') AS touch_type FROM ft
+             |  UNION ALL
+             |  SELECT 'last_touch', COALESCE(last_type, 'none') FROM ft
+             |)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Embedding-cluster quality report (the quantizer-retraining
+    // signal): per IVF cell — size, cohesion (mean member-to-own-
+    // centroid cosine, exact micro-units via sum-then-div), separation
+    // (own centroid's highest cosine to any OTHER centroid), and the
+    // Davies-Bouldin-flavoured ratio separation/cohesion in bp (lower =
+    // tighter, better-isolated cell). Centroid table is cells-sized
+    // (broadcast); members aggregate map-side per cell; the centroid
+    // pairwise pass is cells² — trivial at any corpus size.
+    Q("q209_cluster_quality",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = Similarity.centroids(emb, k = 8, lloydIters = 1)
+        val asg = Similarity.incrementalAssign(cents, emb)
+        val coh = asg
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(broadcast(cents.select(col("centroid_id").as("cell"),
+            col("cv"))), Seq("cell"))
+          .withColumn("c_micro",
+            floor(round(Similarity.cosine(col("embedding"), col("cv")), 6)
+              * lit(1000000L)).cast("long"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), sum(col("c_micro")).as("s"))
+          .select(col("cell"), col("n"),
+            expr("CAST(s DIV n AS BIGINT)").as("cohesion_micro"))
+        val sep = cents.select(col("centroid_id").as("cell"),
+            col("cv").as("cva"))
+          .join(cents.select(col("centroid_id").as("other"),
+            col("cv").as("cvb")), col("cell") =!= col("other"))
+          .withColumn("c_micro",
+            floor(round(Similarity.cosine(col("cva"), col("cvb")), 6)
+              * lit(1000000L)).cast("long"))
+          .groupBy("cell").agg(max(col("c_micro")).as("separation_micro"))
+        coh.join(sep, Seq("cell"))
+          .withColumn("db_ratio_bp",
+            expr("CASE WHEN cohesion_micro <= 0 THEN CAST(-1 AS BIGINT)" +
+              " ELSE CAST(separation_micro * 10000 DIV cohesion_micro" +
+              " AS BIGINT) END"))
+          .orderBy("cell")
+      },
+      Some(ivfLloydCtes + """, scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored
+             |  WHERE rk = 1
+             |), coh AS (
+             |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(CAST(floor(round(
+             |             list_dot_product(a.v, c.cv)
+             |               / (sqrt(list_dot_product(a.v, a.v))
+             |                  * sqrt(list_dot_product(c.cv, c.cv))), 6)
+             |             * 1000000) AS BIGINT)) AS BIGINT) AS s
+             |  FROM asg a JOIN c ON c.centroid_id = a.cell
+             |  GROUP BY 1
+             |), sep AS (
+             |  SELECT a.centroid_id AS cell,
+             |         MAX(CAST(floor(round(
+             |             list_dot_product(a.cv, b.cv)
+             |               / (sqrt(list_dot_product(a.cv, a.cv))
+             |                  * sqrt(list_dot_product(b.cv, b.cv))), 6)
+             |             * 1000000) AS BIGINT)) AS separation_micro
+             |  FROM c a JOIN c b ON a.centroid_id <> b.centroid_id
+             |  GROUP BY 1
+             |)
+             |SELECT coh.cell, coh.n,
+             |       CAST(coh.s // coh.n AS BIGINT) AS cohesion_micro,
+             |       sep.separation_micro,
+             |       CASE WHEN coh.s // coh.n <= 0 THEN CAST(-1 AS BIGINT)
+             |            ELSE CAST(sep.separation_micro * 10000
+             |              // (coh.s // coh.n) AS BIGINT)
+             |       END AS db_ratio_bp
+             |FROM coh JOIN sep ON sep.cell = coh.cell
+             |ORDER BY coh.cell""".stripMargin)),
+
+    // Margin-based alignment mining (Artetxe & Schwenk, ACL 2019 — the
+    // CCMatrix/LASER bitext-mining score): across two corpus halves
+    // (vec_id parity as the two "languages"), score each cross pair by
+    // cosine RELATIVE to both endpoints' neighborhood density —
+    // margin = 8·cos(x,y) / (Σtop4 cos(x,·) + Σtop4 cos(y,·)) — and
+    // keep each left vector's best partner. Integer milli-margin via
+    // one staged division; neighborhoods from per-side top-4 windows.
+    // This fixture scores all cross pairs (halves are corpus-sized
+    // only at test scale); the 100 TB path feeds the SAME margin
+    // arithmetic from the ANN candidate stage (HNSW/IVF shortlists),
+    // which is exactly what the neighborhood sums need.
+    Q("q210_margin_mining",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val a = emb.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val pairs = a.crossJoin(broadcast(b))
+          .withColumn("c_micro",
+            floor(round(Similarity.cosine(col("va"), col("vb")), 6)
+              * lit(1000000L)).cast("long"))
+          .select("id_a", "id_b", "c_micro")
+        val wa = Window.partitionBy(col("id_a"))
+          .orderBy(desc("c_micro"), asc("id_b"))
+        val wb = Window.partitionBy(col("id_b"))
+          .orderBy(desc("c_micro"), asc("id_a"))
+        val ranked = pairs
+          .withColumn("rka", row_number().over(wa))
+          .withColumn("rkb", row_number().over(wb))
+        val sumA = ranked.filter(col("rka") <= 4)
+          .groupBy("id_a").agg(sum(col("c_micro")).as("s4a"))
+        val sumB = ranked.filter(col("rkb") <= 4)
+          .groupBy("id_b").agg(sum(col("c_micro")).as("s4b"))
+        val w1 = Window.partitionBy(col("id_a"))
+          .orderBy(desc("margin_milli"), asc("id_b"))
+        pairs.join(sumA, Seq("id_a")).join(sumB, Seq("id_b"))
+          .filter(col("s4a") + col("s4b") > 0)
+          .withColumn("margin_milli",
+            expr("CAST(c_micro * 8000 DIV (s4a + s4b) AS BIGINT)"))
+          .withColumn("rk", row_number().over(w1))
+          .filter(col("rk") === 1)
+          .select(col("id_a"), col("id_b"), col("c_micro"),
+            col("margin_milli"))
+          .orderBy("id_a")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), pa AS (
+             |  SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id % 2 = 0
+             |), pb AS (
+             |  SELECT vec_id AS id_b, v AS vb FROM e WHERE vec_id % 2 = 1
+             |), prs AS (
+             |  SELECT pa.id_a, pb.id_b,
+             |         CAST(floor(round(list_dot_product(pa.va, pb.vb)
+             |             / (sqrt(list_dot_product(pa.va, pa.va))
+             |                * sqrt(list_dot_product(pb.vb, pb.vb))), 6)
+             |           * 1000000) AS BIGINT) AS c_micro
+             |  FROM pa CROSS JOIN pb
+             |), ranked AS (
+             |  SELECT id_a, id_b, c_micro,
+             |         ROW_NUMBER() OVER (PARTITION BY id_a
+             |           ORDER BY c_micro DESC, id_b) AS rka,
+             |         ROW_NUMBER() OVER (PARTITION BY id_b
+             |           ORDER BY c_micro DESC, id_a) AS rkb
+             |  FROM prs
+             |), sa AS (
+             |  SELECT id_a, CAST(SUM(c_micro) AS BIGINT) AS s4a
+             |  FROM ranked WHERE rka <= 4 GROUP BY 1
+             |), sb AS (
+             |  SELECT id_b, CAST(SUM(c_micro) AS BIGINT) AS s4b
+             |  FROM ranked WHERE rkb <= 4 GROUP BY 1
+             |), m AS (
+             |  SELECT p.id_a, p.id_b, p.c_micro,
+             |         CAST(p.c_micro * 8000 // (sa.s4a + sb.s4b)
+             |           AS BIGINT) AS margin_milli,
+             |         ROW_NUMBER() OVER (PARTITION BY p.id_a ORDER BY
+             |           CAST(p.c_micro * 8000 // (sa.s4a + sb.s4b)
+             |             AS BIGINT) DESC, p.id_b) AS rk
+             |  FROM prs p
+             |  JOIN sa ON sa.id_a = p.id_a
+             |  JOIN sb ON sb.id_b = p.id_b
+             |  WHERE sa.s4a + sb.s4b > 0
+             |)
+             |SELECT id_a, id_b, c_micro, margin_milli FROM m
+             |WHERE rk = 1 ORDER BY id_a""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated

@@ -86,6 +86,40 @@ class Round10Spec extends AnyFunSuite {
     assert(!lift.contains(("C", "D")), "C and D never co-occur")
   }
 
+  // --- attribution window semantics ---------------------------------------
+
+  test("attribution window: first/last touch disagree on a click→view→" +
+    "purchase stream; a touch outside the 7-day lookback or AT the " +
+    "purchase instant does not attribute") {
+    import org.apache.spark.sql.expressions.Window
+    val lookback = 7L * 86400L
+    val ev = Seq(
+      // user 1: click (day 0), view (day 2), purchase (day 3)
+      (1L, 100L, "click", 0L), (1L, 101L, "view", 2L * 86400),
+      (1L, 102L, "purchase", 3L * 86400),
+      // user 2: click 8 days before purchase (outside lookback) and a
+      // view exactly AT the purchase second (not strictly before)
+      (2L, 200L, "click", 0L), (2L, 201L, "view", 8L * 86400),
+      (2L, 202L, "purchase", 8L * 86400))
+      .toDF("user_id", "event_id", "event_type", "ts_s")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-lookback, -1L)
+    val touch = when(
+      col("event_type") === "click" || col("event_type") === "view",
+      struct(col("ts_s"), col("event_id"), col("event_type")))
+    val out = ev
+      .withColumn("first_t", min(touch).over(w))
+      .withColumn("last_t", max(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        coalesce(col("first_t.event_type"), lit("none")).as("ft"),
+        coalesce(col("last_t.event_type"), lit("none")).as("lt"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        r.getString(2))).toMap
+    assert(out(1L) == ("click", "view"))
+    assert(out(2L) == ("none", "none"))
+  }
+
   // --- ANN bake-off: equal-budget recall pin -----------------------------
 
   test("ANN bake-off (q204 companion): HNSW recall@10 >= IVF multi-probe " +
