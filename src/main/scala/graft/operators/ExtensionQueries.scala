@@ -7879,6 +7879,135 @@ object ExtensionQueries {
              |)
              |SELECT id_a, id_b, c_micro, margin_milli FROM m
              |WHERE rk = 1 ORDER BY id_a""".stripMargin)),
+
+    // Time-decayed engagement score: Σ type-weight · 2^-(age/halflife)
+    // per user, with the decay EXACT INTEGER — micro-unit weight
+    // right-shifted by whole half-lives (7 days), shift capped at 40 —
+    // so no pow()/exp() cross-libm drift can enter the compare surface
+    // (the float-free analogue of the exponential-decay feature every
+    // engagement model keeps). Reference "now" = the corpus max ts, a
+    // 1-row broadcast (deterministic replay, the A5 scalar pattern).
+    Q("q211_decayed_engagement",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_s", col("ts").cast("long"))
+        val nowRow = broadcast(ev.agg(max(col("ts_s")).as("now_s")))
+        val weight = typedLit(Map("purchase" -> 5L, "signup" -> 3L,
+          "click" -> 1L, "view" -> 1L, "error" -> 0L))
+        ev.crossJoin(nowRow)
+          .withColumn("halflives",
+            expr("least((now_s - ts_s) DIV 604800, 40)"))
+          .withColumn("w", coalesce(weight(col("event_type")), lit(0L)))
+          .withColumn("decayed_micro",
+            expr("w * shiftright(CAST(1000000 AS BIGINT)," +
+              " CAST(halflives AS INT))"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("decayed_micro")).as("engagement_micro"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+             |  FROM events
+             |), nw AS (
+             |  SELECT MAX(ts_s) AS now_s FROM e
+             |), d AS (
+             |  SELECT e.user_id,
+             |         CASE e.event_type WHEN 'purchase' THEN 5
+             |           WHEN 'signup' THEN 3 WHEN 'click' THEN 1
+             |           WHEN 'view' THEN 1 ELSE 0 END
+             |         * (CAST(1000000 AS BIGINT) >> CAST(least(
+             |             (nw.now_s - e.ts_s) // 604800, 40) AS INT))
+             |           AS decayed_micro
+             |  FROM e CROSS JOIN nw
+             |)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(decayed_micro) AS BIGINT) AS engagement_micro
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sequence-length bucket / padding-waste report (the batch-inference
+    // twin of q65's training-side packing): docs bucket to the next
+    // power-of-two token length (pure INTEGER log2 via binary-string
+    // length — no float log near exact powers), each bucket reports doc
+    // count, real token mass, padded mass and waste bp — the table that
+    // decides bucket boundaries for padded batching (high waste ⇒ add a
+    // bucket; the packing-vs-padding tradeoff made measurable). One
+    // map-side bucket expression + one aggregate.
+    Q("q212_padding_waste",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(expr("CAST(size(filter(split(trim(text), '\\\\s+')," +
+          " x -> length(x) > 0)) AS BIGINT)").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("bucket",
+          expr("CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)" +
+            " ELSE shiftleft(CAST(1 AS BIGINT)," +
+            " CAST(length(bin(n_tokens - 1)) AS INT)) END"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("token_mass"))
+        .withColumn("padded_mass", col("bucket") * col("n_docs"))
+        .withColumn("waste_bp",
+          expr("(padded_mass - token_mass) * 10000 DIV padded_mass"))
+        .orderBy("bucket"),
+      Some("""WITH t AS (
+             |  SELECT CAST(len(list_filter(string_split_regex(trim(text),
+             |           '\s+'), x -> length(x) > 0)) AS BIGINT)
+             |           AS n_tokens
+             |  FROM documents
+             |), b AS (
+             |  SELECT n_tokens,
+             |         CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+             |              ELSE CAST(1 AS BIGINT)
+             |                << CAST(length(bin(n_tokens - 1)) AS INT)
+             |         END AS bucket
+             |  FROM t WHERE n_tokens > 0
+             |), g AS (
+             |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+             |  FROM b GROUP BY 1
+             |)
+             |SELECT bucket, n_docs, token_mass,
+             |       CAST(bucket * n_docs AS BIGINT) AS padded_mass,
+             |       CAST((bucket * n_docs - token_mass) * 10000
+             |         // (bucket * n_docs) AS BIGINT) AS waste_bp
+             |FROM g ORDER BY bucket""".stripMargin)),
+
+    // Incremental co-occurrence: the q206 market-basket table maintained
+    // by FOLDING a daily batch into standing (membership, pair-count)
+    // state — the q67/q86/q119 standing-artifact discipline at the
+    // association grain. A batch contributes only memberships it is
+    // first to introduce; new pairs are (new × full-membership) with a
+    // type-order guard on new×new. The oracle is the ONE-SHOT distinct
+    // pair aggregate over all events, so folded ≡ rebuilt is
+    // hash-certified cross-engine (same code path as the streaming
+    // maintainer: SketchStreams.cooccurFold).
+    Q("q213_incremental_cooccur",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val batchPred = col("event_id") % 10 === 7
+        def ut(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), col("event_type")).distinct()
+        val standingUt = ut(ev.filter(!batchPred))
+        val standingPc = standingUt
+          .select(col("user_id"), col("event_type").as("ta"))
+          .join(standingUt.select(col("user_id"),
+            col("event_type").as("tb")), Seq("user_id"))
+          .filter(col("ta") < col("tb"))
+          .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val (_, mergedPc) = graft.streaming.SketchStreams.cooccurFold(
+          standingUt, standingPc, ut(ev.filter(batchPred)))
+        mergedPc.orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_ab
+             |FROM ut a JOIN ut b ON a.user_id = b.user_id
+             | AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated

@@ -1456,6 +1456,65 @@ class StreamingSpec extends AnyFunSuite {
       "replayed fold changed the classifier")
   }
 
+  test("streaming co-occurrence maintenance: waves fold into the " +
+    "standing (membership, pair-count) state; final counts ≡ the " +
+    "one-shot distinct-pair aggregate; replay adds nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scooc").toString
+    val src = s"$base/src"
+    val st = s"$base/state"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(src).mkdirs()
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_type", "event_id")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-scooc-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit =
+      graft.streaming.SketchStreams.ingestCooccurrence(
+        spark.readStream.schema(ev.schema).parquet(src), st, ckpt)
+        .awaitTermination(120000)
+    def landed(): Set[(String, String, Long)] = {
+      spark.catalog.refreshByPath(st)
+      graft.streaming.SketchStreams.latestCooccurrence(spark, st)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+    }
+    // three arbitrary slices (co-occurrence folding needs no time
+    // ordering — memberships are a set union)
+    stage("w0", ev.filter(col("event_id") % 3 === 0))
+    runOnce()
+    stage("w1", ev.filter(col("event_id") % 3 === 1))
+    runOnce()
+    stage("w2", ev.filter(col("event_id") % 3 === 2))
+    runOnce()
+    val ut = ev.select("user_id", "event_type").distinct()
+    val want = ut.select(col("user_id"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb")),
+        Seq("user_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(landed() == want)
+    // restart with no new files: nothing replays
+    runOnce()
+    assert(landed() == want)
+    // crash-replay of the final batch by hand: reads v=1, rewrites the
+    // same v=2 state
+    graft.streaming.SketchStreams.cooccurBatch(
+      ev.filter(col("event_id") % 3 === 2), batchId = 2, st)
+    assert(landed() == want)
+  }
+
   test("streaming MERGE INTO the versioned table: each micro-batch " +
     "lands as one transactional MERGE commit; a crash-replayed batch " +
     "(same batchId) is a no-op; history stays time-travel readable") {
