@@ -310,6 +310,30 @@ object Similarity {
       .agg(count(lit(1)).as("cand_rows"))
   }
 
+  /** Raw IVF candidate PAIRS — the multi-probe candidate stage without
+    * the scoring/top-k that [[ivfTopKProbed]] adds: each query's nprobe
+    * best cells admit their members as (query_id, vec_id) rows. This is
+    * the reusable candidate generator for consumers whose scoring isn't
+    * plain cosine top-k (the q210 margin miner ranks candidates by
+    * neighborhood-relative margin), keeping them off all-pairs joins:
+    * volume is |queries|·nprobe·avg-cell, never |queries|·|corpus|. */
+  def ivfProbedPairs(corpus: DataFrame, queries: DataFrame, cells: Int,
+                     nprobe: Int, lloydIters: Int = 1): DataFrame = {
+    val carr = centroidArrayShared(corpus, cells, lloydIters)
+    val assigned = assignWith(corpus, carr)
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .crossJoin(carr)
+      .withColumn("ranked", slice(array_sort(transform(col("cs"), c =>
+        struct((-cosine(col("qv"), c.getField("cv"))).as("negsim"),
+          c.getField("centroid_id").as("cell")))), 1, nprobe))
+      .select(col("query_id"), explode(col("ranked.cell")).as("cell"))
+    assigned.select("vec_id", "cell")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space (the k-means-refined
     * IVF cells), then within each cluster drop every vector that has a

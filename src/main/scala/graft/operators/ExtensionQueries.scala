@@ -7793,24 +7793,31 @@ object ExtensionQueries {
 
     // Margin-based alignment mining (Artetxe & Schwenk, ACL 2019 — the
     // CCMatrix/LASER bitext-mining score): across two corpus halves
-    // (vec_id parity as the two "languages"), score each cross pair by
-    // cosine RELATIVE to both endpoints' neighborhood density —
-    // margin = 8·cos(x,y) / (Σtop4 cos(x,·) + Σtop4 cos(y,·)) — and
-    // keep each left vector's best partner. Integer milli-margin via
-    // one staged division; neighborhoods from per-side top-4 windows.
-    // This fixture scores all cross pairs (halves are corpus-sized
-    // only at test scale); the 100 TB path feeds the SAME margin
-    // arithmetic from the ANN candidate stage (HNSW/IVF shortlists),
-    // which is exactly what the neighborhood sums need.
+    // (vec_id parity as the two "languages"), candidate pairs come from
+    // the IVF MULTI-PROBE stage (corpus side = odd half indexed into
+    // cells, query side = even half probing its 2 best cells — volume
+    // |A|·nprobe·avg-cell, NEVER |A|·|B|), then each candidate scores
+    // by cosine RELATIVE to both endpoints' neighborhood density over
+    // the same candidate graph — margin = 8·cos(x,y) / (Σtop4 cos(x,·)
+    // + Σtop4 cos(y,·)) — and each left vector keeps its best partner.
+    // Integer milli-margin via one staged division. Mining
+    // neighborhoods from the ANN candidate stage is exactly the
+    // production CCMatrix recipe; the oracle replays the IVF training,
+    // probes, candidate set, windows and division wholesale.
     Q("q210_margin_mining",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val emb = Tables.load(s, dir, "embeddings")
         val a = emb.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = emb.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        val pairs = a.crossJoin(broadcast(b))
+        val cand = Similarity.ivfProbedPairs(b, a, cells = 8,
+            nprobe = 2, lloydIters = 1)
+          .select(col("query_id").as("id_a"), col("vec_id").as("id_b"))
+        val pairs = cand
+          .join(emb.select(col("vec_id").as("id_a"),
+            col("embedding").as("va")), Seq("id_a"))
+          .join(emb.select(col("vec_id").as("id_b"),
+            col("embedding").as("vb")), Seq("id_b"))
           .withColumn("c_micro",
             floor(round(Similarity.cosine(col("va"), col("vb")), 6)
               * lit(1000000L)).cast("long"))
@@ -7838,20 +7845,41 @@ object ExtensionQueries {
             col("margin_milli"))
           .orderBy("id_a")
       },
-      Some("""WITH e AS (
+      Some(ivfLloydCtesOver("WHERE vec_id % 2 = 1") + """, allv AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings
-             |), pa AS (
-             |  SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id % 2 = 0
-             |), pb AS (
-             |  SELECT vec_id AS id_b, v AS vb FROM e WHERE vec_id % 2 = 1
+             |), scored AS (
+             |  SELECT e.vec_id, e.v, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |), asg AS (
+             |  SELECT vec_id, v, centroid_id AS cell FROM scored
+             |  WHERE rk = 1
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM allv
+             |  WHERE vec_id % 2 = 0
+             |), cellrank AS (
+             |  SELECT q.query_id, q.qv, c.centroid_id AS cell,
+             |         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             |           list_dot_product(q.qv, c.cv)
+             |             / (sqrt(list_dot_product(q.qv, q.qv))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS prk
+             |  FROM q CROSS JOIN c
+             |), pr AS (
+             |  SELECT query_id, qv, cell FROM cellrank WHERE prk <= 2
              |), prs AS (
-             |  SELECT pa.id_a, pb.id_b,
-             |         CAST(floor(round(list_dot_product(pa.va, pb.vb)
-             |             / (sqrt(list_dot_product(pa.va, pa.va))
-             |                * sqrt(list_dot_product(pb.vb, pb.vb))), 6)
+             |  SELECT p.query_id AS id_a, a.vec_id AS id_b,
+             |         CAST(floor(round(list_dot_product(p.qv, a.v)
+             |             / (sqrt(list_dot_product(p.qv, p.qv))
+             |                * sqrt(list_dot_product(a.v, a.v))), 6)
              |           * 1000000) AS BIGINT) AS c_micro
-             |  FROM pa CROSS JOIN pb
+             |  FROM asg a JOIN pr p ON a.cell = p.cell
+             |   AND a.vec_id <> p.query_id
              |), ranked AS (
              |  SELECT id_a, id_b, c_micro,
              |         ROW_NUMBER() OVER (PARTITION BY id_a
