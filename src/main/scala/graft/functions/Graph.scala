@@ -188,13 +188,19 @@ object Graph {
     * edge list localCheckpoints per round (each round references it
     * twice: degree + two anti-joins; an untruncated plan would re-embed
     * the whole upstream pipeline exponentially), peeling is monotone so
-    * rounds ≤ the peel depth (graph-shape-bounded, typically a handful),
-    * each round is one hash-aggregate + two unhinted anti-joins on the
-    * edge frame. The per-round emptiness check is the CC loop-control
-    * driver read. Converge-or-throw at `maxRounds`: silently stopping
-    * early would report a SUPERSET of the core. */
+    * rounds ≤ the peel depth (graph-shape-bounded — a handful on
+    * social-shaped graphs but O(diameter) on chains: a 100-node path at
+    * k=2 peels one node per end per round), each round is one
+    * hash-aggregate + two unhinted anti-joins on the edge frame. The
+    * per-round emptiness check is the CC loop-control driver read.
+    * Converge-or-throw at the round bound: silently stopping early
+    * would report a SUPERSET of the core. `maxRounds <= 0` (default)
+    * sizes the bound to the graph itself — max(50, node count + 1),
+    * one cheap count over the checkpointed edge frame — since peel
+    * depth can never exceed the node count; pass an explicit positive
+    * bound to cap pathological inputs sooner. */
   def kcore(pairs: DataFrame, k: Int, srcCol: String = "id_a",
-            dstCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+            dstCol: String = "id_b", maxRounds: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var edges = pairs
       .select(col(srcCol).cast("long").as("src"),
@@ -203,9 +209,13 @@ object Graph {
         col(srcCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
+    val bound =
+      if (maxRounds > 0) maxRounds
+      else math.min(Int.MaxValue.toLong,
+        math.max(50L, edges.select("src").distinct().count() + 1L)).toInt
     var rounds = 0
     var done = false
-    while (!done && rounds < maxRounds) {
+    while (!done && rounds < bound) {
       val low = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select("src")
       if (low.isEmpty) done = true
@@ -221,7 +231,7 @@ object Graph {
       rounds += 1
     }
     if (!done) throw new IllegalStateException(
-      s"k-core peel did not converge in $maxRounds rounds")
+      s"k-core peel did not converge in $bound rounds")
     edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("id"), col("core_deg"))
   }

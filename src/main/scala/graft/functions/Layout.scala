@@ -274,15 +274,23 @@ object Layout {
       max(col(xCol).cast("long")).as("_mxx"),
       min(col(yCol).cast("long")).as("_mny"),
       max(col(yCol).cast("long")).as("_mxy"))
+    // fixed-point scaling in DECIMAL(38,0): (x − min)·65535 overflows
+    // int64 once the column RANGE exceeds ~2^47 (and max − min itself
+    // overflows for mixed-sign extremes), which would silently scramble
+    // the layout — in decimal the worst case (2^64 range · 65535 ≈
+    // 1.2e24) fits with 14 digits to spare and the DIV quotient is back
+    // in [0, 65535], so hilbertCluster carries NO range contract
+    // (unlike the declared-domain hilbertBucketStats, whose grid math
+    // stays int64 and keeps its documented ≤ 2^47 requirement)
     df.crossJoin(broadcast(mm))
       .withColumn("_xn",
         expr(s"CASE WHEN _mxx = _mnx THEN CAST(0 AS BIGINT) " +
-          s"ELSE ((CAST(`$xCol` AS BIGINT) - _mnx) * 65535) " +
-          s"DIV (_mxx - _mnx) END"))
+          s"ELSE CAST(((CAST(`$xCol` AS DECIMAL(38,0)) - _mnx) * 65535) " +
+          s"DIV (CAST(_mxx AS DECIMAL(38,0)) - _mnx) AS BIGINT) END"))
       .withColumn("_yn",
         expr(s"CASE WHEN _mxy = _mny THEN CAST(0 AS BIGINT) " +
-          s"ELSE ((CAST(`$yCol` AS BIGINT) - _mny) * 65535) " +
-          s"DIV (_mxy - _mny) END"))
+          s"ELSE CAST(((CAST(`$yCol` AS DECIMAL(38,0)) - _mny) * 65535) " +
+          s"DIV (CAST(_mxy AS DECIMAL(38,0)) - _mny) AS BIGINT) END"))
       .withColumn("h", hilbertKey(col("_xn"), col("_yn")))
       .drop("_mnx", "_mxx", "_mny", "_mxy", "_xn", "_yn")
       .repartitionByRange(numFiles, col("h"))

@@ -168,31 +168,42 @@ object Retrieval {
     * All-integer scoring (micro-nat BM25 scores, bp Jaccard, int64
     * mmr = score_unats − simWeight·penalty_bp), greedy ties to the
     * lower doc_id — deterministic and engine-replayable. The greedy
-    * loop is inherently sequential but BOUNDED: `k` unrolled rounds of
-    * window-argmax + anti-join over per-query frames of ≤ `pool` rows
-    * (the candidate pool is the only thing that ever leaves the BM25
-    * top-k join, so corpus size never enters the loop). Pairwise
-    * similarity is pool²-bounded per query, computed once up front.
+    * loop is inherently sequential but BOUNDED, so it runs as a
+    * per-query in-memory kernel (cogroup over qid): each query's frame
+    * is ≤ `pool` candidates + `pool`² similarity pairs — never the
+    * corpus — and the k picks fall out of one pass, one job. The
+    * corpus-scale inputs (the BM25 top-k join and the pool-doc shingle
+    * scan) are localCheckpointed ONCE before the kernel: an untruncated
+    * plan would re-embed the tokenize/score lineage at every reference
+    * (the q61/kcore lesson — see Graph.scala's round discipline).
+    * Pairwise similarity is pool²-bounded per query, computed once.
     *
     * Returns (qid, pick, doc_id, score_unats, penalty_bp, mmr_score),
     * pick = 1..k in selection order; a query whose pool is smaller
-    * than k just yields fewer picks. */
+    * than k just yields fewer picks. `idCol` must be integral (the
+    * kernel keys selections by int64 id). */
   def mmrDiversify(docs: DataFrame, queries: Seq[(String, Seq[String])],
                    k: Int = 5, pool: Int = 20, simWeight: Long = 100,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    // ≤ |queries|·pool rows — truncate so the corpus-scale BM25
+    // lineage behind it executes exactly once, not once per reference
     val top = bm25TopKIndexed(docs, queries, pool, idCol, textCol)
-      .select(col("qid"), col(idCol).as("doc_id"), col("score_unats"))
+      .select(col("qid"), col(idCol).cast("long").as("doc_id"),
+        col("score_unats").cast("long"))
+      .localCheckpoint()
     // distinct 3-shingles of pool docs only (same lower/trim/split
     // normalization as the BM25 tokenizer, so the oracle shares one
-    // token stream)
+    // token stream); ≤ |pool ids|·shingles rows — truncated for the
+    // same reason (three downstream references: cnt + both inter sides)
     val poolSh = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(Dedup.shingles(lower(trim(col(textCol))), 3))
           .as("shingle"))
-      .join(top.select("doc_id").distinct(), Seq("doc_id"))
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"))
       .distinct()
+      .localCheckpoint()
     val cnt = poolSh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = top.select(col("qid"), col("doc_id").as("id_a"))
       .join(top.select(col("qid"), col("doc_id").as("id_b")), Seq("qid"))
@@ -215,34 +226,53 @@ object Retrieval {
           " ELSE CAST(coalesce(ninter,0) * 10000" +
           " DIV (coalesce(na,0) + coalesce(nb,0) - coalesce(ninter,0))" +
           " AS BIGINT) END").as("sim_bp"))
-    import org.apache.spark.sql.expressions.Window
-    def argmax(cands: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(desc("mmr_score"), asc("doc_id"))
-      cands.withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1).drop("_rk")
-    }
-    var picks = argmax(top
-      .withColumn("penalty_bp", lit(0L))
-      .withColumn("mmr_score", col("score_unats")))
-      .withColumn("pick", lit(1))
-    for (r <- 2 to k) {
-      val selected = picks.select("qid", "doc_id")
-      val remaining = top.join(selected, Seq("qid", "doc_id"),
-        "left_anti")
-      val pen = remaining
-        .join(selected.withColumnRenamed("doc_id", "id_b"), Seq("qid"))
-        .join(sim.withColumnRenamed("id_a", "doc_id"),
-          Seq("qid", "doc_id", "id_b"))
-        .groupBy("qid", "doc_id", "score_unats")
-        .agg(max(col("sim_bp")).as("penalty_bp"))
-      val next = argmax(pen.withColumn("mmr_score",
-          col("score_unats") - lit(simWeight) * col("penalty_bp")))
-        .withColumn("pick", lit(r))
-      picks = picks.unionByName(next)
-    }
-    picks.select(col("qid"), col("pick"), col("doc_id"),
-      col("score_unats"), col("penalty_bp"), col("mmr_score"))
+    // greedy selection as a per-qid in-memory kernel: both sides of
+    // the cogroup are bounded by construction (pool / pool² rows per
+    // query), so the k sequential rounds cost nothing and the whole
+    // diversification is ONE job — no unrolled join ladder, no
+    // re-execution of anything corpus-scale
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val poolDs = top.as[(String, Long, Long)]
+    val simDs = sim
+      .select(col("qid"), col("id_a"), col("id_b"), col("sim_bp"))
+      .as[(String, Long, Long, Long)]
+    val sw = simWeight
+    val kk = k
+    poolDs.groupByKey(_._1)
+      .cogroup(simDs.groupByKey(_._1)) { (qid, ps, ss) =>
+        val cand = ps.map(t => (t._2, t._3)).toArray
+        val simBp = ss.map(t => ((t._2, t._3), t._4)).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Int, Long, Long, Long, Long)]
+        var pick = 1
+        while (pick <= math.min(kk, cand.length)) {
+          // argmax of score − sw·(max sim to selected); ties to the
+          // lower doc_id — identical to the former window argmax
+          var bDoc = 0L; var bScore = 0L; var bPen = 0L
+          var bMmr = 0L; var found = false
+          cand.foreach { case (doc, score) =>
+            if (!selected.contains(doc)) {
+              val pen =
+                if (selected.isEmpty) 0L
+                else selected.iterator
+                  .map(s => simBp.getOrElse((doc, s), 0L)).max
+              val mmr = score - sw * pen
+              if (!found || mmr > bMmr || (mmr == bMmr && doc < bDoc)) {
+                bDoc = doc; bScore = score; bPen = pen; bMmr = mmr
+                found = true
+              }
+            }
+          }
+          out += ((qid, pick, bDoc, bScore, bPen, bMmr))
+          selected += bDoc
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "pick", "doc_id", "score_unats", "penalty_bp",
+        "mmr_score")
   }
 
   /** Keyword-in-context snippets for retrieval results (the KWIC /

@@ -8036,6 +8036,288 @@ object ExtensionQueries {
              |FROM ut a JOIN ut b ON a.user_id = b.user_id
              | AND a.event_type < b.event_type
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // The STREAMED co-occurrence table's end state as a first-class
+    // query (the q173/q174 register pattern at the association grain):
+    // q213 certifies the pure fold, this one certifies the versioned
+    // state MACHINE — three micro-batches (event_id mod 3) delivered
+    // through cooccurBatch (the exact foreachBatch body the streaming
+    // maintainer runs: predecessor read gated on ut/_SUCCESS, pc lands
+    // first, overwrite v=N) and the final table read back through
+    // latestCooccurrence (which applies the same commit gate). The
+    // oracle stays the ONE-SHOT distinct-pair aggregate over all
+    // events, so streamed-final-state ≡ rebuilt is hash-certified
+    // cross-engine no matter how the stream batched.
+    Q("q214_streamed_cooccur",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-q214-cooccur").toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.SketchStreams.cooccurBatch(
+            ev.filter(col("event_id") % 3 === b), b, stateDir)
+        }
+        graft.streaming.SketchStreams.latestCooccurrence(s, stateDir)
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events
+             |)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |       CAST(COUNT(*) AS BIGINT) AS n_ab
+             |FROM ut a JOIN ut b ON a.user_id = b.user_id
+             | AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-source language-mixture Shannon entropy — the corpus-balance
+    // card a multilingual data mix is tuned against (a source whose
+    // entropy collapsed is a crawl that went monolingual). Exact
+    // integer micro-nats: each -p·ln(p) term is floored to micro BEFORE
+    // the sum ((1e6·ni)·ln(N/ni)/N — count ratios are exact rationals,
+    // ln is the one shared IEEE op, integer sums are order-free — the
+    // q83/q203 quantization discipline). Two bounded aggregations
+    // (groups = sources×langs, then sources); nothing corpus-sized
+    // ever shuffles.
+    Q("q215_mixture_entropy",
+      (s, dir) => {
+        val pl = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("ni"))
+        val ps = pl.groupBy("source")
+          .agg(sum(col("ni")).as("n_docs"),
+            count(lit(1)).as("n_langs"))
+        pl.join(ps, Seq("source"))
+          .withColumn("term_micro",
+            floor((lit(1000000L) * col("ni"))
+              * log(col("n_docs").cast("double") / col("ni"))
+              / col("n_docs")))
+          .groupBy("source")
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("n_langs")).as("n_langs"),
+            sum(col("term_micro")).as("entropy_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH pl AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS ni
+             |  FROM documents GROUP BY 1, 2
+             |), ps AS (
+             |  SELECT source, CAST(SUM(ni) AS BIGINT) AS n_docs,
+             |         CAST(COUNT(*) AS BIGINT) AS n_langs
+             |  FROM pl GROUP BY 1
+             |)
+             |SELECT p.source, MAX(s.n_docs) AS n_docs,
+             |       MAX(s.n_langs) AS n_langs,
+             |       CAST(SUM(CAST(FLOOR((1000000 * p.ni)
+             |         * ln(CAST(s.n_docs AS DOUBLE) / p.ni)
+             |         / s.n_docs) AS BIGINT)) AS BIGINT) AS entropy_micro
+             |FROM pl p JOIN ps s USING (source)
+             |GROUP BY p.source ORDER BY p.source""".stripMargin)),
+
+    // Per-source lexical diversity: type-token ratio and distinct-
+    // bigram ratio in basis points — the repetitiveness signal
+    // (template/boilerplate sources score low; distinct-n is the
+    // corpus-side face of the Self-BLEU diversity family). Tokenization
+    // and bigram construction are the shared q81 stream (lower/trim/
+    // split + the WordNgrams kernel); counts are exact two-phase
+    // distinct aggregates per source — partial-agg'd map-side, the only
+    // shuffle is (source, gram)-keyed.
+    Q("q216_lexical_diversity",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val uni = d.select(col("source"),
+            explode(Retrieval.tokens(col("text"))).as("t"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("t")).as("n_types"))
+        val bi = d.select(col("source"),
+            explode(Retrieval.wordNgrams(col("text"), 2)).as("b"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            countDistinct(col("b")).as("n_distinct_bigrams"))
+        uni.join(bi, Seq("source"), "left")
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_distinct_bigrams"), lit(0L))
+              .as("n_distinct_bigrams"),
+            expr("CASE WHEN coalesce(n_bigrams, 0) > 0 THEN " +
+              "n_distinct_bigrams * 10000 div n_bigrams " +
+              "ELSE CAST(0 AS BIGINT) END").as("distinct_bigram_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, source, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), uni AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |         CAST(COUNT(DISTINCT t) AS BIGINT) AS n_types
+             |  FROM tr GROUP BY 1
+             |), bg AS (
+             |  SELECT source,
+             |         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id
+             |           ORDER BY i) AS b, i, n
+             |  FROM tr
+             |), bgs AS (
+             |  SELECT source, b FROM bg WHERE i <= n - 1
+             |), bi AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |         CAST(COUNT(DISTINCT b) AS BIGINT)
+             |           AS n_distinct_bigrams
+             |  FROM bgs GROUP BY 1
+             |)
+             |SELECT u.source, u.n_tokens, u.n_types,
+             |       CAST(u.n_types * 10000 // u.n_tokens AS BIGINT)
+             |         AS ttr_bp,
+             |       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT)
+             |         AS n_bigrams,
+             |       CAST(COALESCE(b.n_distinct_bigrams, 0) AS BIGINT)
+             |         AS n_distinct_bigrams,
+             |       CAST(CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+             |            THEN b.n_distinct_bigrams * 10000
+             |              // b.n_bigrams
+             |            ELSE 0 END AS BIGINT) AS distinct_bigram_bp
+             |FROM uni u LEFT JOIN bi b USING (source)
+             |ORDER BY u.source""".stripMargin)),
+
+    // Zipf rank-frequency slope per source (Theil-Sen over the top-50
+    // terms' (ln rank, ln count) points): natural text sits near −1;
+    // a flat slope flags machine-generated/templated sources, a steep
+    // one flags degenerate repetition — the q202 robust-trend recipe
+    // applied to the lexical distribution. Slopes are floored to exact
+    // integer milli AFTER one shared IEEE op sequence (ln of exact
+    // counts, subtract, divide — no float ever aggregates); the
+    // pairwise stage is per-source quadratic in the FIXED top-k (1225
+    // pairs), never corpus-sized; the median via the bounded radix
+    // histogram (percentilesByValue).
+    Q("q217_zipf_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Retrieval.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("c"), asc("t"))
+        val top = tc.withColumn("r", row_number().over(w))
+          .filter(col("r") <= 50)
+        val slopes = top.as("a").join(top.as("b"),
+            col("a.source") === col("b.source")
+              && col("a.r") < col("b.r"))
+          .select(col("a.source").as("source"),
+            floor((lit(1000.0)
+                * (log(col("b.c").cast("double"))
+                  - log(col("a.c").cast("double"))))
+              / (log(col("b.r").cast("double"))
+                - log(col("a.r").cast("double"))))
+              .as("slope_milli"))
+        Sketches.percentilesByValue(slopes, "source", "slope_milli",
+            Seq(50))
+          .select(col("source"), col("n").as("n_pairs"),
+            col("p50").as("slope_milli_p50"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT source, unnest(ws) AS t FROM d
+             |), tc AS (
+             |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tr GROUP BY 1, 2
+             |), rk AS (
+             |  SELECT source, t, c,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY c DESC, t) AS r
+             |  FROM tc
+             |), top AS (
+             |  SELECT * FROM rk WHERE r <= 50
+             |), sl AS (
+             |  SELECT a.source,
+             |         CAST(FLOOR((1000.0
+             |             * (ln(CAST(b.c AS DOUBLE))
+             |               - ln(CAST(a.c AS DOUBLE))))
+             |           / (ln(CAST(b.r AS DOUBLE))
+             |             - ln(CAST(a.r AS DOUBLE)))) AS BIGINT) AS v
+             |  FROM top a JOIN top b ON b.source = a.source
+             |    AND a.r < b.r
+             |), cc AS (
+             |  SELECT source, v, COUNT(*) AS cnt FROM sl GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT source, v,
+             |         SUM(cnt) OVER (PARTITION BY source
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY source) AS n
+             |  FROM cc
+             |)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n_pairs,
+             |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |         THEN v END) AS BIGINT) AS slope_milli_p50
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Temperature-scaled source sampling weights (the multilingual
+    // mixing recipe — mBERT/XLM-R style p_i ∝ n_i^(1/τ) at τ=2, i.e.
+    // √tokens): upweights tail sources without letting the head
+    // dominate. τ=2 is the one temperature whose power is an EXACT
+    // IEEE op (sqrt is correctly rounded; pow/exp would drift across
+    // libms — the q211 rule), so both engines produce identical
+    // weights: √tokens floored to integer micro once, then pure
+    // integer shares (ppm) via DECIMAL/HUGEINT staging that cannot
+    // overflow at any corpus size. One bounded aggregate + a 1-row
+    // broadcast; token counting is the q175 stream.
+    Q("q218_temperature_sampling",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            when(length(trim(col("text"))) === 0, 0)
+              .otherwise(size(split(trim(col("text")), "\\s+")))
+              .as("nw"))
+          .groupBy("source").agg(sum(col("nw")).as("tokens"))
+          .withColumn("sqrt_micro",
+            floor(sqrt(col("tokens").cast("double"))
+              * lit(1000000.0)).cast("long"))
+        val totals = counts.agg(sum(col("tokens")).as("tot_tokens"),
+          sum(col("sqrt_micro")).as("tot_sqrt"))
+        counts.crossJoin(broadcast(totals))
+          .select(col("source"), col("tokens"), col("sqrt_micro"),
+            expr("CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV tot_tokens AS BIGINT)").as("natural_ppm"),
+            expr("CAST(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000" +
+              " DIV tot_sqrt AS BIGINT)").as("temp_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |         CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text),
+             |                       '\s+')) END AS nw
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, CAST(SUM(nw) AS BIGINT) AS tokens
+             |  FROM d GROUP BY 1
+             |), cs AS (
+             |  SELECT source, tokens,
+             |         CAST(FLOOR(sqrt(CAST(tokens AS DOUBLE))
+             |           * 1000000.0) AS BIGINT) AS sqrt_micro
+             |  FROM c
+             |), t AS (
+             |  SELECT CAST(SUM(tokens) AS BIGINT) AS tot_tokens,
+             |         CAST(SUM(sqrt_micro) AS BIGINT) AS tot_sqrt
+             |  FROM cs
+             |)
+             |SELECT cs.source, cs.tokens, cs.sqrt_micro,
+             |       CAST(CAST(cs.tokens AS HUGEINT) * 1000000
+             |         // t.tot_tokens AS BIGINT) AS natural_ppm,
+             |       CAST(CAST(cs.sqrt_micro AS HUGEINT) * 1000000
+             |         // t.tot_sqrt AS BIGINT) AS temp_ppm
+             |FROM cs CROSS JOIN t
+             |ORDER BY cs.source""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated

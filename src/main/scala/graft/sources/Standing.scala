@@ -32,12 +32,28 @@ object Standing {
     * `build`, persists MEMORY_AND_DISK and registers the frame; later
     * calls return the registered frame. Entries of stopped sessions are
     * swept on every call (same discipline as Tables.load).
+    *
+    * Concurrent first access races through putIfAbsent, NOT
+    * getOrElseUpdate: TrieMap.getOrElseUpdate may run the build thunk in
+    * more than one caller, and each loser would leave a persisted frame
+    * no registry entry owns — exactly the unreleasable storage this
+    * registry exists to prevent. Here only the putIfAbsent winner's
+    * frame survives; losers unpersist theirs before returning the
+    * winner's.
     */
   def frame(spark: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame = {
     frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
-    frames.getOrElseUpdate((spark, dir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    val key = (spark, dir, name)
+    frames.get(key).getOrElse {
+      val mine = build.persist(StorageLevel.MEMORY_AND_DISK)
+      frames.putIfAbsent(key, mine) match {
+        case None => mine
+        case Some(winner) =>
+          mine.unpersist(blocking = false)
+          winner
+      }
+    }
   }
 
   /** Release every standing frame registered for (session, dir):

@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, when}
   *   <dir>/data/v=N/part-*.parquet   immutable files of commit N
   *   <dir>/_log/N.json               commit record N (atomic create)
   * }}}
+  * (a crashed/raced landing attempt may leave an extra `data/v=N.k`
+  * dir; it is unreferenced garbage — readers plan only from the log's
+  * file list — see [[landData]])
   *
   * Semantics (Delta's core, teaching-scale):
   *  - `append` adds its files to the current snapshot;
@@ -116,13 +119,50 @@ object VersionedTable {
 
   // -- writes --------------------------------------------------------
 
+  /** Land `df`'s files for version `v` and return their relative paths.
+    *
+    * The LOG file, not the data dir, is the commit point: a crash
+    * between landing and the log claim leaves a data dir no reader can
+    * ever see (planning is log-only, [[filesAt]]). A retry must neither
+    * wedge on that orphan (SaveMode.ErrorIfExists forever, the torn-
+    * commit failure mode) nor delete it — a CONCURRENT writer mid-
+    * flight on the same version is indistinguishable from a crashed
+    * one, and deleting its dir could let an already-claimed log record
+    * point at vanished files. So every attempt lands in the first FREE
+    * attempt dir (`data/v=N`, then `data/v=N.1`, ...): dirs are
+    * immutable once written, crash/loser dirs stay behind as
+    * unreferenced garbage (invisible to readers; removable by hand once
+    * no writer is in flight), and the log claim in [[commit]] stays the
+    * one atomic decision point. */
   private def landData(df: DataFrame, dir: String, v: Long): Seq[String] = {
-    val rel = s"data/v=$v"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
-    val dp = new Path(s"$dir/$rel")
-    val fs = fsFor(df.sparkSession, dp)
-    fs.listStatus(dp).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n").toSeq
+    val spark = df.sparkSession
+    var attempt = 0
+    var writes = 0
+    while (writes < 5) {
+      val rel = if (attempt == 0) s"data/v=$v" else s"data/v=$v.$attempt"
+      val dp = new Path(s"$dir/$rel")
+      val fs = fsFor(spark, dp)
+      if (!fs.exists(dp)) {
+        writes += 1
+        try {
+          df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+          return fs.listStatus(dp).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).sorted.map(n => s"$rel/$n")
+            .toSeq
+        } catch {
+          // lost the dir race to a concurrent lander (or a partial dir
+          // appeared): move to the next suffix; any other failure has
+          // no dir to explain it and propagates
+          case e: Throwable if fs.exists(dp) => ()
+        }
+      }
+      attempt += 1
+      if (attempt > 10000) throw new IllegalStateException(
+        s"landData: no free attempt dir for v=$v under $dir")
+    }
+    throw new IllegalStateException(
+      s"landData: 5 write attempts for v=$v under $dir all failed " +
+        "leaving partial dirs — investigate the underlying write error")
   }
 
   private def commit(df: DataFrame, dir: String, action: String,

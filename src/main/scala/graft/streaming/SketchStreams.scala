@@ -222,13 +222,20 @@ object SketchStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** The latest committed co-occurrence pair counts under `stateDir`. */
+  /** The latest committed co-occurrence pair counts under `stateDir`.
+    * "Committed" = the version's `ut/_SUCCESS` marker exists — the same
+    * gate cooccurBatch keys its predecessor read on (pc lands before
+    * ut, so ut/_SUCCESS is the version's commit point); a torn version
+    * left by a crash mid-write is skipped here exactly as the stream's
+    * own replay skips it. */
   def latestCooccurrence(spark: SparkSession,
                          stateDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${versionPath(stateDir, v)}/ut/_SUCCESS")))
     require(vs.nonEmpty, s"no committed co-occurrence versions under " +
       stateDir)
     spark.read.parquet(s"${versionPath(stateDir, vs.max)}/pc")
