@@ -181,27 +181,56 @@ object Retrieval {
     * Returns (qid, pick, doc_id, score_unats, penalty_bp, mmr_score),
     * pick = 1..k in selection order; a query whose pool is smaller
     * than k just yields fewer picks. `idCol` must be integral (the
-    * kernel keys selections by int64 id). */
+    * kernel keys selections by int64 id).
+    *
+    * The three stages are also public individually — [[mmrPoolTop]] /
+    * [[mmrPoolSim]] (corpus-scale, candidate-pool-sized outputs: the
+    * INDEX artifacts, memoizable as standing frames) and [[mmrSelect]]
+    * (the bounded greedy) — so a serving path can keep the pool tables
+    * standing and run only the selection per request. */
   def mmrDiversify(docs: DataFrame, queries: Seq[(String, Seq[String])],
                    k: Int = 5, pool: Int = 20, simWeight: Long = 100,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
-    // ≤ |queries|·pool rows — truncate so the corpus-scale BM25
-    // lineage behind it executes exactly once, not once per reference
-    val top = bm25TopKIndexed(docs, queries, pool, idCol, textCol)
+    require(pool >= k, s"need pool >= k, got k=$k pool=$pool")
+    val top = mmrPoolTop(docs, queries, pool, idCol, textCol)
+    mmrSelect(top, mmrPoolSim(docs, top, idCol, textCol), k, simWeight)
+  }
+
+  /** MMR stage 1a: each query's BM25 top-`pool` candidates —
+    * (qid, doc_id, score_unats), ≤ |queries|·pool rows,
+    * localCheckpointed so the corpus-scale BM25 lineage behind it
+    * executes exactly once, not once per downstream reference. */
+  def mmrPoolTop(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                 pool: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(pool >= 1, s"pool must be positive, got $pool")
+    bm25TopKIndexed(docs, queries, pool, idCol, textCol)
       .select(col("qid"), col(idCol).cast("long").as("doc_id"),
         col("score_unats").cast("long"))
       .localCheckpoint()
-    // distinct 3-shingles of pool docs only (same lower/trim/split
-    // normalization as the BM25 tokenizer, so the oracle shares one
-    // token stream); ≤ |pool ids|·shingles rows — truncated for the
-    // same reason (three downstream references: cnt + both inter sides)
+  }
+
+  /** MMR stage 1b: pairwise 3-shingle Jaccard (basis points) between
+    * every same-query candidate pair — (qid, id_a, id_b, sim_bp),
+    * ≤ |queries|·pool² rows. The corpus is touched exactly once: docs
+    * broadcast-semi-join against the ≤ |queries|·pool distinct pool
+    * ids FIRST (at doc grain), and only the surviving docs' shingles
+    * are exploded — at 100 TB the shingle explode runs on pool-many
+    * documents, never the corpus. Shingle normalization is the same
+    * lower/trim/split stream as the BM25 tokenizer, so the oracle
+    * shares one token pipeline. */
+  def mmrPoolSim(docs: DataFrame, top: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    // pool-doc shingles: ≤ |pool ids|·shingles rows, localCheckpointed
+    // (three downstream references: cnt + both inter sides)
     val poolSh = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol))
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"))
+      .select(col("doc_id"),
         explode(Dedup.shingles(lower(trim(col(textCol))), 3))
           .as("shingle"))
-      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"))
       .distinct()
       .localCheckpoint()
     val cnt = poolSh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
@@ -214,7 +243,7 @@ object Retrieval {
       .join(poolSh.select(col("doc_id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("qid", "id_a", "id_b").agg(count(lit(1)).as("ninter"))
-    val sim = pairs
+    pairs
       .join(cnt.select(col("doc_id").as("id_a"), col("nsh").as("na")),
         Seq("id_a"), "left")
       .join(cnt.select(col("doc_id").as("id_b"), col("nsh").as("nb")),
@@ -226,12 +255,19 @@ object Retrieval {
           " ELSE CAST(coalesce(ninter,0) * 10000" +
           " DIV (coalesce(na,0) + coalesce(nb,0) - coalesce(ninter,0))" +
           " AS BIGINT) END").as("sim_bp"))
-    // greedy selection as a per-qid in-memory kernel: both sides of
-    // the cogroup are bounded by construction (pool / pool² rows per
-    // query), so the k sequential rounds cost nothing and the whole
-    // diversification is ONE job — no unrolled join ladder, no
-    // re-execution of anything corpus-scale
-    val spark = docs.sparkSession
+  }
+
+  /** MMR stage 2: the greedy selection as a per-qid in-memory kernel —
+    * both sides of the cogroup are bounded by construction (pool /
+    * pool² rows per query), so the k sequential rounds cost nothing
+    * and the whole diversification is ONE job: no unrolled join
+    * ladder, no re-execution of anything corpus-scale. `top` and
+    * `sim` are [[mmrPoolTop]] / [[mmrPoolSim]] outputs (or standing
+    * memoized copies of them). */
+  def mmrSelect(top: DataFrame, sim: DataFrame, k: Int,
+                simWeight: Long = 100): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = top.sparkSession
     import spark.implicits._
     val poolDs = top.as[(String, Long, Long)]
     val simDs = sim

@@ -7548,18 +7548,29 @@ object ExtensionQueries {
     // re-rank of each query's BM25 top-20 where every pick pays
     // 100·(max 3-shingle Jaccard bp vs the already-picked set) — the
     // search/RAG step that keeps near-duplicate results from crowding
-    // a context window. All-integer scoring; the greedy loop is k=5
-    // UNROLLED rounds over ≤20-row per-query frames (corpus size never
-    // enters the loop). Oracle: the identical 5 rounds generated as
-    // CTE blocks (the bpeOracleCtes unroll pattern).
+    // a context window. All-integer scoring; the greedy loop runs as a
+    // per-query in-memory cogroup kernel over ≤20-candidate /
+    // ≤380-pair frames (corpus size never enters the selection). The
+    // two pool tables — BM25 top-20 and pairwise shingle Jaccard —
+    // are the INDEX artifacts of the query set, memoized as standing
+    // frames (the media/ANN standing-index pattern): built once per
+    // (session, dir), released/rebuilt through the Standing registry,
+    // so repeated serving pays only the bounded selection. Oracle:
+    // the identical 5 greedy rounds generated as CTE blocks (the
+    // bpeOracleCtes unroll pattern).
     Q("q205_mmr_diversify",
-      (s, dir) => Retrieval.mmrDiversify(
-          Tables.load(s, dir, "documents"),
-          Seq("q1" -> Seq("spark", "table"),
-            "q2" -> Seq("query", "data"),
-            "q3" -> Seq("window", "zzz_absent_term")),
-          k = 5, pool = 20, simWeight = 100L)
-        .orderBy("qid", "pick"),
+      (s, dir) => {
+        val mmrQueries = Seq("q1" -> Seq("spark", "table"),
+          "q2" -> Seq("query", "data"),
+          "q3" -> Seq("window", "zzz_absent_term"))
+        val top = graft.sources.Standing.frame(s, dir, "mmr_q205_top")(
+          Retrieval.mmrPoolTop(Tables.load(s, dir, "documents"),
+            mmrQueries, pool = 20))
+        val sim = graft.sources.Standing.frame(s, dir, "mmr_q205_sim")(
+          Retrieval.mmrPoolSim(Tables.load(s, dir, "documents"), top))
+        Retrieval.mmrSelect(top, sim, k = 5, simWeight = 100L)
+          .orderBy("qid", "pick")
+      },
       Some(mmrOracle(5))),
 
     // Event-type co-occurrence lift (the market-basket association
@@ -8318,6 +8329,104 @@ object ExtensionQueries {
              |         // t.tot_sqrt AS BIGINT) AS temp_ppm
              |FROM cs CROSS JOIN t
              |ORDER BY cs.source""".stripMargin)),
+
+    // Near-dup cluster SIZE DISTRIBUTION — the dedup health card: a
+    // fat tail of large clusters means boilerplate/mirrors dominate
+    // the duplicate mass and the per-cluster representative policy
+    // matters far more than the pair count suggests. Reads the
+    // memoized standing cluster table (computed once per session+dir,
+    // the ndTable pattern); the histogram itself is two bounded
+    // aggregations over component labels — nothing text-sized moves.
+    Q("q219_cluster_size_histogram",
+      (s, dir) => {
+        val sizes = clustersTable(s, dir)
+          .groupBy("comp").agg(count(lit(1)).as("size"))
+        sizes.groupBy("size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("size")).as("n_docs"))
+          .orderBy("size")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), sz AS (
+          |  SELECT comp, CAST(COUNT(*) AS BIGINT) AS size
+          |  FROM comp GROUP BY comp
+          |)
+          |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |       CAST(SUM(size) AS BIGINT) AS n_docs
+          |FROM sz GROUP BY size ORDER BY size""".stripMargin)),
+
+    // Duplication rate BY SOURCE — which feeds are copying: per source,
+    // docs sitting in a near-dup cluster (member grain), the docs the
+    // dedup materialization would drop (non-representative members),
+    // and both as basis points of the source's corpus share. The
+    // provenance-level signal that decides whether to fix a crawler or
+    // a mirror list. Cluster membership comes from the memoized
+    // standing table; the per-source rollup is one broadcast-sized
+    // join (cluster table ≤ candidate pairs) + one aggregate.
+    Q("q220_dup_rate_by_source",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+        val members = clustersTable(s, dir)
+        val flags = docs
+          .join(members.select(col("id").as("doc_id"),
+            col("comp")), Seq("doc_id"), "left")
+          .select(col("source"),
+            when(col("comp").isNotNull, 1L).otherwise(0L)
+              .as("in_cluster"),
+            when(col("comp").isNotNull
+              && col("comp") =!= col("doc_id"), 1L).otherwise(0L)
+              .as("dropped"))
+        flags.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("in_cluster")).as("n_clustered"),
+            sum(col("dropped")).as("n_dropped"))
+          .select(col("source"), col("n_docs"), col("n_clustered"),
+            col("n_dropped"),
+            expr("n_clustered * 10000 div n_docs").as("clustered_bp"),
+            expr("n_dropped * 10000 div n_docs").as("dropped_bp"))
+          .orderBy("source")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), fl AS (
+          |  SELECT dd.source,
+          |         CASE WHEN c.comp IS NOT NULL THEN 1 ELSE 0 END
+          |           AS in_cluster,
+          |         CASE WHEN c.comp IS NOT NULL
+          |              AND c.comp <> dd.doc_id THEN 1 ELSE 0 END
+          |           AS dropped
+          |  FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+          |)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(in_cluster) AS BIGINT) AS n_clustered,
+          |       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+          |       CAST(SUM(in_cluster) * 10000 // COUNT(*) AS BIGINT)
+          |         AS clustered_bp,
+          |       CAST(SUM(dropped) * 10000 // COUNT(*) AS BIGINT)
+          |         AS dropped_bp
+          |FROM fl GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
