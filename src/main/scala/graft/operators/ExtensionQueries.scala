@@ -8091,8 +8091,12 @@ object ExtensionQueries {
     // ever shuffles.
     Q("q215_mixture_entropy",
       (s, dir) => {
+        // sources×langs rows; truncated because BOTH the per-source
+        // rollup and the term join read it — an untruncated plan scans
+        // the corpus once per reference (the mmrPoolTop discipline)
         val pl = Tables.load(s, dir, "documents")
           .groupBy("source", "lang").agg(count(lit(1)).as("ni"))
+          .localCheckpoint()
         val ps = pl.groupBy("source")
           .agg(sum(col("ni")).as("n_docs"),
             count(lit(1)).as("n_langs"))
@@ -8284,6 +8288,8 @@ object ExtensionQueries {
     // broadcast; token counting is the q175 stream.
     Q("q218_temperature_sampling",
       (s, dir) => {
+        // sources-sized; truncated because the totals row re-reads it —
+        // an untruncated plan would run the corpus token count twice
         val counts = Tables.load(s, dir, "documents")
           .select(col("source"),
             when(length(trim(col("text"))) === 0, 0)
@@ -8293,6 +8299,7 @@ object ExtensionQueries {
           .withColumn("sqrt_micro",
             floor(sqrt(col("tokens").cast("double"))
               * lit(1000000.0)).cast("long"))
+          .localCheckpoint()
         val totals = counts.agg(sum(col("tokens")).as("tot_tokens"),
           sum(col("sqrt_micro")).as("tot_sqrt"))
         counts.crossJoin(broadcast(totals))

@@ -55,6 +55,62 @@ class Round11Spec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("mmrSelect standalone: greedy argmax with penalty and lower-id " +
+    "ties over literal pool tables") {
+    import graft.functions.Retrieval
+    val top = Seq(("q", 1L, 1000L), ("q", 2L, 900L), ("q", 3L, 900L))
+      .toDF("qid", "doc_id", "score_unats")
+    // doc 2 is heavily similar to doc 1; doc 3 is not
+    val sim = Seq(("q", 2L, 1L, 8000L), ("q", 1L, 2L, 8000L),
+      ("q", 3L, 1L, 0L), ("q", 1L, 3L, 0L),
+      ("q", 2L, 3L, 0L), ("q", 3L, 2L, 0L))
+      .toDF("qid", "id_a", "id_b", "sim_bp")
+    val out = Retrieval.mmrSelect(top, sim, k = 3, simWeight = 1L)
+      .orderBy("pick").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    // pick 1: doc 1 (relevance). pick 2: doc 2 scores 900-8000 <0,
+    // doc 3 scores 900-0 -- doc 3 wins. pick 3: doc 2, penalty = max
+    // of sims to {1, 3} = 8000.
+    assert(out.toSeq == Seq((1, 1L, 0L, 1000L), (2, 3L, 0L, 900L),
+      (3, 2L, 8000L, 900L - 8000L)))
+  }
+
+  test("q205 plan: selection is the cogroup kernel; the pool-shingle " +
+    "explode sits above the broadcast pool-id join (corpus is never " +
+    "shingle-exploded)") {
+    val sf = "/root/testdata/sf0.001"
+    val p = SparkEntry.queries("q205_mmr_diversify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), p.take(1500))
+    import graft.functions.Retrieval
+    import graft.sources.Tables
+    val docs = Tables.load(spark, sf, "documents")
+    val top = Retrieval.mmrPoolTop(docs,
+      Seq("q1" -> Seq("spark", "table")), pool = 5)
+    // the sim build BEFORE its localCheckpoint truncates the plan:
+    // Generate (the shingle explode) must be a parent of the broadcast
+    // pool-id join, not below it
+    val simPlan = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.Dedup.shingles(
+          lower(trim(col("text"))), 3)).as("shingle"))
+      .queryExecution.executedPlan.toString
+    val gen = simPlan.indexOf("Generate")
+    val bc = simPlan.indexOf("BroadcastHashJoin")
+    assert(gen >= 0 && bc >= 0 && gen < bc,
+      s"explode must run on the join's survivors: $simPlan")
+    graft.sources.Standing.release(spark, sf)
+  }
+
+  test("q217 plan: the per-source top-50 rank cut uses WindowGroupLimit") {
+    val p = SparkEntry.queries("q217_zipf_slope")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
   // --- bench regression canary -------------------------------------------
 
   test("Bench.parsePrevQueries extracts the flat queries block and " +
