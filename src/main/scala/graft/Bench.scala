@@ -26,9 +26,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Failures are TRACKED, not just swallowed: a query that regresses
+    // into a crash times near-zero and would otherwise read as a
+    // speedup — the exact inversion the regression canary exists to
+    // prevent. failedQueries feeds the canary line and poisons the
+    // per-query value to -1 in the artifact.
+    val failedQueries = scala.collection.mutable.Set.empty[String]
     def run(name: String): Long =
       try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        if (failedQueries.add(name))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1L
+      }
 
     // Fixed-load calibration probe: a data-independent CPU-bound job
     // (hash-fold over a fixed range) timed at the start AND end of the
@@ -105,19 +115,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = execOrder.map(n => n -> timed(n)).toMap
-    // Standing-cache LIFECYCLE exercise: release every standing frame
-    // between the two timed passes and sample the pool right after —
-    // pass 2 then runs the real rebuild-on-next-access path (the frames
-    // repopulate lazily inside whichever query touches them first), so
-    // the release/rebuild cycle is executed by the bench itself every
-    // round rather than only by a spec. min-of-2 keeps pass 1's
-    // steady-state number for any query that happens to absorb a
-    // rebuild in pass 2. Rebuilt ≡ first-build hash equality is pinned
-    // by Round11Spec.
-    val released = graft.sources.Standing.releaseAll(spark)
-    gcBarrier()
-    val (postRelMem, postRelDisk) =
-      graft.sources.Standing.storageBytes(spark)
     val pass2 = execOrder.map(n => n -> timed(n)).toMap
     // min-of-3 for sub-second queries: at n-of-2 several flat queries
     // moved ±25% run-to-run; a third pass over only the cheap ones
@@ -126,17 +123,41 @@ object Bench {
     val sub1 = execOrder.filter(n => math.min(pass1(n), pass2(n)) < 1.0)
     val pass3 = sub1.map(n => n -> timed(n)).toMap
     val results = names.map { name =>
-      name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
+      val v = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
+      // a crashed query's time-to-failure is not a timing — poison it
+      name -> (if (failedQueries(name)) -1.0 else v)
     }
     // per-query spread alongside the min: without it, a cheap query's
     // round-over-round movement is unfalsifiable as noise-vs-regression
-    // from the artifact alone (the r10 q186 ambiguity)
+    // from the artifact alone (the r10 q186 ambiguity). All passes run
+    // with standing caches warm (the lifecycle exercise happens AFTER
+    // the timed passes), so the spread is pure run-to-run noise, never
+    // a one-time rebuild.
     val spreads = names.map { name =>
       val obs = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
       name -> ((obs.min, obs.max))
     }
+    // Standing-cache LIFECYCLE exercise — after the timed passes so no
+    // pass absorbs a rebuild: release every standing frame, sample the
+    // pool (must drop to ~0), then re-run a fixed trio of standing-
+    // backed queries once and report the rebuild seconds — the bench
+    // itself executes release → rebuild-on-next-access every round
+    // (rebuilt ≡ first-build hash equality is pinned by Round11Spec).
+    val released = graft.sources.Standing.releaseAll(spark)
+    gcBarrier()
+    val (postRelMem, postRelDisk) =
+      graft.sources.Standing.storageBytes(spark)
+    val rebuildTrio = Seq("q03_net_demand", "q205_mmr_diversify",
+      "q219_cluster_size_histogram").filter(names.contains)
+    val rebuildSec = {
+      val t0 = System.nanoTime()
+      rebuildTrio.foreach(run)
+      (System.nanoTime() - t0) / 1e9
+    }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._2).sum
+    // crashed queries (-1 poison) are excluded from the total and
+    // surfaced via the canary's failed list instead
+    val total = results.map(_._2).filter(_ >= 0).sum
 
     // Write-side throughput (one pass, reported under its own key so the
     // headline query total stays comparable across rounds): the three
@@ -227,7 +248,10 @@ object Bench {
       s""""standing_disk_bytes":$standDisk,""" +
       s""""standing_released":$released,""" +
       s""""standing_mem_bytes_post_release":$postRelMem,""" +
-      s""""standing_disk_bytes_post_release":$postRelDisk}""" + "\n"
+      s""""standing_disk_bytes_post_release":$postRelDisk,""" +
+      s""""standing_rebuild_sec":${fmt(rebuildSec)},""" +
+      s""""failed":[${failedQueries.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(",")}]}""" + "\n"
     java.nio.file.Files.write(resultsFile,
       fileJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -243,8 +267,14 @@ object Bench {
     val regTop = regressions.take(8)
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
       .mkString("{", ",", "}")
+    // failed queries ride the canary line: a crash-regression must not
+    // read as a speedup (capped like worst; full list in the file)
+    val failTop = failedQueries.toSeq.sorted.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"regressions","baseline":"prev bench_results""" +
-      s""".json","n_regressions":${regressions.size},"worst":$regTop}""")
+      s""".json","n_regressions":${regressions.size},""" +
+      s""""n_failed":${failedQueries.size},"failed":$failTop,""" +
+      s""""worst":$regTop}""")
     println(totalLine(total, results.size, sfDir, resultsFile.toString))
   }
 

@@ -282,14 +282,21 @@ object Layout {
     // in [0, 65535], so hilbertCluster carries NO range contract
     // (unlike the declared-domain hilbertBucketStats, whose grid math
     // stays int64 and keeps its documented ≤ 2^47 requirement)
+    // the per-row coordinate goes through BIGINT FIRST (truncation,
+    // matching the min/max row's own cast) and only then widens to
+    // DECIMAL: casting a fractional double straight to DECIMAL(38,0)
+    // ROUNDS half-up, which would push e.g. x=5.6 above a truncated
+    // _mxx=5 and normalize outside the [0, 65535] grid
     df.crossJoin(broadcast(mm))
       .withColumn("_xn",
         expr(s"CASE WHEN _mxx = _mnx THEN CAST(0 AS BIGINT) " +
-          s"ELSE CAST(((CAST(`$xCol` AS DECIMAL(38,0)) - _mnx) * 65535) " +
+          s"ELSE CAST(((CAST(CAST(`$xCol` AS BIGINT) AS DECIMAL(38,0))" +
+          s" - _mnx) * 65535) " +
           s"DIV (CAST(_mxx AS DECIMAL(38,0)) - _mnx) AS BIGINT) END"))
       .withColumn("_yn",
         expr(s"CASE WHEN _mxy = _mny THEN CAST(0 AS BIGINT) " +
-          s"ELSE CAST(((CAST(`$yCol` AS DECIMAL(38,0)) - _mny) * 65535) " +
+          s"ELSE CAST(((CAST(CAST(`$yCol` AS BIGINT) AS DECIMAL(38,0))" +
+          s" - _mny) * 65535) " +
           s"DIV (CAST(_mxy AS DECIMAL(38,0)) - _mny) AS BIGINT) END"))
       .withColumn("h", hilbertKey(col("_xn"), col("_yn")))
       .drop("_mnx", "_mxx", "_mny", "_mxy", "_xn", "_yn")

@@ -8062,8 +8062,14 @@ object ExtensionQueries {
     Q("q214_streamed_cooccur",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val stateDir = java.nio.file.Files
-          .createTempDirectory("graft-q214-cooccur").toString
+        // deterministic per-(application, data-dir) state path, NOT a
+        // fresh temp dir per invocation: cooccurBatch overwrites v=N
+        // idempotently, so re-invocations (bench passes, spec runs)
+        // converge on one bounded state tree instead of littering /tmp
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q214-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
         (0L to 2L).foreach { b =>
           graft.streaming.SketchStreams.cooccurBatch(
             ev.filter(col("event_id") % 3 === b), b, stateDir)

@@ -138,6 +138,7 @@ object VersionedTable {
     val spark = df.sparkSession
     var attempt = 0
     var writes = 0
+    var lastFailure: Throwable = null
     while (writes < 5) {
       val rel = if (attempt == 0) s"data/v=$v" else s"data/v=$v.$attempt"
       val dp = new Path(s"$dir/$rel")
@@ -151,9 +152,13 @@ object VersionedTable {
             .toSeq
         } catch {
           // lost the dir race to a concurrent lander (or a partial dir
-          // appeared): move to the next suffix; any other failure has
-          // no dir to explain it and propagates
-          case e: Throwable if fs.exists(dp) => ()
+          // appeared): move to the next suffix. NonFatal only — an OOM
+          // or interrupt must propagate, not retry — and the failure is
+          // kept so a real write error (disk full, bad row) surfaces as
+          // the cause instead of being masked by the retry loop.
+          case e: Throwable
+              if scala.util.control.NonFatal(e) && fs.exists(dp) =>
+            lastFailure = e
         }
       }
       attempt += 1
@@ -162,7 +167,8 @@ object VersionedTable {
     }
     throw new IllegalStateException(
       s"landData: 5 write attempts for v=$v under $dir all failed " +
-        "leaving partial dirs — investigate the underlying write error")
+        "leaving partial dirs — see cause for the underlying write error",
+      lastFailure)
   }
 
   private def commit(df: DataFrame, dir: String, action: String,

@@ -283,6 +283,26 @@ class Round11Spec extends AnyFunSuite {
     assert(got == exp, s"got $got expected $exp")
   }
 
+  test("hilbertCluster on fractional DOUBLE columns stays inside the " +
+    "grid: the per-row cast truncates exactly like the min/max row") {
+    import graft.functions.Layout
+    // a straight double→DECIMAL cast would ROUND 5.6 to 6, putting the
+    // row above the truncated max (5) and off the [0, 65535] grid
+    val rows = Seq((0, 0.0, -5.7), (1, 5.6, 0.0), (2, 2.0, -2.9))
+      .toDF("id", "x", "y")
+    val got = Layout.hilbertCluster(rows, "x", "y", 1)
+      .select("id", "h").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // truncation: x ∈ {0, 5, 2} over [0, 5]; y ∈ {-5, 0, -2} over
+    // [-5, 0] → grid coords below
+    val exp = Seq((0, 0L, 0L), (1, 65535L, 65535L),
+      (2, (2L * 65535) / 5, (3L * 65535) / 5))
+      .toDF("id", "xn", "yn")
+      .select(col("id"), Layout.hilbertKey(col("xn"), col("yn")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got $got expected $exp")
+  }
+
   // --- k-core round bound ------------------------------------------------
 
   test("kcore default bound scales to the graph: a 120-node chain at " +
