@@ -8440,6 +8440,111 @@ object ExtensionQueries {
           |       CAST(SUM(dropped) * 10000 // COUNT(*) AS BIGINT)
           |         AS dropped_bp
           |FROM fl GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Per-type traffic burstiness: the index of dispersion
+    // (variance/mean) of DAILY event counts — ≈1e6 micro for
+    // Poisson-like organic traffic, far above it for bursty/bot-driven
+    // types, far below for rate-limited ones. ENTIRELY integer:
+    // var/mean = (n·Σc² − (Σc)²) / (n·Σc) over exact daily counts, so
+    // no float ever exists on the compare surface (stricter than the
+    // ln-based cards); Σc² accumulates in DECIMAL/HUGEINT so per-day
+    // counts can reach int32-squared scale without overflow. Volume:
+    // one (type, day) aggregate — the q202 daily grain — then a
+    // types-sized rollup.
+    Q("q221_event_burstiness",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            dayofmonth(col("ts")).cast("long").as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("c")).as("total"),
+            sum(col("c").cast("decimal(19,0)") * col("c"))
+              .as("s2"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            expr("CAST(((CAST(n_days AS DECIMAL(38,0)) * s2" +
+              " - CAST(total AS DECIMAL(38,0)) * total) * 1000000)" +
+              " DIV (CAST(n_days AS DECIMAL(38,0)) * total)" +
+              " AS BIGINT)").as("dispersion_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |), st AS (
+             |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |         CAST(SUM(c) AS BIGINT) AS total,
+             |         SUM(CAST(c AS HUGEINT) * c) AS s2
+             |  FROM daily GROUP BY 1
+             |)
+             |SELECT event_type, n_days, total,
+             |       CAST(((CAST(n_days AS HUGEINT) * s2
+             |         - CAST(total AS HUGEINT) * total) * 1000000)
+             |         // (CAST(n_days AS HUGEINT) * total)
+             |         AS BIGINT) AS dispersion_micro
+             |FROM st ORDER BY event_type""".stripMargin)),
+
+    // Token-mass concentration per source (Gini coefficient of the
+    // doc-length distribution): ≈0 when every doc contributes equally,
+    // →1e6 micro when a few giant docs carry the mass — the signal
+    // that a source's token count is really three megadocs and a tail
+    // of stubs. Exact integers end-to-end via the sorted-rank closed
+    // form G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) (ranks ordered
+    // (length, doc_id) so ties are deterministic in both engines);
+    // rank-weighted sums accumulate in DECIMAL/HUGEINT. Volume: one
+    // rank window per source (the q217 shape) + a sources-sized
+    // rollup; empty-mass sources report -1, never a silent 0 (the
+    // q178 zero-denominator rule).
+    Q("q222_length_gini",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nw = Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            when(length(trim(col("text"))) === 0, 0L)
+              .otherwise(size(split(trim(col("text")), "\\s+"))
+                .cast("long")).as("nw"))
+        val ranked = nw.withColumn("i",
+          row_number().over(Window.partitionBy("source")
+            .orderBy(asc("nw"), asc("doc_id"))).cast("long"))
+        ranked.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("tokens"),
+            sum(col("i").cast("decimal(19,0)") * col("nw"))
+              .as("iw"))
+          .select(col("source"), col("n_docs"), col("tokens"),
+            expr("CAST(CASE WHEN n_docs * tokens = 0 THEN -1" +
+              " ELSE ((2 * iw - (CAST(n_docs AS DECIMAL(38,0)) + 1)" +
+              " * tokens) * 1000000)" +
+              " DIV (CAST(n_docs AS DECIMAL(38,0)) * tokens)" +
+              " END AS BIGINT)").as("gini_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |         CASE WHEN length(trim(text)) = 0 THEN 0
+             |              ELSE len(string_split_regex(trim(text),
+             |                       '\s+')) END AS nw
+             |  FROM documents
+             |), rk AS (
+             |  SELECT source, CAST(nw AS BIGINT) AS nw,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |           ORDER BY nw, doc_id) AS BIGINT) AS i
+             |  FROM d
+             |), st AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(nw) AS BIGINT) AS tokens,
+             |         SUM(CAST(i AS HUGEINT) * nw) AS iw
+             |  FROM rk GROUP BY 1
+             |)
+             |SELECT source, n_docs, tokens,
+             |       CAST(CASE WHEN n_docs * tokens = 0 THEN -1
+             |         ELSE ((2 * iw - (CAST(n_docs AS HUGEINT) + 1)
+             |           * tokens) * 1000000)
+             |           // (CAST(n_docs AS HUGEINT) * tokens)
+             |         END AS BIGINT) AS gini_micro
+             |FROM st ORDER BY source""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
