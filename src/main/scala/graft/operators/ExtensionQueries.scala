@@ -8545,6 +8545,135 @@ object ExtensionQueries {
              |           // (CAST(n_docs AS HUGEINT) * tokens)
              |         END AS BIGINT) AS gini_micro
              |FROM st ORDER BY source""".stripMargin)),
+
+    // Head-vocabulary overlap between source pairs: Jaccard (bp) of
+    // each source's top-50 term set — lexical-register similarity at
+    // the PROVENANCE grain (two "different" feeds sharing 90% of their
+    // head vocabulary are usually the same crawl wearing two names; a
+    // complement to q128's MinHash-sketched full-vocab overlap and q220's
+    // near-dup provenance). The candidate volume is sources²·top-k
+    // with k FIXED at 50 — bounded by the source domain, never the
+    // corpus; the only corpus-scale step is the shared (source, term)
+    // count aggregate.
+    Q("q223_vocab_overlap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tc = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Retrieval.tokens(col("text"))).as("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val top = tc.withColumn("r",
+            row_number().over(Window.partitionBy("source")
+              .orderBy(desc("c"), asc("t"))))
+          .filter(col("r") <= 50)
+          .select("source", "t")
+        val sizes = top.groupBy("source").agg(count(lit(1)).as("nt"))
+        val inter = top.select(col("source").as("source_a"),
+            col("t"))
+          .join(top.select(col("source").as("source_b"), col("t")),
+            Seq("t"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = sizes.select(col("source").as("source_a"),
+            col("nt").as("na"))
+          .crossJoin(sizes.select(col("source").as("source_b"),
+            col("nt").as("nb")))
+          .filter(col("source_a") < col("source_b"))
+        pairs.join(inter, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            expr("coalesce(n_inter, 0) * 10000" +
+              " div (na + nb - coalesce(n_inter, 0))")
+              .as("overlap_bp"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tc AS (
+             |  SELECT source, unnest(ws) AS t FROM d
+             |), cnt AS (
+             |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM tc GROUP BY 1, 2
+             |), top AS (
+             |  SELECT source, t FROM (
+             |    SELECT source, t,
+             |           ROW_NUMBER() OVER (PARTITION BY source
+             |             ORDER BY c DESC, t) AS r
+             |    FROM cnt) WHERE r <= 50
+             |), sz AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nt
+             |  FROM top GROUP BY 1
+             |), itr AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |         CAST(COUNT(*) AS BIGINT) AS n_inter
+             |  FROM top a JOIN top b ON b.t = a.t
+             |    AND a.source < b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT sa.source AS source_a, sb.source AS source_b,
+             |       COALESCE(i.n_inter, 0) AS n_inter,
+             |       CAST(COALESCE(i.n_inter, 0) * 10000
+             |         // (sa.nt + sb.nt - COALESCE(i.n_inter, 0))
+             |         AS BIGINT) AS overlap_bp
+             |FROM sz sa JOIN sz sb ON sa.source < sb.source
+             |LEFT JOIN itr i ON i.source_a = sa.source
+             |  AND i.source_b = sb.source
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Hour-of-day profile entropy per event type: Shannon entropy of
+    // the 24-bucket hourly distribution in exact integer micro-nats
+    // (the q215 quantization — each term floored before the sum) plus
+    // peak share in bp. Uniform-around-the-clock traffic maxes the
+    // entropy (ln 24 ≈ 3.178e6 micro) and flags automation; human
+    // diurnal traffic sits well below with a visible peak hour. One
+    // (type, hour) aggregate — 24·types rows — then a types-sized
+    // rollup; nothing event-sized ever re-shuffles.
+    Q("q224_hourly_entropy",
+      (s, dir) => {
+        val hc = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            hour(col("ts")).cast("long").as("h24"))
+          .agg(count(lit(1)).as("ni"))
+          .localCheckpoint()
+        val tot = hc.groupBy("event_type")
+          .agg(sum(col("ni")).as("n"),
+            count(lit(1)).as("n_hours"),
+            max(col("ni")).as("peak"))
+        hc.join(tot, Seq("event_type"))
+          .withColumn("term_micro",
+            floor((lit(1000000L) * col("ni"))
+              * log(col("n").cast("double") / col("ni"))
+              / col("n")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_events"),
+            max(col("n_hours")).as("n_hours"),
+            sum(col("term_micro")).as("entropy_micro"),
+            expr("max(peak) * 10000 div max(n)").as("peak_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hc AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h24,
+             |         CAST(COUNT(*) AS BIGINT) AS ni
+             |  FROM events GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT event_type, CAST(SUM(ni) AS BIGINT) AS n,
+             |         CAST(COUNT(*) AS BIGINT) AS n_hours,
+             |         CAST(MAX(ni) AS BIGINT) AS peak
+             |  FROM hc GROUP BY 1
+             |)
+             |SELECT h.event_type, MAX(t.n) AS n_events,
+             |       MAX(t.n_hours) AS n_hours,
+             |       CAST(SUM(CAST(FLOOR((1000000 * h.ni)
+             |         * ln(CAST(t.n AS DOUBLE) / h.ni)
+             |         / t.n) AS BIGINT)) AS BIGINT) AS entropy_micro,
+             |       CAST(MAX(t.peak) * 10000 // MAX(t.n) AS BIGINT)
+             |         AS peak_bp
+             |FROM hc h JOIN tot t USING (event_type)
+             |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
