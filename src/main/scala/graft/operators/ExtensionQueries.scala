@@ -8674,6 +8674,123 @@ object ExtensionQueries {
              |         AS peak_bp
              |FROM hc h JOIN tot t USING (event_type)
              |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin)),
+
+    // PII density BY SOURCE — the governance rollup of the q149
+    // scanner (same regex dialect, same synthetic enrichment so the
+    // oracle carries real match traffic): per source, match counts by
+    // kind, documents carrying any PII, and that as bp of the
+    // source's corpus — the table a takedown/compliance pass is
+    // prioritized from. Map-side regexp_count per doc (the q149
+    // kernel), one bounded source-grain aggregate; no text ever
+    // shuffles.
+    Q("q225_pii_density_by_source",
+      (s, dir) => {
+        val enr = Pii.withSyntheticPii(Tables.load(s, dir, "documents"))
+        val counted = enr.select(
+          col("source") +: Pii.patterns.map { case (name, re, _) =>
+            regexp_count(col("text"), lit(re)).cast("long")
+              .as(s"n_$name")
+          }: _*)
+        val kinds = Pii.patterns.map(_._1)
+        counted.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            kinds.map(k => sum(col(s"n_$k")).as(s"n_$k")) :+
+              sum((kinds.map(k => col(s"n_$k")).reduce(_ + _) > 0)
+                .cast("long")).as("n_docs_pii"): _*)
+          .select(col("source") +: col("n_docs") +:
+            kinds.map(k => col(s"n_$k")) :+ col("n_docs_pii") :+
+            expr("n_docs_pii * 10000 div n_docs").as("pii_doc_bp"): _*)
+          .orderBy("source")
+      },
+      Some(s"""WITH enr AS (
+             |  SELECT doc_id, source, ${Pii.syntheticPiiSql()} AS text
+             |  FROM documents
+             |), c AS (
+             |  SELECT source,
+             |    CAST(len(regexp_extract_all(text,
+             |      '${Pii.emailRe}')) AS BIGINT) AS n_email,
+             |    CAST(len(regexp_extract_all(text,
+             |      '${Pii.ipv4Re}')) AS BIGINT) AS n_ipv4,
+             |    CAST(len(regexp_extract_all(text,
+             |      '${Pii.phoneRe}')) AS BIGINT) AS n_phone
+             |  FROM enr
+             |)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_email) AS BIGINT) AS n_email,
+             |       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+             |       CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+             |       CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+             |       CAST(SUM(CASE WHEN n_email + n_ipv4 + n_phone > 0
+             |         THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+             |         AS BIGINT) AS pii_doc_bp
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Bigram-novelty saturation curve (Heaps' law at the ingest
+    // grain): bucket the corpus into ten doc-id ranges and count the
+    // distinct bigrams whose FIRST occurrence falls in each — a
+    // flattening cumulative share says the crawl is saturating (new
+    // data re-treads old vocabulary) and further ingest buys little.
+    // One (bigram → min doc_id) aggregate is the only corpus-scale
+    // step; the curve itself is a 10-row window fold, exact integer
+    // shares.
+    Q("q226_bigram_novelty",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val firstDoc = d.select(col("doc_id"),
+            explode(Retrieval.wordNgrams(col("text"), 2)).as("b"))
+          .groupBy("b").agg(min(col("doc_id")).as("first_doc"))
+        val mx = broadcast(d.agg(max(col("doc_id")).as("mx")))
+        val buckets = firstDoc.crossJoin(mx)
+          .select(expr("first_doc * 10 div (mx + 1)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new_bigrams"))
+        val wCum = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        buckets
+          .withColumn("cum", sum(col("n_new_bigrams")).over(wCum))
+          .withColumn("tot", sum(col("n_new_bigrams")).over(wAll))
+          .select(col("bucket"), col("n_new_bigrams"),
+            col("cum").as("cum_new_bigrams"),
+            expr("cum * 10000 div tot").as("cum_share_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg AS (
+             |  SELECT doc_id,
+             |         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id
+             |           ORDER BY i) AS b, i, n
+             |  FROM tr
+             |), fd AS (
+             |  SELECT b, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+             |  FROM bg WHERE i <= n - 1 GROUP BY b
+             |), mx AS (
+             |  SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents
+             |), bk AS (
+             |  SELECT CAST(f.first_doc * 10 // (m.mx + 1) AS BIGINT)
+             |           AS bucket,
+             |         CAST(COUNT(*) AS BIGINT) AS n_new_bigrams
+             |  FROM fd f CROSS JOIN mx m GROUP BY 1
+             |)
+             |SELECT bucket, n_new_bigrams,
+             |       CAST(SUM(n_new_bigrams) OVER (ORDER BY bucket
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |         AS cum_new_bigrams,
+             |       CAST(SUM(n_new_bigrams) OVER (ORDER BY bucket
+             |         ROWS UNBOUNDED PRECEDING) * 10000
+             |         // SUM(n_new_bigrams) OVER () AS BIGINT)
+             |         AS cum_share_bp
+             |FROM bk ORDER BY bucket""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
