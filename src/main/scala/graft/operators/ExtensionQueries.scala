@@ -8791,6 +8791,67 @@ object ExtensionQueries {
              |         // SUM(n_new_bigrams) OVER () AS BIGINT)
              |         AS cum_share_bp
              |FROM bk ORDER BY bucket""".stripMargin)),
+
+    // Dedup savings projection — q220's doc counts priced in TOKENS:
+    // per source, the token mass the dedup materialization would drop
+    // (non-representative cluster members, the q63 rule) as bp of the
+    // source's mass — the number that turns "8% of docs are dupes"
+    // into "11% of the compute budget is re-reading them" (dupes skew
+    // long, so token savings ≠ doc savings). Same one left join of
+    // the token spine against the candidate-pair-sized standing
+    // cluster table + one aggregate.
+    Q("q227_dedup_token_savings",
+      (s, dir) => {
+        val nw = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            when(length(trim(col("text"))) === 0, 0L)
+              .otherwise(size(split(trim(col("text")), "\\s+"))
+                .cast("long")).as("nw"))
+        val members = clustersTable(s, dir)
+        nw.join(members.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .select(col("source"), col("nw"),
+            when(col("comp").isNotNull
+              && col("comp") =!= col("doc_id"), col("nw"))
+              .otherwise(lit(0L)).as("nw_dropped"))
+          .groupBy("source")
+          .agg(sum(col("nw")).as("tokens"),
+            sum(col("nw_dropped")).as("tokens_dropped"))
+          .select(col("source"), col("tokens"), col("tokens_dropped"),
+            expr("CASE WHEN tokens = 0 THEN CAST(-1 AS BIGINT)" +
+              " ELSE tokens_dropped * 10000 div tokens END")
+              .as("savings_bp"))
+          .orderBy("source")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), tw AS (
+          |  SELECT dd.source,
+          |         CAST(CASE WHEN length(trim(dd.text)) = 0 THEN 0
+          |              ELSE len(string_split_regex(trim(dd.text),
+          |                       '\s+')) END AS BIGINT) AS nw,
+          |         CASE WHEN c.comp IS NOT NULL
+          |              AND c.comp <> dd.doc_id THEN 1 ELSE 0 END
+          |           AS dropped
+          |  FROM documents dd LEFT JOIN comp c ON c.id = dd.doc_id
+          |)
+          |SELECT source, CAST(SUM(nw) AS BIGINT) AS tokens,
+          |       CAST(SUM(CASE WHEN dropped = 1 THEN nw ELSE 0 END)
+          |         AS BIGINT) AS tokens_dropped,
+          |       CAST(CASE WHEN SUM(nw) = 0 THEN -1
+          |         ELSE SUM(CASE WHEN dropped = 1 THEN nw ELSE 0 END)
+          |           * 10000 // SUM(nw) END AS BIGINT) AS savings_bp
+          |FROM tw GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
