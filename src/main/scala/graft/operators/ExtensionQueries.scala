@@ -8852,6 +8852,79 @@ object ExtensionQueries {
           |         ELSE SUM(CASE WHEN dropped = 1 THEN nw ELSE 0 END)
           |           * 10000 // SUM(nw) END AS BIGINT) AS savings_bp
           |FROM tw GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Incremental novelty: the q226 curve answered from a STANDING
+    // (bigram → first-occurrence doc) table maintained by folding a
+    // batch in — min is associative/idempotent, so folded ≡ rebuilt
+    // whatever the batch split (the q119 mergeDegrees discipline at
+    // the vocabulary grain: history is never re-tokenized; a batch
+    // contributes one bounded (bigram, min) aggregate and a min-merge
+    // against standing). The oracle is q226's ONE-SHOT chain, so the
+    // fold's equivalence is hash-certified cross-engine.
+    Q("q228_incremental_novelty",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+        val batchPred = col("doc_id") % 10 === 7
+        def firstOcc(docs: org.apache.spark.sql.DataFrame) =
+          docs.select(col("doc_id"),
+              explode(Retrieval.wordNgrams(col("text"), 2)).as("b"))
+            .groupBy("b").agg(min(col("doc_id")).as("first_doc"))
+        val standing = firstOcc(d.filter(!batchPred))
+        // the incremental fold: standing ∪ batch → min per bigram
+        val folded = standing
+          .unionByName(firstOcc(d.filter(batchPred)))
+          .groupBy("b").agg(min(col("first_doc")).as("first_doc"))
+        val mx = broadcast(d.agg(max(col("doc_id")).as("mx")))
+        val buckets = folded.crossJoin(mx)
+          .select(expr("first_doc * 10 div (mx + 1)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_new_bigrams"))
+        val wCum = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        buckets
+          .withColumn("cum", sum(col("n_new_bigrams")).over(wCum))
+          .withColumn("tot", sum(col("n_new_bigrams")).over(wAll))
+          .select(col("bucket"), col("n_new_bigrams"),
+            col("cum").as("cum_new_bigrams"),
+            expr("cum * 10000 div tot").as("cum_share_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg AS (
+             |  SELECT doc_id,
+             |         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id
+             |           ORDER BY i) AS b, i, n
+             |  FROM tr
+             |), fd AS (
+             |  SELECT b, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+             |  FROM bg WHERE i <= n - 1 GROUP BY b
+             |), mx AS (
+             |  SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents
+             |), bk AS (
+             |  SELECT CAST(f.first_doc * 10 // (m.mx + 1) AS BIGINT)
+             |           AS bucket,
+             |         CAST(COUNT(*) AS BIGINT) AS n_new_bigrams
+             |  FROM fd f CROSS JOIN mx m GROUP BY 1
+             |)
+             |SELECT bucket, n_new_bigrams,
+             |       CAST(SUM(n_new_bigrams) OVER (ORDER BY bucket
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |         AS cum_new_bigrams,
+             |       CAST(SUM(n_new_bigrams) OVER (ORDER BY bucket
+             |         ROWS UNBOUNDED PRECEDING) * 10000
+             |         // SUM(n_new_bigrams) OVER () AS BIGINT)
+             |         AS cum_share_bp
+             |FROM bk ORDER BY bucket""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
