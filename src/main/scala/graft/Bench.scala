@@ -226,11 +226,32 @@ object Bench {
     // Flag ratio > 2× AND absolute growth > 0.3 s (a 0.04 s → 0.09 s
     // blip is noise, not a regression); queries new this round have no
     // baseline and are skipped.
+    // Baseline = the COMMITTED artifact (`git show HEAD:...`), not
+    // whatever is on disk: a local bench run that isn't reverted would
+    // otherwise silently rebase the canary for the next run and mask a
+    // real regression. On-disk is the fallback only (no git / fresh
+    // artifact not yet committed).
+    val prevBlob: Option[String] =
+      committedPrevBlob(sys.props("user.dir"), "bench_results.json")
+        .orElse(
+          if (java.nio.file.Files.exists(resultsFile))
+            Some(java.nio.file.Files.readString(resultsFile))
+          else None)
     val prevQueries: Map[String, Double] =
-      if (java.nio.file.Files.exists(resultsFile))
-        parsePrevQueries(java.nio.file.Files.readString(resultsFile))
-      else Map.empty
+      prevBlob.map(parsePrevQueries).getOrElse(Map.empty)
     val regressions = regressionsAgainst(prevQueries, results)
+    // Intra-run spread outliers: the r11 q159 case ([4.0, 43.0]s across
+    // passes) shipped silently because the canary only compared minima
+    // round-over-round — a within-run 10× pass is a signal the artifact
+    // must flag, not bury in the raw spread map.
+    val spreadOut = spreadOutliers(spreads)
+    // Contention-vs-code separation: the fleet's median now/prev ratio
+    // next to the calibration probe's own ratio. r11's raw 1.24× median
+    // was fully explained by a measured 1.85× contention factor, but a
+    // reader had to join two artifacts by hand to see it; these two
+    // fields make that comparison machine-readable in one place.
+    val fleetMed = fleetMedianRatio(prevQueries, results)
+    val prevCalibEnd = prevBlob.flatMap(parseCalibEnd)
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
       .mkString("{", ",", "}")
@@ -238,10 +259,20 @@ object Bench {
       .map { case (k, (lo, hi)) =>
         "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
       .mkString("{", ",", "}")
+    def spreadOutJson(xs: Seq[(String, (Double, Double))]): String = xs
+      .map { case (k, (lo, hi)) =>
+        "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]" }
+      .mkString("{", ",", "}")
+    val fleetMedJson = fleetMed.map(fmt).getOrElse("null")
+    val calibRatioJson = prevCalibEnd
+      .collect { case p if p > 0 => fmt(calibEnd / p) }.getOrElse("null")
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries":$qs,""" +
       s""""spread":$spreadJson,"regressions":$regJson,""" +
+      s""""spread_outliers":${spreadOutJson(spreadOut)},""" +
+      s""""fleet_median_ratio":$fleetMedJson,""" +
+      s""""calib_ratio":$calibRatioJson,""" +
       s""""writes":$ws,"partitioned_files":$nFiles,""" +
       s""""partitioned_bytes":$nBytes,"calib_start":${fmt(calibStart)},""" +
       s""""calib_end":${fmt(calibEnd)},"standing_mem_bytes":$standMem,""" +
@@ -271,11 +302,64 @@ object Bench {
     // read as a speedup (capped like worst; full list in the file)
     val failTop = failedQueries.toSeq.sorted.take(8)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"regressions","baseline":"prev bench_results""" +
-      s""".json","n_regressions":${regressions.size},""" +
+    // spread outliers ride the canary line too (capped like worst so
+    // the line stays bounded; full map in the file)
+    println(s"""{"metric":"regressions","baseline":"git HEAD bench_""" +
+      s"""results.json","n_regressions":${regressions.size},""" +
       s""""n_failed":${failedQueries.size},"failed":$failTop,""" +
-      s""""worst":$regTop}""")
+      s""""worst":$regTop,""" +
+      s""""n_spread_outliers":${spreadOut.size},""" +
+      s""""spread_outliers":${spreadOutJson(spreadOut.take(8))},""" +
+      s""""fleet_median_ratio":$fleetMedJson,""" +
+      s""""calib_ratio":$calibRatioJson}""")
     println(totalLine(total, results.size, sfDir, resultsFile.toString))
+  }
+
+  /** The committed previous artifact via `git show HEAD:<file>` — the
+    * canary's baseline must be the last ROUND's numbers, not whatever an
+    * unreverted local run left on disk (which would silently rebase the
+    * diff and mask a regression). None when git is unavailable, the repo
+    * has no HEAD, or the file isn't committed — callers fall back to the
+    * on-disk artifact. */
+  def committedPrevBlob(cwd: String, file: String): Option[String] =
+    try {
+      import scala.sys.process._
+      val out = new StringBuilder
+      val code = Process(Seq("git", "-C", cwd, "show", s"HEAD:$file"))
+        .!(ProcessLogger(l => { out.append(l); out.append('\n'): Unit },
+          _ => ()))
+      if (code == 0 && out.nonEmpty) Some(out.toString) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `calib_end` out of a bench_results.json blob — the fixed-load
+    * contention probe of the committed previous round, denominator of
+    * the calib_ratio the canary line reports. */
+  def parseCalibEnd(txt: String): Option[Double] =
+    """"calib_end":([0-9.]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble)
+
+  /** Intra-run spread outliers: queries whose pass-to-pass spread is
+    * max/min > 3× AND max − min > 2 s (both bounds — a 0.1→0.4 s blip
+    * is scheduler noise, and a 20→45 s iterative query moving 2.2× is
+    * inside the fleet's noise band). The r11 q159 case ([4.0, 43.0] s)
+    * is exactly what this flags. Crashed queries (-1 poison) are the
+    * failed list's job, not this one's. */
+  def spreadOutliers(spreads: Seq[(String, (Double, Double))])
+      : Seq[(String, (Double, Double))] =
+    spreads.filter { case (_, (lo, hi)) =>
+      lo > 0 && hi / lo > 3.0 && hi - lo > 2.0
+    }.sortBy { case (_, (lo, hi)) => -(hi / lo) }
+
+  /** Median of this-run/previous-round per-query ratios over the shared
+    * query set — the fleet-wide drift number to read NEXT TO calib_ratio:
+    * fleet ≈ calib means contention, fleet ≫ calib means code. None when
+    * no queries are shared (first round). */
+  def fleetMedianRatio(prev: Map[String, Double],
+                       now: Seq[(String, Double)]): Option[Double] = {
+    val ratios = now.flatMap { case (name, sec) =>
+      prev.get(name).collect { case p if p > 0 && sec > 0 => sec / p }
+    }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
   }
 
   /** The previous round's per-query minima out of a bench_results.json

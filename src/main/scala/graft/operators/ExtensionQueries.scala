@@ -7192,9 +7192,14 @@ object ExtensionQueries {
     // bounded-group contract as the radix quantiles.
     Q("q202_theil_sen_trend",
       (s, dir) => {
+        // x-axis is EPOCH DAY, not dayofmonth: day-of-month merges the
+        // same calendar slot across months (Jan 3 + Feb 3) and breaks
+        // slope spacing on multi-month data; epoch day keeps the
+        // (b.d - a.d) arithmetic exact-integer at the true daily grain
         val daily = Tables.events(s, dir)
           .groupBy(col("event_type"),
-            dayofmonth(col("ts")).cast("long").as("d"))
+            datediff(to_date(col("ts")), lit("1970-01-01"))
+              .cast("long").as("d"))
           .agg(count(lit(1)).as("c"))
         val slopes = daily.as("a")
           .join(daily.as("b"),
@@ -7210,7 +7215,9 @@ object ExtensionQueries {
           .orderBy("event_type")
       },
       Some("""WITH daily AS (
-             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             |  SELECT event_type,
+             |         CAST(date_diff('day', DATE '1970-01-01',
+             |           CAST(ts AS DATE)) AS BIGINT) AS d,
              |         CAST(COUNT(*) AS BIGINT) AS c
              |  FROM events GROUP BY 1, 2
              |), sl AS (
@@ -8308,12 +8315,17 @@ object ExtensionQueries {
           .localCheckpoint()
         val totals = counts.agg(sum(col("tokens")).as("tot_tokens"),
           sum(col("sqrt_micro")).as("tot_sqrt"))
+        // zero-denominator guard (the q178 rule, as in q222/q227): an
+        // all-empty-text corpus has tot_tokens = tot_sqrt = 0, where
+        // Spark DIV returns NULL but DuckDB // raises — report -1
         counts.crossJoin(broadcast(totals))
           .select(col("source"), col("tokens"), col("sqrt_micro"),
-            expr("CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000" +
-              " DIV tot_tokens AS BIGINT)").as("natural_ppm"),
-            expr("CAST(CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000" +
-              " DIV tot_sqrt AS BIGINT)").as("temp_ppm"))
+            expr("CAST(CASE WHEN tot_tokens = 0 THEN -1" +
+              " ELSE CAST(tokens AS DECIMAL(38,0)) * 1000000" +
+              " DIV tot_tokens END AS BIGINT)").as("natural_ppm"),
+            expr("CAST(CASE WHEN tot_sqrt = 0 THEN -1" +
+              " ELSE CAST(sqrt_micro AS DECIMAL(38,0)) * 1000000" +
+              " DIV tot_sqrt END AS BIGINT)").as("temp_ppm"))
           .orderBy("source")
       },
       Some("""WITH d AS (
@@ -8336,10 +8348,12 @@ object ExtensionQueries {
              |  FROM cs
              |)
              |SELECT cs.source, cs.tokens, cs.sqrt_micro,
-             |       CAST(CAST(cs.tokens AS HUGEINT) * 1000000
-             |         // t.tot_tokens AS BIGINT) AS natural_ppm,
-             |       CAST(CAST(cs.sqrt_micro AS HUGEINT) * 1000000
-             |         // t.tot_sqrt AS BIGINT) AS temp_ppm
+             |       CAST(CASE WHEN t.tot_tokens = 0 THEN -1
+             |         ELSE CAST(cs.tokens AS HUGEINT) * 1000000
+             |         // t.tot_tokens END AS BIGINT) AS natural_ppm,
+             |       CAST(CASE WHEN t.tot_sqrt = 0 THEN -1
+             |         ELSE CAST(cs.sqrt_micro AS HUGEINT) * 1000000
+             |         // t.tot_sqrt END AS BIGINT) AS temp_ppm
              |FROM cs CROSS JOIN t
              |ORDER BY cs.source""".stripMargin)),
 
@@ -8453,9 +8467,12 @@ object ExtensionQueries {
     // types-sized rollup.
     Q("q221_event_burstiness",
       (s, dir) => {
+        // calendar-day grain (date_trunc, the q178/q202 rule):
+        // dayofmonth would merge Jan 3 with Feb 3 into one bucket and
+        // understate dispersion on multi-month event data
         val daily = Tables.events(s, dir)
           .groupBy(col("event_type"),
-            dayofmonth(col("ts")).cast("long").as("d"))
+            date_trunc("day", col("ts")).as("d"))
           .agg(count(lit(1)).as("c"))
         daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
@@ -8470,7 +8487,7 @@ object ExtensionQueries {
           .orderBy("event_type")
       },
       Some("""WITH daily AS (
-             |  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             |  SELECT event_type, date_trunc('day', ts) AS d,
              |         CAST(COUNT(*) AS BIGINT) AS c
              |  FROM events GROUP BY 1, 2
              |), st AS (

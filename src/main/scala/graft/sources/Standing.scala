@@ -25,35 +25,49 @@ import org.apache.spark.storage.StorageLevel
   * on-disk catalog tables, which don't occupy the executor storage pool.
   */
 object Standing {
+  /** Holder whose `lazy val` IS the at-most-once guard: JVM lazy-val
+    * initialization is synchronized, so even when several callers race
+    * putIfAbsent, only the registered holder's thunk ever runs — and
+    * runs once. This matters beyond the persisted frame itself: builder
+    * thunks with eager side effects (mmrPoolTop / mmrPoolSim /
+    * clustersTable all localCheckpoint inside) would otherwise leave
+    * loser-built checkpoint RDD blocks that a top-level unpersist can't
+    * reach, lingering until ContextCleaner GC. A thunk that THROWS
+    * leaves the lazy val uninitialized (Scala retries on next access),
+    * so a transient build failure doesn't poison the registry entry.
+    */
+  private final class Entry(build: () => DataFrame) {
+    lazy val df: DataFrame =
+      build().persist(StorageLevel.MEMORY_AND_DISK)
+    // unpersist only if the thunk actually ran — releasing a never-
+    // forced entry must not trigger the build it exists to skip
+    @volatile private var forced = false
+    def force(): DataFrame = { val d = df; forced = true; d }
+    def releaseIfBuilt(blocking: Boolean): Unit =
+      if (forced) df.unpersist(blocking)
+  }
+
   private val frames = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), Entry]
 
   /** Build-once accessor: first call per (session, dir, name) runs
     * `build`, persists MEMORY_AND_DISK and registers the frame; later
     * calls return the registered frame. Entries of stopped sessions are
     * swept on every call (same discipline as Tables.load).
     *
-    * Concurrent first access races through putIfAbsent, NOT
-    * getOrElseUpdate: TrieMap.getOrElseUpdate may run the build thunk in
-    * more than one caller, and each loser would leave a persisted frame
-    * no registry entry owns — exactly the unreleasable storage this
-    * registry exists to prevent. Here only the putIfAbsent winner's
-    * frame survives; losers unpersist theirs before returning the
-    * winner's.
+    * Concurrent first access races through putIfAbsent on an UNFORCED
+    * lazy holder — registration is side-effect-free, and only the
+    * winning holder's thunk is ever forced. (A plain getOrElseUpdate,
+    * or putIfAbsent of an eagerly-built frame, runs the thunk in every
+    * racing caller; losers' persisted frames AND any eager
+    * localCheckpoint blocks inside the thunk would linger unowned.)
     */
   def frame(spark: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame = {
     frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
     val key = (spark, dir, name)
-    frames.get(key).getOrElse {
-      val mine = build.persist(StorageLevel.MEMORY_AND_DISK)
-      frames.putIfAbsent(key, mine) match {
-        case None => mine
-        case Some(winner) =>
-          mine.unpersist(blocking = false)
-          winner
-      }
-    }
+    val mine = new Entry(() => build)
+    frames.putIfAbsent(key, mine).getOrElse(mine).force()
   }
 
   /** Release every standing frame registered for (session, dir):
@@ -65,7 +79,7 @@ object Standing {
   def release(spark: SparkSession, dir: String): Int = {
     val keys = frames.keys.filter(k => k._1 == spark && k._2 == dir).toSeq
     keys.foreach { k =>
-      frames.remove(k).foreach(_.unpersist(blocking = true))
+      frames.remove(k).foreach(_.releaseIfBuilt(blocking = true))
     }
     keys.size
   }
@@ -74,7 +88,7 @@ object Standing {
   def releaseAll(spark: SparkSession): Int = {
     val keys = frames.keys.filter(_._1 == spark).toSeq
     keys.foreach { k =>
-      frames.remove(k).foreach(_.unpersist(blocking = true))
+      frames.remove(k).foreach(_.releaseIfBuilt(blocking = true))
     }
     keys.size
   }

@@ -256,12 +256,12 @@ object VersionedTable {
   def appendAt(df: DataFrame, dir: String, version: Long): Boolean = {
     val spark = df.sparkSession
     if (versions(spark, dir).contains(version)) return false
-    val dataDir = new Path(s"$dir/data/v=$version")
-    val fs = fsFor(spark, dataDir)
     // a crashed first attempt may have left data files without a log
-    // entry — they are invisible (log-only planning), so the retry
-    // simply rewrites them
-    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    // entry — they are invisible (log-only planning) and NOT deleted:
+    // a concurrent replayer's in-flight dir is indistinguishable from
+    // a crashed one, and deleting it could strand a just-claimed log
+    // record. landData's suffix-dir retry (data/v=N.k) skips occupied
+    // dirs instead; orphans stay as unreferenced garbage.
     val files = landData(df, dir, version)
     try {
       writeCommit(spark, dir, Commit(version, "append", files))

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Standing, VersionedTable}
+
+/** Round-12 items: the intra-run spread canary + calibration-normalized
+  * canary fields, the committed-baseline read (`git show`), the
+  * Standing build-at-most-once guard, and appendAt's no-delete retry. */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- spread canary ------------------------------------------------------
+
+  test("Bench.spreadOutliers flags >3x AND >2s intra-run spread only, " +
+    "worst ratio first, and skips crash-poisoned entries") {
+    val spreads = Seq(
+      "a" -> ((4.0, 43.0)),   // the r11 q159 case: 10.7x, +39s: flagged
+      "b" -> ((0.1, 0.45)),   // 4.5x but +0.35s: scheduler noise
+      "c" -> ((20.0, 45.0)),  // +25s but 2.25x: fleet noise band
+      "d" -> ((1.0, 3.5)),    // 3.5x, +2.5s: flagged
+      "e" -> ((-1.0, -1.0)))  // crashed: the failed list's job
+    val out = Bench.spreadOutliers(spreads)
+    assert(out.map(_._1) == Seq("a", "d"))
+  }
+
+  test("Bench.fleetMedianRatio is the median now/prev over shared " +
+    "queries and None when nothing is shared") {
+    val prev = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "gone" -> 9.0)
+    val now = Seq("a" -> 1.1, "b" -> 4.0, "c" -> 4.0, "new" -> 7.0)
+    // ratios sorted: 1.0, 1.1, 2.0 -> median 1.1
+    assert(Bench.fleetMedianRatio(prev, now).contains(1.1))
+    assert(Bench.fleetMedianRatio(Map.empty, now).isEmpty)
+    // crash-poisoned now values never contribute a ratio
+    assert(Bench.fleetMedianRatio(Map("a" -> 1.0),
+      Seq("a" -> -1.0)).isEmpty)
+  }
+
+  test("Bench.parseCalibEnd reads the committed probe value") {
+    assert(Bench.parseCalibEnd(
+      """{"calib_start":0.066,"calib_end":0.122,"q":1}""").contains(0.122))
+    assert(Bench.parseCalibEnd("{}").isEmpty)
+  }
+
+  test("Bench.committedPrevBlob reads HEAD's artifact (immune to an " +
+    "unreverted local bench run) and is None for uncommitted paths") {
+    val blob = Bench.committedPrevBlob("/root/repo", "bench_results.json")
+    assert(blob.nonEmpty, "bench_results.json must be committed at HEAD")
+    assert(blob.get.contains("\"queries\""))
+    // the committed blob parses with the same parser main uses
+    assert(Bench.parsePrevQueries(blob.get).nonEmpty)
+    assert(Bench.committedPrevBlob("/root/repo", "no_such_file.json").isEmpty)
+  }
+
+  // --- Standing: build-at-most-once ---------------------------------------
+
+  test("Standing.frame runs the build thunk at most once under " +
+    "concurrent first access (eager side effects inside thunks must " +
+    "not duplicate)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r12-once").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        Standing.frame(spark, dir, "once") {
+          builds.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+          Seq((1L, "x")).toDF("k", "v")
+        }: Unit
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1,
+      s"thunk ran ${builds.get()} times; lazy-holder guard must cap at 1")
+    assert(Standing.release(spark, dir) == 1)
+  }
+
+  test("Standing.frame retries a build whose thunk threw (a transient " +
+    "failure must not poison the registry entry)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r12-retry").toString
+    var calls = 0
+    def build = {
+      calls += 1
+      if (calls == 1) sys.error("transient")
+      Seq((1L, "ok")).toDF("k", "v")
+    }
+    intercept[RuntimeException] {
+      Standing.frame(spark, dir, "retry")(build)
+    }
+    val ok = Standing.frame(spark, dir, "retry")(build)
+    assert(ok.collect().map(_.getString(1)).toSeq == Seq("ok"))
+    assert(calls == 2)
+    Standing.release(spark, dir)
+  }
+
+  // --- appendAt: no-delete retry ------------------------------------------
+
+  test("appendAt with a pre-existing orphan data/v=N dir lands in the " +
+    "next suffix dir WITHOUT deleting the orphan (a concurrent " +
+    "replayer's in-flight dir is indistinguishable from a crashed one)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-r12-appendat").toString
+    // simulate a crashed (or concurrent in-flight) first attempt:
+    // data files exist, no log entry
+    val orphan = new java.io.File(s"$dir/data/v=0")
+    orphan.mkdirs()
+    val marker = new java.io.File(orphan, "part-inflight.parquet")
+    java.nio.file.Files.write(marker.toPath, Array[Byte](1, 2, 3))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(VersionedTable.appendAt(df, dir, 0L))
+    // the orphan dir and its file survive untouched
+    assert(marker.exists, "retry must never delete a possibly-in-flight dir")
+    assert(java.nio.file.Files.readAllBytes(marker.toPath).toSeq ==
+      Seq[Byte](1, 2, 3))
+    // the commit's files all live in a suffix dir, not the orphan
+    val committed = VersionedTable.filesAt(spark, dir, 0L)
+    assert(committed.nonEmpty && committed.forall(_.startsWith("data/v=0.")),
+      committed.mkString(","))
+    // and the snapshot reads the committed data only
+    assert(VersionedTable.read(spark, dir).count() == 2)
+    // a replay of the same batch id is a no-op
+    assert(!VersionedTable.appendAt(df, dir, 0L))
+  }
+}
