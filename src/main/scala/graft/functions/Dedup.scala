@@ -322,14 +322,67 @@ object Dedup {
     * persist-only loop grows an exponentially large plan (real OOM in
     * plan stringification by round ~10). Throws if maxIters rounds
     * don't converge rather than returning a partial clustering.
+    *
+    * Small graphs (≤ `localEdgeLimit` edges, measured by an
+    * early-terminating probe) skip the iteration entirely: a driver
+    * union-find with identical min-id-label semantics, ~1 MB collected
+    * in one job. Distributed delta iterations only pay off past driver
+    * scale; under it, every round is pure fixed cost — and a long
+    * burst of tiny jobs is maximum exposure to scheduler/GC stalls
+    * (the r11 q159 in-suite spread anomaly). Pass localEdgeLimit = 0
+    * to force the iterative path (specs pin both).
     */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIters: Int = 25,
-                          assumeDistinctPairs: Boolean = false): DataFrame = {
+                          assumeDistinctPairs: Boolean = false,
+                          localEdgeLimit: Int = 1 << 16): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val e0 = pairs.select(col(srcCol).cast("long").as("src"),
+    val eRaw = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Decide-before-iterate (the Skew.autoJoin stats-pass pattern): a
+    // graph at or under `localEdgeLimit` edges is solved by driver
+    // union-find — ≤ ~1 MB collected, one job — instead of paying the
+    // delta iteration's per-round fixed cost (each round is a
+    // shuffle+checkpoint job; on an 8-edge contracted batch graph the
+    // rounds were 3.6 s of pure overhead and, worse, a ~40-small-job
+    // burst whose scheduler-stall exposure produced the r11 q159
+    // [4.0, 43.0] s spread). The probe is an early-terminating
+    // limit+count on the persisted edge frame; graphs past the limit
+    // take the iterative path unchanged, so the 100 TB posture is
+    // intact — this is a bounded-decision collect, not a data-path
+    // collect.
+    val isSmall = eRaw.limit(localEdgeLimit + 1).count() <= localEdgeLimit
+    if (isSmall) {
+      val edges = eRaw.collect()
+      eRaw.unpersist(blocking = false)
+      // Union-find that always attaches the LARGER root under the
+      // smaller: the root of every set is its minimum id, so labels
+      // match the iterative path's "min id in component" exactly.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def ensure(x: Long): Unit =
+        if (!parent.contains(x)) parent(x) = x
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        ensure(u); ensure(v)
+        val ru = find(u); val rv = find(v)
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "comp")
+    }
+    val e0 = eRaw
     // oriented (a<b) unique pairs — the near-dup pipelines' contract —
     // cannot collide with their own swaps, so the dedup shuffle before
     // the loop is pure waste for those callers; generic callers keep it
@@ -414,6 +467,7 @@ object Dedup {
       // when the caller drops/unpersists the result
     }
     sym.unpersist()
+    eRaw.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds")
     labels

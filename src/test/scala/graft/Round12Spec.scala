@@ -96,6 +96,42 @@ class Round12Spec extends AnyFunSuite {
     Standing.release(spark, dir)
   }
 
+  // --- connectedComponents small-graph fast path --------------------------
+
+  test("connectedComponents: driver fast path and forced-iterative path " +
+    "produce identical min-id labels on the same graph") {
+    import graft.functions.Dedup
+    // chain + clique + isolated pair + a self-loop: exercises deep
+    // propagation, the common near-dup shape, and degenerate edges
+    val edges = ((1L to 99L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (200L, 202L), (201L, 202L), (300L, 301L),
+        (400L, 400L))).toDF("id_a", "id_b")
+    def labelsOf(limit: Int) = Dedup.connectedComponents(edges,
+        localEdgeLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelsOf(1 << 16) // 104 edges: under the limit
+    val iter = labelsOf(0)       // forced iterative
+    assert(fast == iter)
+    assert((1L to 100L).forall(fast(_) == 1L))
+    assert(Seq(200L, 201L, 202L).forall(fast(_) == 200L))
+    assert(fast(300L) == 300L && fast(301L) == 300L)
+    assert(fast(400L) == 400L)
+    assert(fast.size == 106)
+  }
+
+  test("connectedComponents: a graph just past localEdgeLimit takes the " +
+    "iterative path and still matches the fast path's labels") {
+    import graft.functions.Dedup
+    val edges = (1L to 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // limit 5 < 10 edges -> iterative; limit 1<<16 -> fast
+    val iter = Dedup.connectedComponents(edges, localEdgeLimit = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iter == fast)
+    assert(iter.values.toSet == Set(1L))
+  }
+
   // --- appendAt: no-delete retry ------------------------------------------
 
   test("appendAt with a pre-existing orphan data/v=N dir lands in the " +
