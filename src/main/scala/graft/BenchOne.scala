@@ -26,6 +26,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBoundedWindowWarnings()
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

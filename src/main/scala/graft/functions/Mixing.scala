@@ -286,6 +286,9 @@ object Mixing {
                        tokensCol: String = "tokens"): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     require(epochCap > 0, s"epochCap must be positive, got $epochCap")
+    // BOUNDED single-partition window: `counts` is one row per SOURCE
+    // (a bounded dim — tens, not rows-of-corpus) by the input contract
+    // above; Round12Spec pins output rows == |sources|
     val byCap = Window.orderBy(col("capacity"), col(srcCol))
     val ranked = counts
       .select(col(srcCol), col(tokensCol).cast("long").as("tokens"))

@@ -8775,6 +8775,11 @@ object ExtensionQueries {
         val buckets = firstDoc.crossJoin(mx)
           .select(expr("first_doc * 10 div (mx + 1)").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n_new_bigrams"))
+        // BOUNDED single-partition window: bucket = first_doc*10 div
+        // (mx+1) ∈ [0,9] by construction, so the windowed frame is ≤10
+        // rows at ANY corpus size (Round12Spec pins the domain); the
+        // WindowExec no-partition warning is benign here and its logger
+        // is quieted in Bench
         val wCum = Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.rowsBetween(Window.unboundedPreceding,
@@ -8909,6 +8914,8 @@ object ExtensionQueries {
         val buckets = folded.crossJoin(mx)
           .select(expr("first_doc * 10 div (mx + 1)").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n_new_bigrams"))
+        // BOUNDED single-partition window: ≤10 decile buckets by
+        // construction (the q226 bound, Round12Spec-pinned)
         val wCum = Window.orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wAll = Window.rowsBetween(Window.unboundedPreceding,

@@ -132,6 +132,35 @@ class Round12Spec extends AnyFunSuite {
     assert(iter.values.toSet == Set(1L))
   }
 
+  // --- bounded no-partition window certification --------------------------
+
+  test("q226/q228's single-partition window input is the decile bucket " +
+    "table: bucket domain is [0,9], so the windowed frame is <= 10 " +
+    "rows at any corpus size") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("q226_bigram_novelty", "q228_incremental_novelty").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.length <= 10, s"$q: ${rows.length} buckets")
+      val buckets = rows.map(_.getLong(0))
+      assert(buckets.forall(b => b >= 0 && b <= 9), buckets.mkString(","))
+      // the bound is structural, not data luck: bucket = first_doc*10
+      // div (mx+1) with 0 <= first_doc <= mx
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("windowspecdefinition"), plan.take(500))
+    }
+  }
+
+  test("unimaxAllocation's global windows run over the bounded source " +
+    "dim: output rows == |sources| exactly") {
+    import graft.functions.Mixing
+    val counts = (1 to 37).map(i => (s"src$i", i.toLong * 1000))
+      .toDF("source", "tokens")
+    val out = Mixing.unimaxAllocation(counts, budgetTokens = 500000L,
+      epochCap = 4)
+    assert(out.count() == 37)
+  }
+
   // --- appendAt: no-delete retry ------------------------------------------
 
   test("appendAt with a pre-existing orphan data/v=N dir lands in the " +
