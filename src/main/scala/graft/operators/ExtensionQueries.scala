@@ -8962,6 +8962,110 @@ object ExtensionQueries {
              |         // SUM(n_new_bigrams) OVER () AS BIGINT)
              |         AS cum_share_bp
              |FROM bk ORDER BY bucket""".stripMargin)),
+
+    // The STREAMED drift histogram's end state as a first-class query —
+    // the q214 pattern applied to MonitorStreams: three micro-batches
+    // (event_id mod 3) delivered through binBatch (the exact
+    // foreachBatch body the maintainer runs: predecessor read gated on
+    // _SUCCESS, additive bin fold, overwrite v=N) and the final state
+    // read back through latestState. The oracle is the ONE-SHOT bin
+    // count over all events (the q121 bin formula), so streamed-final ≡
+    // rebuilt is hash-certified no matter how the stream batched.
+    // State lives in the bounded per-(application, dir) tmpdir (the
+    // q214 convention) so re-invocations converge on one tree.
+    Q("q229_streamed_bins",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q229-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.MonitorStreams.binBatch(
+            ev.filter(col("event_id") % 3 === b), b, stateDir,
+            "value", binWidth = 10.0)
+        }
+        graft.streaming.MonitorStreams.latestState(s, stateDir)
+          .orderBy("bin")
+      },
+      Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             |       CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The STREAMED seasonal baseline's end state — q201's standing
+    // artifact certified end-to-end: three deliveries through
+    // seasonalBatch, split on EPOCH DAY mod 3 (the maintainer's
+    // whole-hours batching contract: an hour never straddles a day, so
+    // no hour is double-counted in n_hours), read back through
+    // seasonalBaselines. Oracle = the one-shot per-(type, hour-of-day)
+    // milli-count baseline over all events.
+    Q("q230_streamed_seasonal",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q230-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.MonitorStreams.seasonalBatch(
+            ev.filter(datediff(to_date(col("ts")), lit("1970-01-01"))
+              % 3 === b), b, stateDir)
+        }
+        graft.streaming.MonitorStreams.seasonalBaselines(s, stateDir)
+          .orderBy("event_type", "h24")
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hr,
+             |         CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT event_type, CAST(hour(hr) AS BIGINT) AS h24,
+             |       CAST(SUM(c) * 1000 // COUNT(*) AS BIGINT)
+             |         AS baseline_milli
+             |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // The STREAMED ANN-assignment table's end state — EmbeddingStreams'
+    // landing loop certified end-to-end: the standing quantizer is
+    // landed once (trained on the full corpus — the class contract that
+    // retraining cadence lives OUTSIDE the stream), then three
+    // micro-batches (vec_id mod 3) deliver through assignBatch (the
+    // exact foreachBatch body: _SUCCESS-gated bootstrap skip, map-side
+    // assignment against the broadcast standing table, idempotent
+    // overwrite under out/batch_id=N) and the union of landed slices is
+    // read back. Oracle = the one-shot Lloyd train + assignment over
+    // all embeddings (the q42 `asg` chain), so streamed-final ≡
+    // rebuilt regardless of batching.
+    Q("q231_streamed_assign",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q231-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        // land the standing quantizer (deterministic train, idempotent
+        // overwrite — re-invocations converge byte-identical)
+        graft.functions.Similarity.centroids(emb, k = 8, lloydIters = 1)
+          .write.mode("overwrite").parquet(s"$stateDir/index/centroids")
+        (0L to 2L).foreach { b =>
+          graft.streaming.EmbeddingStreams.assignBatch(
+            emb.filter(col("vec_id") % 3 === b), b,
+            s"$stateDir/index", s"$stateDir/out", k = 8, lloydIters = 1)
+        }
+        s.read.parquet(s"$stateDir/out")
+          .select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      },
+      Some(ivfLloydCtes + """, scored AS (
+             |  SELECT e.vec_id, c.centroid_id,
+             |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_dot_product(e.v, c.cv)
+             |             / (sqrt(list_dot_product(e.v, e.v))
+             |                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             |           c.centroid_id) AS rk
+             |  FROM e CROSS JOIN c
+             |)
+             |SELECT vec_id, centroid_id AS cell FROM scored
+             |WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
