@@ -248,6 +248,68 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(hot.toDouble / n < 0.25, s"hot bucket holds $hot of $n")
   }
 
+  test("standing cluster-table chain at 10x the gate corpus: the " +
+    "memoized build runs once for all consumers and the consumer " +
+    "rollups never shuffle text (label-sized plans)") {
+    // 5 000 docs (10× the sf0.01 gate's 500): doc i and i+2500 share a
+    // 30-word body, so the planted pairs give the cluster table real
+    // mass. The chain mirrors q219/q220/q227: one memoized
+    // nearDups→CC build, then label-grain consumer rollups.
+    val vocab = array((0 until 50).map(w => lit(s"w$w")): _*)
+    val n = 5000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(20))).as("source"),
+      concat(
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          element_at(vocab,
+            (pmod(hash(pmod(col("id"), lit(n / 2)), i, lit("w")),
+              lit(50)) + 1).cast("int")))),
+        lit(" "),
+        element_at(vocab,
+          (pmod(hash(col("id"), lit("tail")), lit(50)) + 1).cast("int")))
+        .as("text")).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scale-clusters").toString
+    var builds = 0
+    def clusters = graft.sources.Standing.frame(spark, dir, "probe") {
+      builds += 1
+      graft.functions.Dedup.connectedComponents(
+        graft.functions.Dedup.nearDuplicatesPortable(docs, "doc_id",
+          "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+          minJaccardBp = 2000),
+        "id_a", "id_b", assumeDistinctPairs = true)
+    }
+    // consumer 1: the q219 histogram — two bounded aggs over labels
+    val hist = clusters.groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    // consumer 2: the q220 rollup — doc spine (never text) ⟕ labels
+    val dup = docs.select(col("doc_id"), col("source"))
+      .join(clusters.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(when(col("comp").isNotNull, 1L).otherwise(0L))
+        .as("n_clustered"))
+    assert(hist.count() > 0 && dup.count() == 20)
+    assert(builds == 1,
+      s"standing build ran $builds times across two consumers")
+    // label-sized consumers: above the source leaf (whose LogicalRDD
+    // schema necessarily lists every column), no operator references
+    // the text column — the corpus-scale payload is pruned at the leaf
+    // and never enters a consumer join/aggregate/shuffle
+    Seq(hist, dup).foreach { c =>
+      val p = c.queryExecution.optimizedPlan.toString
+      val aboveLeaf = p.linesIterator
+        .filterNot(_.contains("LogicalRDD")).mkString("\n")
+      assert(!aboveLeaf.contains("text#"), p.take(2000))
+    }
+    // the planted mass actually exercised the chain: most of the 2 500
+    // planted twin pairs cluster (banding P≈0.9 at J≈0.8)
+    val clustered = clusters.count()
+    assert(clustered > 3500L, s"clustered=$clustered of $n")
+    graft.sources.Standing.release(spark, dir)
+  }
+
   test("champion-list fanout: a corpus-wide stop word contributes at " +
     "most c*(c-1)/2 candidate pairs no matter how many docs share it") {
     import spark.implicits._
