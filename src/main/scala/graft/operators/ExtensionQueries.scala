@@ -98,6 +98,77 @@ object ExtensionQueries {
       |  FROM c0 LEFT JOIN cm ON cm.centroid_id = c0.centroid_id
       |)""".stripMargin
 
+  /** Oracle CTE chain of the full Gopher Appendix-A gate up to `gate`
+    * (doc_id, census columns, gopher_pass) — shared by q151 and the
+    * quality-calibration card q233. */
+  private val gopherGateCtes: String =
+    """WITH b AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                w -> len(w) > 0) AS ws,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n,
+             |    CAST(COALESCE(list_sum(
+             |      list_transform(ws, w -> len(w))), 0) AS BIGINT)
+             |      AS sumlen,
+             |    CAST(len(list_filter(ws,
+             |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+             |      AS alphaw,
+             |    CAST(list_contains(ws, 'the') AS BIGINT)
+             |      + CAST(list_contains(ws, 'be') AS BIGINT)
+             |      + CAST(list_contains(ws, 'to') AS BIGINT)
+             |      + CAST(list_contains(ws, 'of') AS BIGINT)
+             |      + CAST(list_contains(ws, 'and') AS BIGINT)
+             |      + CAST(list_contains(ws, 'that') AS BIGINT)
+             |      + CAST(list_contains(ws, 'have') AS BIGINT)
+             |      + CAST(list_contains(ws, 'with') AS BIGINT)
+             |      AS nstops,
+             |    CAST(len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.'))
+             |      + len(regexp_extract_all(text, '…')) AS BIGINT)
+             |      AS symbols,
+             |    CAST(len(lines) AS BIGINT) AS nlines,
+             |    CAST(len(list_filter(lines,
+             |      l -> starts_with(ltrim(l), '•')
+             |        OR starts_with(ltrim(l), '-')
+             |        OR starts_with(ltrim(l), '*'))) AS BIGINT)
+             |      AS bullets,
+             |    CAST(len(list_filter(lines,
+             |      l -> ends_with(rtrim(l), '...')
+             |        OR ends_with(rtrim(l), '…'))) AS BIGINT)
+             |      AS ellipses
+             |  FROM b
+             |), v AS (
+             |  SELECT doc_id, n AS n_words,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(sumlen * 100.0 / n) AS BIGINT)
+             |      ELSE 0 END AS mean_wl_centi,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(symbols * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS symbol_bp,
+             |    CAST(floor(bullets * 10000.0 / nlines) AS BIGINT)
+             |      AS bullet_bp,
+             |    CAST(floor(ellipses * 10000.0 / nlines) AS BIGINT)
+             |      AS ellipsis_bp,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(alphaw * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS alpha_word_bp,
+             |    nstops AS n_stop_present
+             |  FROM m
+             |), gate AS (
+             |  SELECT *,
+             |  n_words >= 50 AND n_words <= 100000
+             |    AND mean_wl_centi >= 300 AND mean_wl_centi <= 1000
+             |    AND symbol_bp <= 1000
+             |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+             |    AND alpha_word_bp >= 8000 AND n_stop_present >= 2
+             |    AS gopher_pass
+             |  FROM v
+             |)""".stripMargin
+
   /** Oracle CTE chain of the portable near-dup pipeline up to `scored`
     * (candidate pairs + exact Jaccard in basis points) — shared by q44
     * and the dedup-clustering oracle q61, which extends it with a
@@ -4780,71 +4851,9 @@ object ExtensionQueries {
       (s, dir) => TextAnalysis.gopherGate(
           Tables.load(s, dir, "documents"))
         .orderBy("doc_id"),
-      Some("""WITH b AS (
-             |  SELECT doc_id, text,
-             |    list_filter(string_split_regex(trim(text), '\s+'),
-             |                w -> len(w) > 0) AS ws,
-             |    string_split(text, chr(10)) AS lines
-             |  FROM documents
-             |), m AS (
-             |  SELECT doc_id,
-             |    CAST(len(ws) AS BIGINT) AS n,
-             |    CAST(COALESCE(list_sum(
-             |      list_transform(ws, w -> len(w))), 0) AS BIGINT)
-             |      AS sumlen,
-             |    CAST(len(list_filter(ws,
-             |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-             |      AS alphaw,
-             |    CAST(list_contains(ws, 'the') AS BIGINT)
-             |      + CAST(list_contains(ws, 'be') AS BIGINT)
-             |      + CAST(list_contains(ws, 'to') AS BIGINT)
-             |      + CAST(list_contains(ws, 'of') AS BIGINT)
-             |      + CAST(list_contains(ws, 'and') AS BIGINT)
-             |      + CAST(list_contains(ws, 'that') AS BIGINT)
-             |      + CAST(list_contains(ws, 'have') AS BIGINT)
-             |      + CAST(list_contains(ws, 'with') AS BIGINT)
-             |      AS nstops,
-             |    CAST(len(regexp_extract_all(text, '#'))
-             |      + len(regexp_extract_all(text, '\.\.\.'))
-             |      + len(regexp_extract_all(text, '…')) AS BIGINT)
-             |      AS symbols,
-             |    CAST(len(lines) AS BIGINT) AS nlines,
-             |    CAST(len(list_filter(lines,
-             |      l -> starts_with(ltrim(l), '•')
-             |        OR starts_with(ltrim(l), '-')
-             |        OR starts_with(ltrim(l), '*'))) AS BIGINT)
-             |      AS bullets,
-             |    CAST(len(list_filter(lines,
-             |      l -> ends_with(rtrim(l), '...')
-             |        OR ends_with(rtrim(l), '…'))) AS BIGINT)
-             |      AS ellipses
-             |  FROM b
-             |), v AS (
-             |  SELECT doc_id, n AS n_words,
-             |    CASE WHEN n > 0 THEN
-             |      CAST(floor(sumlen * 100.0 / n) AS BIGINT)
-             |      ELSE 0 END AS mean_wl_centi,
-             |    CASE WHEN n > 0 THEN
-             |      CAST(floor(symbols * 10000.0 / n) AS BIGINT)
-             |      ELSE 0 END AS symbol_bp,
-             |    CAST(floor(bullets * 10000.0 / nlines) AS BIGINT)
-             |      AS bullet_bp,
-             |    CAST(floor(ellipses * 10000.0 / nlines) AS BIGINT)
-             |      AS ellipsis_bp,
-             |    CASE WHEN n > 0 THEN
-             |      CAST(floor(alphaw * 10000.0 / n) AS BIGINT)
-             |      ELSE 0 END AS alpha_word_bp,
-             |    nstops AS n_stop_present
-             |  FROM m
-             |)
-             |SELECT *,
-             |  n_words >= 50 AND n_words <= 100000
-             |    AND mean_wl_centi >= 300 AND mean_wl_centi <= 1000
-             |    AND symbol_bp <= 1000
-             |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
-             |    AND alpha_word_bp >= 8000 AND n_stop_present >= 2
-             |    AS gopher_pass
-             |FROM v ORDER BY doc_id""".stripMargin)),
+      Some(gopherGateCtes +
+        """
+          |SELECT * FROM gate ORDER BY doc_id""".stripMargin)),
 
     // CCNet perplexity buckets: bigram-LM score per doc (exact integer
     // micro-nats), per-LANGUAGE percentile_disc cutoffs at p33/p66
@@ -9066,6 +9075,205 @@ object ExtensionQueries {
              |)
              |SELECT vec_id, centroid_id AS cell FROM scored
              |WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Cross-source contamination matrix at the PASSAGE grain: for every
+    // ordered source pair, the 3-word passages of a's docs that also
+    // appear anywhere in b, as a count and as bp of a's distinct
+    // passage set — the provenance-level "who is quoting whom" table
+    // (q68 answers corpus-vs-eval-set, q223 compares head VOCABULARY;
+    // this is verbatim text flow between feeds). Volume: one
+    // (source, shingle) distinct aggregate is the only corpus-scale
+    // step; the match join fans out per shingle by the number of
+    // sources carrying it (≤ sources², boilerplate passages bounded by
+    // the pair grid, never by row count), and the output is
+    // sources×(sources−1) rows.
+    Q("q232_contamination_matrix",
+      (s, dir) => {
+        val ss = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Dedup.shingles(col("text"), 3)).as("sh"))
+          .distinct()
+          .localCheckpoint() // totals + both join sides read it
+        val totals = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        val shared = ss.as("a")
+          .join(ss.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("src"),
+            col("b.source").as("other"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(broadcast(totals.withColumnRenamed("source", "src")),
+            Seq("src"))
+          .select(col("src"), col("other"), col("n_shared"), col("n_sh"),
+            expr("n_shared * 10000 div n_sh").as("contained_bp"))
+          .orderBy("src", "other")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, source, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS tk, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, source, i, n,
+             |         tk || ' ' || lead(tk, 1) OVER win || ' ' ||
+             |           lead(tk, 2) OVER win AS sh
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), ss AS (
+             |  SELECT DISTINCT source, sh FROM sh0 WHERE i <= n - 2
+             |), tot AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+             |  FROM ss GROUP BY 1
+             |), shr AS (
+             |  SELECT a.source AS src, b.source AS other,
+             |         CAST(COUNT(*) AS BIGINT) AS n_shared
+             |  FROM ss a JOIN ss b
+             |    ON a.sh = b.sh AND a.source <> b.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT s.src, s.other, s.n_shared, t.n_sh,
+             |       CAST(s.n_shared * 10000 // t.n_sh AS BIGINT)
+             |         AS contained_bp
+             |FROM shr s JOIN tot t ON t.source = s.src
+             |ORDER BY s.src, s.other""".stripMargin)),
+
+    // Quality-classifier CALIBRATION card: the cheap map-side alpha
+    // score (q23's classifier) bucketed into fixed 1000-bp bins, with
+    // the full Gopher gate (q151) as the reference label per bin —
+    // n_docs, n_pass, pass rate in bp. A well-calibrated cheap score
+    // shows pass-rate rising monotonically with the bin; a flat curve
+    // means the cheap score adds nothing over random and gating on it
+    // throws away good data. Two map-side passes over the text (census
+    // + gopher, the qualityBatch cost shape) joined on doc_id, then one
+    // ≤11-row aggregate; zero-doc bins can't exist (group keys come
+    // from rows).
+    Q("q233_quality_calibration",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cc = TextAnalysis.charClassCountsFast(col("text"))
+        val alphaBp = when(cc.getItem(0) === 0, lit(0L))
+          .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
+          .cast("long")
+        val scored = docs.select(col("doc_id"), alphaBp.as("alpha_bp"))
+        val gate = TextAnalysis.gopherGate(docs)
+          .select(col("doc_id"), col("gopher_pass"))
+        scored.join(gate, Seq("doc_id"))
+          .groupBy(expr("alpha_bp div 1000").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("gopher_pass").cast("long")).as("n_pass"))
+          .select(col("bucket"), col("n_docs"), col("n_pass"),
+            expr("n_pass * 10000 div n_docs").as("pass_bp"))
+          .orderBy("bucket")
+      },
+      Some(gopherGateCtes + """, q AS (
+             |  SELECT doc_id,
+             |         CAST(CASE WHEN length(text) = 0 THEN 0
+             |           ELSE floor(length(regexp_replace(text,
+             |             '[^A-Za-z]', '', 'g')) * 10000.0
+             |             / length(text)) END AS BIGINT) AS alpha_bp
+             |  FROM documents
+             |)
+             |SELECT q.alpha_bp // 1000 AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(CAST(g.gopher_pass AS BIGINT)) AS BIGINT)
+             |         AS n_pass,
+             |       CAST(SUM(CAST(g.gopher_pass AS BIGINT)) * 10000
+             |         // COUNT(*) AS BIGINT) AS pass_bp
+             |FROM q JOIN gate g ON g.doc_id = q.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Vocabulary-drift card against a PINNED vocabulary — the
+    // tokenizer-health signal: pin the history corpus's top-1000 terms
+    // (count desc, term asc — deterministic at the boundary), then per
+    // source compare the out-of-vocabulary token share of the incoming
+    // batch (doc_id mod 10 = 7, the incremental-family fixture) against
+    // history's own OOV share. A positive drift means the feed's
+    // language moved away from what the tokenizer/filters were tuned
+    // on (new domain, new language, or spam). Volume: one term-count
+    // aggregate over history, a bounded top-k (TakeOrdered, k=1000
+    // rows broadcast), and one token-grain map-side membership join +
+    // source-grain rollup; zero-token splits report -1 (the q178
+    // rule).
+    Q("q234_vocab_drift",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tk"))
+          .filter(length(col("tk")) > 0)
+        val batchPred = col("doc_id") % 10 === 7
+        val vocab = toks.filter(!batchPred)
+          .groupBy("tk").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("tk")).limit(1000)
+          .select(col("tk"), lit(true).as("inv"))
+        val flagged = toks
+          .join(broadcast(vocab), Seq("tk"), "left")
+          .select(col("source"), batchPred.as("isb"),
+            when(col("inv").isNull, 1L).otherwise(0L).as("oov"))
+        flagged.groupBy("source")
+          .agg(sum(when(!col("isb"), 1L).otherwise(0L)).as("hist_tokens"),
+            sum(when(!col("isb"), col("oov")).otherwise(0L))
+              .as("hist_oov"),
+            sum(when(col("isb"), 1L).otherwise(0L)).as("batch_tokens"),
+            sum(when(col("isb"), col("oov")).otherwise(0L))
+              .as("batch_oov"))
+          .select(col("source"), col("hist_tokens"), col("batch_tokens"),
+            expr("CASE WHEN hist_tokens = 0 THEN -1" +
+              " ELSE hist_oov * 10000 div hist_tokens END")
+              .as("hist_oov_bp"),
+            expr("CASE WHEN batch_tokens = 0 THEN -1" +
+              " ELSE batch_oov * 10000 div batch_tokens END")
+              .as("batch_oov_bp"),
+            expr("CASE WHEN hist_tokens = 0 OR batch_tokens = 0 THEN 0" +
+              " ELSE batch_oov * 10000 div batch_tokens" +
+              " - hist_oov * 10000 div hist_tokens END")
+              .as("drift_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), t AS (
+             |  SELECT doc_id, source, unnest(ws) AS tk FROM d
+             |), vc AS (
+             |  SELECT tk, COUNT(*) AS c FROM t
+             |  WHERE doc_id % 10 <> 7 GROUP BY 1
+             |), vocab AS (
+             |  SELECT tk FROM vc ORDER BY c DESC, tk LIMIT 1000
+             |), fl AS (
+             |  SELECT source, doc_id % 10 = 7 AS isb,
+             |         CASE WHEN tk IN (SELECT tk FROM vocab)
+             |           THEN 0 ELSE 1 END AS oov
+             |  FROM t
+             |), ag AS (
+             |  SELECT source,
+             |         CAST(SUM(CASE WHEN NOT isb THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS hist_tokens,
+             |         CAST(SUM(CASE WHEN NOT isb THEN oov ELSE 0 END)
+             |           AS BIGINT) AS hist_oov,
+             |         CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS batch_tokens,
+             |         CAST(SUM(CASE WHEN isb THEN oov ELSE 0 END)
+             |           AS BIGINT) AS batch_oov
+             |  FROM fl GROUP BY 1
+             |)
+             |SELECT source, hist_tokens, batch_tokens,
+             |       CAST(CASE WHEN hist_tokens = 0 THEN -1
+             |         ELSE hist_oov * 10000 // hist_tokens END
+             |         AS BIGINT) AS hist_oov_bp,
+             |       CAST(CASE WHEN batch_tokens = 0 THEN -1
+             |         ELSE batch_oov * 10000 // batch_tokens END
+             |         AS BIGINT) AS batch_oov_bp,
+             |       CAST(CASE WHEN hist_tokens = 0
+             |           OR batch_tokens = 0 THEN 0
+             |         ELSE batch_oov * 10000 // batch_tokens
+             |           - hist_oov * 10000 // hist_tokens END
+             |         AS BIGINT) AS drift_bp
+             |FROM ag ORDER BY source""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
