@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -9274,6 +9275,254 @@ object ExtensionQueries {
              |           - hist_oov * 10000 // hist_tokens END
              |         AS BIGINT) AS drift_bp
              |FROM ag ORDER BY source""".stripMargin)),
+
+    // The STREAMED sessionization end state as a first-class query —
+    // the q214 pattern applied to the flatMapGroupsWithState kernel,
+    // the one maintainer whose state lives in the ENGINE's state store
+    // rather than a versioned parquet dir. Append-mode sessions only
+    // emit when the event-time watermark passes their idle timer, so a
+    // sentinel event (user −1) lands `gap + delay + slack` past the
+    // corpus max: the watermark sweeps past every real session's
+    // timeout, the timer batch closes them all, and the emitted set
+    // (sentinel filtered) is EXACTLY the batch gap-segmentation — which
+    // is the DuckDB oracle (lag/gap islands). runToMemoryUntilWatermark
+    // holds the query open until the engine reports the sentinel-driven
+    // watermark, so completion is deterministic, not a race against the
+    // no-data micro-batch. value sums stay OFF the compare surface
+    // (double fold order inside a session is tie-ambiguous); the
+    // session boundary set is tie-invariant.
+    Q("q235_streamed_sessions",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        // 1800 gap + 3600 watermark delay + slack, all in seconds
+        val sentinel = ev
+          .agg((max(col("ts").cast("long")) + 9000L).as("t"))
+          .select(lit(-1L).as("event_id"),
+            col("t").cast("timestamp").as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"))
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q235-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        val streamDir = s"$base/events"
+        // corpus+sentinel parquet is a pure function of the input —
+        // build once per (application, dir), like the q229 state tree
+        if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
+          ev.unionByName(sentinel).coalesce(1)
+            .write.mode("overwrite").parquet(streamDir)
+        val wmTarget = s.read.parquet(streamDir)
+          .agg(max(col("ts").cast("long"))).collect()(0).getLong(0) -
+          3600L - 1L // 1-row bounded decision read (Skew.autoJoin rule)
+        val sessions = graft.streaming.EventStreams.sessionize(
+          graft.streaming.EventStreams.readEvents(s, streamDir),
+          gapSeconds = 1800, watermark = "1 hour")
+        // fresh run dir per invocation: the parquet sink + checkpoint
+        // pair is single-use by construction (a reused checkpoint with
+        // no new data would never re-report the watermark)
+        val run = s"$base/run-${java.util.UUID.randomUUID.toString}"
+        graft.streaming.EventStreams.runToParquetUntilWatermark(
+            sessions.toDF()
+              .filter(col("user_id") >= 0)
+              .select(col("user_id"), col("n_events"), col("start_s"),
+                col("end_s")),
+            s"$run/out", s"$run/ckpt", wmTarget)
+          .orderBy("user_id", "start_s")
+      },
+      Some("""WITH e AS (
+             |  -- floor, not CAST: epoch() is DOUBLE-with-fraction and a
+             |  -- straight CAST rounds .9s up; the kernel floors millis
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, t,
+             |         CASE WHEN lag(t) OVER w IS NULL
+             |              OR t - lag(t) OVER w > 1800
+             |           THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+             |), s AS (
+             |  SELECT user_id, t,
+             |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+             |           ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m
+             |)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       MIN(t) AS start_s, MAX(t) AS end_s
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_s""".stripMargin)),
+
+    // The STREAMED degree table's end state — GraphStreams' maintainer
+    // certified end-to-end against q119's one-shot oracle: the distinct
+    // order–part edge set splits into three deterministic hash waves
+    // (wave = f(edge), so per-wave distinct ≡ partitioned global
+    // distinct — the q119 contract), each delivered through degreeBatch
+    // (the exact foreachBatch body: _SUCCESS-gated predecessor read,
+    // mergeDegrees count addition, overwrite v=N), end state read back
+    // through latestState. History is never re-aggregated; state in the
+    // bounded per-(application, dir) tmpdir.
+    Q("q236_streamed_degrees",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("long").as("id_a"),
+            (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
+        val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q236-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.GraphStreams.degreeBatch(
+            base.filter(wave === b).distinct(), b, stateDir)
+        }
+        graft.streaming.GraphStreams.latestState(s, stateDir)
+          .orderBy("id")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT l_orderkey AS u,
+             |         l_partkey + 1000000000 AS v
+             |  FROM lineitem
+             |), d AS (
+             |  SELECT u AS id FROM e UNION ALL SELECT v FROM e
+             |)
+             |SELECT CAST(id AS BIGINT) AS id,
+             |       CAST(COUNT(*) AS BIGINT) AS deg
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Source×language ASSOCIATION card (pointwise mutual information
+    // per provenance cell): for each (source, lang) cell its doc count,
+    // the count independence would predict, and PMI in exact integer
+    // micro-nats — positive cells are a feed's language specialization,
+    // a matrix of ~zero PMI means source tells you nothing about
+    // language (the partitioning is redundant and per-source language
+    // filters can be shared). Complements q215 (per-source entropy —
+    // dispersion, not association). Determinism: the ln argument is
+    // composed of four separate BIGINT→DOUBLE casts multiplied in fixed
+    // order (overflow-free at any corpus size — products of casts, not
+    // casts of products), ONE ln, floored to micro (the q121/q215
+    // discipline); expected count is exact via DECIMAL staging. Volume:
+    // one (source, lang) aggregate; everything after is
+    // sources×langs-sized with broadcast marginals.
+    Q("q237_source_lang_pmi",
+      (s, dir) => {
+        val joint = Tables.load(s, dir, "documents")
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_sl"))
+          .localCheckpoint() // feeds marginals, totals, AND the output
+        val ms = joint.groupBy("source").agg(sum("n_sl").as("n_s"))
+        val ml = joint.groupBy("lang").agg(sum("n_sl").as("n_l"))
+        val tot = joint.agg(sum("n_sl").as("n"))
+        joint
+          .join(broadcast(ms), Seq("source"))
+          .join(broadcast(ml), Seq("lang"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("lang"), col("n_sl").as("n_docs"),
+            expr("CAST(CAST(n_s AS DECIMAL(38,0)) * n_l DIV n AS BIGINT)")
+              .as("exp_docs"),
+            floor(log((col("n_sl").cast("double") * col("n").cast("double"))
+                / (col("n_s").cast("double") * col("n_l").cast("double")))
+              * 1e6).cast("long").as("pmi_micro"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH j AS (
+             |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+             |  FROM documents GROUP BY 1, 2
+             |), ms AS (
+             |  SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s
+             |  FROM j GROUP BY 1
+             |), ml AS (
+             |  SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l
+             |  FROM j GROUP BY 1
+             |), t AS (
+             |  SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM j
+             |)
+             |SELECT j.source, j.lang, j.n_sl AS n_docs,
+             |       CAST(CAST(ms.n_s AS HUGEINT) * ml.n_l // t.n
+             |         AS BIGINT) AS exp_docs,
+             |       CAST(floor(ln((CAST(j.n_sl AS DOUBLE)
+             |           * CAST(t.n AS DOUBLE))
+             |         / (CAST(ms.n_s AS DOUBLE)
+             |           * CAST(ml.n_l AS DOUBLE))) * 1e6) AS BIGINT)
+             |         AS pmi_micro
+             |FROM j JOIN ms USING (source) JOIN ml USING (lang)
+             |     CROSS JOIN t
+             |ORDER BY j.source, j.lang""".stripMargin)),
+
+    // Gopher FILTER-ATTRIBUTION card: per individual gate rule, how
+    // many docs fail it and how many fail ONLY it (the marginal kill —
+    // removing that one rule would readmit exactly those docs). The
+    // table that says which filters do the work and which are dead
+    // weight riding other rules' rejections — the first question when
+    // tuning a quality gate's thresholds. Shares gopherGate's single
+    // map-side metric pass; the explode is rules×docs rows of a few
+    // integers feeding one 8-row aggregate, no text ever shuffles.
+    Q("q238_filter_attribution",
+      (s, dir) => {
+        val g = TextAnalysis.gopherGate(Tables.load(s, dir, "documents"))
+        val fails: Seq[(String, Column)] = Seq(
+          "alpha_words" -> (col("alpha_word_bp") < 8000),
+          "bullet_lines" -> (col("bullet_bp") > 9000),
+          "ellipsis_lines" -> (col("ellipsis_bp") > 3000),
+          "mean_word_len" -> (col("mean_wl_centi") < 300 ||
+            col("mean_wl_centi") > 1000),
+          "stopwords" -> (col("n_stop_present") < 2),
+          "symbol_ratio" -> (col("symbol_bp") > 1000),
+          "words_max" -> (col("n_words") > 100000),
+          "words_min" -> (col("n_words") < 50))
+        val nf = fails.map(_._2.cast("long")).reduce(_ + _)
+        g.select(nf.as("nf"),
+            array(fails.map { case (nm, c) =>
+              struct(lit(nm).as("rule"), c.cast("long").as("f"))
+            }: _*).as("rs"))
+          .select(col("nf"), explode(col("rs")).as("r"))
+          .groupBy(col("r.rule").as("rule"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("r.f")).as("n_fail"),
+            sum(when(col("r.f") === 1 && col("nf") === 1, 1L)
+              .otherwise(0L)).as("n_only"))
+          .select(col("rule"), col("n_docs"), col("n_fail"),
+            col("n_only"),
+            expr("n_fail * 10000 div n_docs").as("fail_bp"))
+          .orderBy("rule")
+      },
+      Some(gopherGateCtes + """, f AS (
+             |  SELECT doc_id,
+             |    CAST(alpha_word_bp < 8000 AS BIGINT) AS alpha_words,
+             |    CAST(bullet_bp > 9000 AS BIGINT) AS bullet_lines,
+             |    CAST(ellipsis_bp > 3000 AS BIGINT) AS ellipsis_lines,
+             |    CAST(mean_wl_centi < 300 OR mean_wl_centi > 1000
+             |      AS BIGINT) AS mean_word_len,
+             |    CAST(n_stop_present < 2 AS BIGINT) AS stopwords,
+             |    CAST(symbol_bp > 1000 AS BIGINT) AS symbol_ratio,
+             |    CAST(n_words > 100000 AS BIGINT) AS words_max,
+             |    CAST(n_words < 50 AS BIGINT) AS words_min
+             |  FROM gate
+             |), tf AS (
+             |  SELECT *, alpha_words + bullet_lines + ellipsis_lines
+             |    + mean_word_len + stopwords + symbol_ratio
+             |    + words_max + words_min AS nf
+             |  FROM f
+             |), u AS (
+             |  SELECT 'alpha_words' AS rule, alpha_words AS fl, nf
+             |    FROM tf
+             |  UNION ALL SELECT 'bullet_lines', bullet_lines, nf FROM tf
+             |  UNION ALL SELECT 'ellipsis_lines', ellipsis_lines, nf
+             |    FROM tf
+             |  UNION ALL SELECT 'mean_word_len', mean_word_len, nf
+             |    FROM tf
+             |  UNION ALL SELECT 'stopwords', stopwords, nf FROM tf
+             |  UNION ALL SELECT 'symbol_ratio', symbol_ratio, nf FROM tf
+             |  UNION ALL SELECT 'words_max', words_max, nf FROM tf
+             |  UNION ALL SELECT 'words_min', words_min, nf FROM tf
+             |)
+             |SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(fl) AS BIGINT) AS n_fail,
+             |       CAST(SUM(CASE WHEN fl = 1 AND nf = 1
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_only,
+             |       CAST(SUM(fl) * 10000 // COUNT(*) AS BIGINT)
+             |         AS fail_bp
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated

@@ -241,4 +241,61 @@ object EventStreams {
     q.stop()
     streaming.sparkSession.table(name)
   }
+
+  /** `runToMemory` for event-time-timer queries (sessionize): rows held
+    * by an `EventTimeTimeout` only emit in the batch that runs AFTER the
+    * watermark passes their timer, and `processAllAvailable` returns when
+    * the DATA is consumed — the timer-firing no-data micro-batch may not
+    * have committed yet. This variant keeps the query alive until the
+    * reported watermark reaches `watermarkPastEpochS` (the engine runs
+    * no-data batches on its own whenever the watermark advances), so the
+    * emitted set is deterministically complete before the read-back.
+    * Callers make the target reachable by appending a sentinel event
+    * `delay + slack` past every timer they need fired. */
+  def runToMemoryUntilWatermark(streaming: DataFrame, name: String,
+                                watermarkPastEpochS: Long,
+                                outputMode: String = "append",
+                                timeoutMs: Long = 120000): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    waitForWatermark(q, watermarkPastEpochS, timeoutMs)
+    streaming.sparkSession.table(name)
+  }
+
+  /** The production-posture sibling of [[runToMemoryUntilWatermark]]:
+    * emitted rows land in an APPEND-mode parquet sink (executor-side
+    * files — nothing session-sized ever accumulates on the driver) and
+    * the landed table is read back once the watermark target is
+    * reached. */
+  def runToParquetUntilWatermark(streaming: DataFrame, path: String,
+                                 checkpoint: String,
+                                 watermarkPastEpochS: Long,
+                                 timeoutMs: Long = 120000): DataFrame = {
+    val q = streaming.writeStream
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    waitForWatermark(q, watermarkPastEpochS, timeoutMs)
+    streaming.sparkSession.read.parquet(path)
+  }
+
+  private def waitForWatermark(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      watermarkPastEpochS: Long, timeoutMs: Long): Unit = {
+    q.processAllAvailable()
+    val deadline = System.currentTimeMillis + timeoutMs
+    def watermarkS: Long =
+      Option(q.lastProgress).map(_.eventTime.get("watermark"))
+        .filter(_ != null)
+        .map(w => java.time.Instant.parse(w).getEpochSecond)
+        .getOrElse(Long.MinValue)
+    while (watermarkS < watermarkPastEpochS &&
+        System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    val reached = watermarkS
+    q.stop()
+    require(reached >= watermarkPastEpochS,
+      s"watermark stalled at $reached < $watermarkPastEpochS " +
+        s"after ${timeoutMs}ms — timer batch never ran")
+  }
 }
