@@ -9523,6 +9523,302 @@ object ExtensionQueries {
              |       CAST(SUM(fl) * 10000 // COUNT(*) AS BIGINT)
              |         AS fail_bp
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // LSH parameter sweep — the (bands, rows) tuning table from ONE
+    // 12-value signature set: for each banding of the same signatures,
+    // observed candidate volume and precision at the j ≥ 0.5 decision
+    // threshold, next to the exact-rational S-curve prediction
+    // P(candidate | s = 0.5) = 1 − (1 − 2^-r)^b in ppm (integer
+    // arithmetic — BigInt powers over the 2^rb denominator, identical
+    // literals on both engines by construction). q129 tunes the
+    // PRODUCTION banding against ground truth on a sample; this is the
+    // design-space scan that picks it. Volume: bands explode is
+    // docs·Σb rows of short strings, candidate joins are
+    // band-bucket-bounded, the verify join is candidate-pair-sized
+    // against the once-built shingle arrays — never all-pairs.
+    Q("q239_lsh_parameter_sweep",
+      (s, dir) => {
+        val k = 12
+        val settings = Seq((6, 2), (4, 3), (3, 4), (2, 6))
+        def theoryPpm(b: Int, r: Int): Long = {
+          val den = BigInt(2).pow(r * b)
+          val num = den - (BigInt(2).pow(r) - 1).pow(b)
+          (num * 1000000 / den).toLong
+        }
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = docs.select(col("doc_id"),
+            Dedup.minhashSignatureFast(col("text"), 3, k).as("sig"))
+          .filter(size(col("sig")) > 0)
+          .localCheckpoint() // one band branch per setting reads it
+        val sh = docs.select(col("doc_id"),
+            Dedup.shingleHashesFast(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint() // the pair-verify side, built once
+        val cands = settings.map { case (nb, nr) =>
+          val bands = sigs.select(col("doc_id"), explode(expr(
+              s"transform(sequence(0, ${nb - 1}), g -> struct(g AS g, " +
+                s"array_join(transform(slice(sig, g * $nr + 1, $nr), " +
+                "x -> cast(x AS string)), ',') AS bv))")).as("e"))
+            .select(col("doc_id"), col("e.g").as("g"),
+              col("e.bv").as("bv"))
+          bands.as("x").join(bands.as("y"),
+              col("x.g") === col("y.g") && col("x.bv") === col("y.bv") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(lit(nb).as("b"), lit(nr).as("r"),
+              col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+            .distinct()
+        }.reduce(_ unionByName _)
+        val scored = cands.select("ia", "ib").distinct()
+          .join(sh.as("x"), col("ia") === col("x.doc_id"))
+          .join(sh.as("y"), col("ib") === col("y.doc_id"))
+          .select(col("ia"), col("ib"),
+            Dedup.sortedIntersectCount(col("x.sh"), col("y.sh"))
+              .as("ni"),
+            (size(col("x.sh")) + size(col("y.sh"))).as("nt"))
+          .select(col("ia"), col("ib"),
+            floor(col("ni") * lit(10000.0) / (col("nt") - col("ni")))
+              .cast("long").as("j_bp"))
+        val spark2 = s; import spark2.implicits._
+        val th = settings.map { case (nb, nr) =>
+          (nb, nr, theoryPpm(nb, nr)) }.toDF("b", "r", "theory_ppm")
+        cands.join(scored, Seq("ia", "ib"))
+          .groupBy("b", "r")
+          .agg(count(lit(1)).as("n_cand"),
+            sum(when(col("j_bp") >= 5000, 1L).otherwise(0L))
+              .as("n_good"))
+          .join(broadcast(th), Seq("b", "r"))
+          .select(col("b"), col("r"), col("n_cand"), col("n_good"),
+            expr("CASE WHEN n_cand = 0 THEN -1" +
+              " ELSE n_good * 10000 div n_cand END").as("precision_bp"),
+            col("theory_ppm"))
+          .orderBy("r")
+      },
+      Some {
+        val settings = Seq((6, 2), (4, 3), (3, 4), (2, 6))
+        def theoryPpm(b: Int, r: Int): Long = {
+          val den = BigInt(2).pow(r * b)
+          val num = den - (BigInt(2).pow(r) - 1).pow(b)
+          (num * 1000000 / den).toLong
+        }
+        val bandBlocks = settings.map { case (nb, nr) =>
+          s""", bands_${nb}_$nr AS (
+             |  SELECT doc_id, seed // $nr AS g,
+             |         array_to_string(list(CAST(mh AS STRING)
+             |           ORDER BY seed), ',') AS bv
+             |  FROM mh GROUP BY doc_id, seed // $nr
+             |), cand_${nb}_$nr AS (
+             |  SELECT DISTINCT $nb AS b, $nr AS r,
+             |         x.doc_id AS ia, y.doc_id AS ib
+             |  FROM bands_${nb}_$nr x JOIN bands_${nb}_$nr y
+             |    ON x.g = y.g AND x.bv = y.bv
+             |   AND x.doc_id < y.doc_id
+             |)""".stripMargin
+        }.mkString
+        val candUnion = settings.map { case (nb, nr) =>
+          s"SELECT * FROM cand_${nb}_$nr" }
+          .mkString("\n  UNION ALL ")
+        val thValues = settings.map { case (nb, nr) =>
+          s"($nb, $nr, ${theoryPpm(nb, nr)})" }.mkString(", ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents
+           |), tr AS (
+           |  SELECT doc_id, generate_subscripts(w, 1) AS i,
+           |         unnest(w) AS tok, len(w) AS n
+           |  FROM tok
+           |), sh0 AS (
+           |  SELECT doc_id, i, n,
+           |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+           |           lead(tok, 2) OVER win AS shingle
+           |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+           |), sh AS (
+           |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+           |), shc AS (
+           |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+           |), mh AS (
+           |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+           |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+           |                 t.seed * 2654435769)) AS mh
+           |  FROM sh CROSS JOIN generate_series(0, 11) t(seed)
+           |  GROUP BY doc_id, t.seed
+           |)$bandBlocks, cu AS (
+           |  $candUnion
+           |), pr AS (
+           |  SELECT DISTINCT ia, ib FROM cu
+           |), inter AS (
+           |  SELECT p.ia, p.ib, COUNT(*) AS ninter
+           |  FROM pr p
+           |  JOIN sh sa ON sa.doc_id = p.ia
+           |  JOIN sh sb ON sb.doc_id = p.ib AND sb.shingle = sa.shingle
+           |  GROUP BY p.ia, p.ib
+           |), j AS (
+           |  SELECT p.ia, p.ib,
+           |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+           |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
+           |           AS BIGINT) AS j_bp
+           |  FROM pr p
+           |  JOIN shc ca ON ca.doc_id = p.ia
+           |  JOIN shc cb ON cb.doc_id = p.ib
+           |  LEFT JOIN inter i ON i.ia = p.ia AND i.ib = p.ib
+           |)
+           |SELECT CAST(c.b AS INTEGER) AS b, CAST(c.r AS INTEGER) AS r,
+           |       CAST(COUNT(*) AS BIGINT) AS n_cand,
+           |       CAST(SUM(CASE WHEN j.j_bp >= 5000 THEN 1 ELSE 0 END)
+           |         AS BIGINT) AS n_good,
+           |       CAST(CASE WHEN COUNT(*) = 0 THEN -1
+           |         ELSE SUM(CASE WHEN j.j_bp >= 5000 THEN 1 ELSE 0 END)
+           |           * 10000 // COUNT(*) END AS BIGINT) AS precision_bp,
+           |       CAST(th.theory_ppm AS BIGINT) AS theory_ppm
+           |FROM cu c
+           |JOIN j ON j.ia = c.ia AND j.ib = c.ib
+           |JOIN (VALUES $thValues) th(b, r, theory_ppm)
+           |  ON th.b = c.b AND th.r = c.r
+           |GROUP BY c.b, c.r, th.theory_ppm
+           |ORDER BY c.r""".stripMargin
+      }),
+
+    // Binned two-sample Kolmogorov-Smirnov drift between the month's
+    // two halves of the event value distribution — the max-CDF-gap
+    // companion to q121's PSI (PSI is an average-divergence card and
+    // saturates on tail mass; KS localizes WHERE the distributions
+    // pull apart and is the classical drift alarm). Exact integers end
+    // to end: per-bin counts, cumulative folds over the BOUNDED bin
+    // domain (value-range/binWidth buckets — the q121 bin contract;
+    // the no-partition window runs on that bin-domain-sized frame,
+    // never on rows), and the gap in ppm via HUGEINT/DECIMAL staging
+    // so cum·n products cannot overflow at any corpus size. Ties on
+    // the max gap break to the smallest bin (struct-max on
+    // (gap, -bin) both engines).
+    Q("q240_ks_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val binned = ev.select(
+            floor(col("value") / 10.0).cast("long").as("bin"),
+            when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L)
+              .as("ca"),
+            when(dayofmonth(col("ts")) > 15, 1L).otherwise(0L)
+              .as("cb"))
+          .groupBy("bin").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+        // bounded frame: one row per occupied value/10 bin
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("bin").rowsBetween(Long.MinValue, 0)
+        val cum = binned.select(col("bin"),
+          sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        val tot = binned.agg(sum("ca").as("na"), sum("cb").as("nb"))
+        cum.crossJoin(broadcast(tot))
+          .select(col("bin"), col("na"), col("nb"),
+            expr("CAST(abs(CAST(cuma AS DECIMAL(38,0)) * nb" +
+              " - CAST(cumb AS DECIMAL(38,0)) * na) * 1000000" +
+              " DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+              .as("d_ppm"))
+          .groupBy("na", "nb")
+          .agg(max(struct(col("d_ppm"), (-col("bin")).as("nbin")))
+            .as("m"))
+          .select(col("m.d_ppm").as("ks_ppm"),
+            (-col("m.nbin")).as("at_bin"), col("na"), col("nb"))
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             |         CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS ca,
+             |         CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS cb
+             |  FROM events
+             |), b AS (
+             |  SELECT bin, SUM(ca) AS ca, SUM(cb) AS cb
+             |  FROM e GROUP BY 1
+             |), c AS (
+             |  SELECT bin,
+             |         SUM(ca) OVER (ORDER BY bin
+             |           ROWS UNBOUNDED PRECEDING) AS cuma,
+             |         SUM(cb) OVER (ORDER BY bin
+             |           ROWS UNBOUNDED PRECEDING) AS cumb
+             |  FROM b
+             |), t AS (
+             |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             |         CAST(SUM(cb) AS BIGINT) AS nb
+             |  FROM b
+             |), d AS (
+             |  SELECT bin,
+             |         CAST(abs(CAST(cuma AS HUGEINT) * nb
+             |           - CAST(cumb AS HUGEINT) * na) * 1000000
+             |           // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+             |           AS d_ppm
+             |  FROM c CROSS JOIN t
+             |)
+             |SELECT d_ppm AS ks_ppm, bin AS at_bin, na, nb
+             |FROM d CROSS JOIN t
+             |ORDER BY d_ppm DESC, bin LIMIT 1""".stripMargin)),
+
+    // The STREAMED Naive-Bayes count table's end state — IndexStreams'
+    // nbBatch maintainer certified end-to-end against q153's oracle
+    // VERBATIM: the q153 training split streams in three doc_id-mod
+    // waves (each doc arrives once — the corpus-partitioning
+    // contract), each wave tokenizes only itself and folds in by count
+    // addition (_SUCCESS-gated predecessor read, overwrite v=N), and
+    // the model derived from the final committed version ≡ one-shot
+    // training. History is never re-tokenized.
+    Q("q241_streamed_nb",
+      (s, dir) => {
+        val train = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % 17 =!= 0)
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q241-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.IndexStreams.nbBatch(
+            train.filter(col("doc_id") % 3 === b), b, stateDir)
+        }
+        NaiveBayes.model(
+            graft.streaming.IndexStreams.latestNbCounts(s, stateDir))
+          .orderBy("label", "term")
+      },
+      Some(nbModelCtes +
+        """
+          |SELECT label, term, n, lp FROM mdl
+          |ORDER BY label, term""".stripMargin)),
+
+    // The STREAMED inverted index's end state — IndexStreams'
+    // indexBatch maintainer certified end-to-end against q92's
+    // full-corpus rebuild oracle: the whole corpus streams in three
+    // waves, each wave indexes only itself and folds in via the closed
+    // arr-form merge (df/tf addition, k-min posting union — MinKAgg's
+    // semilattice lifted to the table), and the rendered final version
+    // ≡ the one-shot index. The render-at-read (mergeIndexes with an
+    // empty batch) is exactly the production read path.
+    Q("q242_streamed_index",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q242-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.IndexStreams.indexBatch(
+            docs.filter(col("doc_id") % 3 === b), b, stateDir,
+            maxPostings = 32)
+        }
+        val latest =
+          graft.streaming.IndexStreams.latestIndex(s, stateDir)
+        Retrieval.mergeIndexes(latest, latest.limit(0), 32)
+          .orderBy("term")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(ws) AS term FROM d
+             |), tf AS (
+             |  SELECT term, doc_id, COUNT(*) AS c
+             |  FROM tok GROUP BY term, doc_id
+             |)
+             |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             |       CAST(SUM(c) AS BIGINT) AS total_tf,
+             |       array_to_string(
+             |         list_transform((list(doc_id ORDER BY doc_id))[1:32],
+             |           x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
