@@ -9819,6 +9819,175 @@ object ExtensionQueries {
              |         list_transform((list(doc_id ORDER BY doc_id))[1:32],
              |           x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
+
+    // The STREAMED BPE word table's end state — IndexStreams' bpeBatch
+    // maintainer certified end-to-end THROUGH TRAINING: the corpus
+    // streams in three waves (each doc once), each wave builds only its
+    // own word-frequency table and folds in by count addition
+    // (_SUCCESS-gated predecessor read, overwrite v=N), and the merge
+    // table retrained from the final committed version ≡ one-shot
+    // training — q139's oracle verbatim (training is a pure function of
+    // the word table, so the replayed merge rounds, counts and
+    // tie-breaks are all inside the hash).
+    Q("q243_streamed_bpe",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q243-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.IndexStreams.bpeBatch(
+            docs.filter(col("doc_id") % 3 === b), b, stateDir)
+        }
+        graft.functions.Bpe.trainFromWords(
+            graft.streaming.IndexStreams.latestWordTable(s, stateDir),
+            rounds = 6)
+          ._2.orderBy("round")
+      },
+      Some(bpeOracleCtes(6) +
+        (1 to 6).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, lsym, rsym, n FROM b$r")
+          .mkString("\n", "\nUNION ALL\n", "\nORDER BY round"))),
+
+    // Tokenizer-fertility card by source — the mBERT/XLM-R fertility
+    // metric against the repo's own trained BPE vocabulary: per source,
+    // subwords per word (centi) and characters per subword (centi).
+    // High fertility = the vocabulary fragments that feed's language
+    // (token budgets buy less text there); read next to q234's OOV
+    // drift it separates "vocabulary never fit this source" from "the
+    // source moved". Encoding reads the STANDING trained word table
+    // (the q140 memoized artifact, shared — training cost is paid once
+    // per session); the encode join is token-grain map-side vs the
+    // vocabulary-sized table, the rollup is sources-sized.
+    Q("q244_tokenizer_fertility",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val enc = graft.functions.Bpe.encodeWith(docs,
+          Tables.memoTable(s, dir, "bpe_words6") {
+            graft.functions.Bpe.train(docs, rounds = 6)._1
+          })
+        enc.join(docs.select(col("doc_id"), col("source"),
+            col("n_chars")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("n_words"),
+            sum("n_tokens").as("n_tokens"),
+            sum("n_chars").as("nch"))
+          .select(col("source"), col("n_docs"), col("n_words"),
+            col("n_tokens"),
+            expr("n_tokens * 100 div n_words").as("fertility_centi"),
+            expr("nch * 100 div n_tokens").as("chars_per_token_centi"))
+          .orderBy("source")
+      },
+      Some(bpeOracleCtes(6) + """, tok AS (
+             |  SELECT doc_id,
+             |         unnest(string_split_regex(trim(text), '\s+'))
+             |           AS word
+             |  FROM documents
+             |), tv AS (
+             |  SELECT word,
+             |         len(list_filter(string_split(sym, '  '),
+             |                         x -> length(x) > 0)) AS n_subwords
+             |  FROM w6
+             |), encd AS (
+             |  SELECT t.doc_id, COUNT(*) AS n_words,
+             |         SUM(v.n_subwords) AS n_tokens
+             |  FROM tok t JOIN tv v USING (word)
+             |  WHERE length(t.word) > 0
+             |  GROUP BY 1
+             |)
+             |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+             |       CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(e.n_tokens) * 100 // SUM(e.n_words)
+             |         AS BIGINT) AS fertility_centi,
+             |       CAST(SUM(d.n_chars) * 100 // SUM(e.n_tokens)
+             |         AS BIGINT) AS chars_per_token_centi
+             |FROM encd e JOIN documents d ON d.doc_id = e.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The STREAMED SCD2 dimension's end state — DimensionStreams'
+    // upsertBatch maintainer certified end-to-end against the
+    // full-history build oracle (q93's SQL verbatim): orders stream in
+    // three DATE-RANGE waves (the maintainer's key-time-ordering
+    // contract — every batch event later than every standing event for
+    // its key), each folds via Scd.applyBatch (_SUCCESS-gated
+    // predecessor read, overwrite v=N; closed rows pass through,
+    // history never re-read), and the final committed dimension ≡ the
+    // one-shot SCD2 build over everything.
+    Q("q245_streamed_scd2",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val c1 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val c2 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        val waves = Seq(
+          orders.filter(col("o_orderdate") < c1),
+          orders.filter(col("o_orderdate") >= c1 &&
+            col("o_orderdate") < c2),
+          orders.filter(col("o_orderdate") >= c2))
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q245-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        waves.zipWithIndex.foreach { case (w, i) =>
+          graft.streaming.DimensionStreams.upsertBatch(w, i.toLong,
+            stateDir)
+        }
+        graft.streaming.DimensionStreams.latestDim(s, stateDir)
+          .orderBy("customer_id", "valid_from", "change_key")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders
+             |), runs AS (
+             |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+             |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+             |  FROM ch WHERE prev IS NULL OR prev <> o_orderstatus
+             |)
+             |SELECT o_custkey AS customer_id, o_orderkey AS change_key,
+             |       o_orderstatus AS status, o_orderdate AS valid_from,
+             |       valid_to, valid_to IS NULL AS is_current
+             |FROM runs
+             |ORDER BY customer_id, valid_from, change_key""".stripMargin)),
+
+    // The STREAMED near-dup pipeline's end state — DocumentStreams'
+    // nearDupBatch certified end-to-end against the one-shot corpus
+    // LSH (q44's oracle verbatim): three waves each probe the standing
+    // band/shingle index then grow it (own-id anti-join makes replay
+    // converge), and the accumulated pair set — orientation-normalized,
+    // since the incremental path emits (new, dup) by arrival while the
+    // one-shot orients by id — equals the corpus-wide banding with
+    // identical exact-Jaccard scores. A FRESH run tree per invocation:
+    // re-probing batch 0 against a later run's full index would
+    // re-discover cross-wave pairs into the wrong batch dir (the spec's
+    // crash-replay contract covers only the LAST batch).
+    Q("q246_streamed_neardups",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q246-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode) +
+            s"/run-${java.util.UUID.randomUUID.toString}").toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.DocumentStreams.nearDupBatch(
+            docs.filter(col("doc_id") % 3 === b), b, s"$base/index",
+            s"$base/pairs", "doc_id", "text", 3, 4, 4, 2000L)
+        }
+        s.read.parquet(s"$base/pairs")
+          .select(least(col("new_id"), col("dup_id")).as("id_a"),
+            greatest(col("new_id"), col("dup_id")).as("id_b"),
+            col("jaccard_bp"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(neardupScoredCtes +
+        """SELECT id_a, id_b, jaccard_bp FROM scored
+          |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
