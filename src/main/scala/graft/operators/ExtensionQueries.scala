@@ -9988,6 +9988,273 @@ object ExtensionQueries {
       Some(neardupScoredCtes +
         """SELECT id_a, id_b, jaccard_bp FROM scored
           |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
+
+    // The STREAMED curation pipeline's end state — DocumentStreams'
+    // curateBatch (quality gate ∧ decontamination ∧ keep-first
+    // near-dup) certified end-to-end: the corpus streams in three
+    // ID-RANGE waves (arrival order = id order, which is what makes
+    // streamed keep-first ≡ the one-shot lower-id-wins policy), each
+    // batch probes-then-grows the standing index and lands its
+    // survivors under batch_id=N, and the accumulated curated set ≡
+    // the one-shot policy: quality pass AND zero eval contamination
+    // AND no ≥-threshold near-dup pair with ANY lower id (kept or not
+    // — the index grows by all docs, so a later twin of a dropped doc
+    // drops too; deliberately NON-cascading). Oracle composes the
+    // existing chains: LSH scored pairs + q73's quality/dirty CTEs +
+    // the keep-first id_b rule. Fresh run tree per invocation (the
+    // q246 rationale).
+    Q("q247_streamed_curation",
+      (s, dir) => {
+        val all = Tables.load(s, dir, "documents")
+        val eval = all.filter(col("doc_id") % 17 === 0)
+        // odd-id half-corpus: every stage still streams real traffic,
+        // at a quarter of the LSH pair volume (certification cost, not
+        // coverage — the full-corpus LSH is q44/q246's surface)
+        val corpus = all.filter(col("doc_id") % 17 =!= 0 &&
+          col("doc_id") % 2 === 1)
+        // 1-row bounded decision read (Skew.autoJoin rule): tercile
+        // boundaries so waves arrive in id order
+        val m = corpus.agg(max("doc_id")).collect()(0).getLong(0)
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q247-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode) +
+            s"/run-${java.util.UUID.randomUUID.toString}").toString
+        var lo = Long.MinValue
+        Seq(m / 3, 2 * m / 3, m).zipWithIndex.foreach { case (hi, i) =>
+          graft.streaming.DocumentStreams.curateBatch(
+            corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
+            i.toLong, eval, s"$base/index", s"$base/pairs",
+            s"$base/curated", minJaccardBp = 2000)
+          lo = hi
+        }
+        s.read.parquet(s"$base/curated")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(neardupScoredCtes +
+        """, qd AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(text, '\s+'),
+          |                     x -> len(x) > 0) AS ws
+          |  FROM documents
+          |), qtok AS (
+          |  SELECT doc_id, unnest(ws) AS w FROM qd
+          |), qwc AS (
+          |  SELECT doc_id, w, COUNT(*) AS c FROM qtok GROUP BY doc_id, w
+          |), qwords AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+          |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+          |           AS top_word_frac
+          |  FROM qwc GROUP BY doc_id
+          |), qkeep AS (
+          |  SELECT qd.doc_id
+          |  FROM qd LEFT JOIN qwords qw ON qd.doc_id = qw.doc_id
+          |  WHERE COALESCE(qw.n_words, 0) >= 10
+          |    AND COALESCE(qw.n_words, 0) <= 5000
+          |    AND CASE WHEN length(qd.text) = 0 THEN 0
+          |         ELSE floor(length(regexp_replace(qd.text,
+          |                '[^A-Za-z]', '', 'g')) * 10000.0
+          |              / length(qd.text)) END >= 5000
+          |    AND NOT COALESCE(qw.top_word_frac > 0.3, false)
+          |), evalh AS (
+          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+          |), dirty AS (
+          |  SELECT DISTINCT d.doc_id
+          |  FROM sh d JOIN evalh e ON d.shingle = e.shingle
+          |  WHERE d.doc_id % 17 <> 0 AND d.doc_id % 2 = 1
+          |), dup AS (
+          |  SELECT DISTINCT id_b FROM scored
+          |  WHERE jaccard_bp >= 2000
+          |    AND id_a % 17 <> 0 AND id_b % 17 <> 0
+          |    AND id_a % 2 = 1 AND id_b % 2 = 1
+          |)
+          |SELECT d0.doc_id FROM documents d0
+          |WHERE d0.doc_id % 17 <> 0 AND d0.doc_id % 2 = 1
+          |  AND d0.doc_id IN (SELECT doc_id FROM qkeep)
+          |  AND d0.doc_id NOT IN (SELECT id_b FROM dup)
+          |  AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)
+          |ORDER BY d0.doc_id""".stripMargin)),
+
+    // The STREAMED corpus-quality monitor's end state — MonitorStreams'
+    // qualityBatch (Gopher + PII counters folded by integer addition)
+    // certified end-to-end over the PII-enriched corpus (q149's
+    // synthetic traffic, so the PII counters carry real matches):
+    // three doc-mod waves → qualityReport off the final committed row
+    // ≡ the one-shot census. The oracle rebuilds gopherGateCtes over
+    // the SAME enrichment (the gate metrics see the injected text too)
+    // plus the scanner's any-kind flag.
+    Q("q248_streamed_quality",
+      (s, dir) => {
+        val docs = Pii.withSyntheticPii(
+          Tables.load(s, dir, "documents"))
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q248-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.MonitorStreams.qualityBatch(
+            docs.filter(col("doc_id") % 3 === b), b, stateDir)
+        }
+        graft.streaming.MonitorStreams.qualityReport(s, stateDir)
+      },
+      Some {
+        val enrichedGate =
+          s"""WITH enrd AS (
+             |  SELECT doc_id, ${Pii.syntheticPiiSql()} AS text
+             |  FROM documents
+             |), b AS (""".stripMargin +
+          gopherGateCtes.stripPrefix("WITH b AS (")
+            .replace("FROM documents\n), m AS (",
+              "FROM enrd\n), m AS (")
+        enrichedGate + s""", tot AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |         CAST(SUM(CAST(gopher_pass AS BIGINT)) AS BIGINT)
+          |           AS n_pass,
+          |         CAST(SUM(n_words) AS BIGINT) AS n_words
+          |  FROM gate
+          |), pii AS (
+          |  SELECT CAST(SUM(CASE WHEN
+          |      len(regexp_extract_all(text, '${Pii.emailRe}'))
+          |      + len(regexp_extract_all(text, '${Pii.ipv4Re}'))
+          |      + len(regexp_extract_all(text, '${Pii.phoneRe}')) > 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+          |  FROM enrd
+          |)
+          |SELECT t.n_docs, t.n_pass, t.n_words, p.n_pii,
+          |       CAST(floor(t.n_pass * 10000.0 / t.n_docs) AS BIGINT)
+          |         AS pass_bp,
+          |       CAST(floor(p.n_pii * 10000.0 / t.n_docs) AS BIGINT)
+          |         AS pii_bp
+          |FROM tot t CROSS JOIN pii p""".stripMargin
+      }),
+
+    // The STREAMED heavy-hitter table's end state — SketchStreams'
+    // hhBatch (mergeable Misra-Gries) certified in the EXACT regime
+    // (k=16 ≥ the per-day event-type domain, the q113 contract: below
+    // capacity MG degenerates to exact counts and the merge is exact
+    // count addition): three event-mod waves → latestState ≡ the plain
+    // per-(day, type) count — q113's oracle verbatim. Above capacity
+    // the PODS-2012 merge bound takes over (spec-gated, as for q106).
+    Q("q249_streamed_hh",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("ts"), col("event_type"), col("event_id"))
+          .withColumn("day", date_trunc("day", col("ts")))
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q249-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.SketchStreams.hhBatch(
+            ev.filter(col("event_id") % 3 === b), b, stateDir,
+            k = 16, "day", "event_type")
+        }
+        graft.streaming.SketchStreams.latestState(s, stateDir)
+          .select(col("day"), col("item").as("event_type"), col("cnt"))
+          .orderBy(col("day"), desc("cnt"), col("event_type"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             |       event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY 1, 2
+             |ORDER BY day, cnt DESC, event_type""".stripMargin)),
+
+    // The STREAMED Count-Min sketch's end state — SketchStreams'
+    // cmBatch certified end-to-end: the CM state is EXACT deterministic
+    // cell counts (merge = addition), so three lineitem waves →
+    // latestState probed at the q124 operating point yields estimates,
+    // exact counts and guaranteed overcounts that hash-match q124's
+    // one-shot oracle verbatim.
+    Q("q250_streamed_cm",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val stateDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q250-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        (0L to 2L).foreach { b =>
+          graft.streaming.SketchStreams.cmBatch(
+            li.filter(col("l_orderkey") % 3 === b), b, stateDir,
+            "l_partkey", width = 256, depth = 3)
+        }
+        val cm = graft.streaming.SketchStreams.latestState(s, stateDir)
+        val probes = li.filter(col("l_partkey") <= 20)
+        val exact = probes
+          .groupBy(col("l_partkey").cast("string").as("item"))
+          .agg(count(lit(1)).as("exact"))
+        Sketches.cmEstimate(cm, probes, "l_partkey", width = 256,
+            depth = 3)
+          .join(exact, Seq("item"))
+          .select(col("item"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy("item")
+      },
+      Some("""WITH js AS (
+             |  SELECT unnest([0, 1, 2]) AS j
+             |), cells AS (
+             |  SELECT js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'
+             |           ||CAST(l_partkey AS VARCHAR)),1,15))::BIGINT
+             |           % 256 AS cell,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem CROSS JOIN js
+             |  GROUP BY 1, 2
+             |), probes AS (
+             |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS item
+             |  FROM lineitem WHERE l_partkey <= 20
+             |), pe AS (
+             |  SELECT p.item, js.j,
+             |         ('0x'||substr(md5('cm:'||js.j||':'||p.item),1,15))
+             |           ::BIGINT % 256 AS cell
+             |  FROM probes p CROSS JOIN js
+             |), est AS (
+             |  SELECT pe.item, MIN(COALESCE(c.cnt, 0)) AS est
+             |  FROM pe LEFT JOIN cells c
+             |    ON c.j = pe.j AND c.cell = pe.cell
+             |  GROUP BY 1
+             |), ex AS (
+             |  SELECT CAST(l_partkey AS VARCHAR) AS item,
+             |         COUNT(*) AS exact
+             |  FROM lineitem WHERE l_partkey <= 20 GROUP BY 1
+             |)
+             |SELECT e.item, CAST(e.est AS BIGINT) AS est,
+             |       CAST(x.exact AS BIGINT) AS exact,
+             |       CAST(e.est - x.exact AS BIGINT) AS overcount
+             |FROM est e JOIN ex x ON x.item = e.item
+             |ORDER BY e.item""".stripMargin)),
+
+    // The STREAMED tumbling-window aggregation's end state — the
+    // watermark-windowed engine aggregation certified end-to-end: the
+    // event stream runs through tumblingCounts (watermark + 1h window
+    // groupBy in the engine's state store), the COMPLETE-mode memory
+    // read-back after processAllAvailable holds the final value of
+    // every window, and that table ≡ the batch hourly rollup. Counts
+    // only on the compare surface (the window's double sum is fold-
+    // order-ambiguous — the q235 rule).
+    Q("q251_streamed_tumbling",
+      (s, dir) => {
+        val streamDir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q251-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString
+        if (!new java.io.File(s"$streamDir/_SUCCESS").exists())
+          Tables.events(s, dir).coalesce(1)
+            .write.mode("overwrite").parquet(streamDir)
+        val counts = graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEvents(s, streamDir),
+          "1 hour")
+        graft.streaming.EventStreams.runToMemory(counts,
+            s"q251_tumbling_${java.util.UUID.randomUUID.toString
+              .replace("-", "")}",
+            outputMode = "complete")
+          .select(col("window_start"), col("event_type"),
+            col("n_events"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+             |         AS window_start,
+             |       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
