@@ -10255,6 +10255,307 @@ object ExtensionQueries {
              |       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
              |FROM events GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Attribution lookback-sensitivity card — q208's two models swept
+    // across 1/3/7-day windows in ONE pass: per (lookback, model,
+    // touch type) the conversion credit, so the table shows how much
+    // credit MOVES as the window widens (the first question when an
+    // attribution window is being negotiated — a stable split means
+    // the window hardly matters, a big 'none' drop means touches are
+    // slow). All six frames ride the same (user, ts) sort: one
+    // shuffle, six conditional struct-extrema windows; the rollups
+    // read a purchases-sized localCheckpoint.
+    Q("q252_attribution_windows",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val touch = when(
+          col("event_type") === "click" || col("event_type") === "view",
+          struct(col("ts_s"), col("event_id"), col("event_type")))
+        val lbs = Seq(1L, 3L, 7L)
+        val withCols = lbs.foldLeft(
+            Tables.events(s, dir)
+              .withColumn("ts_s", col("ts").cast("long"))) {
+            case (df, d) =>
+              val w = Window.partitionBy(col("user_id"))
+                .orderBy(col("ts_s"))
+                .rangeBetween(-d * 86400L, -1L)
+              df.withColumn(s"f$d", min(touch).over(w))
+                .withColumn(s"l$d", max(touch).over(w))
+          }
+          .filter(col("event_type") === "purchase")
+          .localCheckpoint() // six bounded rollups read it
+        def model(lb: Long, name: String,
+                  c: Column): org.apache.spark.sql.DataFrame =
+          withCols.select(
+              coalesce(c.getField("event_type"), lit("none"))
+                .as("touch_type"))
+            .groupBy("touch_type")
+            .agg(count(lit(1)).as("n_conv"))
+            .select(lit(lb).as("lookback_days"), lit(name).as("model"),
+              col("touch_type"), col("n_conv"))
+        lbs.flatMap(d => Seq(model(d, "first_touch", col(s"f$d")),
+            model(d, "last_touch", col(s"l$d"))))
+          .reduce(_ unionByName _)
+          .orderBy("lookback_days", "model", "touch_type")
+      },
+      Some {
+        val arms = Seq(1, 3, 7).map { d =>
+          val sec = d * 86400
+          s"""ft$d AS (
+             |  SELECT p.event_id,
+             |         (SELECT t.event_type FROM e t
+             |          WHERE t.user_id = p.user_id
+             |            AND t.event_type IN ('click', 'view')
+             |            AND t.ts_s >= p.ts_s - $sec
+             |            AND t.ts_s <= p.ts_s - 1
+             |          ORDER BY t.ts_s, t.event_id LIMIT 1)
+             |           AS first_type,
+             |         (SELECT t.event_type FROM e t
+             |          WHERE t.user_id = p.user_id
+             |            AND t.event_type IN ('click', 'view')
+             |            AND t.ts_s >= p.ts_s - $sec
+             |            AND t.ts_s <= p.ts_s - 1
+             |          ORDER BY t.ts_s DESC, t.event_id DESC LIMIT 1)
+             |           AS last_type
+             |  FROM p
+             |)""".stripMargin
+        }.mkString(", ", ", ", "")
+        val union = Seq(1, 3, 7).map { d =>
+          s"""  SELECT CAST($d AS BIGINT) AS lookback_days,
+             |         'first_touch' AS model,
+             |         COALESCE(first_type, 'none') AS touch_type
+             |  FROM ft$d
+             |  UNION ALL
+             |  SELECT CAST($d AS BIGINT), 'last_touch',
+             |         COALESCE(last_type, 'none')
+             |  FROM ft$d""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, event_type,
+           |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+           |  FROM events
+           |), p AS (
+           |  SELECT user_id, event_id, ts_s FROM e
+           |  WHERE event_type = 'purchase'
+           |)$arms
+           |SELECT lookback_days, model, touch_type,
+           |       CAST(COUNT(*) AS BIGINT) AS n_conv
+           |FROM (
+           |$union
+           |)
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      }),
+
+    // Sequence-length profile by source — exact p10/p50/p90 of per-doc
+    // token counts per source via the q111 sort-free histogram rule
+    // (the (source × length-domain) histogram is bounded by the longest
+    // document, never by row count): the table that sets per-source
+    // packing budgets and length-bucket boundaries next to q212's
+    // global padding-waste card.
+    Q("q253_length_profile",
+      (s, dir) => Sketches.percentilesByValue(
+          Tables.load(s, dir, "documents")
+            .select(col("source"),
+              size(filter(split(trim(col("text")), "\\s+"),
+                w => length(w) > 0)).cast("long").as("n_tokens")),
+          groupCol = "source", valueCol = "n_tokens",
+          percentiles = Seq(10, 50, 90))
+        .orderBy("source"),
+      Some("""WITH d AS (
+             |  SELECT source,
+             |         CAST(len(list_filter(
+             |           string_split_regex(trim(text), '\s+'),
+             |           w -> len(w) > 0)) AS BIGINT) AS v
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, v, COUNT(*) AS cnt FROM d GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT source, v,
+             |         SUM(cnt) OVER (PARTITION BY source
+             |           ORDER BY v) AS cum,
+             |         SUM(cnt) OVER (PARTITION BY source) AS n
+             |  FROM c
+             |)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+             |       CAST(MIN(CASE WHEN cum >= (n * 10 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p10,
+             |       CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p50,
+             |       CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100
+             |         THEN v END) AS BIGINT) AS p90
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Good-Turing unseen-mass card by source: the classical estimate of
+    // the probability mass of UNSEEN bigrams is N1/N (singleton count
+    // over token count, Good 1953) — the "how much of this feed's
+    // distribution have we still not observed" number that says whether
+    // more crawling buys coverage or repetition; reads next to q226's
+    // Heaps curve (rate of new types) and q217's Zipf slope (shape of
+    // the seen mass). Exact integers: unseen mass in ppm, singleton
+    // share of the vocabulary in bp. One (source, bigram) count
+    // aggregate — the q216 bigram stream — then a sources-sized rollup.
+    Q("q254_good_turing",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(Retrieval.wordNgrams(col("text"), 2)).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          col("n_singleton"),
+          expr("n_singleton * 1000000 div n_bigrams")
+            .as("unseen_mass_ppm"),
+          expr("n_singleton * 10000 div n_distinct")
+            .as("singleton_share_bp"))
+        .orderBy("source"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(trim(text)),
+             |           '\s+'), w -> len(w) > 0) AS ws
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, source, generate_subscripts(ws, 1) AS i,
+             |         unnest(ws) AS t, len(ws) AS n
+             |  FROM d
+             |), bg AS (
+             |  SELECT source,
+             |         t || ' ' || lead(t, 1) OVER (PARTITION BY doc_id
+             |           ORDER BY i) AS b, i, n
+             |  FROM tr
+             |), bc AS (
+             |  SELECT source, b, COUNT(*) AS c
+             |  FROM bg WHERE i <= n - 1 GROUP BY 1, 2
+             |), ag AS (
+             |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_singleton
+             |  FROM bc GROUP BY 1
+             |)
+             |SELECT source, n_bigrams, n_distinct, n_singleton,
+             |       CAST(n_singleton * 1000000 // n_bigrams AS BIGINT)
+             |         AS unseen_mass_ppm,
+             |       CAST(n_singleton * 10000 // n_distinct AS BIGINT)
+             |         AS singleton_share_bp
+             |FROM ag ORDER BY source""".stripMargin)),
+
+    // MinHash estimator-calibration card: for the production banding's
+    // candidate pairs (4×4 over a 16-value signature), bucket pairs by
+    // the signature agreement m (the estimator ĵ = m/16) and report
+    // the mean EXACT Jaccard per bucket next to the estimate — the
+    // unbiasedness check on real data that closes the loop q129
+    // (recall) and q239 (S-curve design) leave open: are the signature
+    // agreements themselves telling the truth? Volume: candidate pairs
+    // from the banding, positional agreement via one zip_with per pair,
+    // verify join vs the once-built shingle arrays.
+    Q("q255_minhash_calibration",
+      (s, dir) => {
+        val k = 16
+        val docs = Tables.load(s, dir, "documents")
+        val sigs = docs.select(col("doc_id"),
+            Dedup.minhashSignatureFast(col("text"), 3, k).as("sig"))
+          .filter(size(col("sig")) > 0)
+          .localCheckpoint() // bands + the agreement join read it
+        val sh = docs.select(col("doc_id"),
+            Dedup.shingleHashesFast(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint()
+        val bands = sigs.select(col("doc_id"), explode(expr(
+            "transform(sequence(0, 3), g -> struct(g AS g, " +
+              "array_join(transform(slice(sig, g * 4 + 1, 4), " +
+              "x -> cast(x AS string)), ',') AS bv))")).as("e"))
+          .select(col("doc_id"), col("e.g").as("g"), col("e.bv").as("bv"))
+        val cands = bands.as("x").join(bands.as("y"),
+            col("x.g") === col("y.g") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+          .distinct()
+        cands
+          .join(sigs.as("sa"), col("ia") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("ib") === col("sb.doc_id"))
+          .select(col("ia"), col("ib"),
+            expr("aggregate(zip_with(sa.sig, sb.sig, " +
+              "(x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
+              "0L, (acc, v) -> acc + v)").as("m"))
+          .join(sh.as("ha"), col("ia") === col("ha.doc_id"))
+          .join(sh.as("hb"), col("ib") === col("hb.doc_id"))
+          .select(col("m"),
+            Dedup.sortedIntersectCount(col("ha.sh"), col("hb.sh"))
+              .as("ni"),
+            (size(col("ha.sh")) + size(col("hb.sh"))).as("nt"))
+          .select(col("m"),
+            floor(col("ni") * lit(10000.0) / (col("nt") - col("ni")))
+              .cast("long").as("j_bp"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_pairs"), sum("j_bp").as("sj"))
+          .select(col("m"), col("n_pairs"),
+            (col("m") * lit(625L)).as("est_bp"),
+            expr("sj div n_pairs").as("mean_exact_bp"))
+          .orderBy("m")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents
+             |), tr AS (
+             |  SELECT doc_id, generate_subscripts(w, 1) AS i,
+             |         unnest(w) AS tok, len(w) AS n
+             |  FROM tok
+             |), sh0 AS (
+             |  SELECT doc_id, i, n,
+             |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             |           lead(tok, 2) OVER win AS shingle
+             |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+             |), sh AS (
+             |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+             |), shc AS (
+             |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+             |), mh AS (
+             |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+             |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+             |                 t.seed * 2654435769)) AS mh
+             |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+             |  GROUP BY doc_id, t.seed
+             |), bands AS (
+             |  SELECT doc_id, seed // 4 AS g,
+             |         array_to_string(list(CAST(mh AS STRING)
+             |           ORDER BY seed), ',') AS bv
+             |  FROM mh GROUP BY doc_id, seed // 4
+             |), pr AS (
+             |  SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib
+             |  FROM bands x JOIN bands y
+             |    ON x.g = y.g AND x.bv = y.bv AND x.doc_id < y.doc_id
+             |), agree AS (
+             |  SELECT p.ia, p.ib,
+             |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS m
+             |  FROM pr p
+             |  JOIN mh a ON a.doc_id = p.ia
+             |  JOIN mh b ON b.doc_id = p.ib AND b.seed = a.seed
+             |  GROUP BY 1, 2
+             |), inter AS (
+             |  SELECT p.ia, p.ib, COUNT(*) AS ninter
+             |  FROM pr p
+             |  JOIN sh sa ON sa.doc_id = p.ia
+             |  JOIN sh sb ON sb.doc_id = p.ib AND sb.shingle = sa.shingle
+             |  GROUP BY 1, 2
+             |), j AS (
+             |  SELECT p.ia, p.ib,
+             |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+             |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
+             |           AS BIGINT) AS j_bp
+             |  FROM pr p
+             |  JOIN shc ca ON ca.doc_id = p.ia
+             |  JOIN shc cb ON cb.doc_id = p.ib
+             |  LEFT JOIN inter i ON i.ia = p.ia AND i.ib = p.ib
+             |)
+             |SELECT a.m, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |       CAST(a.m * 625 AS BIGINT) AS est_bp,
+             |       CAST(SUM(j.j_bp) // COUNT(*) AS BIGINT)
+             |         AS mean_exact_bp
+             |FROM agree a JOIN j ON j.ia = a.ia AND j.ib = a.ib
+             |GROUP BY a.m ORDER BY a.m""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
