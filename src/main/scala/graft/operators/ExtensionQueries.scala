@@ -10556,6 +10556,119 @@ object ExtensionQueries {
              |         AS mean_exact_bp
              |FROM agree a JOIN j ON j.ia = a.ia AND j.ib = a.ib
              |GROUP BY a.m ORDER BY a.m""".stripMargin)),
+
+    // Cross-source near-dup PAIR matrix — which source PAIRS
+    // co-duplicate: per unordered source pair, the near-dup pairs
+    // straddling them (or within, on the diagonal) with count and mean
+    // exact Jaccard. The mirror-detection grain between q220 (how much
+    // each source duplicates, no counterpart named), q128 (full-vocab
+    // sketch overlap) and q232 (verbatim passage flow): a heavy
+    // off-diagonal cell = one feed mirroring another; a heavy diagonal
+    // = internal boilerplate. Pair volume is the LSH candidate set;
+    // the source join is a broadcast of the doc spine.
+    Q("q256_neardup_source_matrix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.nearDuplicatesPortable(docs, "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4,
+            minJaccardBp = 2000)
+          .join(broadcast(src.as("a")), col("id_a") === col("a.doc_id"))
+          .join(broadcast(src.as("b")), col("id_b") === col("b.doc_id"))
+          .select(least(col("a.source"), col("b.source")).as("src_a"),
+            greatest(col("a.source"), col("b.source")).as("src_b"),
+            col("jaccard_bp"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_pairs"), sum("jaccard_bp").as("sj"))
+          .select(col("src_a"), col("src_b"), col("n_pairs"),
+            expr("sj div n_pairs").as("mean_jaccard_bp"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(neardupScoredCtes +
+        """, sp AS (
+          |  SELECT s.id_a, s.id_b, s.jaccard_bp,
+          |         least(da.source, db.source) AS src_a,
+          |         greatest(da.source, db.source) AS src_b
+          |  FROM scored s
+          |  JOIN documents da ON da.doc_id = s.id_a
+          |  JOIN documents db ON db.doc_id = s.id_b
+          |  WHERE s.jaccard_bp >= 2000
+          |)
+          |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |       CAST(SUM(jaccard_bp) // COUNT(*) AS BIGINT)
+          |         AS mean_jaccard_bp
+          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Function-word (stopword) profile distance between sources — the
+    // authorship/register signal: content words say what a feed talks
+    // ABOUT (q223's grain), function-word rates say HOW it writes
+    // (register/genre; they survive topic shifts, the classical
+    // stylometry feature since Mosteller-Wallace 1964). Per unordered
+    // source pair, the L1 distance between 8-dim Gopher-stopword rate
+    // profiles in exact ppm — near-zero distance across "different"
+    // feeds is one writer/pipeline wearing two names. One token-grain
+    // filtered aggregate; everything after is sources²·8-sized.
+    Q("q257_stopword_profile",
+      (s, dir) => {
+        val spark2 = s; import spark2.implicits._
+        val stops = TextAnalysis.gopherStopwords
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(Retrieval.tokens(col("text"))).as("t"))
+        val totals = toks.groupBy("source")
+          .agg(count(lit(1)).as("n_tok"))
+          .localCheckpoint() // grid + rate join both read it
+        val counts = toks.filter(col("t").isInCollection(stops))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        // full sources×8 grid with zero defaults: a word missing from
+        // one source contributes its full rate on the other side
+        val prof = totals
+          .crossJoin(broadcast(stops.toDF("t")))
+          .join(counts, Seq("source", "t"), "left")
+          .select(col("source"), col("t"),
+            expr("coalesce(c, CAST(0 AS BIGINT)) * 1000000 div n_tok")
+              .as("ppm"))
+        prof.as("a").join(prof.as("b"),
+            col("a.t") === col("b.t") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(sum(abs(col("a.ppm") - col("b.ppm"))).as("l1_ppm"))
+          .orderBy("src_a", "src_b")
+      },
+      Some {
+        val sw = TextAnalysis.gopherStopwords
+          .map(w => s"('$w')").mkString(", ")
+        val inList = TextAnalysis.gopherStopwords
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH d AS (
+           |  SELECT source,
+           |         list_filter(string_split_regex(lower(trim(text)),
+           |           '\\s+'), w -> len(w) > 0) AS ws
+           |  FROM documents
+           |), tk AS (
+           |  SELECT source, unnest(ws) AS t FROM d
+           |), tot AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+           |  FROM tk GROUP BY 1
+           |), sw(t) AS (
+           |  VALUES $sw
+           |), c AS (
+           |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM tk WHERE t IN ($inList) GROUP BY 1, 2
+           |), prof AS (
+           |  SELECT tot.source, sw.t,
+           |         CAST(COALESCE(c.c, 0) * 1000000 // tot.n_tok
+           |           AS BIGINT) AS ppm
+           |  FROM tot CROSS JOIN sw
+           |  LEFT JOIN c ON c.source = tot.source AND c.t = sw.t
+           |)
+           |SELECT a.source AS src_a, b.source AS src_b,
+           |       CAST(SUM(abs(a.ppm - b.ppm)) AS BIGINT) AS l1_ppm
+           |FROM prof a JOIN prof b
+           |  ON a.t = b.t AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
