@@ -10669,6 +10669,162 @@ object ExtensionQueries {
            |  ON a.t = b.t AND a.source < b.source
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
+
+    // Benford first-digit audit on order values — the classical
+    // fabricated-numbers screen (Benford 1938, Nigrini's forensic
+    // standard): observed first-significant-digit shares vs the
+    // log₁₀(1+1/d) law in ppm. Multi-magnitude organic amounts follow
+    // it; flat or spiky deviations flag synthetic, capped, or
+    // price-pointed values. First digit extracted via exact integer
+    // cents (decimal×100 → BIGINT → leading character — no float log,
+    // no locale formatting); the law's nine constants are computed
+    // once in Scala and embedded as IDENTICAL literals in both
+    // engines. One 9-row aggregate.
+    Q("q258_benford",
+      (s, dir) => {
+        val spark2 = s; import spark2.implicits._
+        val th = (1 to 9).map(d => (d.toLong,
+            math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+              .toLong))
+          .toDF("digit", "benford_ppm")
+        val c = Tables.load(s, dir, "orders")
+          .select(substring((col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        c.crossJoin(broadcast(c.agg(sum("n_orders").as("n_total"))))
+          .join(broadcast(th), Seq("digit"))
+          .select(col("digit"), col("n_orders"),
+            expr("n_orders * 1000000 div n_total").as("obs_ppm"),
+            col("benford_ppm"),
+            expr("n_orders * 1000000 div n_total - benford_ppm")
+              .as("dev_ppm"))
+          .orderBy("digit")
+      },
+      Some {
+        val th = (1 to 9).map(d => s"($d, ${
+          math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
+            .toLong})").mkString(", ")
+        s"""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT)
+           |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders
+           |), c AS (
+           |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+           |  FROM d GROUP BY 1
+           |), t AS (
+           |  SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM c
+           |), th(digit, benford_ppm) AS (
+           |  VALUES $th
+           |)
+           |SELECT c.digit, c.n_orders,
+           |       CAST(c.n_orders * 1000000 // t.n_total AS BIGINT)
+           |         AS obs_ppm,
+           |       CAST(th.benford_ppm AS BIGINT) AS benford_ppm,
+           |       CAST(c.n_orders * 1000000 // t.n_total
+           |         - th.benford_ppm AS BIGINT) AS dev_ppm
+           |FROM c CROSS JOIN t JOIN th ON th.digit = c.digit
+           |ORDER BY c.digit""".stripMargin
+      }),
+
+    // Semi-structured payload profile — the JSON surface: extract the
+    // props field's key per event type and report fill rate, range,
+    // mass and cardinality — the schema-inference card that decides
+    // whether a JSON field graduates to a real column. Map-side
+    // get_json_object (codegen'd) + one type-grain aggregate; DuckDB
+    // replays with json_extract_string. At 100 TB the extraction is
+    // the scan itself — nothing but the type-grain rollup shuffles.
+    Q("q259_props_profile",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L))
+            .as("n_with_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .select(col("event_type"), col("n_events"), col("n_with_k"),
+          expr("n_with_k * 10000 div n_events").as("fill_bp"),
+          col("min_k"), col("max_k"), col("sum_k"),
+          col("n_distinct_k"))
+        .orderBy("event_type"),
+      Some("""WITH x AS (
+             |  SELECT event_type,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |           AS k
+             |  FROM events
+             |)
+             |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_with_k,
+             |       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+             |         * 10000 // COUNT(*) AS BIGINT) AS fill_bp,
+             |       MIN(k) AS min_k, MAX(k) AS max_k,
+             |       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+             |       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+             |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Embedding norm audit — the vector-quality card: histogram of L2
+    // norms in deci-units over the whole embedding table (zero/near-
+    // zero buckets = dead encoder outputs, a fat high tail = unscaled
+    // features; cosine pipelines silently absorb both). One map-side
+    // kernel dot per vector (the sequential fold both engines replay
+    // identically — the q28 discipline), one bounded histogram
+    // aggregate; vectors never shuffle.
+    Q("q260_embedding_norms",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(floor(sqrt(Similarity.dotFast(col("embedding"),
+            col("embedding"))) * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket"),
+      Some("""WITH e AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |)
+             |SELECT CAST(floor(sqrt(list_dot_product(v, v)) * 10)
+             |         AS BIGINT) AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-dimension embedding health profile: mean and variance of
+    // each coordinate in exact integer micro-units (values quantized
+    // to micro BEFORE any sum — float sums are order-ambiguous, the
+    // q83 rule; Σq² staged DECIMAL/HUGEINT so the variance formula is
+    // overflow-free at any corpus size). A dead dimension (zero
+    // variance) or an off-center one (|mean| ≫ siblings) is the
+    // feature-collapse signal that degrades every downstream ANN
+    // surface. Volume: one posexplode + a dims-sized aggregate.
+    Q("q261_embedding_dims",
+      (s, dir) => Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1e6).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"))
+        .select(col("dim"), col("n"),
+          expr("sq div n").as("mean_micro"),
+          expr("CAST((n * sq2 - CAST(sq AS DECIMAL(38,0)) * sq)" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("var_micro2"))
+        .orderBy("dim"),
+      Some("""WITH x AS (
+             |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             |         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+             |           * 1000000) AS BIGINT) AS q
+             |  FROM embeddings
+             |), a AS (
+             |  SELECT CAST(dim AS BIGINT) AS dim,
+             |         CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(q) AS BIGINT) AS sq,
+             |         SUM(CAST(q AS HUGEINT) * q) AS sq2
+             |  FROM x GROUP BY 1
+             |)
+             |SELECT dim, n, CAST(sq // n AS BIGINT) AS mean_micro,
+             |       CAST((n * sq2 - CAST(sq AS HUGEINT) * sq)
+             |         // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             |         AS var_micro2
+             |FROM a ORDER BY dim""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
