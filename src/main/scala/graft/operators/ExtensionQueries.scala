@@ -10688,8 +10688,9 @@ object ExtensionQueries {
               .toLong))
           .toDF("digit", "benford_ppm")
         val c = Tables.load(s, dir, "orders")
-          .select(substring((col("o_totalprice") * 100).cast("long")
-            .cast("string"), 1, 1).cast("long").as("digit"))
+          .select(substring(floor(col("o_totalprice") * 100 + 0.5)
+            .cast("long").cast("string"), 1, 1).cast("long")
+            .as("digit"))
           .groupBy("digit").agg(count(lit(1)).as("n_orders"))
         c.crossJoin(broadcast(c.agg(sum("n_orders").as("n_total"))))
           .join(broadcast(th), Seq("digit"))
@@ -10705,8 +10706,9 @@ object ExtensionQueries {
           math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1e6)
             .toLong})").mkString(", ")
         s"""WITH d AS (
-           |  SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT)
-           |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
+           |           + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           |           AS digit
            |  FROM orders
            |), c AS (
            |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -10825,6 +10827,177 @@ object ExtensionQueries {
              |         // (CAST(n AS HUGEINT) * n) AS BIGINT)
              |         AS var_micro2
              |FROM a ORDER BY dim""".stripMargin)),
+
+    // RFM user segmentation — the classical lifecycle card (recency /
+    // frequency / monetary, direct-marketing canon): each user lands
+    // in a 3×3×3 cell by days-since-last-event, event count, and
+    // purchase mass in exact cents (value floored to cents per event
+    // BEFORE the sum — the q83 rule; no double ever aggregates).
+    // Reference "now" = corpus max ts (1-row broadcast, the q211
+    // rule). One user-grain aggregate + a 27-cell rollup.
+    Q("q262_rfm_segments",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("ts_s", col("ts").cast("long"))
+        val now = ev.agg(max("ts_s").as("now_s"))
+        ev.groupBy("user_id")
+          .agg(max("ts_s").as("last_s"), count(lit(1)).as("freq"),
+            sum(when(col("event_type") === "purchase",
+              floor(col("value") * 100).cast("long")).otherwise(0L))
+              .as("cents"))
+          .crossJoin(broadcast(now))
+          .select(
+            when(col("now_s") - col("last_s") <= 7L * 86400L, 1L)
+              .when(col("now_s") - col("last_s") <= 30L * 86400L, 2L)
+              .otherwise(3L).as("r_bucket"),
+            when(col("freq") >= 10, 1L).when(col("freq") >= 3, 2L)
+              .otherwise(3L).as("f_bucket"),
+            when(col("cents") >= 50000L, 1L)
+              .when(col("cents") >= 10000L, 2L)
+              .otherwise(3L).as("m_bucket"))
+          .groupBy("r_bucket", "f_bucket", "m_bucket")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("r_bucket", "f_bucket", "m_bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             |         value
+             |  FROM events
+             |), nw AS (
+             |  SELECT MAX(ts_s) AS now_s FROM e
+             |), u AS (
+             |  SELECT user_id, MAX(ts_s) AS last_s,
+             |         CAST(COUNT(*) AS BIGINT) AS freq,
+             |         CAST(SUM(CASE WHEN event_type = 'purchase'
+             |           THEN CAST(floor(value * 100) AS BIGINT)
+             |           ELSE 0 END) AS BIGINT) AS cents
+             |  FROM e GROUP BY 1
+             |), b AS (
+             |  SELECT CASE WHEN nw.now_s - u.last_s <= 604800 THEN 1
+             |              WHEN nw.now_s - u.last_s <= 2592000 THEN 2
+             |              ELSE 3 END AS r_bucket,
+             |         CASE WHEN u.freq >= 10 THEN 1
+             |              WHEN u.freq >= 3 THEN 2
+             |              ELSE 3 END AS f_bucket,
+             |         CASE WHEN u.cents >= 50000 THEN 1
+             |              WHEN u.cents >= 10000 THEN 2
+             |              ELSE 3 END AS m_bucket
+             |  FROM u CROSS JOIN nw
+             |)
+             |SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+             |       CAST(f_bucket AS BIGINT) AS f_bucket,
+             |       CAST(m_bucket AS BIGINT) AS m_bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Revenue-concentration (Pareto) card — how much of total part
+    // revenue the top 1/5/20/50% of parts carry, WITHOUT a global
+    // sort: per-part revenue in exact cents, the four rank thresholds
+    // from the radix-select quantile kernel (q116 — histogram passes,
+    // a few longs of driver state), then one bucket aggregate against
+    // the broadcast thresholds. The 80/20 shape is the assortment-
+    // rationalization number; a flat curve means no head to optimize.
+    Q("q263_pareto_revenue",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)
+            .cast("long")).as("cents"))
+          .localCheckpoint() // quantile passes + bucket agg read it
+        // percentile thresholds via q116's radix select: bounded
+        // driver state by construction (its documented contract)
+        val th = Sketches.bisectQuantiles(rev, "cents",
+            Seq(50, 80, 95, 99))
+          .select(col("p"), col("value")).collect()
+          .map(r => (r.getLong(0), r.getDouble(1).toLong))
+        val totF = rev.agg(sum("cents").as("total_cents"))
+        th.map { case (p, t) =>
+          rev.filter(col("cents") >= t)
+            .agg(count(lit(1)).as("n_parts"), sum("cents").as("c"))
+            .crossJoin(broadcast(totF))
+            .select(lit(p).as("p"), lit(t).as("threshold_cents"),
+              col("n_parts"),
+              expr("c * 10000 div total_cents")
+                .as("revenue_share_bp"))
+        }.reduce(_ unionByName _).orderBy("p")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_partkey,
+             |         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+             |           AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1
+             |), s AS (
+             |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+             |         COUNT(*) OVER () AS n
+             |  FROM r
+             |), t AS (
+             |  SELECT unnest([50, 80, 95, 99]) AS p
+             |), th AS (
+             |  SELECT CAST(t.p AS BIGINT) AS p, s.cents AS thr
+             |  FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
+             |), tot AS (
+             |  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM r
+             |)
+             |SELECT th.p, CAST(th.thr AS BIGINT) AS threshold_cents,
+             |       CAST(SUM(CASE WHEN r.cents >= th.thr
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+             |       CAST(SUM(CASE WHEN r.cents >= th.thr
+             |         THEN r.cents ELSE 0 END) * 10000
+             |         // MAX(tot.total_cents) AS BIGINT)
+             |         AS revenue_share_bp
+             |FROM th CROSS JOIN r CROSS JOIN tot
+             |GROUP BY th.p, th.thr ORDER BY th.p""".stripMargin)),
+
+    // Open-order aging report — the operations card the reference's
+    // dashboards circle around (SURVEY §2's net-demand world): every
+    // non-final order bucketed by days outstanding against the corpus
+    // max date (the q211 reference-now rule), per (status, bucket)
+    // count + exact value cents. One filter + broadcast now + a
+    // statuses×4 aggregate.
+    Q("q264_order_aging",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val now = o.agg(max(col("o_orderdate").cast("date"))
+          .as("now_d"))
+        o.filter(col("o_orderstatus") =!= "F")
+          .crossJoin(broadcast(now))
+          .select(col("o_orderstatus").as("status"),
+            datediff(col("now_d"), col("o_orderdate").cast("date"))
+              .cast("long").as("age_d"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+          .select(col("status"),
+            when(col("age_d") <= 30, "000-030")
+              .when(col("age_d") <= 90, "031-090")
+              .when(col("age_d") <= 365, "091-365")
+              .otherwise("366+").as("age_bucket"),
+            col("cents"))
+          .groupBy("status", "age_bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("cents").as("value_cents"))
+          .orderBy("status", "age_bucket")
+      },
+      Some("""WITH nw AS (
+             |  SELECT MAX(CAST(o_orderdate AS DATE)) AS now_d
+             |  FROM orders
+             |), a AS (
+             |  SELECT o_orderstatus AS status,
+             |         date_diff('day', CAST(o_orderdate AS DATE),
+             |           nw.now_d) AS age_d,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |           AS cents
+             |  FROM orders CROSS JOIN nw
+             |  WHERE o_orderstatus <> 'F'
+             |)
+             |SELECT status,
+             |       CASE WHEN age_d <= 30 THEN '000-030'
+             |            WHEN age_d <= 90 THEN '031-090'
+             |            WHEN age_d <= 365 THEN '091-365'
+             |            ELSE '366+' END AS age_bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |       CAST(SUM(cents) AS BIGINT) AS value_cents
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
