@@ -10998,6 +10998,198 @@ object ExtensionQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_orders,
              |       CAST(SUM(cents) AS BIGINT) AS value_cents
              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Market-basket pair-support distribution — the true order-grain
+    // basket card (q206 is user×type co-occurrence at the behavioral
+    // grain; this is parts bought TOGETHER): for every support level
+    // k, how many distinct part pairs co-occur in exactly k orders.
+    // The distribution shape is the pre-flight for association mining
+    // — a heavy tail says rules exist, all-singletons says don't
+    // bother. Volume: distinct (order, part) spine, per-order pair
+    // explode Σ items², pair counts, then a support-domain-sized
+    // histogram; the full pair list never leaves the shuffle.
+    Q("q265_basket_support",
+      (s, dir) => {
+        val op = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("support"))
+          .groupBy("support").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("support")
+      },
+      Some("""WITH op AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem
+             |), pr AS (
+             |  SELECT a.p AS pa, b.p AS pb,
+             |         CAST(COUNT(*) AS BIGINT) AS support
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY 1, 2
+             |)
+             |SELECT support, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Supplier price-dispersion histogram — the procurement sourcing
+    // card: per part, the spread between its cheapest and dearest
+    // unit price across line items (unit cents via ONE IEEE division
+    // + the shared floor(·+0.5) rule), rolled into a scale-free
+    // magnitude histogram (digit count of the spread in bp). Parts in the high
+    // buckets are renegotiation targets; a mass at zero means pricing
+    // is uniform and there is nothing to source. Part-grain aggregate
+    // + bounded histogram, nothing wider shuffles.
+    Q("q266_price_dispersion",
+      (s, dir) => {
+        val unit = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") > 0)
+          .select(col("l_partkey"),
+            floor(col("l_extendedprice") * 100 / col("l_quantity")
+              + 0.5).cast("long").as("uc"))
+        unit.groupBy("l_partkey")
+          .agg(min("uc").as("mn"), max("uc").as("mx"),
+            countDistinct(col("uc")).as("n_prices"))
+          .select(col("l_partkey"),
+            expr("(mx - mn) * 10000 div mn").as("range_bp"),
+            col("n_prices"))
+          .select(length(col("range_bp").cast("string")).cast("long")
+            .as("magnitude"), col("range_bp"), col("n_prices"))
+          .groupBy("magnitude")
+          .agg(count(lit(1)).as("n_parts"),
+            expr("sum(range_bp) div count(1)").as("mean_range_bp"),
+            sum("n_prices").as("n_price_points"))
+          .orderBy("magnitude")
+      },
+      Some("""WITH u AS (
+             |  SELECT l_partkey,
+             |         CAST(floor(l_extendedprice * 100 / l_quantity
+             |           + 0.5) AS BIGINT) AS uc
+             |  FROM lineitem WHERE l_quantity > 0
+             |), p AS (
+             |  SELECT l_partkey, MIN(uc) AS mn, MAX(uc) AS mx,
+             |         CAST(COUNT(DISTINCT uc) AS BIGINT) AS n_prices
+             |  FROM u GROUP BY 1
+             |), r AS (
+             |  SELECT (mx - mn) * 10000 // mn AS range_bp, n_prices
+             |  FROM p
+             |)
+             |SELECT CAST(length(CAST(range_bp AS VARCHAR)) AS BIGINT)
+             |         AS magnitude,
+             |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |       CAST(SUM(range_bp) // COUNT(*) AS BIGINT)
+             |         AS mean_range_bp,
+             |       CAST(SUM(n_prices) AS BIGINT) AS n_price_points
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sessionized ordered funnel — the within-session journey card
+    // (q87's funnel is a global trailing window; this asks whether the
+    // ORDERED path view → click → purchase completes inside one
+    // sitting): sessions are the q235 lag/gap islands, steps must
+    // strictly advance in time within the session. Per-user windows +
+    // session-grain aggregates; nothing global.
+    Q("q267_session_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        val sess = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast("long").as("t"))
+          .withColumn("brk",
+            when(col("t") - lag(col("t"), 1).over(w) > 1800 ||
+              lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Long.MinValue, 0)))
+        val per = sess.groupBy("user_id", "sid")
+          .agg(min(when(col("event_type") === "view", col("t")))
+              .as("tv"),
+            min(when(col("event_type") === "click", col("t")))
+              .as("tc"),
+            min(when(col("event_type") === "purchase", col("t")))
+              .as("tp"))
+        per.agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("tv").isNotNull, 1L).otherwise(0L))
+              .as("n_view"),
+            sum(when(col("tv").isNotNull && col("tc") > col("tv"), 1L)
+              .otherwise(0L)).as("n_view_click"),
+            sum(when(col("tv").isNotNull && col("tc") > col("tv") &&
+              col("tp") > col("tc"), 1L).otherwise(0L))
+              .as("n_full_funnel"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS t
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, event_type, t,
+             |         CASE WHEN lag(t) OVER w IS NULL
+             |              OR t - lag(t) OVER w > 1800
+             |           THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+             |), sx AS (
+             |  SELECT user_id, event_type, t,
+             |         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+             |           ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m
+             |), per AS (
+             |  SELECT user_id, sid,
+             |         MIN(CASE WHEN event_type = 'view' THEN t END)
+             |           AS tv,
+             |         MIN(CASE WHEN event_type = 'click' THEN t END)
+             |           AS tc,
+             |         MIN(CASE WHEN event_type = 'purchase' THEN t END)
+             |           AS tp
+             |  FROM sx GROUP BY 1, 2
+             |)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             |       CAST(SUM(CASE WHEN tv IS NOT NULL
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |       CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv
+             |         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+             |       CAST(SUM(CASE WHEN tv IS NOT NULL AND tc > tv
+             |         AND tp > tc THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_full_funnel
+             |FROM per""".stripMargin)),
+
+    // Deterministic holdout (A/B) lift card: users split into two arms
+    // by the portable md5 hash of their id (the q64 stratified-split
+    // discipline — replayable in any engine, no RNG state), per arm
+    // reach/conversion in exact ppm + the arm delta. With id-derived
+    // traffic both arms read alike — the card's job in production is
+    // the guardrail that a REAL experiment's split is balanced before
+    // anyone reads lift off it. Map-side arm tag + a 2-row aggregate.
+    Q("q268_ab_lift",
+      (s, dir) => {
+        val arms = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("converted"))
+          .select(pmod(Dedup.md5Hash64(col("user_id").cast("string")),
+            lit(2L)).as("arm"), col("converted"))
+        arms.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum("converted").as("n_converted"))
+          .select(col("arm"), col("n_users"), col("n_converted"),
+            expr("n_converted * 1000000 div n_users").as("conv_ppm"))
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         MAX(CASE WHEN event_type = 'purchase'
+             |           THEN 1 ELSE 0 END) AS converted
+             |  FROM events GROUP BY 1
+             |), a AS (
+             |  SELECT ((('0x'||substr(md5(CAST(user_id AS VARCHAR)),
+             |           1,15))::BIGINT % 2) + 2) % 2 AS arm,
+             |         converted
+             |  FROM u
+             |)
+             |SELECT CAST(arm AS BIGINT) AS arm,
+             |       CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+             |       CAST(SUM(converted) * 1000000 // COUNT(*)
+             |         AS BIGINT) AS conv_ppm
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
