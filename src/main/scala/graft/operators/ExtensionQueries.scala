@@ -11190,6 +11190,186 @@ object ExtensionQueries {
              |       CAST(SUM(converted) * 1000000 // COUNT(*)
              |         AS BIGINT) AS conv_ppm
              |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Nation trade-balance card — the star-schema geography rollup the
+    // region/nation dims exist for: per nation, the line-item mass its
+    // CUSTOMERS buy (lineitem→orders→customer) vs the mass its
+    // SUPPLIERS ship (lineitem→supplier), in exact cents, with the
+    // net balance. Both legs share one lineitem scan projection; all
+    // dims ride broadcasts (the J4 contract) — the fact table shuffles
+    // only for its two key-grain aggregates. Output = nations.
+    Q("q269_nation_trade",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+        val buy = li
+          .join(Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(sum("cents").as("buy_cents"))
+        val sup = li
+          .join(broadcast(Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(sum("cents").as("supply_cents"))
+        val geo = Tables.load(s, dir, "nation")
+          .join(Tables.load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nk"), col("r_name"),
+            col("n_name"))
+        buy.join(sup, Seq("nk"), "full_outer")
+          .join(broadcast(geo), Seq("nk"))
+          .select(col("r_name"), col("n_name"),
+            coalesce(col("buy_cents"), lit(0L)).as("buy_cents"),
+            coalesce(col("supply_cents"), lit(0L)).as("supply_cents"),
+            (coalesce(col("supply_cents"), lit(0L)) -
+              coalesce(col("buy_cents"), lit(0L))).as("balance_cents"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |         CAST(floor(l_extendedprice * 100 + 0.5)
+             |           AS BIGINT) AS cents
+             |  FROM lineitem
+             |), buy AS (
+             |  SELECT c.c_nationkey AS nk,
+             |         CAST(SUM(li.cents) AS BIGINT) AS buy_cents
+             |  FROM li
+             |  JOIN orders o ON o.o_orderkey = li.l_orderkey
+             |  JOIN customer c ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1
+             |), sup AS (
+             |  SELECT s.s_nationkey AS nk,
+             |         CAST(SUM(li.cents) AS BIGINT) AS supply_cents
+             |  FROM li
+             |  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+             |  GROUP BY 1
+             |), geo AS (
+             |  SELECT n.n_nationkey AS nk, r.r_name, n.n_name
+             |  FROM nation n JOIN region r
+             |    ON r.r_regionkey = n.n_regionkey
+             |)
+             |SELECT g.r_name, g.n_name,
+             |       CAST(COALESCE(b.buy_cents, 0) AS BIGINT)
+             |         AS buy_cents,
+             |       CAST(COALESCE(sp.supply_cents, 0) AS BIGINT)
+             |         AS supply_cents,
+             |       CAST(COALESCE(sp.supply_cents, 0)
+             |         - COALESCE(b.buy_cents, 0) AS BIGINT)
+             |         AS balance_cents
+             |FROM geo g
+             |LEFT JOIN buy b ON b.nk = g.nk
+             |LEFT JOIN sup sp ON sp.nk = g.nk
+             |ORDER BY g.r_name, g.n_name""".stripMargin)),
+
+    // Supplier-concentration (Herfindahl) risk screen: per part, the
+    // HHI of supplier quantity shares in exact ppm (share_ppm per
+    // supplier, Σ share² staged DECIMAL/HUGEINT then scaled back —
+    // 1e6 = single-sourced), rolled into a ten-bucket histogram. The
+    // classical sole-source risk card: mass near 1e6 is the
+    // supply-chain fragility a procurement team works down. Part-grain
+    // aggregates only; quantities are integral doubles cast exactly.
+    Q("q270_supplier_hhi",
+      (s, dir) => {
+        val sq = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum("q").as("sq"))
+        val tot = sq.groupBy("l_partkey").agg(sum("sq").as("tq"))
+        val hhi = sq.join(tot, Seq("l_partkey"))
+          .select(col("l_partkey"),
+            expr("sq * 1000000 div tq").as("share_ppm"))
+          .groupBy("l_partkey")
+          .agg(expr("CAST(sum(CAST(share_ppm AS DECIMAL(38,0))" +
+            " * share_ppm) DIV 1000000 AS BIGINT)").as("hhi_ppm"))
+        hhi.select(expr("least(hhi_ppm div 100000," +
+            " CAST(9 AS BIGINT))").as("bucket"), col("hhi_ppm"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_parts"),
+            expr("sum(hhi_ppm) div count(1)").as("mean_hhi_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH sq AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |           AS sq
+             |  FROM lineitem GROUP BY 1, 2
+             |), tot AS (
+             |  SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+             |  FROM sq GROUP BY 1
+             |), sh AS (
+             |  SELECT sq.l_partkey,
+             |         sq.sq * 1000000 // tot.tq AS share_ppm
+             |  FROM sq JOIN tot ON tot.l_partkey = sq.l_partkey
+             |), hhi AS (
+             |  SELECT l_partkey,
+             |         CAST(SUM(CAST(share_ppm AS HUGEINT) * share_ppm)
+             |           // 1000000 AS BIGINT) AS hhi_ppm
+             |  FROM sh GROUP BY 1
+             |)
+             |SELECT CAST(least(hhi_ppm // 100000, 9) AS BIGINT)
+             |         AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+             |       CAST(SUM(hhi_ppm) // COUNT(*) AS BIGINT)
+             |         AS mean_hhi_ppm
+             |FROM hhi GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Market-segment order mix — the customer-dimension revenue split:
+    // per mktsegment, customers, orders, exact order cents, average
+    // order value and share of total order mass in bp. One orders
+    // aggregate against the broadcast customer dim + a segments-sized
+    // rollup with a 1-row total broadcast.
+    Q("q271_segment_mix",
+      (s, dir) => {
+        val seg = Tables.load(s, dir, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("cents"))
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        seg.crossJoin(broadcast(seg.agg(sum("cents").as("total"))))
+          .select(col("c_mktsegment"), col("n_customers"),
+            col("n_orders"), col("cents"),
+            expr("cents div n_orders").as("avg_order_cents"),
+            expr("cents * 10000 div total").as("share_bp"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |           AS cents
+             |  FROM orders
+             |), seg AS (
+             |  SELECT c.c_mktsegment,
+             |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+             |           AS n_customers,
+             |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+             |         CAST(SUM(o.cents) AS BIGINT) AS cents
+             |  FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1
+             |), t AS (
+             |  SELECT CAST(SUM(cents) AS BIGINT) AS total FROM seg
+             |)
+             |SELECT seg.c_mktsegment, seg.n_customers, seg.n_orders,
+             |       seg.cents,
+             |       CAST(seg.cents // seg.n_orders AS BIGINT)
+             |         AS avg_order_cents,
+             |       CAST(seg.cents * 10000 // t.total AS BIGINT)
+             |         AS share_bp
+             |FROM seg CROSS JOIN t
+             |ORDER BY seg.c_mktsegment""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
