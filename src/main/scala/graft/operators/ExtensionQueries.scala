@@ -10272,16 +10272,18 @@ object ExtensionQueries {
           col("event_type") === "click" || col("event_type") === "view",
           struct(col("ts_s"), col("event_id"), col("event_type")))
         val lbs = Seq(1L, 3L, 7L)
-        val withCols = lbs.foldLeft(
-            Tables.events(s, dir)
-              .withColumn("ts_s", col("ts").cast("long"))) {
-            case (df, d) =>
-              val w = Window.partitionBy(col("user_id"))
-                .orderBy(col("ts_s"))
-                .rangeBetween(-d * 86400L, -1L)
-              df.withColumn(s"f$d", min(touch).over(w))
-                .withColumn(s"l$d", max(touch).over(w))
-          }
+        def w(d: Long) = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_s")).rangeBetween(-d * 86400L, -1L)
+        // ONE select carrying all six window expressions: Spark fuses
+        // them (same partitioning/ordering, frames differ) into ONE
+        // WindowExec — a single pass over one (user) shuffle
+        // (withColumn folds would wall each expression into its own
+        // Project and yield six passes; Round12Spec pins this shape)
+        val withCols = Tables.events(s, dir)
+          .withColumn("ts_s", col("ts").cast("long"))
+          .select(col("event_type") +: lbs.flatMap(d => Seq(
+            min(touch).over(w(d)).as(s"f$d"),
+            max(touch).over(w(d)).as(s"l$d"))): _*)
           .filter(col("event_type") === "purchase")
           .localCheckpoint() // six bounded rollups read it
         def model(lb: Long, name: String,

@@ -214,4 +214,41 @@ class Round12Spec extends AnyFunSuite {
     // a replay of the same batch id is a no-op
     assert(!VersionedTable.appendAt(df, dir, 0L))
   }
+
+  // --- q252/q269 plan pins (the PLANS.md round-12 claims) -----------------
+
+  test("q252's six attribution frames ride ONE (user) shuffle: the " +
+    "window stage stacks WindowExecs over a single hashpartitioning " +
+    "exchange, one per distinct frame") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark,
+        "/root/testdata/sf0.001")
+      .withColumn("ts_s", col("ts").cast("long"))
+    val touch = when(
+      col("event_type") === "click" || col("event_type") === "view",
+      struct(col("ts_s"), col("event_id"), col("event_type")))
+    def w(d: Long) = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s")).rangeBetween(-d * 86400L, -1L)
+    val staged = ev.select(col("event_type") +:
+      Seq(1L, 3L, 7L).flatMap(d => Seq(
+        min(touch).over(w(d)).as(s"f$d"),
+        max(touch).over(w(d)).as(s"l$d"))): _*)
+    val p = staged.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2000))
+    // Spark 4 fuses all six expressions — three distinct frames, same
+    // partitioning/ordering — into ONE WindowExec: a single pass over
+    // the sorted partitions (withColumn folds would wall each into its
+    // own Project and yield six passes)
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q269's dim sides broadcast (customer, supplier, geo): at least " +
+    "three BroadcastHashJoins and no broadcast NESTED LOOP") {
+    val p = SparkEntry.queries("q269_nation_trade")(spark,
+        "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"), p.take(2000))
+  }
 }
