@@ -6238,10 +6238,13 @@ object ExtensionQueries {
         val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
           .rowsBetween(-24, -1)
         hourly
-          .withColumn("nw", count(col("c")).over(tw))
-          .withColumn("s", coalesce(sum(col("c")).over(tw), lit(0L)))
-          .withColumn("q", coalesce(sum(col("c") * col("c")).over(tw),
-            lit(0L)))
+          // one select = the three same-frame folds fuse into ONE
+          // WindowExec pass (the q252 rule)
+          .select(col("event_type"), col("hr"), col("c"),
+            count(col("c")).over(tw).as("nw"),
+            coalesce(sum(col("c")).over(tw), lit(0L)).as("s"),
+            coalesce(sum(col("c") * col("c")).over(tw), lit(0L))
+              .as("q"))
           .select(col("event_type"), col("hr"), col("c"), col("nw"),
             ((col("c") * col("nw") - col("s"))
               * (col("c") * col("nw") - col("s"))).as("dev2"),
@@ -7705,8 +7708,11 @@ object ExtensionQueries {
           struct(col("ts_s"), col("event_id"), col("event_type")))
         val attributed = Tables.events(s, dir)
           .withColumn("ts_s", col("ts").cast("long"))
-          .withColumn("first_t", min(touch).over(w))
-          .withColumn("last_t", max(touch).over(w))
+          // one select = both extrema fuse into ONE WindowExec pass
+          // (the q252 rule)
+          .select(col("event_type"),
+            min(touch).over(w).as("first_t"),
+            max(touch).over(w).as("last_t"))
           .filter(col("event_type") === "purchase")
         def model(name: String, c: org.apache.spark.sql.Column) =
           attributed
