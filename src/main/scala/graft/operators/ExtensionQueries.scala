@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, NaiveBayes, Pii, Projection, Retrieval, Similarity, Sketches, TextAnalysis}
-import graft.sources.Tables
+import graft.sources.{Tables, VersionedTable}
 import ParityQueries.Q
 
 /** The training-data-pipeline extension surface (BASELINE.json north star):
@@ -11378,6 +11378,188 @@ object ExtensionQueries {
              |         AS share_bp
              |FROM seg CROSS JOIN t
              |ORDER BY seg.c_mktsegment""".stripMargin)),
+
+    // Corpus release notes THROUGH the versioned table format — time
+    // travel inside the oracle gate: two corpus releases land as
+    // overwrite commits v0/v1 (deterministic synthesis: v1 drops a
+    // different id slice and revises every 7th doc), then
+    // VersionedTable.diff reads BOTH snapshots back via the commit log
+    // and classifies per doc by content fingerprint; per (source,
+    // change) counts are the release-notes card a data lead signs off.
+    // The oracle re-derives the classification from the synthesis
+    // predicates alone — so commit layout, log resolution, time-travel
+    // read-back AND the md5 fingerprint rule are all inside the hash.
+    // Build is once per (application, dir); the diff is one narrow
+    // full-outer join on ids, text never shuffles (q142's contract).
+    Q("q272_release_notes",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val tdir = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-q272-${s.sparkContext.applicationId}-" +
+            Integer.toHexString(dir.hashCode)).toString + "/table"
+        if (VersionedTable.versions(s, tdir).size < 2) {
+          // a half-built tree (crashed first invocation) would land
+          // the rebuild at the NEXT version numbers — wipe and start
+          // clean so v0/v1 are always the synthesis pair
+          val p = new org.apache.hadoop.fs.Path(tdir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+          VersionedTable.overwrite(
+            docs.filter(col("doc_id") % 10 =!= 7), tdir)
+          VersionedTable.overwrite(
+            docs.filter(col("doc_id") % 13 =!= 3)
+              .withColumn("text", when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit(" [rev2]")))
+                .otherwise(col("text"))), tdir)
+        }
+        VersionedTable.diff(s, tdir, 0L, 1L)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH v0 AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 10 <> 7
+             |), v1 AS (
+             |  SELECT doc_id, doc_id % 7 = 0 AS modif
+             |  FROM documents WHERE doc_id % 13 <> 3
+             |), st AS (
+             |  SELECT COALESCE(v1.doc_id, v0.doc_id) AS doc_id,
+             |         CASE WHEN v0.doc_id IS NULL THEN 'added'
+             |              WHEN v1.doc_id IS NULL THEN 'removed'
+             |              WHEN v1.modif THEN 'modified'
+             |              ELSE 'unchanged' END AS status
+             |  FROM v0 FULL JOIN v1 ON v1.doc_id = v0.doc_id
+             |)
+             |SELECT d.source, st.status,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM st JOIN documents d ON d.doc_id = st.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Quality-gate GAIN curve — q233's calibration turned into the
+    // operating-point table: gating at cheap-score bucket ≥ b, how
+    // many docs survive, what fraction of ALL Gopher-passing docs are
+    // captured (recall), and the precision inside the gate. The row
+    // where capture stops falling and precision stops rising IS the
+    // threshold decision. Shares q233's two map-side passes; the
+    // cumulative fold runs over ≤11 fixed score buckets (bounded
+    // no-partition window — the q226 decile contract).
+    Q("q273_gain_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val cc = TextAnalysis.charClassCountsFast(col("text"))
+        val alphaBp = when(cc.getItem(0) === 0, lit(0L))
+          .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
+          .cast("long")
+        val byBucket = docs.select(col("doc_id"),
+            alphaBp.as("alpha_bp"))
+          .join(TextAnalysis.gopherGate(docs)
+            .select(col("doc_id"), col("gopher_pass")), Seq("doc_id"))
+          .groupBy(expr("alpha_bp div 1000").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("gopher_pass").cast("long")).as("n_pass"))
+        // ≤11 bucket rows: cum fold over the bounded score domain
+        val wDesc = Window.orderBy(desc("bucket"))
+          .rowsBetween(Long.MinValue, 0)
+        byBucket
+          .select(col("bucket"),
+            sum("n_docs").over(wDesc).as("n_docs_cum"),
+            sum("n_pass").over(wDesc).as("n_pass_cum"))
+          .crossJoin(broadcast(
+            byBucket.agg(sum("n_pass").as("total_pass"))))
+          .select(col("bucket"), col("n_docs_cum"), col("n_pass_cum"),
+            expr("CASE WHEN total_pass = 0 THEN -1" +
+              " ELSE n_pass_cum * 10000 div total_pass END")
+              .as("capture_bp"),
+            expr("n_pass_cum * 10000 div n_docs_cum")
+              .as("precision_bp"))
+          .orderBy(desc("bucket"))
+      },
+      Some(gopherGateCtes + """, q AS (
+             |  SELECT doc_id,
+             |         CAST(CASE WHEN length(text) = 0 THEN 0
+             |           ELSE floor(length(regexp_replace(text,
+             |             '[^A-Za-z]', '', 'g')) * 10000.0
+             |             / length(text)) END AS BIGINT) AS alpha_bp
+             |  FROM documents
+             |), bk AS (
+             |  SELECT q.alpha_bp // 1000 AS bucket,
+             |         CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(CAST(g.gopher_pass AS BIGINT)) AS BIGINT)
+             |           AS n_pass
+             |  FROM q JOIN gate g ON g.doc_id = q.doc_id
+             |  GROUP BY 1
+             |), cum AS (
+             |  SELECT bucket,
+             |         CAST(SUM(n_docs) OVER (ORDER BY bucket DESC
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |           AS n_docs_cum,
+             |         CAST(SUM(n_pass) OVER (ORDER BY bucket DESC
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |           AS n_pass_cum
+             |  FROM bk
+             |), t AS (
+             |  SELECT CAST(SUM(n_pass) AS BIGINT) AS total_pass FROM bk
+             |)
+             |SELECT c.bucket, c.n_docs_cum, c.n_pass_cum,
+             |       CAST(CASE WHEN t.total_pass = 0 THEN -1
+             |         ELSE c.n_pass_cum * 10000 // t.total_pass END
+             |         AS BIGINT) AS capture_bp,
+             |       CAST(c.n_pass_cum * 10000 // c.n_docs_cum AS BIGINT)
+             |         AS precision_bp
+             |FROM cum c CROSS JOIN t
+             |ORDER BY c.bucket DESC""".stripMargin)),
+
+    // K-fold split balance audit — before anyone trains on md5-derived
+    // folds (the q64/q268 replayable-split family at k=5), the card
+    // that proves the folds are exchangeable: per fold, doc count,
+    // token mass, token share in ppm and its deviation from the ideal
+    // 1/k — a skewed fold biases every cross-validated metric computed
+    // on it. One token-count projection + fold-grain aggregate.
+    Q("q274_fold_balance",
+      (s, dir) => {
+        val folds = Tables.load(s, dir, "documents")
+          .select(pmod(Dedup.md5Hash64(col("doc_id").cast("string")),
+              lit(5L)).as("fold"),
+            size(filter(split(trim(col("text")), "\\s+"),
+              w => length(w) > 0)).cast("long").as("n_tokens"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"))
+        folds.crossJoin(broadcast(
+            folds.agg(sum("n_tokens").as("total_tokens"))))
+          .select(col("fold"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens * 1000000 div total_tokens")
+              .as("token_share_ppm"),
+            expr("n_tokens * 1000000 div total_tokens - 200000")
+              .as("dev_ppm"))
+          .orderBy("fold")
+      },
+      Some("""WITH f AS (
+             |  SELECT ((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),
+             |           1,15))::BIGINT % 5) + 5) % 5 AS fold,
+             |         CAST(len(list_filter(
+             |           string_split_regex(trim(text), '\s+'),
+             |           w -> len(w) > 0)) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), a AS (
+             |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |  FROM f GROUP BY 1
+             |), t AS (
+             |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+             |  FROM a
+             |)
+             |SELECT CAST(a.fold AS BIGINT) AS fold, a.n_docs,
+             |       a.n_tokens,
+             |       CAST(a.n_tokens * 1000000 // t.total_tokens
+             |         AS BIGINT) AS token_share_ppm,
+             |       CAST(a.n_tokens * 1000000 // t.total_tokens
+             |         - 200000 AS BIGINT) AS dev_ppm
+             |FROM a CROSS JOIN t ORDER BY a.fold""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
