@@ -11560,6 +11560,151 @@ object ExtensionQueries {
              |       CAST(a.n_tokens * 1000000 // t.total_tokens
              |         - 200000 AS BIGINT) AS dev_ppm
              |FROM a CROSS JOIN t ORDER BY a.fold""".stripMargin)),
+
+    // As-of enrichment STALENESS profile — the freshness card over the
+    // q43 point-in-time join (the custom AsOfJoinExec physical
+    // operator exercised at a second grain): per whole-hour staleness
+    // bucket, how many events read a snapshot that old; unmatched
+    // events report bucket −1. The operational question behind every
+    // as-of enrichment — "how stale is the dimension the median event
+    // actually sees" — answered in exact integers (day-grain snapshots
+    // ⇒ buckets 0..23 + the miss bucket).
+    Q("q275_asof_staleness",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val snapshots = ev
+          .groupBy(col("user_id"),
+            date_trunc("day", col("ts")).as("snap_ts"))
+          .agg(count(lit(1)).as("snap_events"))
+        AsOf.asofJoinExec(
+            ev.select("event_id", "user_id", "ts"),
+            snapshots, keys = Seq("user_id"),
+            leftTime = "ts", rightTime = "snap_ts",
+            valueCols = Seq("snap_ts"))
+          .select(when(col("snap_ts").isNull, lit(-1L))
+            .otherwise(expr("(CAST(ts AS LONG)" +
+              " - CAST(snap_ts AS LONG)) div 3600"))
+            .as("staleness_h"))
+          .groupBy("staleness_h")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("staleness_h")
+      },
+      Some("""WITH snapshots AS (
+             |  SELECT user_id, date_trunc('day', ts) AS snap_ts
+             |  FROM events GROUP BY 1, 2
+             |), j AS (
+             |  SELECT e.event_id,
+             |         CASE WHEN s.snap_ts IS NULL THEN -1
+             |           ELSE (CAST(floor(epoch(e.ts)) AS BIGINT)
+             |             - CAST(floor(epoch(s.snap_ts)) AS BIGINT))
+             |             // 3600 END AS staleness_h
+             |  FROM events e
+             |  ASOF LEFT JOIN snapshots s
+             |    ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+             |)
+             |SELECT CAST(staleness_h AS BIGINT) AS staleness_h,
+             |       CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Dedup threshold-sensitivity card: the SAME LSH-scored pair set
+    // cut at τ ∈ {2000, 5000, 8000} bp — pairs surviving and docs
+    // touched per threshold, the two numbers that move when a dedup
+    // threshold is negotiated (q129 answers recall at one τ, q239 the
+    // banding; this is the material-impact sweep across τ). One scored
+    // pair set computed once, three bounded filters.
+    Q("q276_threshold_sweep",
+      (s, dir) => {
+        val spark2 = s; import spark2.implicits._
+        val pairs = Dedup.nearDuplicatesPortable(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 4, rowsPerBand = 4,
+            minJaccardBp = 0)
+          .localCheckpoint() // three threshold cuts read it
+        Seq(2000L, 5000L, 8000L).map { t =>
+          val cut = pairs.filter(col("jaccard_bp") >= t)
+          cut.agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(cut.select(explode(array(col("id_a"),
+                col("id_b"))).as("d")).distinct()
+              .agg(count(lit(1)).as("n_docs_touched")))
+            .select(lit(t).as("tau_bp"), col("n_pairs"),
+              col("n_docs_touched"))
+        }.reduce(_ unionByName _).orderBy("tau_bp")
+      },
+      Some(neardupScoredCtes + """, th(tau_bp) AS (
+          |  VALUES (2000), (5000), (8000)
+          |), cut AS (
+          |  SELECT th.tau_bp, s.id_a, s.id_b
+          |  FROM th JOIN scored s ON s.jaccard_bp >= th.tau_bp
+          |), docs_t AS (
+          |  SELECT tau_bp, COUNT(DISTINCT d) AS n_docs_touched
+          |  FROM (
+          |    SELECT tau_bp, id_a AS d FROM cut
+          |    UNION ALL SELECT tau_bp, id_b FROM cut
+          |  ) GROUP BY 1
+          |), pairs_t AS (
+          |  SELECT tau_bp, COUNT(*) AS n_pairs FROM cut GROUP BY 1
+          |)
+          |SELECT CAST(th.tau_bp AS BIGINT) AS tau_bp,
+          |       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+          |       CAST(COALESCE(d.n_docs_touched, 0) AS BIGINT)
+          |         AS n_docs_touched
+          |FROM th
+          |LEFT JOIN pairs_t p ON p.tau_bp = th.tau_bp
+          |LEFT JOIN docs_t d ON d.tau_bp = th.tau_bp
+          |ORDER BY th.tau_bp""".stripMargin)),
+
+    // Discount×quantity correlation per return flag — Pearson with the
+    // integer-staging discipline: both variables quantized exactly
+    // (integral quantities; discounts to centi via the shared
+    // floor(·+0.5)), all five sufficient sums staged DECIMAL/HUGEINT
+    // (overflow-free at any corpus size), and the one float sequence —
+    // two sqrt, one divide, one floor — spelled identically in both
+    // engines. The pricing-policy question (do bigger lines get deeper
+    // discounts?) as a micro-unit exact integer per group.
+    Q("q277_discount_corr",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("x"),
+            floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+            sum("y").as("sy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+            sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"),
+            sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("sy2"))
+          .select(col("l_returnflag"), col("n"),
+            expr("CAST(floor(CAST(n * sxy - CAST(sx AS DECIMAL(38,0))" +
+              " * sy AS DOUBLE) * 1000000.0" +
+              " / (sqrt(CAST(n * sx2 - CAST(sx AS DECIMAL(38,0))" +
+              " * sx AS DOUBLE))" +
+              " * sqrt(CAST(n * sy2 - CAST(sy AS DECIMAL(38,0))" +
+              " * sy AS DOUBLE)))) AS BIGINT)").as("corr_micro"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |         CAST(l_quantity AS BIGINT) AS x,
+             |         CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+             |           AS y
+             |  FROM lineitem
+             |), a AS (
+             |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             |         CAST(SUM(x) AS BIGINT) AS sx,
+             |         CAST(SUM(y) AS BIGINT) AS sy,
+             |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |         SUM(CAST(x AS HUGEINT) * x) AS sx2,
+             |         SUM(CAST(y AS HUGEINT) * y) AS sy2
+             |  FROM v GROUP BY 1
+             |)
+             |SELECT l_returnflag, n,
+             |       CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+             |           AS DOUBLE) * 1000000.0
+             |         / (sqrt(CAST(n * sx2 - CAST(sx AS HUGEINT) * sx
+             |             AS DOUBLE))
+             |           * sqrt(CAST(n * sy2 - CAST(sy AS HUGEINT) * sy
+             |             AS DOUBLE)))) AS BIGINT) AS corr_micro
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
