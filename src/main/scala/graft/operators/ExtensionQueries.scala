@@ -11705,6 +11705,136 @@ object ExtensionQueries {
              |           * sqrt(CAST(n * sy2 - CAST(sy AS HUGEINT) * sy
              |             AS DOUBLE)))) AS BIGINT) AS corr_micro
              |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // Curation attrition funnel BY SOURCE — which stage kills each
+    // feed's documents (first-failing-stage attribution in the q73
+    // pipeline order: quality → dedup → decontamination → survived):
+    // the observability card behind every curation-rate conversation,
+    // since "source X lost 40%" means three different fixes depending
+    // on WHERE it lost them. Reuses the memoized standing cluster
+    // table and the map-side quality/contamination kernels; one
+    // sources×4 rollup.
+    Q("q278_curation_attrition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nonEval = docs.filter(col("doc_id") % 17 =!= 0)
+        val quality = TextAnalysis.qualityVerdict(nonEval)
+          .select(col("doc_id"), col("keep"))
+        val drop = clustersTable(s, dir)
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"), lit(true).as("is_dup"))
+        val dirty = Dedup.contamination(nonEval,
+            docs.filter(col("doc_id") % 17 === 0))
+          .select(col("doc_id"),
+            (col("n_contaminated") > 0).as("is_dirty"))
+        nonEval.select(col("doc_id"), col("source"))
+          .join(quality, Seq("doc_id"))
+          .join(broadcast(drop), Seq("doc_id"), "left")
+          .join(dirty, Seq("doc_id"))
+          .select(col("source"),
+            when(!col("keep"), "1_quality")
+              .when(coalesce(col("is_dup"), lit(false)), "2_dedup")
+              .when(col("is_dirty"), "3_decontam")
+              .otherwise("4_survived").as("stage"))
+          .groupBy("source", "stage")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "stage")
+      },
+      Some(neardupScoredCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+          |), edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs
+          |), walk(id, reach) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+          |), comp AS (
+          |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+          |), qd AS (
+          |  SELECT doc_id, text,
+          |         list_filter(string_split_regex(text, '\s+'),
+          |                     x -> len(x) > 0) AS ws
+          |  FROM documents
+          |), qtok AS (
+          |  SELECT doc_id, unnest(ws) AS w FROM qd
+          |), qwc AS (
+          |  SELECT doc_id, w, COUNT(*) AS c FROM qtok GROUP BY doc_id, w
+          |), qwords AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+          |         round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6)
+          |           AS top_word_frac
+          |  FROM qwc GROUP BY doc_id
+          |), qkeep AS (
+          |  SELECT qd.doc_id
+          |  FROM qd LEFT JOIN qwords qw ON qd.doc_id = qw.doc_id
+          |  WHERE COALESCE(qw.n_words, 0) >= 10
+          |    AND COALESCE(qw.n_words, 0) <= 5000
+          |    AND CASE WHEN length(qd.text) = 0 THEN 0
+          |         ELSE floor(length(regexp_replace(qd.text,
+          |                '[^A-Za-z]', '', 'g')) * 10000.0
+          |              / length(qd.text)) END >= 5000
+          |    AND NOT COALESCE(qw.top_word_frac > 0.3, false)
+          |), evalh AS (
+          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+          |), dirty AS (
+          |  SELECT DISTINCT d.doc_id
+          |  FROM sh d JOIN evalh e ON d.shingle = e.shingle
+          |  WHERE d.doc_id % 17 <> 0
+          |), st AS (
+          |  SELECT d0.doc_id, d0.source,
+          |         CASE WHEN d0.doc_id NOT IN (SELECT doc_id FROM qkeep)
+          |                THEN '1_quality'
+          |              WHEN d0.doc_id IN
+          |                (SELECT id FROM comp WHERE id <> comp)
+          |                THEN '2_dedup'
+          |              WHEN d0.doc_id IN (SELECT doc_id FROM dirty)
+          |                THEN '3_decontam'
+          |              ELSE '4_survived' END AS stage
+          |  FROM documents d0 WHERE d0.doc_id % 17 <> 0
+          |)
+          |SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+          |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Embedding contrast histogram — cosine over deterministic
+    // adjacent-id pairs (even id vs id+1: an unbiased fixed sample at
+    // any scale, no RNG): the distribution-spread card that catches
+    // representation collapse (all mass at high cosine — every vector
+    // looks like every other — kills contrastive training and ANN
+    // selectivity long before q261's per-dimension variance hits
+    // zero). Map-side equi-join on vec_id+1, one sqrt pair + divide
+    // per pair (the q28 IEEE sequence), ≤21-bucket histogram.
+    Q("q279_embedding_contrast",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        e.filter(col("vec_id") % 2 === 0).as("a")
+          .join(e.filter(col("vec_id") % 2 === 1).as("b"),
+            col("a.vec_id") + 1 === col("b.vec_id"))
+          .select(floor(
+            Similarity.dotFast(col("a.embedding"), col("b.embedding"))
+              / (sqrt(Similarity.dotFast(col("a.embedding"),
+                  col("a.embedding")))
+                * sqrt(Similarity.dotFast(col("b.embedding"),
+                  col("b.embedding")))) * 10).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT a.v AS va, b.v AS vb
+             |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+             |  WHERE a.vec_id % 2 = 0
+             |)
+             |SELECT CAST(floor(list_dot_product(va, vb)
+             |         / (sqrt(list_dot_product(va, va))
+             |           * sqrt(list_dot_product(vb, vb))) * 10)
+             |         AS BIGINT) AS bucket,
+             |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
