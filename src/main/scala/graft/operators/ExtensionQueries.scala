@@ -11835,6 +11835,92 @@ object ExtensionQueries {
              |         AS BIGINT) AS bucket,
              |       CAST(COUNT(*) AS BIGINT) AS n_pairs
              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weekly user-churn card — the growth dashboard's retention
+    // number: per ISO-week-start, active users, how many of them
+    // return the NEXT week, and churn in bp (epoch-day // 7 weeks —
+    // timezone-free integer arithmetic; the final week reports -1,
+    // not a fake 100% churn, since its "next week" lies outside the
+    // data). One distinct (user, week) spine, one self-join at the
+    // week offset, weeks-sized output.
+    Q("q280_weekly_churn",
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("CAST(ts AS LONG) div 604800").as("wk"))
+          .distinct()
+          .localCheckpoint() // both join sides + the max probe read it
+        val maxWk = uw.agg(max("wk").as("max_wk"))
+        uw.as("a")
+          .join(uw.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.wk") + 1 === col("b.wk"), "left")
+          .groupBy(col("a.wk").as("wk"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("b.user_id").isNotNull, 1L).otherwise(0L))
+              .as("n_retained"))
+          .crossJoin(broadcast(maxWk))
+          .select(col("wk"), col("n_active"), col("n_retained"),
+            expr("CASE WHEN wk = max_wk THEN -1" +
+              " ELSE (n_active - n_retained) * 10000 div n_active END")
+              .as("churn_bp"))
+          .orderBy("wk")
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+             |  FROM events
+             |), mx AS (
+             |  SELECT MAX(wk) AS max_wk FROM uw
+             |), r AS (
+             |  SELECT a.wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+             |         CAST(SUM(CASE WHEN b.user_id IS NOT NULL
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+             |  FROM uw a LEFT JOIN uw b
+             |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+             |  GROUP BY 1
+             |)
+             |SELECT r.wk, r.n_active, r.n_retained,
+             |       CAST(CASE WHEN r.wk = mx.max_wk THEN -1
+             |         ELSE (r.n_active - r.n_retained) * 10000
+             |           // r.n_active END AS BIGINT) AS churn_bp
+             |FROM r CROSS JOIN mx ORDER BY r.wk""".stripMargin)),
+
+    // Brand × size-bucket PIVOT — the relational pivot API surface
+    // (`RelationalGroupedDataset.pivot` with an EXPLICIT bounded value
+    // list — never the value-discovering overload, which adds a
+    // collect pass and unbounded columns): part counts per brand
+    // across four fixed size buckets, the assortment-matrix dashboard
+    // shape. Oracle restates the pivot as conditional aggregation.
+    Q("q281_brand_size_pivot",
+      (s, dir) => Tables.load(s, dir, "part")
+        .select(col("p_brand"),
+          least(expr("CAST(p_size AS BIGINT) div 13"),
+            lit(3L)).as("sb"))
+        .groupBy("p_brand")
+        .pivot("sb", Seq(0L, 1L, 2L, 3L))
+        .agg(count(lit(1)))
+        .select(col("p_brand"),
+          coalesce(col("0"), lit(0L)).as("size_small"),
+          coalesce(col("1"), lit(0L)).as("size_mid"),
+          coalesce(col("2"), lit(0L)).as("size_large"),
+          coalesce(col("3"), lit(0L)).as("size_xl"))
+        .orderBy("p_brand"),
+      Some("""WITH p AS (
+             |  SELECT p_brand,
+             |         least(CAST(p_size AS BIGINT) // 13, 3) AS sb
+             |  FROM part
+             |)
+             |SELECT p_brand,
+             |       CAST(SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS size_small,
+             |       CAST(SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS size_mid,
+             |       CAST(SUM(CASE WHEN sb = 2 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS size_large,
+             |       CAST(SUM(CASE WHEN sb = 3 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS size_xl
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB replay of q207's k-core peel: `rounds` generated
