@@ -115,14 +115,22 @@ object Bench {
       run(name)
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_PASSES=1 drops the repeat passes — for the sf1-scale
+    // evidence run, where one pass is ~10× the sf0.1 suite and the
+    // noise floor the extra passes buy is irrelevant next to the
+    // ×10 signal being measured.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val pass1 = execOrder.map(n => n -> timed(n)).toMap
-    val pass2 = execOrder.map(n => n -> timed(n)).toMap
+    val pass2 =
+      if (passes >= 2) execOrder.map(n => n -> timed(n)).toMap else pass1
     // min-of-3 for sub-second queries: at n-of-2 several flat queries
     // moved ±25% run-to-run; a third pass over only the cheap ones
     // tightens their noise floor for ~a quarter of a pass of wall clock
     // (the expensive queries dominate pass time and keep min-of-2).
     val sub1 = execOrder.filter(n => math.min(pass1(n), pass2(n)) < 1.0)
-    val pass3 = sub1.map(n => n -> timed(n)).toMap
+    val pass3 =
+      if (passes >= 2) sub1.map(n => n -> timed(n)).toMap
+      else Map.empty[String, Double]
     val results = names.map { name =>
       val v = (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
       // a crashed query's time-to-failure is not a timing — poison it
@@ -169,8 +177,8 @@ object Bench {
     def timedOp(op: => Unit): Double = {
       val t0 = System.nanoTime(); op; (System.nanoTime() - t0) / 1e9
     }
-    val wdir = java.nio.file.Files
-      .createTempDirectory("graft-bench-writes").toString
+    val wdir = graft.sources.TmpDirs.register(java.nio.file.Files
+      .createTempDirectory("graft-bench-writes").toString)
     val ordersW = graft.operators.Replay.orders(spark, sfDir)
       .filter(graft.operators.Replay.ordersWhen)
     import org.apache.spark.sql.functions.col
@@ -246,6 +254,16 @@ object Bench {
     // round-over-round — a within-run 10× pass is a signal the artifact
     // must flag, not bury in the raw spread map.
     val spreadOut = spreadOutliers(spreads)
+    // Per-query wall-clock budget: an ABSOLUTE cap (default 8 s — the
+    // most expensive sound query at sf0.1 is ~5.6 s) complementing the
+    // ratio-based canary, which a query that ENTERS the suite already
+    // slow never trips. r12's gate run grew to 38:52 wall-clock; this
+    // keeps each new query's cost visible so the next 50 additions
+    // can't silently push the suite past the harness's patience.
+    val budgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "8.0").toDouble
+    val overBudget = results
+      .filter { case (_, v) => v > budgetSec }.sortBy(-_._2)
     // Contention-vs-code separation: the fleet's median now/prev ratio
     // next to the calibration probe's own ratio. r11's raw 1.24× median
     // was fully explained by a measured 1.85× contention factor, but a
@@ -272,6 +290,11 @@ object Bench {
       s""""sf":"$sfDir","n_queries":${results.size},"queries":$qs,""" +
       s""""spread":$spreadJson,"regressions":$regJson,""" +
       s""""spread_outliers":${spreadOutJson(spreadOut)},""" +
+      s""""budget_sec":${fmt(budgetSec)},""" +
+      s""""n_over_budget":${overBudget.size},""" +
+      s""""over_budget":${overBudget
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")},""" +
       s""""fleet_median_ratio":$fleetMedJson,""" +
       s""""calib_ratio":$calibRatioJson,""" +
       s""""writes":$ws,"partitioned_files":$nFiles,""" +
@@ -309,6 +332,10 @@ object Bench {
       s"""results.json","n_regressions":${regressions.size},""" +
       s""""n_failed":${failedQueries.size},"failed":$failTop,""" +
       s""""worst":$regTop,""" +
+      s""""n_over_budget":${overBudget.size},""" +
+      s""""over_budget":${overBudget.take(4)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")},""" +
       s""""n_spread_outliers":${spreadOut.size},""" +
       s""""spread_outliers":${spreadOutJson(spreadOut.take(8))},""" +
       s""""fleet_median_ratio":$fleetMedJson,""" +

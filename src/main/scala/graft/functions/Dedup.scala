@@ -1144,17 +1144,7 @@ object Dedup {
     require(minJaccardBp > 0 && minJaccardBp <= 10000,
       s"minJaccardBp must be in (0, 10000], got $minJaccardBp")
     val hs = shingleSets(docs, idCol, textCol, shingleN)
-    val sz = hs.select(col(idCol), size(col("hs")).cast("long").as("n"))
-    val tok = hs.select(col(idCol), explode(col("hs")).as("h"))
-    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
-    val prefix = tok.join(freq, Seq("h"))
-      .withColumn("rk", row_number().over(byDoc).cast("long"))
-      .join(sz, Seq(idCol))
-      .filter(col("rk") <=
-        col("n") - expr(s"(n * $minJaccardBp + 9999) div 10000") + 1L)
-      .select(col(idCol), col("h"))
+    val prefix = allPairsPrefix(hs, minJaccardBp, idCol)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -1172,6 +1162,29 @@ object Dedup {
       .filter(col("inter") * 10000L >= lit(minJaccardBp.toLong) * col("uni"))
       .select(col("id_a"), col("id_b"),
         expr("inter * 10000 div uni").as("jaccard_bp"))
+  }
+
+  /** The prefix-token frame of [[allPairsSimilarityJoin]] — (idCol, h)
+    * rows where each doc keeps only its |A| − ⌈τ·|A|⌉ + 1 RAREST tokens
+    * (global df order, hash tiebreak). Exposed so scale probes can pin
+    * the skew invariant directly: a corpus-wide hot token ranks LAST in
+    * every doc's ordering and therefore never enters any prefix (for
+    * docs with ≥ ⌈1/τ⌉ distinct tokens), which is exactly what keeps
+    * the candidate join's postings bounded under pathological skew.
+    * Input is the [[shingleSets]] frame (idCol, hs sorted distinct). */
+  def allPairsPrefix(hs: DataFrame, minJaccardBp: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sz = hs.select(col(idCol), size(col("hs")).cast("long").as("n"))
+    val tok = hs.select(col(idCol), explode(col("hs")).as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("h"))
+    tok.join(freq, Seq("h"))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .join(sz, Seq(idCol))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $minJaccardBp + 9999) div 10000") + 1L)
+      .select(col(idCol), col("h"))
   }
 
   /** MDM survivorship: one GOLDEN record per entity cluster — for each

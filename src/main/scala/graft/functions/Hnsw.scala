@@ -330,17 +330,38 @@ object Hnsw {
         efConstruction))
   }
 
+  /** Hard cap on the broadcast query side of [[searchIndex]]. 64k
+    * 64-dim float queries ≈ 16 MB broadcast — comfortably inside a
+    * driver/executor budget; a query set past this is no longer a
+    * "probe" workload and belongs in a bucketed join
+    * (Similarity.annTopK / lshNeighbors), not a broadcast beam search. */
+  val MaxBroadcastQueries: Int = 65536
+
   /** Probe a standing index: queries (broadcast-sized by contract, the
     * Similarity.cosinePairs contract) are collected once and broadcast;
     * every shard task reconstructs its graph and beam-searches each query
     * — the corpus-sized side never enters an exchange. Per-shard top-ef
     * results merge with one window into the global top-k (ranked on the
-    * ROUNDED sim, ties by vec_id — the q28 oracle's order). */
+    * ROUNDED sim, ties by vec_id — the q28 oracle's order).
+    *
+    * The broadcast contract is ENFORCED, not assumed: a size-gated
+    * limit+count probe (the connectedComponents bounded-decision
+    * pattern) fails fast when the query side exceeds
+    * [[MaxBroadcastQueries]], instead of letting a corpus-sized collect
+    * OOM the driver. */
   def searchIndex(index: Dataset[HnswNode], queries: DataFrame, k: Int,
                   efSearch: Int): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val qs = queries.select(col("vec_id"), col("embedding"))
+    val qSide = queries.select(col("vec_id"), col("embedding"))
+    val probed = qSide.limit(MaxBroadcastQueries + 1).count()
+    if (probed > MaxBroadcastQueries)
+      throw new IllegalStateException(
+        s"searchIndex broadcast contract violated: query side exceeds " +
+          s"$MaxBroadcastQueries rows — route bulk scoring through a " +
+          "bucketed join (Similarity.annTopK / lshNeighbors) instead of " +
+          "a broadcast beam search")
+    val qs = qSide
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val qb = spark.sparkContext.broadcast(qs)
     val perShard = index

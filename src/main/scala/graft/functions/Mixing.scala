@@ -288,10 +288,12 @@ object Mixing {
     require(epochCap > 0, s"epochCap must be positive, got $epochCap")
     // BOUNDED single-partition window: `counts` is one row per SOURCE
     // (a bounded dim — tens, not rows-of-corpus) by the input contract
-    // above; Round12Spec pins output rows == |sources|
+    // above; Round12Spec pins output rows == |sources| and
+    // Bounded.globalWindowFrame enforces the dim bound at runtime
     val byCap = Window.orderBy(col("capacity"), col(srcCol))
-    val ranked = counts
-      .select(col(srcCol), col(tokensCol).cast("long").as("tokens"))
+    val ranked = Bounded.globalWindowFrame(
+        counts.select(col(srcCol), col(tokensCol).cast("long").as("tokens")),
+        maxRows = 10000, contract = "unimaxAllocation source dim")
       .withColumn("capacity", col("tokens") * epochCap)
       .withColumn("rn", row_number().over(byCap).cast("long"))
       .withColumn("prefix", sum(col("capacity")).over(

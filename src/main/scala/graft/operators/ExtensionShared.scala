@@ -1,0 +1,1020 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Dedup, Graph, Hnsw, Layout, Mixing, NaiveBayes, Pii, Projection, Retrieval, Similarity, Sketches, TextAnalysis}
+import graft.sources.{Tables, VersionedTable}
+
+/** Helpers shared by the per-domain extension registries: memoized
+  * standing tables (near-dup clusters, entity components, media
+  * payloads, incremental-dedup indexes) and the multi-query oracle SQL
+  * CTE chains. Formerly the private header/footer of the monolithic
+  * ExtensionQueries object.
+  */
+private[operators] object ExtensionShared {
+
+  private[operators] val Money = DecimalType(18, 2)
+
+  /** q68's decontamination oracle — shared verbatim by q118: the Bloom
+    * thin→verify composition has no false negatives and culls false
+    * positives exactly, so its contract IS the plain formulation. */
+  private[operators] lazy val decontaminationOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS i,
+      |         unnest(w) AS tok, len(w) AS n
+      |  FROM tok
+      |), sh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+      |           lead(tok, 2) OVER win AS shingle
+      |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+      |), evalh AS (
+      |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+      |), cnt AS (
+      |  SELECT d.doc_id, COUNT(*) AS n_shingles,
+      |         COUNT(e.shingle) AS n_contaminated
+      |  FROM sh d LEFT JOIN evalh e ON d.shingle = e.shingle
+      |  WHERE d.doc_id % 17 <> 0
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(c.n_shingles, 0) AS BIGINT)
+      |         AS n_shingles,
+      |       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT)
+      |         AS n_contaminated,
+      |       COALESCE(c.n_contaminated, 0) > 0 AS contaminated
+      |FROM documents d
+      |LEFT JOIN cnt c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 17 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle CTE chain producing the k-means-refined IVF centroids `c`
+    * (plus the corpus `e`) — shared by q42 and q62. Mirrors
+    * Similarity.lloydCentroids exactly: seed = first 8 vectors, ONE Lloyd
+    * round (argmax-cosine assignment → elementwise mean per cell; an
+    * empty cell keeps its seed centroid). Embedding dim is 64 (the
+    * fixture's), baked into the constant series because DuckDB 1.0 has no
+    * lateral generate_series. */
+  private[operators] lazy val ivfLloydCtes: String = ivfLloydCtesOver("")
+
+  /** Same CTE chain with the training corpus restricted by `eWhere`
+    * (q86: the standing index is trained on the historical corpus only;
+    * the batch is assigned against it without retraining). */
+  private[operators] def ivfLloydCtesOver(eWhere: String): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings $eWhere
+      |), c0 AS (""".stripMargin + ivfLloydTail
+
+  private[operators] def ivfLloydTail: String =
+    """
+      |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+      |), s0 AS (
+      |  SELECT e.vec_id, e.v, k.centroid_id,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |           list_dot_product(e.v, k.cv)
+      |             / (sqrt(list_dot_product(e.v, e.v))
+      |                * sqrt(list_dot_product(k.cv, k.cv))) DESC,
+      |           k.centroid_id) AS rk
+      |  FROM e CROSS JOIN c0 k
+      |), a0 AS (
+      |  SELECT vec_id, v, centroid_id AS cell FROM s0 WHERE rk = 1
+      |), m1 AS (
+      |  SELECT cell, i, avg(v[i]) AS mx
+      |  FROM a0, (SELECT unnest(generate_series(1, 64)) AS i) dims
+      |  GROUP BY cell, i
+      |), cm AS (
+      |  SELECT cell AS centroid_id, list(mx ORDER BY i) AS cv
+      |  FROM m1 GROUP BY cell
+      |), c AS (
+      |  SELECT c0.centroid_id, COALESCE(cm.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN cm ON cm.centroid_id = c0.centroid_id
+      |)""".stripMargin
+
+  /** Oracle CTE chain of the full Gopher Appendix-A gate up to `gate`
+    * (doc_id, census columns, gopher_pass) — shared by q151 and the
+    * quality-calibration card q233. */
+  private[operators] val gopherGateCtes: String =
+    """WITH b AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |                w -> len(w) > 0) AS ws,
+             |    string_split(text, chr(10)) AS lines
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS BIGINT) AS n,
+             |    CAST(COALESCE(list_sum(
+             |      list_transform(ws, w -> len(w))), 0) AS BIGINT)
+             |      AS sumlen,
+             |    CAST(len(list_filter(ws,
+             |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+             |      AS alphaw,
+             |    CAST(list_contains(ws, 'the') AS BIGINT)
+             |      + CAST(list_contains(ws, 'be') AS BIGINT)
+             |      + CAST(list_contains(ws, 'to') AS BIGINT)
+             |      + CAST(list_contains(ws, 'of') AS BIGINT)
+             |      + CAST(list_contains(ws, 'and') AS BIGINT)
+             |      + CAST(list_contains(ws, 'that') AS BIGINT)
+             |      + CAST(list_contains(ws, 'have') AS BIGINT)
+             |      + CAST(list_contains(ws, 'with') AS BIGINT)
+             |      AS nstops,
+             |    CAST(len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.'))
+             |      + len(regexp_extract_all(text, '…')) AS BIGINT)
+             |      AS symbols,
+             |    CAST(len(lines) AS BIGINT) AS nlines,
+             |    CAST(len(list_filter(lines,
+             |      l -> starts_with(ltrim(l), '•')
+             |        OR starts_with(ltrim(l), '-')
+             |        OR starts_with(ltrim(l), '*'))) AS BIGINT)
+             |      AS bullets,
+             |    CAST(len(list_filter(lines,
+             |      l -> ends_with(rtrim(l), '...')
+             |        OR ends_with(rtrim(l), '…'))) AS BIGINT)
+             |      AS ellipses
+             |  FROM b
+             |), v AS (
+             |  SELECT doc_id, n AS n_words,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(sumlen * 100.0 / n) AS BIGINT)
+             |      ELSE 0 END AS mean_wl_centi,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(symbols * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS symbol_bp,
+             |    CAST(floor(bullets * 10000.0 / nlines) AS BIGINT)
+             |      AS bullet_bp,
+             |    CAST(floor(ellipses * 10000.0 / nlines) AS BIGINT)
+             |      AS ellipsis_bp,
+             |    CASE WHEN n > 0 THEN
+             |      CAST(floor(alphaw * 10000.0 / n) AS BIGINT)
+             |      ELSE 0 END AS alpha_word_bp,
+             |    nstops AS n_stop_present
+             |  FROM m
+             |), gate AS (
+             |  SELECT *,
+             |  n_words >= 50 AND n_words <= 100000
+             |    AND mean_wl_centi >= 300 AND mean_wl_centi <= 1000
+             |    AND symbol_bp <= 1000
+             |    AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+             |    AND alpha_word_bp >= 8000 AND n_stop_present >= 2
+             |    AS gopher_pass
+             |  FROM v
+             |)""".stripMargin
+
+  /** Oracle CTE chain of the portable near-dup pipeline up to `scored`
+    * (candidate pairs + exact Jaccard in basis points) — shared by q44
+    * and the dedup-clustering oracle q61, which extends it with a
+    * recursive connected-components walk. */
+  private[operators] val neardupScoredCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tok,
+      |         len(w) AS n
+      |  FROM tok
+      |), sh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+      |           lead(tok, 2) OVER win AS shingle
+      |  FROM tr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh0 WHERE i <= n - 2
+      |), sig AS (
+      |  SELECT doc_id, CAST(t.seed AS INTEGER) AS seed,
+      |         MIN(xor(('0x'||substr(md5(shingle),1,15))::BIGINT,
+      |                 t.seed * 2654435769)) AS minhash
+      |  FROM sh CROSS JOIN generate_series(0, 15) t(seed)
+      |  GROUP BY doc_id, t.seed
+      |), bands AS (
+      |  SELECT doc_id, seed // 4 AS band_id,
+      |         string_agg(CAST(minhash AS VARCHAR), ','
+      |           ORDER BY seed) AS band_key
+      |  FROM sig GROUP BY doc_id, seed // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id
+      |), shc AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.id_a, c.id_b
+      |), scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(floor(COALESCE(i.ninter, 0) * 10000.0
+      |           / (ca.nsh + cb.nsh - COALESCE(i.ninter, 0)))
+      |           AS BIGINT) AS jaccard_bp
+      |  FROM cand c
+      |  JOIN shc ca ON ca.doc_id = c.id_a
+      |  JOIN shc cb ON cb.doc_id = c.id_b
+      |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |)
+      |""".stripMargin
+
+  /** Near-dup cluster table, materialized once per (session, dir) — the
+    * ndTable pattern (ParityQueries): a real pipeline computes clusters
+    * ONCE and every consumer (the q63 corpus materialization, retention
+    * reports, …) reads the result table; q61 itself remains the full
+    * from-pairs computation. Output is candidate-pair-sized and already
+    * plan-truncated (connectedComponents localCheckpoints per round).
+    * Registered with [[graft.sources.Standing]] so the frame has an
+    * explicit release path (Standing.release rebuilds on next access). */
+  private[operators] def clustersTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Standing.frame(s, dir, "nd_clusters") {
+      Dedup.connectedComponents(
+        Dedup.nearDuplicatesPortable(Tables.load(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4,
+          minJaccardBp = 2000),
+        "id_a", "id_b", assumeDistinctPairs = true)
+    }
+
+  /** Entity component table (the q157 fuzzyPairs + CC chain),
+    * materialized once per (session, dir) — the ndTable pattern at the
+    * record-linkage grain: survivorship (q182) and any other entity
+    * consumer read the computed-once table; q157 remains the full
+    * from-pairs computation, and q159 folds its batch against a
+    * separately-memoized standing-side table (entity_standing_comp). */
+  private[operators] def entitiesTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Standing.frame(s, dir, "entity_components") {
+      val names = Tables.load(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("pid"))
+      Dedup.connectedComponents(
+        TextAnalysis.fuzzyPairs(names, "pid", "p_name",
+          maxDist = 2, q = 2), "id_a", "id_b",
+        assumeDistinctPairs = true)
+    }
+
+  /** Incremental-dedup fixture split: docs with doc_id % 10 == 7 play
+    * "today's batch"; the rest are the historical corpus whose standing
+    * index (band rows bucketed on the join key + shingle sets) is
+    * materialized ONCE per (session, dir) as catalog tables — the same
+    * standing-infrastructure pattern as the Replay dims and the cluster
+    * table. q67 then measures what production pays daily: the O(batch)
+    * incremental join, not the O(corpus) index build. */
+  private[operators] def newBatchPred = col("doc_id") % 10 === 7
+
+  private[operators] def ndxBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.memoTable(s, dir, "ndx_bands", Seq("band_id", "band_key")) {
+      Dedup.nearDupBandRows(
+        Tables.load(s, dir, "documents").filter(!newBatchPred),
+        "doc_id", "text", shingleN = 3, bands = 4, rowsPerBand = 4)
+    }
+
+  private[operators] def ndxShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.memoTable(s, dir, "ndx_shingles", Seq("doc_id")) {
+      Dedup.shingleSets(
+        Tables.load(s, dir, "documents").filter(!newBatchPred),
+        "doc_id", "text", shingleN = 3)
+    }
+
+  /** Media payloads are STANDING DATA — a real pipeline decodes what
+    * storage already holds; it does not re-encode the corpus per query.
+    * Materialize the synthetic PNG/WAV/GVID payloads once per (session,
+    * dir) as parquet tables (opaque binary columns through real storage
+    * round-trips), so q69–q71 measure the decode operators themselves.
+    */
+  private[operators] def mediaTable(s: org.apache.spark.sql.SparkSession, dir: String,
+                         name: String)
+                        (build: => org.apache.spark.sql.DataFrame) =
+    Tables.memoTable(s, dir, name)(build)
+
+
+  /** DuckDB replay of q207's k-core peel: `rounds` generated
+    * peel blocks (degree → low set → anti-filtered edge set) over the
+    * symmetrized near-dup edge list; monotone, so rounds past the
+    * fixpoint change nothing. */
+  private[operators] def kcoreOracle(k: Int, rounds: Int): String = {
+    // every peel round references its predecessor three times (degree
+    // pass + two NOT-IN filters) — without MATERIALIZED the planner
+    // inlines the whole chain exponentially (3^rounds base-scan copies
+    // ran the fixture out of file handles)
+    val base = neardupScoredCtes + """, npairs AS (
+      |  SELECT id_a, id_b FROM scored WHERE jaccard_bp >= 2000
+      |), e0 AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM npairs
+      |  UNION SELECT id_b, id_a FROM npairs
+      |)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s""", low$r AS MATERIALIZED (
+         |  SELECT src FROM e${r - 1} GROUP BY src
+         |  HAVING COUNT(*) < $k
+         |), e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  WHERE e.src NOT IN (SELECT src FROM low$r)
+         |    AND e.dst NOT IN (SELECT src FROM low$r)
+         |)""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e$rounds GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB replay of q205's greedy MMR: bm25ScoredCtes' `sc` → top-20
+    * pool, pool-doc shingle sets off the same lower/trim token stream
+    * (`d.ws`), pool² Jaccard table, then `k` generated selection
+    * rounds (round 1 = pure relevance argmax; round r = argmax of
+    * score − 100·max-sim-to-selected over the anti-joined remainder,
+    * ties to the lower doc_id in both engines). */
+  private[operators] def mmrOracle(k: Int): String = {
+    val base = bm25ScoredCtes + """, mpool AS (
+      |  SELECT qid, doc_id, score_unats,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY score_unats DESC, doc_id) AS rnk
+      |  FROM sc
+      |), p20 AS (
+      |  SELECT qid, doc_id, score_unats FROM mpool WHERE rnk <= 20
+      |), mtr AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tk,
+      |         len(ws) AS n
+      |  FROM d
+      |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM p20)
+      |), msh0 AS (
+      |  SELECT doc_id, i, n,
+      |         tk || ' ' || lead(tk, 1) OVER win || ' ' ||
+      |           lead(tk, 2) OVER win AS shingle
+      |  FROM mtr WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      |), msh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM msh0 WHERE i <= n - 2
+      |), mcnt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+      |  FROM msh GROUP BY 1
+      |), mprs AS (
+      |  SELECT a.qid, a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM p20 a JOIN p20 b
+      |    ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      |), mint AS (
+      |  SELECT c.qid, c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      |  FROM mprs c
+      |  JOIN msh sa ON sa.doc_id = c.id_a
+      |  JOIN msh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2, 3
+      |), msim AS (
+      |  SELECT c.qid, c.id_a, c.id_b,
+      |         CASE WHEN COALESCE(ca.nsh, 0) + COALESCE(cb.nsh, 0)
+      |                   - COALESCE(i.ninter, 0) <= 0
+      |              THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(COALESCE(i.ninter, 0) * 10000
+      |                // (COALESCE(ca.nsh, 0) + COALESCE(cb.nsh, 0)
+      |                    - COALESCE(i.ninter, 0)) AS BIGINT)
+      |         END AS sim_bp
+      |  FROM mprs c
+      |  LEFT JOIN mcnt ca ON ca.doc_id = c.id_a
+      |  LEFT JOIN mcnt cb ON cb.doc_id = c.id_b
+      |  LEFT JOIN mint i
+      |    ON i.qid = c.qid AND i.id_a = c.id_a AND i.id_b = c.id_b
+      |), sel1 AS (
+      |  SELECT qid, doc_id, score_unats,
+      |         CAST(0 AS BIGINT) AS penalty_bp,
+      |         score_unats AS mmr_score
+      |  FROM mpool WHERE rnk = 1
+      |), selall1 AS (
+      |  SELECT qid, doc_id FROM sel1
+      |)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s""", pen$r AS (
+         |  SELECT c.qid, c.doc_id, c.score_unats,
+         |         MAX(ps.sim_bp) AS penalty_bp
+         |  FROM p20 c
+         |  JOIN selall${r - 1} s ON s.qid = c.qid
+         |  JOIN msim ps ON ps.qid = c.qid AND ps.id_a = c.doc_id
+         |    AND ps.id_b = s.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${r - 1} x
+         |    WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+         |  GROUP BY 1, 2, 3
+         |), sel$r AS (
+         |  SELECT qid, doc_id, score_unats, penalty_bp,
+         |         score_unats - 100 * penalty_bp AS mmr_score
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY (score_unats - 100 * penalty_bp) DESC,
+         |            doc_id) AS rk
+         |        FROM pen$r) WHERE rk = 1
+         |), selall$r AS (
+         |  SELECT qid, doc_id FROM selall${r - 1}
+         |  UNION ALL SELECT qid, doc_id FROM sel$r
+         |)""".stripMargin
+    }.mkString
+    val finalSel = (1 to k).map { r =>
+      s"""SELECT qid, CAST($r AS INTEGER) AS pick, doc_id, score_unats,
+         |       penalty_bp, CAST(mmr_score AS BIGINT) AS mmr_score
+         |FROM sel$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    base + rounds + "\nSELECT * FROM (\n" + finalSel +
+      "\n)\nORDER BY qid, pick"
+  }
+
+  /** DuckDB replay of the behavioral transition model: per-user
+    * (ts, event_id)-ordered lag pairs → (from, to) counts + outgoing
+    * totals. Ends at `trans (user_id, from_type, to_type)` and
+    * `model (from_type, to_type, n, from_total)`. */
+  private[operators] def transitionCtes: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type
+      |  FROM events
+      |), trans AS (
+      |  SELECT user_id, from_type, event_type AS to_type
+      |  FROM seq WHERE from_type IS NOT NULL
+      |), model AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type)
+      |           AS BIGINT) AS from_total
+      |  FROM trans GROUP BY 1, 2
+      |)
+      |""".stripMargin
+
+  /** DuckDB replay of the full 16-bit Hilbert xy2d recursion: one CTE
+    * per bit level carrying the rotated (hx, hy) state and the
+    * accumulated distance — generated from the same loop structure as
+    * graft.plans.HilbertKernel.xy2d, so the two cannot drift. */
+  private[operators] def hilbertOracle: String = {
+    val steps = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val p = i + 1
+      s""", h$i AS (
+         |  SELECT x, y,
+         |    d$p + CAST(${s * s} AS BIGINT) * (CASE
+         |      WHEN (hx$p & $s) = 0 AND (hy$p & $s) = 0 THEN 0
+         |      WHEN (hx$p & $s) = 0 THEN 1
+         |      WHEN (hy$p & $s) > 0 THEN 2
+         |      ELSE 3 END) AS d$i,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hx$p
+         |         WHEN (hx$p & $s) > 0 THEN $s - 1 - hy$p
+         |         ELSE hy$p END AS hx$i,
+         |    CASE WHEN (hy$p & $s) > 0 THEN hy$p
+         |         WHEN (hx$p & $s) > 0 THEN $s - 1 - hx$p
+         |         ELSE hx$p END AS hy$i
+         |  FROM h$p
+         |)""".stripMargin
+    }.mkString
+    s"""WITH k AS (
+       |  SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+       |), mm AS (
+       |  SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+       |         MIN(y) AS mny, MAX(y) AS mxy
+       |  FROM k
+       |), s AS (
+       |  SELECT x, y,
+       |    CASE WHEN mxx = mnx THEN 0
+       |         ELSE ((x - mnx) * 65535) // (mxx - mnx) END AS xn,
+       |    CASE WHEN mxy = mny THEN 0
+       |         ELSE ((y - mny) * 65535) // (mxy - mny) END AS yn
+       |  FROM k CROSS JOIN mm
+       |), h16 AS (
+       |  SELECT x, y, CAST(0 AS BIGINT) AS d16,
+       |         xn AS hx16, yn AS hy16
+       |  FROM s
+       |)$steps
+       |SELECT d0 >> 26 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(x) AS min_x, MAX(x) AS max_x,
+       |       MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM h0 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of the BM25 multi-query scoring chain (the q85
+    * pipeline before its rank cut) — identical float expression tree,
+    * ends at `sc` (qid, doc_id, score_unats). */
+  private[operators] def bm25ScoredCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM dl
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS term FROM d
+      |), tf AS (
+      |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY term, doc_id
+      |), qt(qid, term) AS (
+      |  VALUES ('q1','spark'),('q1','table'),('q2','query'),
+      |         ('q2','data'),('q3','window'),('q3','zzz_absent_term')
+      |), dfq AS (
+      |  SELECT t.term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT)
+      |           AS df
+      |  FROM tf t JOIN (SELECT DISTINCT term FROM qt) q
+      |    ON q.term = t.term
+      |  GROUP BY t.term
+      |), contrib AS (
+      |  SELECT q.qid, t.doc_id,
+      |         CAST(floor((ln(1.0 + (s.n - f.df + 0.5)
+      |             / (f.df + 0.5)) * t.tf * (1.2 + 1.0)
+      |           / (t.tf + 1.2 * ((1.0 - 0.75)
+      |             + 0.75 * l.dl / (s.sdl / s.n)))) * 1000000.0)
+      |           AS BIGINT) AS w_unats
+      |  FROM qt q
+      |  JOIN tf t ON t.term = q.term
+      |  JOIN dfq f ON f.term = t.term
+      |  JOIN dl l ON l.doc_id = t.doc_id
+      |  CROSS JOIN stats s
+      |), sc AS (
+      |  SELECT qid, doc_id,
+      |         CAST(SUM(w_unats) AS BIGINT) AS score_unats
+      |  FROM contrib GROUP BY qid, doc_id
+      |)""".stripMargin
+
+  /** DuckDB replay of the HLL register pipeline (p=9 over the portable
+    * md5-60 hash of user_id, exact int64 harmonic sum) — mirrors
+    * Sketches.hllRegisters + hllEstimate exactly. Ends at `fin`
+    * (event_type, occupied, zeros, est_raw). */
+  private[operators] def hllCtes: String =
+    """WITH hh AS (
+      |  SELECT event_type,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |           ::BIGINT AS h
+      |  FROM events
+      |), rw AS (
+      |  SELECT event_type, h >> 51 AS idx,
+      |         h & ((1::BIGINT << 51) - 1) AS wv
+      |  FROM hh
+      |), regs AS (
+      |  SELECT event_type, idx,
+      |         MAX(CASE WHEN wv = 0 THEN 52
+      |             ELSE 52 - length(bin(wv)) END) AS rho
+      |  FROM rw GROUP BY event_type, idx
+      |), agg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+      |         CAST(SUM(1::BIGINT << CAST(52 - rho AS INT)) AS BIGINT)
+      |           AS s_occ
+      |  FROM regs GROUP BY event_type
+      |), fin AS (
+      |  SELECT event_type, occupied,
+      |         512 - occupied AS zeros,
+      |         (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+      |           * CAST(1::BIGINT << 52 AS DOUBLE)
+      |           / CAST(s_occ + (512 - occupied) * (1::BIGINT << 52)
+      |                  AS DOUBLE) AS est_raw
+      |  FROM agg
+      |)
+      |""".stripMargin
+
+  /** DuckDB replay of the ExactSubstr span pipeline (5-word windows at
+    * every position, portable md5-60 window fingerprints, first-
+    * occurrence-wins cross-doc marking, island merge over marked
+    * positions) — mirrors Dedup.exactSubstrSpans exactly. Ends at `grp`
+    * (doc_id, pos, island); callers add the span/apply tail. */
+  private[operators] def exactSubstrCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents
+      |), sp AS (
+      |  SELECT doc_id, w, unnest(generate_series(0, len(w) - 5)) AS pos
+      |  FROM d WHERE len(w) >= 5
+      |), sph AS (
+      |  SELECT doc_id, pos,
+      |         ('0x' || substr(md5(array_to_string(
+      |           w[pos + 1 : pos + 5], ' ')), 1, 15))::BIGINT AS h
+      |  FROM sp
+      |), own AS (
+      |  SELECT h, MIN(doc_id) AS first_id FROM sph GROUP BY h
+      |  HAVING MIN(doc_id) <> MAX(doc_id)
+      |), dup AS (
+      |  SELECT s.doc_id, s.pos FROM sph s
+      |  JOIN own o ON s.h = o.h AND s.doc_id <> o.first_id
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+      |                PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |              -1) THEN 1 ELSE 0 END AS ni
+      |  FROM dup
+      |), grp AS (
+      |  SELECT doc_id, pos,
+      |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS island
+      |  FROM isl
+      |)
+      |""".stripMargin
+
+  /** DuckDB replay of the DSIR feature statistics (256 md5 buckets,
+    * target = lang 'en', Laplace smoothing, micro-nat weights) —
+    * mirrors TextAnalysis.dsirImportance exactly. */
+  private[operators] def dsirOracleCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |         unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, is_t,
+      |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM tok WHERE length(tok) > 0
+      |), st AS (
+      |  SELECT b,
+      |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS tc,
+      |         CAST(COUNT(*) AS BIGINT) AS sc
+      |  FROM tk GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+      |         CAST(SUM(sc) AS BIGINT) AS st2
+      |  FROM st
+      |), w AS (
+      |  SELECT b, CAST(floor(ln(
+      |           (CAST(tc + 1 AS DOUBLE) * CAST(t.st2 + 256 AS DOUBLE))
+      |           / (CAST(sc + 1 AS DOUBLE) * CAST(t.tt + 256 AS DOUBLE)))
+      |           * 1000000) AS BIGINT) AS w_micro
+      |  FROM st CROSS JOIN tot t
+      |)""".stripMargin
+
+  /** DuckDB replay of the PQ training pipeline (nsub=8, dsub=8, k=16,
+    * one Lloyd round): subvectors `sv`, seed codebook, argmin-d²
+    * assignment, micro-unit-quantized per-dim means, refined codebook
+    * `cb1` (empty cells keep their seed), final `codes` — mirrors
+    * Pq.codebook + Pq.encode exactly. */
+  private[operators] def pqOracleCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), """.stripMargin + pqOracleTail
+
+  /** The PQ chain WITHOUT its `WITH e AS` header, so it can be chained
+    * after another CTE set that already defines `e` (the q204 bake-off
+    * concatenates it after ivfLloydCtes — same `e` definition). */
+  private[operators] def pqOracleTail: String =
+    """sv AS (
+      |  SELECT vec_id, CAST(ms.m AS INT) AS m,
+      |         v[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
+      |  FROM e, (SELECT unnest(range(8)) AS m) ms
+      |), seed AS (
+      |  SELECT m, CAST(vec_id AS INT) AS code, sv AS cv FROM sv
+      |  WHERE vec_id < 16
+      |), asg1 AS (
+      |  SELECT s.vec_id, s.m, s.sv, c.code,
+      |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |           (list_dot_product(s.sv, s.sv)
+      |            - 2 * list_dot_product(s.sv, c.cv)
+      |            + list_dot_product(c.cv, c.cv)) ASC, c.code ASC) AS rk
+      |  FROM sv s JOIN seed c ON s.m = c.m
+      |), a1 AS (
+      |  SELECT vec_id, m, sv, code FROM asg1 WHERE rk = 1
+      |), mean1 AS (
+      |  SELECT m, code, i, floor(AVG(x) * 1000000) / 1000000 AS mx
+      |  FROM (SELECT m, code, generate_subscripts(sv, 1) AS i,
+      |               unnest(sv) AS x
+      |        FROM a1)
+      |  GROUP BY m, code, i
+      |), mlist AS (
+      |  SELECT m, code, list(mx ORDER BY i) AS mcv FROM mean1
+      |  GROUP BY m, code
+      |), cb1 AS (
+      |  SELECT s.m, s.code, COALESCE(ml.mcv, s.cv) AS cv
+      |  FROM seed s LEFT JOIN mlist ml
+      |    ON s.m = ml.m AND s.code = ml.code
+      |), asg2 AS (
+      |  SELECT s.vec_id, s.m, c.code,
+      |         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |           (list_dot_product(s.sv, s.sv)
+      |            - 2 * list_dot_product(s.sv, c.cv)
+      |            + list_dot_product(c.cv, c.cv)) ASC, c.code ASC) AS rk
+      |  FROM sv s JOIN cb1 c ON s.m = c.m
+      |), codes AS (
+      |  SELECT vec_id, m, code FROM asg2 WHERE rk = 1
+      |)""".stripMargin
+
+  /** DuckDB CTE chain replaying `rounds` BPE merge rounds (w0 = the
+    * word-frequency table; per round: pair counts pc_r, winner b_r,
+    * merged table w_r) — mirrors Bpe.train exactly, including the
+    * empty-pair-table no-op via LEFT JOIN ON true. */
+  private[operators] def bpeOracleCtes(rounds: Int): String = {
+    val w0 = """WITH w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn,
+      |         '  ' || regexp_replace(word, '(.)', '\1  ', 'g')
+      |           || '</w>  ' AS sym
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word
+      |)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s""", pr$r AS (
+         |  SELECT word, wn, generate_subscripts(a, 1) AS i, unnest(a) AS s
+         |  FROM (SELECT word, wn,
+         |               list_filter(string_split(sym, '  '),
+         |                           x -> length(x) > 0) AS a
+         |        FROM w${r - 1})
+         |), pc$r AS (
+         |  SELECT lsym, rsym, CAST(SUM(wn) AS BIGINT) AS n FROM (
+         |    SELECT wn, s AS lsym,
+         |           lead(s) OVER (PARTITION BY word ORDER BY i) AS rsym
+         |    FROM pr$r)
+         |  WHERE rsym IS NOT NULL GROUP BY lsym, rsym
+         |), b$r AS (
+         |  SELECT lsym, rsym, n FROM pc$r ORDER BY n DESC, lsym, rsym
+         |  LIMIT 1
+         |), w$r AS (
+         |  SELECT w.word, w.wn,
+         |         CASE WHEN b.lsym IS NULL THEN w.sym
+         |              ELSE replace(w.sym,
+         |                     ' ' || b.lsym || '  ' || b.rsym || ' ',
+         |                     ' ' || b.lsym || b.rsym || ' ') END AS sym
+         |  FROM w${r - 1} w LEFT JOIN b$r b ON true
+         |)""".stripMargin
+    }.mkString
+    w0 + perRound
+  }
+
+  /** Shared DuckDB replay of the gradient-image aHash — the pixel
+    * FORMULA (not the PNG bytes) regenerates block means → global mean
+    * → 64 bits → two unsigned 32-bit halves, so the Spark side's real
+    * PNG encode→decode round-trip is certified end-to-end (the q32
+    * discipline): any codec or raster-walk divergence breaks the
+    * hash match. */
+  private[operators] def aHashPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |), xs AS (
+      |  SELECT unnest(generate_series(0, 31)) AS x
+      |), ys AS (
+      |  SELECT unnest(generate_series(0, 31)) AS y
+      |), px AS (
+      |  SELECT i.doc_id, xs.x, ys.y,
+      |         (xs.x * (i.doc_id * 7 % 13 + 1)
+      |          + ys.y * (i.doc_id * 11 % 17 + 1)
+      |          + i.doc_id * 37) % 256 AS v
+      |  FROM ids i CROSS JOIN xs CROSS JOIN ys
+      |), blk AS (
+      |  SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+      |         CAST(SUM(v) // 16 AS BIGINT) AS bm
+      |  FROM px GROUP BY 1, 2, 3
+      |), gmean AS (
+      |  SELECT doc_id, CAST(SUM(bm) // 64 AS BIGINT) AS gm
+      |  FROM blk GROUP BY 1
+      |), bits AS (
+      |  SELECT b.doc_id, b.by * 8 + b.bx AS k,
+      |         CASE WHEN b.bm > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN gmean m ON m.doc_id = b.doc_id
+      |)""".stripMargin + packBitsCte
+
+  /** MSB-first two-halves packing of a `bits(doc_id, k, bit)` CTE into
+    * `pack(doc_id, h_hi, h_lo)` — shared by the image aHash and the
+    * audio energy fingerprint oracles (identical to the Scala packing
+    * in functions/Multimodal.scala). */
+  private[operators] def packBitsCte: String =
+    """, pack AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN k < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (31 - k))
+      |      ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN k >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (63 - k))
+      |      ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM bits GROUP BY 1
+      |)""".stripMargin
+
+  /** Shared DuckDB replay of the stepped-WAV energy fingerprint — the
+    * envelope formula regenerates per-window energies → bits → the
+    * packed halves; the Spark side's real WAV encode→decode round-trip
+    * is certified end-to-end (the q160 discipline on audio). */
+  private[operators] def audioPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id % 200 AS seed FROM documents
+      |), ws AS (
+      |  SELECT unnest(generate_series(0, 63)) AS w
+      |), en AS (
+      |  SELECT i.doc_id, ws.w,
+      |         (i.seed * 97 + ws.w * (i.seed * 13 % 7 + 1) * 640)
+      |           % 8192 + 1 AS e
+      |  FROM ids i CROSS JOIN ws
+      |), gmean AS (
+      |  SELECT doc_id, CAST(SUM(e) // 64 AS BIGINT) AS gm
+      |  FROM en GROUP BY 1
+      |), bits AS (
+      |  SELECT e.doc_id, e.w AS k,
+      |         CASE WHEN e.e > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM en e JOIN gmean m ON m.doc_id = e.doc_id
+      |)""".stripMargin + packBitsCte
+
+  /** Shared DuckDB replay of the gradient-GVID per-frame aHash —
+    * frame key k = seed·31 + f drives the same pixel formula as q160;
+    * packf(doc_id, f, h_hi, h_lo). Certifies the container parse +
+    * per-frame PNG decode end-to-end. */
+  private[operators] def videoPackCtes: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id % 150 AS seed FROM documents
+      |), fr AS (
+      |  SELECT doc_id, seed,
+      |         unnest(generate_series(0, seed % 3 + 3)) AS f
+      |  FROM ids
+      |), kk AS (
+      |  SELECT doc_id, f, seed * 31 + f AS k FROM fr
+      |), xs AS (
+      |  SELECT unnest(generate_series(0, 31)) AS x
+      |), ys AS (
+      |  SELECT unnest(generate_series(0, 31)) AS y
+      |), px AS (
+      |  SELECT kk.doc_id, kk.f, xs.x, ys.y,
+      |         (xs.x * (kk.k * 7 % 13 + 1)
+      |          + ys.y * (kk.k * 11 % 17 + 1)
+      |          + kk.k * 37) % 256 AS v
+      |  FROM kk CROSS JOIN xs CROSS JOIN ys
+      |), blk AS (
+      |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by,
+      |         CAST(SUM(v) // 16 AS BIGINT) AS bm
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), gmean AS (
+      |  SELECT doc_id, f, CAST(SUM(bm) // 64 AS BIGINT) AS gm
+      |  FROM blk GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT b.doc_id, b.f, b.by * 8 + b.bx AS n,
+      |         CASE WHEN b.bm > m.gm THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN gmean m
+      |    ON m.doc_id = b.doc_id AND m.f = b.f
+      |), packf AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN n < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (31 - n))
+      |      ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN n >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (63 - n))
+      |      ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM bits GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Shared one-shot entity-resolution oracle (q157 and the q159
+    * incremental fold — merged ≡ rebuilt): blocking-FREE n²
+    * levenshtein pairs + recursive-CTE transitive closure + canonical
+    * min-id entity per record (singletons self-canonical). */
+  /** Blocking-free recursive-CTE entity closure over part names — the
+    * shared chain, ending at `comps (id, comp)` with `nm` available. */
+  private[operators] def entityResolutionCtes: String =
+    """WITH RECURSIVE nm AS (
+      |  SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS pid
+      |  FROM part GROUP BY p_name
+      |), pairs AS (
+      |  SELECT a.pid AS id_a, b.pid AS id_b
+      |  FROM nm a JOIN nm b ON a.pid < b.pid
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), walk(id, reach) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT w.id, e.dst FROM walk w JOIN edges e
+      |  ON w.reach = e.src
+      |), comps AS (
+      |  SELECT id, MIN(reach) AS comp FROM walk GROUP BY id
+      |)
+      |""".stripMargin
+
+  private[operators] def entityResolutionOracle: String =
+    entityResolutionCtes +
+    """SELECT n.pid, n.p_name,
+      |       COALESCE(c.comp, n.pid) AS entity_id,
+      |       COALESCE(c.comp, n.pid) = n.pid AS is_canonical
+      |FROM nm n LEFT JOIN comps c ON c.id = n.pid
+      |ORDER BY n.pid""".stripMargin
+
+  /** DuckDB expressions for the 16 projected coordinates — generated
+    * from the SAME sign matrix as the Spark side (Projection
+    * .signMatrix), so the two cannot drift. q[] is the micro-unit
+    * vector CTE column (1-indexed lists). */
+  private[operators] def rpProjExprs(outDim: Int = 16): Seq[String] = {
+    val m = graft.functions.Projection.signMatrix(outDim, 64)
+    (0 until outDim).map { j =>
+      "(0" + m(j).zipWithIndex.map { case (s, i) =>
+        (if (s > 0) " + " else " - ") + s"q[${i + 1}]"
+      }.mkString + ")"
+    }
+  }
+
+  /** Shared DuckDB replay of NaiveBayes training — CTE chain up to
+    * `mdl(label, term, n, lp)` (+ tokh/tc/ncls/vs used by the
+    * inference oracle). Tokenization mirrors Retrieval.tokens. */
+  private[operators] def nbModelCtes: String =
+    """WITH tokh AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0)) AS term
+      |  FROM documents
+      |), trn AS (
+      |  SELECT t.doc_id, d.lang AS label, t.term
+      |  FROM tokh t JOIN documents d ON d.doc_id = t.doc_id
+      |  WHERE t.doc_id % 17 <> 0
+      |), tc AS (
+      |  SELECT label, term, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM trn GROUP BY 1, 2
+      |), ncls AS (
+      |  SELECT label, CAST(SUM(n) AS BIGINT) AS nc FROM tc GROUP BY 1
+      |), vs AS (
+      |  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tc
+      |), mdl AS (
+      |  SELECT t.label, t.term, t.n,
+      |         CAST(floor(ln((t.n + 1) / (n2.nc + vs.v)) * 1000000.0)
+      |           AS BIGINT) AS lp
+      |  FROM tc t JOIN ncls n2 ON n2.label = t.label CROSS JOIN vs
+      |)""".stripMargin
+
+  /** Shared DuckDB replay of Retrieval.lmScore (bigram LM in integer
+    * micro-nats) — the CTE chain up to `agg(doc_id, n_bigrams,
+    * sum_unats)`; q83 reads it directly, q152 extends it with the
+    * per-language percentile cutoffs. */
+  private[operators] def lmScoreCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)),
+      |           '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), tr AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS i,
+      |         unnest(ws) AS t, len(ws) AS n
+      |  FROM d
+      |), bg0 AS (
+      |  SELECT doc_id, t AS w1,
+      |         lead(t, 1) OVER (PARTITION BY doc_id ORDER BY i)
+      |           AS w2, i, n
+      |  FROM tr
+      |), bgs AS (
+      |  SELECT doc_id, w1 || ' ' || w2 AS bigram, w1
+      |  FROM bg0 WHERE i <= n - 1
+      |), bi AS (
+      |  SELECT bigram, MIN(w1) AS w1,
+      |         CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM bgs GROUP BY bigram
+      |), st AS (
+      |  SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca
+      |  FROM bi GROUP BY w1
+      |), un AS (
+      |  SELECT b.bigram,
+      |         CAST(floor(ln(b.cab / s.ca) * 1000000.0)
+      |           AS BIGINT) AS lp
+      |  FROM bi b JOIN st s ON s.w1 = b.w1
+      |), agg AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(u.lp) AS BIGINT) AS sum_unats
+      |  FROM bgs g JOIN un u ON u.bigram = g.bigram
+      |  GROUP BY g.doc_id
+      |)""".stripMargin
+
+  /** Shared oracle for q133/q134 (one-shot ≡ merged in the exact
+    * regime): percentile_disc rank selection per language, the
+    * q116/q120 rank arithmetic. */
+  private[operators] def kllOracle: String =
+    """WITH s AS (
+      |  SELECT lang AS g, n_chars AS v,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY n_chars) AS rn,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |), t AS (
+      |  SELECT unnest([25, 50, 95]) AS p
+      |)
+      |SELECT s.g AS lang, CAST(t.p AS BIGINT) AS p,
+      |       CAST(s.rn AS BIGINT) AS rk, CAST(s.n AS BIGINT) AS n,
+      |       s.v AS value
+      |FROM t JOIN s ON s.rn = (s.n * t.p + 99) // 100
+      |ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB oracle for Sketches.profile: one UNION ALL block per column,
+    * the KMV k-th minimum via DISTINCT hash + ORDER BY + OFFSET k-1
+    * (NULL when the column has fewer than k distinct values — exactly
+    * the sketch's degenerate-to-exact case). */
+  private[operators] def profileOracle(table: String, cols: Seq[String],
+                            k: Int): String = {
+    val blocks = cols.map { c =>
+      val hv = s"('0x'||substr(md5(CAST($c AS VARCHAR)),1,15))::BIGINT"
+      val dh = s"(SELECT DISTINCT $hv AS hv FROM $table " +
+        s"WHERE $c IS NOT NULL)"
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table) AS n_rows,
+         |  (SELECT CAST(COUNT($c) AS BIGINT) FROM $table) AS n_nonnull,
+         |  (SELECT CAST(MIN($c) AS VARCHAR) FROM $table) AS min_val,
+         |  (SELECT CAST(MAX($c) AS VARCHAR) FROM $table) AS max_val,
+         |  (SELECT CAST(CASE WHEN COUNT(*) < $k THEN COUNT(*)
+         |     ELSE $k END AS BIGINT) FROM $dh t) AS n_mins,
+         |  (SELECT hv FROM $dh t ORDER BY hv
+         |     LIMIT 1 OFFSET ${k - 1}) AS kth_hash""".stripMargin
+    }
+    s"""SELECT col_name, n_rows, n_nonnull, min_val, max_val, n_mins,
+       |  kth_hash,
+       |  CASE WHEN kth_hash IS NOT NULL
+       |       THEN round(${(k - 1).toDouble} * 1152921504606846976.0
+       |              / CAST(kth_hash AS DOUBLE), 3)
+       |       ELSE CAST(n_mins AS DOUBLE) END AS est_distinct
+       |FROM (${blocks.mkString("\nUNION ALL\n")})
+       |ORDER BY col_name""".stripMargin
+  }
+}

@@ -63,8 +63,9 @@ object Tables {
         .digest(raw.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val table = s"graft_${safe}_$fp"
       if (!spark.catalog.tableExists(table)) {
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft-mat-" +
-          s"${ProcessHandle.current().pid()}/${safe}_$fp"
+        val path = TmpDirs.register(
+          s"${System.getProperty("java.io.tmpdir")}/graft-mat-" +
+            s"${ProcessHandle.current().pid()}") + s"/${safe}_$fp"
         val w = build.write.mode("overwrite").option("path", path)
         // bucketed layout gives scans HashPartitioning on the bucket key:
         // per-key joins/windows then plan with no exchange on this side

