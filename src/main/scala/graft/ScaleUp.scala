@@ -77,20 +77,27 @@ object ScaleUp {
       .map(_.collect()(0).getLong(0)).max
     require(maxKey < Stride, s"source keys reach $maxKey >= $Stride")
 
+    // Partition counts: every replicated table lands in ≥32 files so a
+    // 32-core bench run is never parallelism-starved at the split floor
+    // (the r13 sf1 run wrote documents/embeddings as 8/4 files and the
+    // CPU-dense decode/score queries ran on a quarter of the box,
+    // misreporting 10× data as up to 30× time). On a real cluster
+    // maxPartitionBytes does this splitting; at 183 MB total the file
+    // count has to.
     save(load("region"), "region", 1)
     save(load("nation"), "nation", 1)
     save(replicate(load("customer"), Seq("c_custkey"))
-      .drop("rep"), "customer", 4)
+      .drop("rep"), "customer", 8)
     save(replicate(load("supplier"), Seq("s_suppkey"))
-      .drop("rep"), "supplier", 1)
-    save(replicate(load("part"), Seq("p_partkey")).drop("rep"), "part", 4)
+      .drop("rep"), "supplier", 4)
+    save(replicate(load("part"), Seq("p_partkey")).drop("rep"), "part", 8)
     save(replicate(load("orders"), Seq("o_orderkey", "o_custkey"))
-      .drop("rep"), "orders", 8)
+      .drop("rep"), "orders", 32)
     save(replicate(load("lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      .drop("rep"), "lineitem", 16)
+      .drop("rep"), "lineitem", 32)
     save(replicate(load("events"), Seq("event_id", "user_id"))
-      .drop("rep"), "events", 8)
+      .drop("rep"), "events", 32)
 
     // documents: word-prefix renames every shingle for rep > 0
     // ($1 keeps the separator; the prefix lands on every word)
@@ -99,8 +106,11 @@ object ScaleUp {
         when(col("rep") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(^|\\s)"),
             concat(lit("$1r"), col("rep").cast("string"), lit("_")))))
-      .withColumn("n_chars", length(col("text")))
-      .drop("rep"), "documents", 8)
+      // length() is IntegerType; the driver's documents.n_chars is
+      // int64 — keep the sf1 schema IDENTICAL to the driver's or
+      // long-typed consumers (KllAgg at r13) hit boxed-Integer casts
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep"), "documents", 32)
 
     // embeddings: cyclic dimension shift by rep — norm-preserving,
     // deterministic, decorrelated across replicas
@@ -110,7 +120,7 @@ object ScaleUp {
       .withColumn("embedding",
         expr(s"transform(sequence(0, $dim - 1), " +
           s"i -> embedding[CAST((i + rep) % $dim AS INT)])"))
-      .drop("rep"), "embeddings", 4)
+      .drop("rep"), "embeddings", 32)
 
     println(s"[scaleup] wrote ${n}x of $src to $out")
   }

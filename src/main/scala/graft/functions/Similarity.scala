@@ -208,6 +208,31 @@ object Similarity {
       .select(col("vec_id"), col("best").getField("cell").as("cell"),
         col("embedding"))
 
+  /** Corpus-scaled IVF seed cutoff — the classic nlist sizing rule
+    * (cells ≈ N / target-cell-size) expressed in this library's
+    * seed-id-cutoff convention (seeds are the corpus vectors with
+    * vec_id < cutoff). A FIXED cell count makes any quantizer whose
+    * consumer touches whole cells quadratic in corpus size: in-cell
+    * pairwise work is N·(N/cells)/2 and corpus-sized probe sets admit
+    * |Q|·nprobe·(N/cells) candidates — both grow as N² when cells is a
+    * constant (the r13 sf1 run measured q210 at 44.8× for 10× data).
+    * Scaling cells with N pins avg cell size at ~`target`, making both
+    * linear.
+    *
+    * `mult` compensates seed-id density when the corpus is an id-slice
+    * (q210 trains on the odd half, so only every second id below the
+    * cutoff exists: mult = 2 yields ~cutoff/2 actual seeds). The count
+    * is one column-pruned scan at plan-build time — a training-cadence
+    * decision, not a per-row data path (same bounded-decision class as
+    * the connectedComponents size gate). Floor 8 keeps every sf at or
+    * above the historical fixed default, so small-sf oracle results are
+    * unchanged. */
+  def scaledSeedCutoff(corpus: DataFrame, mult: Int = 1,
+                       target: Int = 512): Int = {
+    val n = corpus.count()
+    math.max(8L, mult * ((n + target - 1) / target)).toInt
+  }
+
   /** The trained coarse quantizer as a frame (centroid_id, cv) — public
     * so callers can MATERIALIZE it as a standing table (Tables.memoTable)
     * and assign future batches against it without retraining. */

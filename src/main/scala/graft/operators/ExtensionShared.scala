@@ -73,10 +73,31 @@ private[operators] object ExtensionShared {
       |  FROM embeddings $eWhere
       |), c0 AS (""".stripMargin + ivfLloydTail
 
-  private[operators] def ivfLloydTail: String =
+  /** The corpus-scaled variant: the seed-id cutoff is GREATEST(8,
+    * mult·CEIL(|e|/512)) instead of the literal 8 — the SQL mirror of
+    * Similarity.scaledSeedCutoff, so oracles of quantizers whose cell
+    * count must grow with the corpus (q78's in-cell pairwise, q210's
+    * half-corpus probe volume) train the same number of cells the
+    * engine does at every sf. */
+  private[operators] def ivfLloydCtesOverScaled(
+      eWhere: String, mult: Int): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings $eWhere
+      |), c0 AS (""".stripMargin +
+      ivfLloydTailCut(s"SELECT GREATEST(8, $mult * " +
+        "CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) FROM e")
+
+  private[operators] def ivfLloydTail: String = ivfLloydTailCut("8")
+
+  private[operators] def ivfLloydTailCut(cutSql: String): String =
+    s"""
+      |  SELECT vec_id AS centroid_id, v AS cv FROM e
+      |  WHERE vec_id < ($cutSql)
+      |), s0 AS (""".stripMargin + ivfLloydTailRest
+
+  private def ivfLloydTailRest: String =
     """
-      |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
-      |), s0 AS (
       |  SELECT e.vec_id, e.v, k.centroid_id,
       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       |           list_dot_product(e.v, k.cv)

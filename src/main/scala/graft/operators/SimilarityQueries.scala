@@ -200,10 +200,15 @@ object SimilarityQueries {
     // verification all oracle-check.
 
     Q("q78_semantic_dedup",
-      (s, dir) => Similarity.semanticDedup(
-          Tables.load(s, dir, "embeddings"), cells = 8, tau = 0.35)
-        .orderBy("vec_id"),
-      Some(ivfLloydCtes +
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        // corpus-scaled cells: in-cell pairwise work stays ~N·512/2
+        // instead of N²/8 (see Similarity.scaledSeedCutoff)
+        Similarity.semanticDedup(emb,
+            cells = Similarity.scaledSeedCutoff(emb), tau = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(ivfLloydCtesOverScaled("", 1) +
         """, s1 AS (
           |  SELECT e.vec_id, e.v, k.centroid_id,
           |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

@@ -566,7 +566,12 @@ object SimilarityReportQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val a = emb.filter(col("vec_id") % 2 === 0)
         val b = emb.filter(col("vec_id") % 2 === 1)
-        val cand = Similarity.ivfProbedPairs(b, a, cells = 8,
+        // corpus-scaled cells (mult = 2: the odd-half corpus has every
+        // second id below the cutoff): candidate volume stays
+        // |A|·nprobe·512 instead of |A|·nprobe·(|B|/4) — the r13 sf1
+        // run measured the fixed-cutoff version at 44.8× for 10× data
+        val cand = Similarity.ivfProbedPairs(b, a,
+            cells = Similarity.scaledSeedCutoff(b, mult = 2),
             nprobe = 2, lloydIters = 1)
           .select(col("query_id").as("id_a"), col("vec_id").as("id_b"))
         val pairs = cand
@@ -601,7 +606,8 @@ object SimilarityReportQueries {
             col("margin_milli"))
           .orderBy("id_a")
       },
-      Some(ivfLloydCtesOver("WHERE vec_id % 2 = 1") + """, allv AS (
+      Some(ivfLloydCtesOverScaled("WHERE vec_id % 2 = 1", 2) +
+        """, allv AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |  FROM embeddings
              |), scored AS (

@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
@@ -66,11 +66,17 @@ case class BloomAgg(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes {
 
   require(numBits > 0 && numBits % 64 == 0,
     s"numBits must be a positive multiple of 64, got $numBits")
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  // Analyzer-inserted widening for narrower integral children — the
+  // update() unboxing otherwise crashes at EVAL time on the first
+  // int32-typed input (the KllAgg r13 failure class).
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false

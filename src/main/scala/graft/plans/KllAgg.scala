@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
@@ -48,9 +48,18 @@ case class KllAgg(
     fromSketches: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllBuffer] {
+  extends TypedImperativeAggregate[KllBuffer] with ImplicitCastInputTypes {
 
   require(k >= 8, s"kll requires k >= 8, got $k")
+
+  // Declared input types so the analyzer inserts the widening cast for
+  // byte/short/int children instead of update() crashing on a boxed
+  // Integer at eval time (found at r13: a scaled-up corpus landed
+  // n_chars as int32 and both KLL queries failed only at that sf).
+  // Raw mode takes any integral column; merge mode takes exactly the
+  // externalized array<struct<v,w>> form eval() emits.
+  override def inputTypes: Seq[DataType] =
+    if (fromSketches) Seq(dataType) else Seq(LongType)
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true

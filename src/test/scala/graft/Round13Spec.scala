@@ -63,4 +63,33 @@ class Round13Spec extends AnyFunSuite {
     // deterministic keying: same (session, dir, tag) -> same tree
     assert(graft.sources.TmpDirs.appState(spark, dir, "r13spec") == app)
   }
+
+  // The r13 sf1 failure class: a long-kernel TypedImperativeAggregate
+  // fed an int32 column crashed at EVAL time (boxed-Integer unbox in
+  // update()) — only at the one sf whose parquet happened to land the
+  // column narrow. All three long-input aggregates now declare
+  // inputTypes so the ANALYZER widens byte/short/int children; these
+  // pins feed each one an int column and assert the widened result
+  // equals the explicitly-cast-long run.
+  test("long-kernel aggregates widen integral input at analysis " +
+    "instead of crashing at eval (KllAgg, MinKAgg, BloomAgg)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ints = (1 to 100).map(i => (i % 7) * 100 + i).toDF("v") // int32
+    def viaInt(c: org.apache.spark.sql.Column) =
+      ints.agg(c).collect()(0)
+    def viaLong(c: org.apache.spark.sql.Column) =
+      ints.select(col("v").cast("long").as("v")).agg(c).collect()(0)
+
+    import graft.functions.Sketches
+    assert(viaInt(Sketches.kllSketch(col("v"), 256)) ==
+      viaLong(Sketches.kllSketch(col("v"), 256)))
+    assert(viaInt(Sketches.minK(col("v"), 16)) ==
+      viaLong(Sketches.minK(col("v"), 16)))
+    val bloom = org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.BloomAgg(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(col("v")),
+        numBits = 1024, numHashes = 3).toAggregateExpression())
+    assert(viaInt(bloom) == viaLong(bloom))
+  }
 }
