@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness check.
 
-Usage: python3 tools/compare.py <sf_dir> <verify_out_dir>
+Usage: python3 tools/compare.py <sf_dir> <verify_out_dir> [query ...]
 
 Reads <verify_out_dir>/<query>/ parquet dumps (written by graft.Verify) and
 <verify_out_dir>/oracle_sql.json, runs each oracle in DuckDB with the sf
 tables registered as views, and compares: row count, column names, and
 values (column-name-sorted, row-sorted, per-cell normalized). Exit 1 if any
 query mismatches.
+
+Optional query names restrict the run. Env knobs (for at-scale runs where
+some ORACLES are themselves super-linear):
+  COMPARE_ORACLE_TIMEOUT_SEC  interrupt a DuckDB oracle after this many
+                              seconds; reported as ORACLE TIMEOUT and
+                              counted separately from mismatches
+  COMPARE_JSON_OUT            also write a per-query JSON artifact in the
+                              driver's CORRECTNESS_r{N}.json shape
 """
 import json
 import math
+import os
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -51,35 +61,78 @@ def table_key(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    timeout = float(os.environ.get("COMPARE_ORACLE_TIMEOUT_SEC", "0"))
+    json_out = os.environ.get("COMPARE_JSON_OUT", "")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = []
+    timeouts = []
+    report = {}
+
+    def run_oracle(sql):
+        """Execute with an optional wall-clock interrupt: a super-linear
+        ORACLE (recursive-CTE closures at 10x sf) must not wedge the
+        whole compare — its query is reported as unverified-at-this-sf,
+        not as a mismatch."""
+        if timeout <= 0:
+            rel = con.execute(sql)
+            return [d[0] for d in rel.description], rel.fetchall()
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            rel = con.execute(sql)
+            return [d[0] for d in rel.description], rel.fetchall()
+        finally:
+            timer.cancel()
+
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        if only and name not in only:
+            continue
         got_rel = con.execute(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got_cols = [d[0] for d in got_rel.description]
         got = got_rel.fetchall()
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": len(got),
+                        "oracle_rows": None, "err": None}
         if name not in oracle:
             print(f"  {name}: rows-only ({len(got)} rows) "
                   f"{'OK' if len(got) > 0 else 'EMPTY!'}")
             if len(got) == 0:
                 failures.append(name)
+                report[name]["err"] = "rows-only check: empty result"
+            else:
+                report[name] = {"rows_match": True, "schema_match": None,
+                                "hash_match": None, "spark_rows": len(got),
+                                "oracle_rows": None, "err": None}
             continue
         try:
-            exp_rel = con.execute(oracle[name])
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            exp_cols, exp = run_oracle(oracle[name])
+        except duckdb.InterruptException:
+            print(f"  {name}: ORACLE TIMEOUT (> {timeout:.0f}s)")
+            timeouts.append(name)
+            report[name]["err"] = f"oracle timeout > {timeout:.0f}s"
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"  {name}: ORACLE TIMEOUT (> {timeout:.0f}s)")
+                timeouts.append(name)
+                report[name]["err"] = f"oracle timeout > {timeout:.0f}s"
+                continue
             print(f"  {name}: ORACLE SQL ERROR: {e}")
             failures.append(name)
+            report[name]["err"] = f"oracle sql error: {e}"
             continue
+        report[name]["oracle_rows"] = len(exp)
         if sorted(got_cols) != sorted(exp_cols):
             print(f"  {name}: COLUMN MISMATCH spark={sorted(got_cols)} "
                   f"duck={sorted(exp_cols)}")
             failures.append(name)
+            report[name]["err"] = "column mismatch"
             continue
         # strict type check, both sides through DuckDB's type vocabulary
         got_types = dict(con.execute(
@@ -94,24 +147,36 @@ def main():
         if tdiff:
             print(f"  {name}: TYPE MISMATCH {tdiff}")
             failures.append(name)
+            report[name]["err"] = f"type mismatch {tdiff}"
             continue
+        report[name]["schema_match"] = True
         gk, ek = table_key(got, got_cols), table_key(exp, exp_cols)
         if len(gk) != len(ek):
             print(f"  {name}: ROWCOUNT spark={len(gk)} duck={len(ek)}")
             failures.append(name)
+            report[name]["err"] = "rowcount mismatch"
             continue
+        report[name]["rows_match"] = True
         diffs = [(a, b) for a, b in zip(gk, ek) if a != b]
         if diffs:
             print(f"  {name}: {len(diffs)} differing rows; first: "
                   f"spark={diffs[0][0]} duck={diffs[0][1]} "
                   f"(cols sorted: {sorted(got_cols)})")
             failures.append(name)
+            report[name]["err"] = f"{len(diffs)} differing rows"
         else:
             print(f"  {name}: OK ({len(gk)} rows)")
+            report[name]["hash_match"] = True
+    if json_out:
+        Path(json_out).write_text(json.dumps(report, indent=0))
+        print(f"wrote {json_out}")
+    if timeouts:
+        print(f"ORACLE TIMEOUTS ({len(timeouts)}): {timeouts}")
     if failures:
         print(f"FAILED: {failures}")
         sys.exit(1)
-    print("ALL OK")
+    print("ALL OK" + (f" ({len(timeouts)} oracle timeouts)"
+                      if timeouts else ""))
 
 
 if __name__ == "__main__":
