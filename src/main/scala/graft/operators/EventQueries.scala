@@ -296,8 +296,11 @@ object EventQueries {
           .filter(year(col("o_orderdate")) === 1997)
           .select(col("o_orderkey"), col("o_orderdate"),
             date_add(col("o_orderdate"), 13).as("o_window_end"))
+        // salt = 32: one year at binDays=14 is ~26 join keys — unsalted
+        // that serializes (or broadcasts an interval set that is
+        // unbounded at scale); see RangeJoin.pointInInterval
         RangeJoin.pointInInterval(li, "l_shipdate",
-            ords, "o_orderdate", "o_window_end", binDays = 14)
+            ords, "o_orderdate", "o_window_end", binDays = 14, salt = 8)
           .filter(col("l_orderkey") =!= col("o_orderkey"))
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(count(lit(1)).as("n_pairs"),
