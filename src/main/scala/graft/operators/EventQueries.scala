@@ -289,23 +289,79 @@ object EventQueries {
 
     Q("q103_range_join",
       (s, dir) => {
+        // Range-join aggregate WITHOUT materializing point-interval
+        // pairs. The query only needs per-order window TOTALS (count,
+        // sum_qty over a 14-day shipdate window), so decompose:
+        //
+        //   pairs(o)  = windowTotal(o) − selfMatches(o)     (incl–excl)
+        //
+        // windowTotal comes from a day-grain prefix sum: lineitem is
+        // pre-aggregated per l_shipdate (calendar-bounded — a few
+        // thousand rows at ANY data scale), cumulated over a dense
+        // calendar, and each order does two O(1) broadcast-hash lookups
+        // (cum[d+13] − cum[d−1]). selfMatches (the l_orderkey =
+        // o_orderkey exclusion) is a plain shuffled equi-join on
+        // orderkey. Total cost is linear in |orders| + |lineitem| with
+        // no pair materialization — r13 measured the pair-building
+        // RangeJoin variant at 30.9× for 10× data (127 s at sf1); this
+        // plan is the scale path. RangeJoin.pointInInterval remains the
+        // library operator for queries that need the pair ROWS.
+        import org.apache.spark.sql.expressions.Window
         val li = Tables.load(s, dir, "lineitem")
           .filter(col("l_quantity") >= 48)
-          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+          .select(col("l_orderkey"), col("l_shipdate").cast("date").as("d"),
+            col("l_quantity").cast("long").as("qty"))
         val ords = Tables.load(s, dir, "orders")
           .filter(year(col("o_orderdate")) === 1997)
-          .select(col("o_orderkey"), col("o_orderdate"),
-            date_add(col("o_orderdate"), 13).as("o_window_end"))
-        // salt = 32: one year at binDays=14 is ~26 join keys — unsalted
-        // that serializes (or broadcasts an interval set that is
-        // unbounded at scale); see RangeJoin.pointInInterval
-        RangeJoin.pointInInterval(li, "l_shipdate",
-            ords, "o_orderdate", "o_window_end", binDays = 14, salt = 8)
-          .filter(col("l_orderkey") =!= col("o_orderkey"))
-          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("o_orderkey")).as("n_orders"),
-            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+
+        // Day-grain census of qualifying lineitems (calendar-bounded).
+        val day = li.groupBy(col("d"))
+          .agg(count(lit(1)).as("day_cnt"), sum(col("qty")).as("day_qty"))
+        // Dense calendar spanning every lookup target: [min ship − 1,
+        // max(ship, order window end)] so cum[d−1] and cum[d+13] always
+        // hit a row (left edge carries cum = 0 via the fill below).
+        val bounds = day.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+          .crossJoin(ords.agg(min(col("od")).as("omin"),
+            max(date_add(col("od"), 13)).as("omax")))
+          .select(
+            least(date_sub(col("dmin"), 1), date_sub(col("omin"), 1)).as("lo"),
+            greatest(col("dmax"), col("omax")).as("hi"))
+        val cal = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        // Unpartitioned window is safe by construction: the frame is the
+        // calendar (≤ a few k rows), not the data.
+        val byDay = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prefix = cal.join(day, Seq("d"), "left")
+          .na.fill(0L, Seq("day_cnt", "day_qty"))
+          .select(col("d"),
+            sum(col("day_cnt")).over(byDay).as("cum_cnt"),
+            sum(col("day_qty")).over(byDay).as("cum_qty"))
+
+        // Self-matches per order (the `l_orderkey <> o_orderkey`
+        // exclusion): shuffled equi-join on orderkey, window re-check.
+        val selfM = ords.join(li, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("d").between(col("od"), date_add(col("od"), 13)))
+          .groupBy(col("o_orderkey").as("sk"))
+          .agg(count(lit(1)).as("self_cnt"), sum(col("qty")).as("self_qty"))
+
+        val hiP = prefix.select(col("d").as("hd"),
+          col("cum_cnt").as("hi_cnt"), col("cum_qty").as("hi_qty"))
+        val loP = prefix.select(col("d").as("ld"),
+          col("cum_cnt").as("lo_cnt"), col("cum_qty").as("lo_qty"))
+        ords
+          .join(broadcast(hiP), date_add(col("od"), 13) === col("hd"))
+          .join(broadcast(loP), date_sub(col("od"), 1) === col("ld"))
+          .join(selfM, col("o_orderkey") === col("sk"), "left")
+          .na.fill(0L, Seq("self_cnt", "self_qty"))
+          .select(col("o_orderkey"), col("od"),
+            (col("hi_cnt") - col("lo_cnt") - col("self_cnt")).as("pairs"),
+            (col("hi_qty") - col("lo_qty") - col("self_qty")).as("pqty"))
+          .filter(col("pairs") > 0)
+          .groupBy(date_trunc("month", col("od")).as("month"))
+          .agg(sum(col("pairs")).as("n_pairs"),
+            count(lit(1)).as("n_orders"),
+            sum(col("pqty")).as("sum_qty"))
           .orderBy("month")
       },
       Some("""SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
