@@ -225,8 +225,14 @@ object Bench {
     // (pinned by BenchLineSpec).
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // SPARK_GRAFT_RESULTS_FILE redirects BOTH the artifact and the
+    // canary baseline — the sf1 scale gate (tools/sf1_gate.sh) runs this
+    // same suite against BENCH_sf1.json so 10×-scale ratios diff against
+    // the committed 10×-scale round, not the sf0.1 numbers.
+    val resultsName = sys.env
+      .getOrElse("SPARK_GRAFT_RESULTS_FILE", "bench_results.json")
     val resultsFile = java.nio.file.Paths
-      .get(sys.props("user.dir"), "bench_results.json")
+      .get(sys.props("user.dir"), resultsName)
     // Round-over-round regression canary: diff this run's minima
     // against the COMMITTED previous bench_results.json (read before
     // the overwrite below). Two consecutive rounds each shipped a >3×
@@ -241,7 +247,7 @@ object Bench {
     // real regression. On-disk is the fallback only (no git / fresh
     // artifact not yet committed).
     val prevBlob: Option[String] =
-      committedPrevBlob(sys.props("user.dir"), "bench_results.json")
+      committedPrevBlob(sys.props("user.dir"), resultsName)
         .orElse(
           if (java.nio.file.Files.exists(resultsFile))
             Some(java.nio.file.Files.readString(resultsFile))
@@ -328,8 +334,8 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // spread outliers ride the canary line too (capped like worst so
     // the line stays bounded; full map in the file)
-    println(s"""{"metric":"regressions","baseline":"git HEAD bench_""" +
-      s"""results.json","n_regressions":${regressions.size},""" +
+    println(s"""{"metric":"regressions","baseline":"git HEAD """ +
+      s"""$resultsName","n_regressions":${regressions.size},""" +
       s""""n_failed":${failedQueries.size},"failed":$failTop,""" +
       s""""worst":$regTop,""" +
       s""""n_over_budget":${overBudget.size},""" +

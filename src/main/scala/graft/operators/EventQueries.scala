@@ -321,12 +321,11 @@ object EventQueries {
         // Dense calendar spanning every lookup target: [min ship − 1,
         // max(ship, order window end)] so cum[d−1] and cum[d+13] always
         // hit a row (left edge carries cum = 0 via the fill below).
-        val bounds = day.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
-          .crossJoin(ords.agg(min(col("od")).as("omin"),
-            max(date_add(col("od"), 13)).as("omax")))
-          .select(
-            least(date_sub(col("dmin"), 1), date_sub(col("omin"), 1)).as("lo"),
-            greatest(col("dmax"), col("omax")).as("hi"))
+        val bounds = day
+          .select(date_sub(col("d"), 1).as("lo"), col("d").as("hi"))
+          .unionByName(ords.select(date_sub(col("od"), 1).as("lo"),
+            date_add(col("od"), 13).as("hi")))
+          .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
         val cal = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
         // Unpartitioned window is safe by construction: the frame is the
         // calendar (≤ a few k rows), not the data.

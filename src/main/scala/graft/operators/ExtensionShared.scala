@@ -17,6 +17,31 @@ private[operators] object ExtensionShared {
 
   private[operators] val Money = DecimalType(18, 2)
 
+  /** Certification-slice modulus (q246/q247): keep the streamed
+    * end-to-end certifications at a BOUNDED document volume at any
+    * corpus size by slicing on doc_id % m, with m derived from the
+    * corpus count — the r13 scaledSeedCutoff discipline (a scaling rule
+    * must be the IDENTICAL arithmetic in engine and oracle, or
+    * correctness silently diverges between scale factors). At the
+    * oracle-checked sfs (≤ sf0.1, ≤ `target` docs) m collapses to
+    * `floor`, reproducing the pre-r14 behavior exactly; past that the
+    * slice thins so certification cost stays at the sf0.1 level —
+    * these queries certify the streamed MACHINERY (probe-then-grow
+    * index, keep-first policy); full-corpus coverage is q44/q61's
+    * batch surface. ONE bounded decision read (a count), the
+    * Skew.autoJoin rule. */
+  private[operators] def certSliceModulus(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      target: Long, floor: Long): Long =
+    math.max(floor, Tables.load(s, dir, "documents").count() / target)
+
+  /** SQL mirror of [[certSliceModulus]] — a scalar subquery DuckDB
+    * evaluates against ITS view of the same table (`//` truncates like
+    * Scala's Long division). */
+  private[operators] def certSliceModulusSql(
+      target: Long, floor: Long): String =
+    s"(SELECT GREATEST($floor, COUNT(*) // $target) FROM documents)"
+
   /** q68's decontamination oracle — shared verbatim by q118: the Bloom
     * thin→verify composition has no false negatives and culls false
     * positives exactly, so its contract IS the plain formulation. */

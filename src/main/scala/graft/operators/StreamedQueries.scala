@@ -407,7 +407,13 @@ object StreamedQueries {
 
     Q("q246_streamed_neardups",
       (s, dir) => {
+        // Size-derived certification slice (m = 1 at every oracle-
+        // checked sf — identical rule in the oracle's scored post-
+        // filter): LSH pair volume stays at the sf0.1 level however
+        // large the corpus. See ExtensionShared.certSliceModulus.
+        val m = certSliceModulus(s, dir, target = 5000L, floor = 1L)
         val docs = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") % m === 0)
           .select(col("doc_id"), col("text"))
         val base = graft.sources.TmpDirs.freshRun(s, dir, "q246")
         (0L to 2L).foreach { b =>
@@ -422,8 +428,14 @@ object StreamedQueries {
           .orderBy("id_a", "id_b")
       },
       Some(neardupScoredCtes +
-        """SELECT id_a, id_b, jaccard_bp FROM scored
-          |WHERE jaccard_bp >= 2000 ORDER BY id_a, id_b""".stripMargin)),
+        // banded candidacy is pair-local (bucket membership of a doc
+        // does not depend on other docs), so LSH over the slice ≡ the
+        // full-corpus scored set restricted to both-endpoints-in-slice
+        raw"""SELECT id_a, id_b, jaccard_bp FROM scored
+          |WHERE jaccard_bp >= 2000
+          |  AND id_a % ${certSliceModulusSql(5000L, 1L)} = 0
+          |  AND id_b % ${certSliceModulusSql(5000L, 1L)} = 0
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // The STREAMED curation pipeline's end state — DocumentStreams'
     // curateBatch (quality gate ∧ decontamination ∧ keep-first
@@ -444,11 +456,14 @@ object StreamedQueries {
       (s, dir) => {
         val all = Tables.load(s, dir, "documents")
         val eval = all.filter(col("doc_id") % 17 === 0)
-        // odd-id half-corpus: every stage still streams real traffic,
-        // at a quarter of the LSH pair volume (certification cost, not
-        // coverage — the full-corpus LSH is q44/q246's surface)
+        // size-derived slice (m = 2, the odd-id half-corpus, at every
+        // oracle-checked sf; thinner past ~5k docs): every stage still
+        // streams real traffic at a bounded LSH pair volume
+        // (certification cost, not coverage — the full-corpus LSH is
+        // q44/q246's surface). Identical rule in the oracle.
+        val sliceM = certSliceModulus(s, dir, target = 2500L, floor = 2L)
         val corpus = all.filter(col("doc_id") % 17 =!= 0 &&
-          col("doc_id") % 2 === 1)
+          col("doc_id") % sliceM === 1)
         // 1-row bounded decision read (Skew.autoJoin rule): tercile
         // boundaries so waves arrive in id order
         val m = corpus.agg(max("doc_id")).collect()(0).getLong(0)
@@ -465,7 +480,7 @@ object StreamedQueries {
           .select("doc_id").orderBy("doc_id")
       },
       Some(neardupScoredCtes +
-        """, qd AS (
+        raw""", qd AS (
           |  SELECT doc_id, text,
           |         list_filter(string_split_regex(text, '\s+'),
           |                     x -> len(x) > 0) AS ws
@@ -494,15 +509,17 @@ object StreamedQueries {
           |), dirty AS (
           |  SELECT DISTINCT d.doc_id
           |  FROM sh d JOIN evalh e ON d.shingle = e.shingle
-          |  WHERE d.doc_id % 17 <> 0 AND d.doc_id % 2 = 1
+          |  WHERE d.doc_id % 17 <> 0 AND d.doc_id % ${certSliceModulusSql(2500L, 2L)} = 1
           |), dup AS (
           |  SELECT DISTINCT id_b FROM scored
           |  WHERE jaccard_bp >= 2000
           |    AND id_a % 17 <> 0 AND id_b % 17 <> 0
-          |    AND id_a % 2 = 1 AND id_b % 2 = 1
+          |    AND id_a % ${certSliceModulusSql(2500L, 2L)} = 1
+          |    AND id_b % ${certSliceModulusSql(2500L, 2L)} = 1
           |)
           |SELECT d0.doc_id FROM documents d0
-          |WHERE d0.doc_id % 17 <> 0 AND d0.doc_id % 2 = 1
+          |WHERE d0.doc_id % 17 <> 0
+          |  AND d0.doc_id % ${certSliceModulusSql(2500L, 2L)} = 1
           |  AND d0.doc_id IN (SELECT doc_id FROM qkeep)
           |  AND d0.doc_id NOT IN (SELECT id_b FROM dup)
           |  AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)

@@ -3,7 +3,8 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
@@ -67,16 +68,16 @@ case class BloomAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]]
-  with ImplicitCastInputTypes {
+  with IntegralLongInput {
 
   require(numBits > 0 && numBits % 64 == 0,
     s"numBits must be a positive multiple of 64, got $numBits")
   require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
-  // Analyzer-inserted widening for narrower integral children — the
-  // update() unboxing otherwise crashes at EVAL time on the first
-  // int32-typed input (the KllAgg r13 failure class).
-  override def inputTypes: Seq[DataType] = Seq(LongType)
+  // Integral-only, widened in update() — see IntegralLongInput for why
+  // this is not ImplicitCastInputTypes(LongType) (silent double/string
+  // coercion) and not bare Long unboxing (the r13 int32 eval crash).
+  override protected def integralChild: Expression = child
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
@@ -88,7 +89,7 @@ case class BloomAgg(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) BloomOps.set(buf, v.asInstanceOf[Long], numHashes, numBits)
+    if (v != null) BloomOps.set(buf, longOf(v), numHashes, numBits)
     buf
   }
 
@@ -128,14 +129,28 @@ case class BloomAgg(
   * the reduction exists to thin. */
 case class BloomContains(left: Expression, right: Expression,
                          numHashes: Int, numBits: Int)
-  extends BinaryExpression {
+  extends BinaryExpression with IntegralLongInput {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_contains"
 
+  // Probe key is integral-only like the build side (the r14 advice
+  // finding: a bare Long unbox here made int32 probes execution-mode-
+  // dependent — Java's int→long coercion saved codegen but interpreted
+  // eval crashed). The filter side must be array<bigint> as emitted by
+  // BloomAgg.
+  override protected def integralChild: Expression = right
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(LongType, _) => integralCheck()
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> filter (BloomAgg's " +
+          s"output), got ${other.catalogString}")
+    }
+
   override def nullSafeEval(bits: Any, v: Any): Any =
     BloomOps.contains(bits.asInstanceOf[ArrayData],
-      v.asInstanceOf[Long], numHashes, numBits)
+      longOf(v), numHashes, numBits)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,

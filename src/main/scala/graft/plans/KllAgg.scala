@@ -5,7 +5,8 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
@@ -48,18 +49,28 @@ case class KllAgg(
     fromSketches: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllBuffer] with ImplicitCastInputTypes {
+  extends TypedImperativeAggregate[KllBuffer] with IntegralLongInput {
 
   require(k >= 8, s"kll requires k >= 8, got $k")
 
-  // Declared input types so the analyzer inserts the widening cast for
-  // byte/short/int children instead of update() crashing on a boxed
-  // Integer at eval time (found at r13: a scaled-up corpus landed
-  // n_chars as int32 and both KLL queries failed only at that sf).
-  // Raw mode takes any integral column; merge mode takes exactly the
-  // externalized array<struct<v,w>> form eval() emits.
-  override def inputTypes: Seq[DataType] =
-    if (fromSketches) Seq(dataType) else Seq(LongType)
+  // Raw mode takes an integral column, widened in update() — see
+  // IntegralLongInput for why this is not ImplicitCastInputTypes
+  // (silent double/string coercion) and not bare Long unboxing (the
+  // r13 int32 eval crash: a scaled-up corpus landed n_chars as int32
+  // and both KLL queries failed only at that sf). Merge mode takes
+  // exactly the externalized array<struct<v,w>> form eval() emits.
+  override protected def integralChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!fromSketches) integralCheck()
+    else child.dataType match {
+      case ArrayType(StructType(Array(
+          StructField("v", LongType, _, _),
+          StructField("w", LongType, _, _))), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_merge requires array<struct<v:bigint,w:bigint>> (the " +
+          s"externalized kll_sketch form), got ${other.catalogString}")
+    }
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
@@ -83,7 +94,7 @@ case class KllAgg(
           buf.insertWeighted(row.getLong(0), row.getLong(1))
           i += 1
         }
-      } else buf.insert(v.asInstanceOf[Long])
+      } else buf.insert(longOf(v))
     }
     buf
   }

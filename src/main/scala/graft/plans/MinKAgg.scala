@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 import java.util.Arrays
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -34,14 +34,14 @@ case class MinKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MinKBuffer] with ImplicitCastInputTypes {
+  extends TypedImperativeAggregate[MinKBuffer] with IntegralLongInput {
 
   require(k > 0, s"min_k requires k > 0, got $k")
 
-  // Analyzer-inserted widening for narrower integral children — the
-  // update() unboxing otherwise crashes at EVAL time on the first
-  // int32-typed input (the KllAgg r13 failure class).
-  override def inputTypes: Seq[DataType] = Seq(LongType)
+  // Integral-only, widened in update() — see IntegralLongInput for why
+  // this is not ImplicitCastInputTypes(LongType) (silent double/string
+  // coercion) and not bare Long unboxing (the r13 int32 eval crash).
+  override protected def integralChild: Expression = child
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
@@ -52,7 +52,7 @@ case class MinKAgg(
 
   override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Long])
+    if (v != null) buf.insert(longOf(v))
     buf
   }
 

@@ -197,12 +197,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toString.contains("Join"), p.toString.take(2000))
   }
 
-  test("binned range join plans as an equi-join on the bin key — never " +
-    "a broadcast-nested-loop or cartesian range probe") {
+  test("q103's range-join aggregate plans with NO nested-loop or " +
+    "cartesian probe anywhere — window totals come from broadcast-hash " +
+    "prefix lookups, not point-interval pair materialization") {
     val p = plan("q103_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("Join"), p.take(1500))
+    // the two calendar prefix lookups (cum[d+13], cum[d−1]) must be
+    // broadcast equi-joins: the prefix table is calendar-bounded at any
+    // data scale, the orders side streams through map-side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
   test("vocabulary→encode join is size-conditional: AQE broadcasts the " +

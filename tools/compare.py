@@ -77,16 +77,34 @@ def main():
         """Execute with an optional wall-clock interrupt: a super-linear
         ORACLE (recursive-CTE closures at 10x sf) must not wedge the
         whole compare — its query is reported as unverified-at-this-sf,
-        not as a mismatch."""
+        not as a mismatch.
+
+        The timer callback re-checks a done flag under a lock: a raw
+        Timer(timeout, con.interrupt) can fire in the window between the
+        oracle completing and timer.cancel(), leaving a pending
+        interrupt that aborts the NEXT con.execute (including the
+        spark-parquet read at the top of the loop) — misattributing one
+        near-deadline oracle as a crash of the following query."""
         if timeout <= 0:
             rel = con.execute(sql)
             return [d[0] for d in rel.description], rel.fetchall()
-        timer = threading.Timer(timeout, con.interrupt)
+        lock = threading.Lock()
+        state = {"done": False}
+
+        def interrupt_if_running():
+            with lock:
+                if not state["done"]:
+                    con.interrupt()
+
+        timer = threading.Timer(timeout, interrupt_if_running)
         timer.start()
         try:
             rel = con.execute(sql)
-            return [d[0] for d in rel.description], rel.fetchall()
+            rows = rel.fetchall()
+            return [d[0] for d in rel.description], rows
         finally:
+            with lock:
+                state["done"] = True
             timer.cancel()
 
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
