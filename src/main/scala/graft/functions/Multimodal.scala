@@ -303,8 +303,8 @@ object Multimodal {
     * frame f a 32×32 gradient keyed by k = seed·31 + f (the PNG
     * gradient formula). Same container layout as the solid GVID. */
   private def makeGradientGvid(writer: javax.imageio.ImageWriter,
-                               id: Long): Array[Byte] = {
-    val seed = id % 150
+                               id: Long, mod: Long): Array[Byte] = {
+    val seed = id % mod
     val nf = (seed % 3).toInt + 4
     val frames = (0 until nf).map { f =>
       val k = seed * 31 + f
@@ -336,15 +336,30 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Corpus-scaled duplicate-class modulus for the synthetic media
+    * fixtures: `base × max(1, ⌊n_docs/5000⌋)`, so a re-upload CLASS
+    * stays ~(5000/base) members at ANY corpus size — the realistic
+    * shape (the dup RATE of real traffic is constant; class size does
+    * not grow with corpus). A fixed modulus made class membership —
+    * and therefore the near-dup PAIR OUTPUT, which is Σ C(|class|,2) —
+    * quadratic in corpus size (the r13 sf1 run measured q165 at 14.6×
+    * for 10× data on pair volume alone). Collapses to `base` at every
+    * oracle-checked sf (≤ 5000 docs); the IDENTICAL rule is inlined in
+    * audioPackCtes/videoPackCtes (the scaledSeedCutoff discipline). */
+  def dupSeedModulus(spark: SparkSession, dir: String, base: Long): Long =
+    base * math.max(1L,
+      graft.sources.Tables.load(spark, dir, "documents").count() / 5000L)
+
   /** One gradient GVID per document. Partition-local encode. */
   def syntheticGradientGvids(spark: SparkSession,
                              dir: String): Dataset[VideoRow] = {
     import spark.implicits._
+    val mod = dupSeedModulus(spark, dir, 150L)
     graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val writer = newPngWriter()
-        it.map(id => VideoRow(id, makeGradientGvid(writer, id)))
+        it.map(id => VideoRow(id, makeGradientGvid(writer, id, mod)))
       }
   }
 
@@ -402,15 +417,16 @@ object Multimodal {
   /** Deterministic amplitude-stepped PCM clip for doc `id`: 4096
     * frames of a square carrier whose magnitude changes per 64-sample
     * window — a(w) = ((seed·97 + w·step·640) mod 8192) + 1 with
-    * step = seed·13 mod 7 + 1 and seed = id mod 200. The seed fold
-    * models RE-UPLOADED clips (ids congruent mod 200 carry identical
+    * step = seed·13 mod 7 + 1 and seed = id mod m (m corpus-scaled,
+    * see [[dupSeedModulus]]; 200 at oracle-checked sfs). The seed fold
+    * models RE-UPLOADED clips (ids congruent mod m carry identical
     * audio — the duplicate traffic the fingerprint family exists to
     * catch); the window-stepped envelope makes the energy fingerprint
     * non-degenerate. Same oracle discipline as the gradient PNGs: the
     * formula is replayed in SQL, the REAL WAV encode→decode round-trip
     * sits inside the hash check. */
-  private def makeSteppedWav(id: Long): Array[Byte] = {
-    val seed = id % 200
+  private def makeSteppedWav(id: Long, mod: Long): Array[Byte] = {
+    val seed = id % mod
     val step = (seed * 13 % 7 + 1).toInt
     val frames = 4096
     val pcm = new Array[Byte](frames * 2)
@@ -437,9 +453,10 @@ object Multimodal {
   def syntheticSteppedWavs(spark: SparkSession,
                            dir: String): Dataset[AudioRow] = {
     import spark.implicits._
+    val mod = dupSeedModulus(spark, dir, 200L)
     graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => AudioRow(id, makeSteppedWav(id))))
+      .mapPartitions(_.map(id => AudioRow(id, makeSteppedWav(id, mod))))
   }
 
   /** Energy fingerprint of each clip via a REAL WAV decode: mean

@@ -835,7 +835,10 @@ private[operators] object ExtensionShared {
     * is certified end-to-end (the q160 discipline on audio). */
   private[operators] def audioPackCtes: String =
     """WITH ids AS (
-      |  SELECT doc_id, doc_id % 200 AS seed FROM documents
+      |  SELECT doc_id,
+      |         doc_id % (200 * (SELECT GREATEST(1, COUNT(*) // 5000)
+      |                          FROM documents)) AS seed
+      |  FROM documents
       |), ws AS (
       |  SELECT unnest(generate_series(0, 63)) AS w
       |), en AS (
@@ -858,7 +861,10 @@ private[operators] object ExtensionShared {
     * per-frame PNG decode end-to-end. */
   private[operators] def videoPackCtes: String =
     """WITH ids AS (
-      |  SELECT doc_id, doc_id % 150 AS seed FROM documents
+      |  SELECT doc_id,
+      |         doc_id % (150 * (SELECT GREATEST(1, COUNT(*) // 5000)
+      |                          FROM documents)) AS seed
+      |  FROM documents
       |), fr AS (
       |  SELECT doc_id, seed,
       |         unnest(generate_series(0, seed % 3 + 3)) AS f
