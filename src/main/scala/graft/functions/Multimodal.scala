@@ -433,7 +433,13 @@ object Multimodal {
     var i = 0
     while (i < frames) {
       val w = i / 64
-      val a = ((seed * 97 + w.toLong * step * 640) % 8192).toInt + 1
+      // the w² term keeps the 64-bit energy fingerprint space growing
+      // with the seed modulus: the pure arithmetic-progression envelope
+      // saturated at 336 distinct fingerprints however many seeds
+      // existed (measured), which made dist≤3 matching quadratic in
+      // corpus size no matter how dupSeedModulus scaled the classes
+      val a = ((seed * 97 + w.toLong * step * 640 +
+        w.toLong * w * (seed % 61) * 37) % 8192).toInt + 1
       val s = if (i % 2 == 0) a else -a
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte

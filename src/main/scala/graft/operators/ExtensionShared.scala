@@ -843,7 +843,8 @@ private[operators] object ExtensionShared {
       |  SELECT unnest(generate_series(0, 63)) AS w
       |), en AS (
       |  SELECT i.doc_id, ws.w,
-      |         (i.seed * 97 + ws.w * (i.seed * 13 % 7 + 1) * 640)
+      |         (i.seed * 97 + ws.w * (i.seed * 13 % 7 + 1) * 640
+      |          + ws.w * ws.w * (i.seed % 61) * 37)
       |           % 8192 + 1 AS e
       |  FROM ids i CROSS JOIN ws
       |), gmean AS (

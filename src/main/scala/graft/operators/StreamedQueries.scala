@@ -412,15 +412,22 @@ object StreamedQueries {
         // filter): LSH pair volume stays at the sf0.1 level however
         // large the corpus. See ExtensionShared.certSliceModulus.
         val m = certSliceModulus(s, dir, target = 5000L, floor = 1L)
+        // cache the slice: each wave consumes its batch frame ~5 times
+        // (band rows, shingle sets, own-id anti, probe, index land) and
+        // a modulo filter prunes nothing at the parquet scan, so
+        // uncached the three waves re-read the FULL text column ~15
+        // times (~measured 2.7 s of pure re-scan at sf1); the slice
+        // itself is bounded (~5k docs) at any corpus size
         val docs = Tables.load(s, dir, "documents")
           .filter(col("doc_id") % m === 0)
           .select(col("doc_id"), col("text"))
+          .persist()
         val base = graft.sources.TmpDirs.freshRun(s, dir, "q246")
-        (0L to 2L).foreach { b =>
+        try (0L to 2L).foreach { b =>
           graft.streaming.DocumentStreams.nearDupBatch(
             docs.filter(col("doc_id") % 3 === b), b, s"$base/index",
             s"$base/pairs", "doc_id", "text", 3, 4, 4, 2000L)
-        }
+        } finally docs.unpersist()
         s.read.parquet(s"$base/pairs")
           .select(least(col("new_id"), col("dup_id")).as("id_a"),
             greatest(col("new_id"), col("dup_id")).as("id_b"),
@@ -455,27 +462,40 @@ object StreamedQueries {
     Q("q247_streamed_curation",
       (s, dir) => {
         val all = Tables.load(s, dir, "documents")
-        val eval = all.filter(col("doc_id") % 17 === 0)
-        // size-derived slice (m = 2, the odd-id half-corpus, at every
-        // oracle-checked sf; thinner past ~5k docs): every stage still
-        // streams real traffic at a bounded LSH pair volume
-        // (certification cost, not coverage — the full-corpus LSH is
-        // q44/q246's surface). Identical rule in the oracle.
+        // size-derived slices (m = 2 corpus / m = 1 eval, i.e. the
+        // odd-id half-corpus against the full %17 eval set, at every
+        // oracle-checked sf; both thinner past ~5k docs): every stage
+        // still streams real traffic at a bounded volume — the eval
+        // slice bounds the decontamination SHINGLE INDEX the same way
+        // the corpus slice bounds LSH pairs (at sf1 an unsliced eval
+        // is ~3k docs whose 3-gram set marks every candidate dirty:
+        // the streamed waves ran but certified an empty survivor set).
+        // Identical rules in the oracle. Certification cost, not
+        // coverage — the full-corpus LSH is q44/q246's surface.
+        val evalM = certSliceModulus(s, dir, target = 5000L, floor = 1L)
+        val eval = all.filter(col("doc_id") % (17L * evalM) === 0)
+          .persist()
         val sliceM = certSliceModulus(s, dir, target = 2500L, floor = 2L)
+        // cache the slice (the q246 rationale: each wave's batch frame
+        // is consumed ~7 times through curateBatch — index build, probe,
+        // quality, contamination, final joins — and a modulo filter
+        // never prunes the parquet scan); bounded at ~2.5k docs at any
+        // corpus size
         val corpus = all.filter(col("doc_id") % 17 =!= 0 &&
           col("doc_id") % sliceM === 1)
+          .persist()
         // 1-row bounded decision read (Skew.autoJoin rule): tercile
         // boundaries so waves arrive in id order
         val m = corpus.agg(max("doc_id")).collect()(0).getLong(0)
         val base = graft.sources.TmpDirs.freshRun(s, dir, "q247")
         var lo = Long.MinValue
-        Seq(m / 3, 2 * m / 3, m).zipWithIndex.foreach { case (hi, i) =>
+        try Seq(m / 3, 2 * m / 3, m).zipWithIndex.foreach { case (hi, i) =>
           graft.streaming.DocumentStreams.curateBatch(
             corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
             i.toLong, eval, s"$base/index", s"$base/pairs",
             s"$base/curated", minJaccardBp = 2000)
           lo = hi
-        }
+        } finally { corpus.unpersist(); eval.unpersist(): Unit }
         s.read.parquet(s"$base/curated")
           .select("doc_id").orderBy("doc_id")
       },
@@ -505,7 +525,8 @@ object StreamedQueries {
           |              / length(qd.text)) END >= 5000
           |    AND NOT COALESCE(qw.top_word_frac > 0.3, false)
           |), evalh AS (
-          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0
+          |  SELECT DISTINCT shingle FROM sh
+          |  WHERE doc_id % (17 * ${certSliceModulusSql(5000L, 1L)}) = 0
           |), dirty AS (
           |  SELECT DISTINCT d.doc_id
           |  FROM sh d JOIN evalh e ON d.shingle = e.shingle

@@ -307,7 +307,8 @@ class MultimodalSpec extends AnyFunSuite {
       val seed = id % 200
       val step = (seed * 13 % 7 + 1).toInt
       val e = Array.tabulate(64)(w =>
-        (seed * 97 + w.toLong * step * 640) % 8192 + 1)
+        (seed * 97 + w.toLong * step * 640 +
+          w.toLong * w * (seed % 61) * 37) % 8192 + 1)
       val gm = e.sum / 64
       var hi = 0L; var lo = 0L
       for (k <- 0 until 64 if e(k) > gm)

@@ -66,8 +66,11 @@ def main():
     json_out = os.environ.get("COMPARE_JSON_OUT", "")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is single-file; ScaleUp trees are directories
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failures = []
     timeouts = []
