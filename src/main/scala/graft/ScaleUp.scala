@@ -90,7 +90,31 @@ object ScaleUp {
       .drop("rep"), "customer", 8)
     save(replicate(load("supplier"), Seq("s_suppkey"))
       .drop("rep"), "supplier", 4)
-    save(replicate(load("part"), Seq("p_partkey")).drop("rep"), "part", 8)
+    // part: per-replica Caesar shift + word-prefix rename for rep > 0 —
+    // verbatim replicated names form identical-name classes that grow
+    // with the replication factor, making every name-similarity pair
+    // output (q185 AllPairs, q104 q-gram fuzzy join) quadratic in n
+    // (the sf10 probe measured q185 at 250× wall-clock for 100× data
+    // on exact-dup name pairs alone); a prefix rename alone is not
+    // enough for the q-GRAM blocker, whose candidates are driven by
+    // substrings INSIDE words (same sf10 probe: q104's verify stage
+    // single-task levenshtein-crawled cross-replica near-twins). The
+    // letter shift makes cross-replica grams disjoint while exactly
+    // preserving within-replica structure; the prefix keeps token sets
+    // distinct for the 4-ish replicas that share a shift at n = 100.
+    // Real catalogs don't gain 100 twins of every product at 100×.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val shifted = (1 to 25).map(k => alpha.drop(k) + alpha.take(k))
+    val shiftExpr = (1 to 25).foldLeft(col("p_name")) { (acc, k) =>
+      when(pmod(col("rep"), lit(26)) === k,
+        translate(col("p_name"), alpha, shifted(k - 1))).otherwise(acc)
+    }
+    save(replicate(load("part"), Seq("p_partkey"))
+      .withColumn("p_name",
+        when(col("rep") === 0, col("p_name"))
+          .otherwise(regexp_replace(shiftExpr, lit("(^|\\s)"),
+            concat(lit("$1r"), col("rep").cast("string"), lit("_")))))
+      .drop("rep"), "part", 8)
     save(replicate(load("orders"), Seq("o_orderkey", "o_custkey"))
       .drop("rep"), "orders", 32)
     save(replicate(load("lineitem"),

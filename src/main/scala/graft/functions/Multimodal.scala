@@ -317,7 +317,14 @@ object Multimodal {
       while (y < 32) {
         var x = 0
         while (x < 32) {
-          val v = ((x.toLong * gx + y.toLong * gy + k * 37) % 256).toInt
+          // the x·y·(k%29) term keeps the aHash space growing with the
+          // frame-key range: the pure planar gradient's hash space is
+          // structurally bounded (~(13 gx)·(17 gy)·wraps ≈ 18k distinct
+          // over 75k keys, measured), which made frame-hash buckets —
+          // and the near-dup pair join — quadratic at 100× corpus no
+          // matter how dupSeedModulus scaled the classes
+          val v = ((x.toLong * gx + y.toLong * gy + k * 37 +
+            x.toLong * y * (k % 29)) % 256).toInt
           px(y * 32 + x) = (v << 16) | (v << 8) | v
           x += 1
         }

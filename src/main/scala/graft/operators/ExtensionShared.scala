@@ -880,7 +880,8 @@ private[operators] object ExtensionShared {
       |  SELECT kk.doc_id, kk.f, xs.x, ys.y,
       |         (xs.x * (kk.k * 7 % 13 + 1)
       |          + ys.y * (kk.k * 11 % 17 + 1)
-      |          + kk.k * 37) % 256 AS v
+      |          + kk.k * 37
+      |          + xs.x * ys.y * (kk.k % 29)) % 256 AS v
       |  FROM kk CROSS JOIN xs CROSS JOIN ys
       |), blk AS (
       |  SELECT doc_id, f, x // 4 AS bx, y // 4 AS by,
