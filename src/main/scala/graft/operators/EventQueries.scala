@@ -327,12 +327,19 @@ object EventQueries {
             date_add(col("od"), 13).as("hi")))
           .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
         val cal = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
-        // Unpartitioned window is safe by construction: the frame is the
-        // calendar (≤ a few k rows), not the data.
+        // Unpartitioned window over the CALENDAR, not the data — and the
+        // calendar-bounded contract is runtime-enforced, not comment-
+        // enforced: 40k rows ≈ a century of days, so any drift that
+        // makes this frame data-sized (e.g. a sub-day grain) fails fast
+        // instead of funnelling the corpus through one task.
         val byDay = Window.orderBy(col("d"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val prefix = cal.join(day, Seq("d"), "left")
-          .na.fill(0L, Seq("day_cnt", "day_qty"))
+        val calDays = graft.functions.Bounded.globalWindowFrame(
+          cal.join(day, Seq("d"), "left")
+            .na.fill(0L, Seq("day_cnt", "day_qty")),
+          maxRows = 40000,
+          contract = "q103 day-grain prefix sum: frame = dense calendar")
+        val prefix = calDays
           .select(col("d"),
             sum(col("day_cnt")).over(byDay).as("cum_cnt"),
             sum(col("day_qty")).over(byDay).as("cum_qty"))
@@ -1302,5 +1309,48 @@ object EventQueries {
     // collect pass and unbounded columns): part counts per brand
     // across four fixed size buckets, the assortment-matrix dashboard
     // shape. Oracle restates the pivot as conditional aggregation.
+
+    // Point-in-interval PAIR ROWS — RangeJoin.pointInInterval's
+    // correctness anchor. q103's r14 rewrite computes window TOTALS
+    // from day-grain prefix sums and no longer materializes pairs, so
+    // without this query the library operator (the path for queries
+    // that need the pair rows themselves) would be tested-but-unproven.
+    // Shape: purchases landing inside error-spike windows — the top-4
+    // error days (count desc, date asc tie-break: scale-stable where a
+    // fixed count threshold would select everything at sf1 and nothing
+    // at sf0.001), each spanning [d, d+2]. binDays=3 keeps per-point
+    // probes at ≤ 2 bins; salt spreads the ~10 bins of a month-long
+    // timeline across the cluster (the timeline-short contract in
+    // RangeJoin's scaladoc — unsalted, 10 join keys would serialize
+    // into 10 tasks at any cluster size).
+    Q("q282_spike_window_pairs",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val spikes = ev.filter(col("event_type") === "error")
+          .groupBy(col("ts").cast("date").as("d0"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("d0").asc).limit(4)
+          .select(col("d0"), date_add(col("d0"), 2).as("d1"))
+        val pts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts").cast("date").as("pd"))
+        RangeJoin.pointInInterval(pts, "pd", spikes, "d0", "d1",
+            binDays = 3, salt = s.sparkContext.defaultParallelism)
+          .select(col("event_id"), col("d0").as("window_start"),
+            datediff(col("pd"), col("d0")).cast("long").as("day_offset"))
+          .orderBy("event_id", "window_start")
+      },
+      Some("""WITH ed AS (
+             |  SELECT CAST(ts AS DATE) AS d0, COUNT(*) AS n
+             |  FROM events WHERE event_type = 'error' GROUP BY 1
+             |), spikes AS (
+             |  SELECT d0, d0 + 2 AS d1 FROM ed
+             |  ORDER BY n DESC, d0 ASC LIMIT 4
+             |)
+             |SELECT e.event_id, s.d0 AS window_start,
+             |       CAST(CAST(e.ts AS DATE) - s.d0 AS BIGINT) AS day_offset
+             |FROM events e JOIN spikes s
+             |  ON CAST(e.ts AS DATE) BETWEEN s.d0 AND s.d1
+             |WHERE e.event_type = 'purchase'
+             |ORDER BY e.event_id, s.d0""".stripMargin)),
   )
 }

@@ -42,6 +42,20 @@ private[operators] object ExtensionShared {
       target: Long, floor: Long): String =
     s"(SELECT GREATEST($floor, COUNT(*) // $target) FROM documents)"
 
+  /** Arrival-wave assignment for a certification slice: the wave of a
+    * sliced id is its slice ORDINAL mod `waves`, NOT the raw id mod
+    * `waves`. Sliced ids are exactly the multiples of `sliceModulus`,
+    * so when the modulus is itself a multiple of `waves` (m=3 appears
+    * past ~15k docs) a raw-id split would put EVERY sliced doc in wave
+    * 0 and a "streamed" certification would silently degenerate to one
+    * batch — precisely at the scale factors the oracle never sees. The
+    * ordinal (id / m) walks 0,1,2,… over the slice, so mod `waves`
+    * spreads it across all waves at every corpus size. The division is
+    * exact (ids are multiples of m), so the double→long cast is safe. */
+  private[operators] def waveOf(id: Column, sliceModulus: Long,
+                                waves: Int): Column =
+    (id / sliceModulus).cast("long") % waves
+
   /** q68's decontamination oracle — shared verbatim by q118: the Bloom
     * thin→verify composition has no false negatives and culls false
     * positives exactly, so its contract IS the plain formulation. */

@@ -423,10 +423,17 @@ object StreamedQueries {
           .select(col("doc_id"), col("text"))
           .persist()
         val base = graft.sources.TmpDirs.freshRun(s, dir, "q246")
+        // Wave split on the slice ORDINAL (ExtensionShared.waveOf), not
+        // raw doc_id % 3 — the raw split degenerates to one batch
+        // whenever m is a multiple of 3 (see waveOf's scaladoc). The
+        // accumulated pair set is wave-partition-invariant (a pair
+        // lands when its second endpoint arrives; output is
+        // orientation-normalized), so the oracle is unchanged.
         try (0L to 2L).foreach { b =>
           graft.streaming.DocumentStreams.nearDupBatch(
-            docs.filter(col("doc_id") % 3 === b), b, s"$base/index",
-            s"$base/pairs", "doc_id", "text", 3, 4, 4, 2000L)
+            docs.filter(waveOf(col("doc_id"), m, 3) === b), b,
+            s"$base/index", s"$base/pairs", "doc_id", "text", 3, 4, 4,
+            2000L)
         } finally docs.unpersist()
         s.read.parquet(s"$base/pairs")
           .select(least(col("new_id"), col("dup_id")).as("id_a"),
@@ -485,19 +492,29 @@ object StreamedQueries {
           col("doc_id") % sliceM === 1)
           .persist()
         // 1-row bounded decision read (Skew.autoJoin rule): tercile
-        // boundaries so waves arrive in id order
-        val m = corpus.agg(max("doc_id")).collect()(0).getLong(0)
-        val base = graft.sources.TmpDirs.freshRun(s, dir, "q247")
-        var lo = Long.MinValue
-        try Seq(m / 3, 2 * m / 3, m).zipWithIndex.foreach { case (hi, i) =>
-          graft.streaming.DocumentStreams.curateBatch(
-            corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
-            i.toLong, eval, s"$base/index", s"$base/pairs",
-            s"$base/curated", minJaccardBp = 2000)
-          lo = hi
-        } finally { corpus.unpersist(); eval.unpersist(): Unit }
-        s.read.parquet(s"$base/curated")
-          .select("doc_id").orderBy("doc_id")
+        // boundaries so waves arrive in id order. max() over an empty
+        // slice is NULL, not a row-less frame — read it as an Option and
+        // short-circuit to an empty curated set rather than NPE (the
+        // residue-1 slice CAN be empty at some corpus sizes now that
+        // sliceM is corpus-derived).
+        val maxRow = corpus.agg(max("doc_id")).collect()(0)
+        if (maxRow.isNullAt(0)) {
+          corpus.unpersist(); eval.unpersist()
+          all.select(col("doc_id")).limit(0).orderBy("doc_id")
+        } else {
+          val m = maxRow.getLong(0)
+          val base = graft.sources.TmpDirs.freshRun(s, dir, "q247")
+          var lo = Long.MinValue
+          try Seq(m / 3, 2 * m / 3, m).zipWithIndex.foreach { case (hi, i) =>
+            graft.streaming.DocumentStreams.curateBatch(
+              corpus.filter(col("doc_id") > lo && col("doc_id") <= hi),
+              i.toLong, eval, s"$base/index", s"$base/pairs",
+              s"$base/curated", minJaccardBp = 2000)
+            lo = hi
+          } finally { corpus.unpersist(); eval.unpersist(): Unit }
+          s.read.parquet(s"$base/curated")
+            .select("doc_id").orderBy("doc_id")
+        }
       },
       Some(neardupScoredCtes +
         raw""", qd AS (

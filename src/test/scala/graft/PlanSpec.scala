@@ -207,6 +207,10 @@ class PlanSpec extends AnyFunSuite {
     // broadcast equi-joins: the prefix table is calendar-bounded at any
     // data scale, the orders side streams through map-side
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the unpartitioned prefix window runs over the RUNTIME-CERTIFIED
+    // calendar frame (Bounded.globalWindowFrame persists it, so the
+    // window reads an InMemoryTableScan) — not a raw recomputed input
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
   test("vocabulary→encode join is size-conditional: AQE broadcasts the " +

@@ -104,6 +104,12 @@ def main():
         try:
             rel = con.execute(sql)
             rows = rel.fetchall()
+            # Close the race NOW, not in the finally: the timer could
+            # otherwise fire between fetchall() returning and the finally
+            # block running, interrupting an idle connection and aborting
+            # the NEXT con.execute.
+            with lock:
+                state["done"] = True
             return [d[0] for d in rel.description], rows
         finally:
             with lock:
@@ -185,12 +191,24 @@ def main():
                   f"(cols sorted: {sorted(got_cols)})")
             failures.append(name)
             report[name]["err"] = f"{len(diffs)} differing rows"
+        elif len(gk) == 0:
+            # A 0=0 "triple pass" certifies nothing — the query may have
+            # sliced/filtered itself to emptiness on this tree (this is how
+            # q247's sf1 certification went vacuous in r14). Flag it loudly
+            # and in the JSON so a committed artifact can't hide it.
+            print(f"  {name}: VACUOUS (0 rows on BOTH sides — match proves "
+                  f"nothing at this sf)")
+            report[name]["hash_match"] = True
+            report[name]["vacuous"] = True
         else:
             print(f"  {name}: OK ({len(gk)} rows)")
             report[name]["hash_match"] = True
     if json_out:
         Path(json_out).write_text(json.dumps(report, indent=0))
         print(f"wrote {json_out}")
+    vacuous = [n for n, r in report.items() if r.get("vacuous")]
+    if vacuous:
+        print(f"VACUOUS 0=0 MATCHES ({len(vacuous)}): {vacuous}")
     if timeouts:
         print(f"ORACLE TIMEOUTS ({len(timeouts)}): {timeouts}")
     if failures:

@@ -7,7 +7,7 @@
 # Regenerates target/sf1 via graft.ScaleUp when missing. Writes/overwrites
 # BENCH_sf1.json in the repo root (commit it when green — it becomes the
 # next round's baseline). Exit 1 on any gate failure.
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 
 FLEET_MAX="${SF1_FLEET_MAX:-3.0}"
@@ -20,10 +20,17 @@ if [ ! -d target/sf1/lineitem.parquet ]; then
 fi
 
 echo "[sf1_gate] bench at sf1 (single pass, budget ${BUDGET}s) ..."
+# Remove the committed artifact first: with set -e alone, a crashed sbt
+# hidden behind the grep|tail pipe would leave the STALE committed
+# BENCH_sf1.json in place and the python check would green-light it.
+# pipefail (above) fails the pipe; deleting the file first guarantees the
+# check can only ever validate a freshly written artifact.
+rm -f BENCH_sf1.json
 SPARK_GRAFT_SF_DIR="$PWD/target/sf1" SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_PASSES=1 SPARK_GRAFT_QUERY_BUDGET_SEC="$BUDGET" \
 SPARK_GRAFT_RESULTS_FILE=BENCH_sf1.json \
 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -2
+[ -f BENCH_sf1.json ] || { echo "[sf1_gate] FAIL: bench did not write BENCH_sf1.json"; exit 1; }
 
 python3 - "$FLEET_MAX" <<'EOF'
 import json, sys
