@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** 100×-direction evidence: single-pass cold timings of the
+  * scale-sensitive query tier on an sf10 tree (100× the sf0.1 driver
+  * data, built by [[ScaleUp]] with n=100), written as a committed JSON
+  * artifact (`BENCH_sf10_subset.json`).
+  *
+  * This deliberately reuses none of [[Bench]]'s suite machinery
+  * (calibration, standing-memo release, canary): the probe's question
+  * is not "did this round regress" but "does each scale-critical
+  * operator's cost stay ~linear from 10× to 100×" — one cold pass per
+  * query (memo builds included, noted per query in PLANS.md) against a
+  * stated per-query wall-clock budget. Timings at this scale are
+  * dominated by real work, not scheduler floor, so a single pass is
+  * decision-grade.
+  *
+  * Usage: runMain graft.Sf10Probe [query ...]  (default: the audited
+  * scale-sensitive tier). Env: SPARK_GRAFT_SF_DIR (default
+  * target/sf10), SPARK_GRAFT_CPUS, SF10_BUDGET_SEC (default 300,
+  * per query), SPARK_GRAFT_RESULTS_FILE (default
+  * BENCH_sf10_subset.json).
+  */
+object Sf10Probe {
+
+  /** The audited scale-sensitive tier: every query PLANS.md's
+    * superlinear-tail audits name, plus the streamed certifications
+    * (bounded-slice contract) and the pair-output media near-dups
+    * (fixture-quadratic history). */
+  val DefaultTier: Seq[String] = Seq(
+    "q103_range_join",        // day-grain prefix sums (r14 rewrite)
+    "q104_fuzzy_join",        // q-gram blocker (Ed-Join prefix filter)
+    "q78_semantic_dedup",     // SemDeDup cells via scaledSeedCutoff
+    "q185_allpairs_join",     // prefix-filtered AllPairs (Caesar fix)
+    "q210_margin_mining",     // hard-negative mining
+    // memo BUILDERS run before their consumers so the standing
+    // fingerprint/frame-hash builds are billed to the query that owns
+    // them (the suite order Bench uses), not to the join that probes
+    // them — the r15 first probe billed q163 97× when ~90% was the
+    // audio memo build it had to do cold
+    "q162_audio_fingerprint", // audio memo build + fingerprint table
+    "q163_audio_neardup",     // corpus-scaled dup-class fixture
+    "q164_video_frame_hashes",// video memo build + per-frame decode
+    "q165_video_neardup",     // corpus-scaled dup-class fixture
+    "q138_hnsw_incremental",  // insert volume × beam growth (self-built)
+    "q168_kn3_score",         // per-token KN kernel (worst sf1 ratio)
+    "q246_streamed_neardups", // certSliceModulus-bounded machinery
+    "q247_streamed_curation") // certSliceModulus-bounded machinery
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budget = sys.env.getOrElse("SF10_BUDGET_SEC", "300").toDouble
+    val outName = sys.env
+      .getOrElse("SPARK_GRAFT_RESULTS_FILE", "BENCH_sf10_subset.json")
+    val names = if (args.nonEmpty) args.toSeq else DefaultTier
+    // Shuffle partitions scale with the data, not the core count: at
+    // 100× sf0.1 a 32-partition shuffle holds ~500 MB+ per partition
+    // on the wide joins and spills — on a real cluster
+    // maxPartitionBytes + AQE coalescing do this sizing; in a
+    // fixed-core probe the config has to (AQE merges small partitions
+    // but never splits an oversized non-skew-join partition).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 4).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBoundedWindowWarnings()
+
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val results = names.map { name =>
+      System.gc(); Thread.sleep(200)
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[sf10] $name FAILED: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[sf10] $name ${fmt(sec)}s")
+      name -> sec
+    }
+    spark.stop()
+    val over = results.filter(_._2 > budget).filterNot(r => failed.contains(r._1))
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (failed.contains(k)) "-1" else fmt(v))
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"sf10_subset","value":${fmt(results.map(_._2).sum)},""" +
+        s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        s""""queries":$qs,"budget_sec":$budget,""" +
+        s""""n_over_budget":${over.size},""" +
+        s""""over_budget":${over.map(o => "\"" + o._1 + "\":" + fmt(o._2))
+          .mkString("{", ",", "}")},""" +
+        s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props("user.dir"), outName), line + "\n")
+    println(line)
+  }
+}

@@ -1145,15 +1145,34 @@ object Dedup {
       s"minJaccardBp must be in (0, 10000], got $minJaccardBp")
     val hs = shingleSets(docs, idCol, textCol, shingleN)
     val prefix = allPairsPrefix(hs, minJaccardBp, idCol)
+    // Bayardo length filter inside the candidate join: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so any pair whose sizes differ by more
+    // than the threshold ratio can be dropped BEFORE the distinct and
+    // the verify — the verify's own inter/uni test would reject it
+    // anyway (inter ≤ min, uni ≥ max), so output is unchanged.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.n") * 10000L >= lit(minJaccardBp.toLong) * col("b.n") &&
+          col("b.n") * 10000L >= lit(minJaccardBp.toLong) * col("a.n"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    // Verify only the docs that appear in a candidate pair: without
+    // this semi-join the two verify joins below shuffle the FULL
+    // shingle-array table twice (corpus-sized rows each carrying ~all
+    // the doc's shingles) to serve a candidate set that is orders of
+    // magnitude smaller — the dominant cost of the sf10 probe. AQE
+    // broadcasts the (small) candidate-id side at runtime, so the
+    // pruned table never exchanges corpus-wide; output is unchanged
+    // (a semi-join only drops rows the pair joins would drop anyway).
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val hsCand = hs.join(candIds, Seq(idCol), "left_semi")
     cand
-      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")),
+      .join(hsCand.select(col(idCol).as("id_a"), col("hs").as("hs_a")),
         Seq("id_a"))
-      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")),
+      .join(hsCand.select(col(idCol).as("id_b"), col("hs").as("hs_b")),
         Seq("id_b"))
       .withColumn("inter",
         sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))
@@ -1164,14 +1183,16 @@ object Dedup {
         expr("inter * 10000 div uni").as("jaccard_bp"))
   }
 
-  /** The prefix-token frame of [[allPairsSimilarityJoin]] — (idCol, h)
-    * rows where each doc keeps only its |A| − ⌈τ·|A|⌉ + 1 RAREST tokens
-    * (global df order, hash tiebreak). Exposed so scale probes can pin
-    * the skew invariant directly: a corpus-wide hot token ranks LAST in
-    * every doc's ordering and therefore never enters any prefix (for
-    * docs with ≥ ⌈1/τ⌉ distinct tokens), which is exactly what keeps
-    * the candidate join's postings bounded under pathological skew.
-    * Input is the [[shingleSets]] frame (idCol, hs sorted distinct). */
+  /** The prefix-token frame of [[allPairsSimilarityJoin]] — (idCol, h,
+    * n) rows where each doc keeps only its |A| − ⌈τ·|A|⌉ + 1 RAREST
+    * tokens (global df order, hash tiebreak), carrying the doc's
+    * distinct-token count `n` for the candidate join's length filter.
+    * Exposed so scale probes can pin the skew invariant directly: a
+    * corpus-wide hot token ranks LAST in every doc's ordering and
+    * therefore never enters any prefix (for docs with ≥ ⌈1/τ⌉ distinct
+    * tokens), which is exactly what keeps the candidate join's
+    * postings bounded under pathological skew. Input is the
+    * [[shingleSets]] frame (idCol, hs sorted distinct). */
   def allPairsPrefix(hs: DataFrame, minJaccardBp: Int,
                      idCol: String = "doc_id"): DataFrame = {
     val sz = hs.select(col(idCol), size(col("hs")).cast("long").as("n"))
@@ -1184,7 +1205,7 @@ object Dedup {
       .join(sz, Seq(idCol))
       .filter(col("rk") <=
         col("n") - expr(s"(n * $minJaccardBp + 9999) div 10000") + 1L)
-      .select(col(idCol), col("h"))
+      .select(col(idCol), col("h"), col("n"))
   }
 
   /** MDM survivorship: one GOLDEN record per entity cluster — for each

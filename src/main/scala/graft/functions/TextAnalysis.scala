@@ -590,19 +590,36 @@ object TextAnalysis {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val grams = qGramTable(df, idCol, strCol, q)
-    val candidates = grams.as("a")
-      .join(grams.as("b"),
+    // Ed-Join prefix filter (Xiao, Wang & Lin, PVLDB 1(1) 2008 §3.1):
+    // d edits destroy at most d·q of a string's q-grams, so under ANY
+    // global total order on grams, two strings within edit distance d
+    // must share a gram among each side's first (d·q + 1) grams of its
+    // ordered gram sequence. We order by ascending global frequency
+    // (ties by gram value) so the prefixes hold each string's RAREST
+    // grams — the join never touches the big buckets of a small gram
+    // alphabet. Without this the blocker is quadratic in every shared
+    // frequent gram: the pre-r15 full-gram join measured 86× wall-clock
+    // for 10× names at the 100× scale probe (sf1→sf10), where the
+    // replica-prefix digit grams formed corpus-wide buckets. Taking
+    // d·q+1 DISTINCT grams covers a multiset prefix of length
+    // ≥ d·q+1 — a superset of the required prefix, so candidate
+    // completeness is preserved; the levenshtein verify keeps the
+    // output exact (the oracle stays the plain n² formulation).
+    val prefixLen = maxDist * q + 1
+    val gramFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("gdf"), col("g"))
+    val sig = grams.join(gramFreq, Seq("g"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= prefixLen)
+      .select(col("id"), col("s"), col("g"))
+    sig.as("a")
+      .join(sig.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
-      // q-gram count filter (multiset form): ed ≤ d strings share
-      // Σ min(cnt_a, cnt_b) ≥ maxL − q + 1 − d·q positional grams
-      .filter(col("shared") >=
-        greatest(length(col("s_a")), length(col("s_b"))) - (q - 1)
-          - maxDist * q)
-    candidates
+      .distinct()
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),

@@ -42,19 +42,36 @@ private[operators] object ExtensionShared {
       target: Long, floor: Long): String =
     s"(SELECT GREATEST($floor, COUNT(*) // $target) FROM documents)"
 
-  /** Arrival-wave assignment for a certification slice: the wave of a
-    * sliced id is its slice ORDINAL mod `waves`, NOT the raw id mod
-    * `waves`. Sliced ids are exactly the multiples of `sliceModulus`,
-    * so when the modulus is itself a multiple of `waves` (m=3 appears
-    * past ~15k docs) a raw-id split would put EVERY sliced doc in wave
-    * 0 and a "streamed" certification would silently degenerate to one
-    * batch — precisely at the scale factors the oracle never sees. The
-    * ordinal (id / m) walks 0,1,2,… over the slice, so mod `waves`
-    * spreads it across all waves at every corpus size. The division is
-    * exact (ids are multiples of m), so the double→long cast is safe. */
-  private[operators] def waveOf(id: Column, sliceModulus: Long,
-                                waves: Int): Column =
-    (id / sliceModulus).cast("long") % waves
+  /** Certification-slice WINDOW cutoff — the pair-preserving slice the
+    * modulus rule cannot be. A `doc_id % m = 0` thinning keeps a
+    * near-dup PAIR only when BOTH endpoints survive (probability
+    * ~1/m² per pair), so past m ≈ 30 the streamed near-dup
+    * certification certifies an EMPTY pair set — the r15 sf10 probe
+    * caught exactly that (q246: 0 = 0 rows at m = 1000, flagged
+    * `vacuous` by compare.py). The first `target` docs BY ID instead
+    * keep a dense contiguous region — at any corpus size it is the
+    * original small-sf corpus head with its full within-region
+    * near-dup structure — so the certification output stays at its
+    * small-sf volume forever while the machinery still streams real
+    * traffic. ONE bounded decision read (TakeOrdered of `target` ids,
+    * never corpus-sized); Long.MaxValue (= keep all) when the corpus
+    * holds ≤ target docs, reproducing pre-slice behavior at the
+    * oracle-checked sfs. */
+  private[operators] def certSliceCutoff(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      target: Long): Long = {
+    val r = Tables.load(s, dir, "documents").select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(target.toInt)
+      .agg(max(col("doc_id"))).collect()(0)
+    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  }
+
+  /** SQL mirror of [[certSliceCutoff]] (COALESCE: an empty documents
+    * table yields -1, matching the engine's empty-slice short-circuit
+    * semantics — nothing qualifies). */
+  private[operators] def certSliceCutoffSql(target: Long): String =
+    s"(SELECT COALESCE(MAX(doc_id), -1) FROM " +
+      s"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT $target))"
 
   /** q68's decontamination oracle — shared verbatim by q118: the Bloom
     * thin→verify composition has no false negatives and culls false

@@ -407,31 +407,38 @@ object StreamedQueries {
 
     Q("q246_streamed_neardups",
       (s, dir) => {
-        // Size-derived certification slice (m = 1 at every oracle-
-        // checked sf — identical rule in the oracle's scored post-
-        // filter): LSH pair volume stays at the sf0.1 level however
-        // large the corpus. See ExtensionShared.certSliceModulus.
-        val m = certSliceModulus(s, dir, target = 5000L, floor = 1L)
+        // Size-derived certification WINDOW (the first ~5k docs by id;
+        // cut = max id at every oracle-checked sf — identical rule in
+        // the oracle's scored post-filter): LSH volume stays at the
+        // sf0.1 level however large the corpus, and — unlike the r14
+        // modulus slice, whose per-pair survival fell as 1/m² and
+        // certified an EMPTY pair set at sf10 — the dense id window
+        // keeps its full near-dup structure at any scale. See
+        // ExtensionShared.certSliceCutoff.
+        val cut = certSliceCutoff(s, dir, target = 5000L)
         // cache the slice: each wave consumes its batch frame ~5 times
-        // (band rows, shingle sets, own-id anti, probe, index land) and
-        // a modulo filter prunes nothing at the parquet scan, so
-        // uncached the three waves re-read the FULL text column ~15
-        // times (~measured 2.7 s of pure re-scan at sf1); the slice
-        // itself is bounded (~5k docs) at any corpus size
+        // (band rows, shingle sets, own-id anti, probe, index land),
+        // so uncached the three waves re-read the text column ~15
+        // times (~measured 2.7 s of pure re-scan at sf1); the window
+        // itself is bounded (~5k docs) at any corpus size — and the
+        // id cutoff IS a parquet-pushable min/max predicate, so at
+        // scale the scan prunes to the head row groups
         val docs = Tables.load(s, dir, "documents")
-          .filter(col("doc_id") % m === 0)
+          .filter(col("doc_id") <= cut)
           .select(col("doc_id"), col("text"))
           .persist()
         val base = graft.sources.TmpDirs.freshRun(s, dir, "q246")
-        // Wave split on the slice ORDINAL (ExtensionShared.waveOf), not
-        // raw doc_id % 3 — the raw split degenerates to one batch
-        // whenever m is a multiple of 3 (see waveOf's scaladoc). The
-        // accumulated pair set is wave-partition-invariant (a pair
-        // lands when its second endpoint arrives; output is
-        // orientation-normalized), so the oracle is unchanged.
+        // Wave split on doc_id % 3: window ids are a dense contiguous
+        // region, so the residues always populate all three waves (the
+        // modulus slice could hand every sliced id to wave 0 when its
+        // m was a multiple of 3 — that hazard class dies with the
+        // window rule). The accumulated pair set is wave-partition-
+        // invariant (a pair lands when its second endpoint arrives;
+        // output is orientation-normalized), so the oracle is
+        // unchanged.
         try (0L to 2L).foreach { b =>
           graft.streaming.DocumentStreams.nearDupBatch(
-            docs.filter(waveOf(col("doc_id"), m, 3) === b), b,
+            docs.filter(col("doc_id") % 3 === b), b,
             s"$base/index", s"$base/pairs", "doc_id", "text", 3, 4, 4,
             2000L)
         } finally docs.unpersist()
@@ -443,12 +450,12 @@ object StreamedQueries {
       },
       Some(neardupScoredCtes +
         // banded candidacy is pair-local (bucket membership of a doc
-        // does not depend on other docs), so LSH over the slice ≡ the
-        // full-corpus scored set restricted to both-endpoints-in-slice
+        // does not depend on other docs), so LSH over the window ≡ the
+        // full-corpus scored set restricted to both-endpoints-in-window
         raw"""SELECT id_a, id_b, jaccard_bp FROM scored
           |WHERE jaccard_bp >= 2000
-          |  AND id_a % ${certSliceModulusSql(5000L, 1L)} = 0
-          |  AND id_b % ${certSliceModulusSql(5000L, 1L)} = 0
+          |  AND id_a <= ${certSliceCutoffSql(5000L)}
+          |  AND id_b <= ${certSliceCutoffSql(5000L)}
           |ORDER BY id_a, id_b""".stripMargin)),
 
     // The STREAMED curation pipeline's end state — DocumentStreams'
@@ -469,27 +476,30 @@ object StreamedQueries {
     Q("q247_streamed_curation",
       (s, dir) => {
         val all = Tables.load(s, dir, "documents")
-        // size-derived slices (m = 2 corpus / m = 1 eval, i.e. the
-        // odd-id half-corpus against the full %17 eval set, at every
-        // oracle-checked sf; both thinner past ~5k docs): every stage
-        // still streams real traffic at a bounded volume — the eval
-        // slice bounds the decontamination SHINGLE INDEX the same way
-        // the corpus slice bounds LSH pairs (at sf1 an unsliced eval
-        // is ~3k docs whose 3-gram set marks every candidate dirty:
-        // the streamed waves ran but certified an empty survivor set).
+        // size-derived slices (corpus: the first ~2.5k docs by id minus
+        // the eval residues; eval: the %17 set, modulus-thinned past
+        // ~85k docs): every stage still streams real traffic at a
+        // bounded volume — the eval slice bounds the decontamination
+        // SHINGLE INDEX the same way the corpus window bounds LSH
+        // pairs (at sf1 an unsliced eval is ~3k docs whose 3-gram set
+        // marks every candidate dirty: the streamed waves ran but
+        // certified an empty survivor set). The corpus slice is a
+        // WINDOW, not a modulus: a modulus kills near-dup pairs as
+        // 1/m² (the q246 sf10 lesson), so the keep-first policy would
+        // certify against an empty pair set at scale; eval stays a
+        // modulus because contamination is per-doc, not pair-based.
         // Identical rules in the oracle. Certification cost, not
         // coverage — the full-corpus LSH is q44/q246's surface.
         val evalM = certSliceModulus(s, dir, target = 5000L, floor = 1L)
         val eval = all.filter(col("doc_id") % (17L * evalM) === 0)
           .persist()
-        val sliceM = certSliceModulus(s, dir, target = 2500L, floor = 2L)
+        val cut = certSliceCutoff(s, dir, target = 2500L)
         // cache the slice (the q246 rationale: each wave's batch frame
         // is consumed ~7 times through curateBatch — index build, probe,
-        // quality, contamination, final joins — and a modulo filter
-        // never prunes the parquet scan); bounded at ~2.5k docs at any
-        // corpus size
+        // quality, contamination, final joins); bounded at ~2.5k docs
+        // at any corpus size, and the id cutoff is parquet-pushable
         val corpus = all.filter(col("doc_id") % 17 =!= 0 &&
-          col("doc_id") % sliceM === 1)
+          col("doc_id") <= cut)
           .persist()
         // 1-row bounded decision read (Skew.autoJoin rule): tercile
         // boundaries so waves arrive in id order. max() over an empty
@@ -547,17 +557,17 @@ object StreamedQueries {
           |), dirty AS (
           |  SELECT DISTINCT d.doc_id
           |  FROM sh d JOIN evalh e ON d.shingle = e.shingle
-          |  WHERE d.doc_id % 17 <> 0 AND d.doc_id % ${certSliceModulusSql(2500L, 2L)} = 1
+          |  WHERE d.doc_id % 17 <> 0 AND d.doc_id <= ${certSliceCutoffSql(2500L)}
           |), dup AS (
           |  SELECT DISTINCT id_b FROM scored
           |  WHERE jaccard_bp >= 2000
           |    AND id_a % 17 <> 0 AND id_b % 17 <> 0
-          |    AND id_a % ${certSliceModulusSql(2500L, 2L)} = 1
-          |    AND id_b % ${certSliceModulusSql(2500L, 2L)} = 1
+          |    AND id_a <= ${certSliceCutoffSql(2500L)}
+          |    AND id_b <= ${certSliceCutoffSql(2500L)}
           |)
           |SELECT d0.doc_id FROM documents d0
           |WHERE d0.doc_id % 17 <> 0
-          |  AND d0.doc_id % ${certSliceModulusSql(2500L, 2L)} = 1
+          |  AND d0.doc_id <= ${certSliceCutoffSql(2500L)}
           |  AND d0.doc_id IN (SELECT doc_id FROM qkeep)
           |  AND d0.doc_id NOT IN (SELECT id_b FROM dup)
           |  AND d0.doc_id NOT IN (SELECT doc_id FROM dirty)

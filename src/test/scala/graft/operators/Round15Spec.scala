@@ -5,66 +5,52 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
 
-/** Round-15 pins: the streamed-certification hardening (ordinal wave
-  * split that cannot degenerate when the slice modulus divides the wave
-  * count; q247's empty-residue-slice short-circuit instead of an NPE)
-  * and q282's pair-materializing range join planning as a salted
-  * shuffle equi-join, never a nested-loop probe.
+/** Round-15 pins: the streamed-certification hardening (the
+  * pair-preserving id-window slice — a modulus slice kills near-dup
+  * pairs as 1/m² and certified an empty set at sf10; q247's
+  * empty-corpus-slice short-circuit instead of an NPE) and q282's
+  * pair-materializing range join planning as a salted shuffle
+  * equi-join, never a nested-loop probe.
   */
 class Round15Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
-  // --- waveOf: ordinal wave split ----------------------------------------
+  // --- certification window slice ------------------------------------------
 
-  test("waveOf spreads a sliced corpus across ALL waves even when the " +
-    "slice modulus is a multiple of the wave count (raw doc_id % 3 put " +
-    "every m=3-sliced doc in wave 0)") {
+  test("certSliceCutoff keeps the first `target` docs by id (pair-" +
+    "preserving window) and keeps EVERYTHING when the corpus is " +
+    "smaller than the target") {
     val s = spark
     import s.implicits._
-    // the m=3 certification slice: ids are exactly the multiples of 3
-    val sliced = (0L until 30L by 3L).toDF("doc_id")
-    val counts = (0 until 3).map { b =>
-      sliced.filter(ExtensionShared.waveOf(col("doc_id"), 3L, 3) === b)
-        .count()
-    }
-    assert(counts.forall(_ > 0), s"degenerate wave split: $counts")
-    assert(counts.sum == 10, s"waves must partition the slice: $counts")
-    // raw doc_id % 3 on the same slice IS degenerate — the failure mode
-    // this helper exists to prevent
-    val rawCounts = (0 until 3).map { b =>
-      sliced.filter(col("doc_id") % 3 === b).count()
-    }
-    assert(rawCounts == Seq(10, 0, 0), s"expected the raw split to " +
-      s"degenerate on an m=3 slice, got $rawCounts")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("cert-window").toString
+    // sparse, shuffled ids — the cutoff must be the target-th SMALLEST
+    // id, not target itself
+    Seq(907L, 3L, 500L, 41L, 12000L, 77L)
+      .map(i => (i, s"doc $i", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(ExtensionShared.certSliceCutoff(spark, tmp, 4L) == 500L)
+    assert(ExtensionShared.certSliceCutoff(spark, tmp, 100L) == 12000L)
   }
 
-  test("waveOf at m=1 (every oracle-checked sf) reproduces the plain " +
-    "doc_id % waves split exactly") {
-    val s = spark
-    import s.implicits._
-    val ids = (0L until 20L).toDF("doc_id")
-    val got = ids.select(col("doc_id"),
-      ExtensionShared.waveOf(col("doc_id"), 1L, 3).as("w")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((0L until 20L).forall(i => got(i) == i % 3))
-  }
-
-  // --- q247: empty residue slice must short-circuit, not NPE --------------
+  // --- q247: empty corpus slice must short-circuit, not NPE ---------------
 
   test("q247 streamed curation returns an EMPTY curated set (no NPE on " +
-    "max(doc_id) = NULL) when the corpus residue slice is empty") {
+    "max(doc_id) = NULL) when the corpus slice is empty") {
     val s = spark
     import s.implicits._
-    // A documents tree with only EVEN doc_ids: the q247 corpus slice
-    // (doc_id % 17 != 0 AND doc_id % sliceM == 1, sliceM floored at 2)
-    // selects odd residues only, so the slice is EMPTY while the eval
-    // slice (doc_id % 17 == 0, includes 0) is not — exactly the shape
-    // that NPE'd the tercile read before the Option short-circuit.
+    // A documents tree whose every doc_id is a multiple of 17: the
+    // corpus slice (doc_id % 17 != 0 AND doc_id <= window cutoff) is
+    // EMPTY while the eval slice (doc_id % 17 == 0) holds everything —
+    // exactly the shape that NPE'd the tercile read before the Option
+    // short-circuit.
     val tmp = java.nio.file.Files
       .createTempDirectory("q247-empty-slice").toString
-    (0L until 100L).map(i => (i * 2,
-        s"alpha beta gamma delta epsilon zeta doc ${i * 2} text body",
+    (0L until 100L).map(i => (i * 17,
+        s"alpha beta gamma delta epsilon zeta doc ${i * 17} text body",
         "en", "web", 50L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1)

@@ -1,0 +1,57 @@
+#!/bin/bash
+# sf10 probe (100×-direction evidence): build target/sf10 (100× of the
+# driver's sf0.1 tree via graft.ScaleUp), run the scale-sensitive query
+# tier single-pass cold (graft.Sf10Probe) against a stated per-query
+# budget, and — where DuckDB can manage the oracle at 100× — hash-check
+# a correctness subset (CORRECTNESS_sf10_subset.json; oracle timeouts
+# are recorded as unverified-at-this-sf, not as mismatches).
+#
+# Heavy (~18 GB tree, tens of minutes): run when the probe tier or
+# ScaleUp changes, not per-commit. Commit both artifacts when green.
+set -e -o pipefail
+cd "$(dirname "$0")/.."
+
+BUDGET="${SF10_BUDGET_SEC:-300}"
+ORACLE_TIMEOUT="${SF10_ORACLE_TIMEOUT_SEC:-600}"
+# the oracle-checkable slice of the probe tier (q168's trigram CTE and
+# q138's sequential HNSW walk are DuckDB-hostile at 100×; they stay
+# probe-only)
+ORACLE_QUERIES="${SF10_ORACLE_QUERIES:-q103_range_join q163_audio_neardup q78_semantic_dedup q246_streamed_neardups q247_streamed_curation}"
+
+if [ ! -d target/sf10/lineitem.parquet ]; then
+  echo "[sf10] generating target/sf10 (100x sf0.1) ..."
+  SPARK_DRIVER_MEM=24g sbt -batch \
+    "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf10 100" \
+    2>&1 | grep -E '\[scaleup\]' \
+    || { echo "[sf10] ScaleUp FAILED"; exit 1; }
+fi
+
+echo "[sf10] probe (single pass, budget ${BUDGET}s/query) ..."
+rm -f BENCH_sf10_subset.json
+SPARK_GRAFT_SF_DIR="$PWD/target/sf10" SPARK_GRAFT_CPUS=32 \
+SF10_BUDGET_SEC="$BUDGET" SPARK_DRIVER_MEM=24g \
+sbt -batch "runMain graft.Sf10Probe" 2>&1 | grep '"metric"' | tail -1
+[ -f BENCH_sf10_subset.json ] || { echo "[sf10] FAIL: probe wrote no artifact"; exit 1; }
+
+echo "[sf10] oracle subset (timeout ${ORACLE_TIMEOUT}s/query) ..."
+rm -rf target/verify_sf10
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g sbt -batch \
+  "runMain graft.Verify $PWD/target/sf10 target/verify_sf10 $ORACLE_QUERIES" \
+  2>&1 | grep -i '\[verify\].*failed' && { echo "[sf10] Verify FAILED"; exit 1; }
+COMPARE_ORACLE_TIMEOUT_SEC="$ORACLE_TIMEOUT" \
+COMPARE_JSON_OUT=CORRECTNESS_sf10_subset.json \
+python3 tools/compare.py "$PWD/target/sf10" target/verify_sf10 $ORACLE_QUERIES
+
+python3 - "$BUDGET" <<'EOF'
+import json, sys
+b = json.load(open("BENCH_sf10_subset.json"))
+bad = []
+if b.get("failed"):
+    bad.append(f"crashed queries: {b['failed']}")
+if b.get("n_over_budget", 0) > 0:
+    bad.append(f"over budget ({b['budget_sec']}s): {b['over_budget']}")
+if bad:
+    print("[sf10] FAIL:", "; ".join(bad))
+    sys.exit(1)
+print(f"[sf10] OK: total={b['value']}s n={b['n_queries']} over_budget=0 failed=0")
+EOF
