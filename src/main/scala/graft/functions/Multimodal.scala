@@ -197,28 +197,40 @@ object Multimodal {
 
   // -- perceptual hashing (image dedup) ------------------------------
 
-  /** Deterministic 32×32 grayscale GRADIENT image for doc `id`: pixel
-    * value g(x,y) = (x·(id·7 mod 13 + 1) + y·(id·11 mod 17 + 1) +
-    * id·37) mod 256 on all three channels. Unlike the solid frames
-    * above, gradients make the average-hash non-degenerate, and ids
-    * congruent mod 221 (=13·17... structure classes) share a gradient
-    * direction — natural exact/near-duplicate pairs for the dedup
-    * family. The formula is replayed verbatim by the DuckDB oracle, so
-    * the REAL PNG encode→decode round-trip sits inside an exactly
-    * hash-checked pipeline (the q32 discipline). */
+  /** Deterministic 32×32 grayscale image for doc `id`: per-row hashed
+    * base + x-gradient — g(x,y) = (rowHash(seed, y) + x·(seed·7 mod 13
+    * + 1)) mod 256 on all three channels, seed = [[dupSeed]](id, m)
+    * with m corpus-scaled ([[dupSeedModulus]], base 221; collapses to
+    * the historical 221 at small sfs). Docs in the same hashed class
+    * share every pixel — the exact/near-duplicate traffic the dedup
+    * family exists to catch. The 32 per-row hashed bases give the
+    * aHash bit pattern ~2⁵⁶ effective diversity, so cross-class
+    * dist≤3 matches are chance-level at any corpus size — the previous
+    * pure-gradient formula's hash space was structurally capped at
+    * ~221 patterns (gradient directions; the global-mean threshold
+    * cancels the id·37 offset), which made the q161 pair output fully
+    * QUADRATIC (measured 100.7× pairs for 10× data at the sf10 probe).
+    * Each row is still an arithmetic sequence in x, so PNG row filters
+    * keep the payload as compressible as the old gradient. The formula
+    * is replayed verbatim by the DuckDB oracle, so the REAL PNG
+    * encode→decode round-trip sits inside an exactly hash-checked
+    * pipeline (the q32 discipline). */
   private def makeGradientPng(writer: javax.imageio.ImageWriter,
-                              id: Long): Array[Byte] = {
+                              id: Long, mod: Long): Array[Byte] = {
     val w = 32; val h = 32
-    val gx = (id * 7 % 13 + 1).toInt
-    val gy = (id * 11 % 17 + 1).toInt
+    val seed = dupSeed(id, mod)
+    val gx = (seed * 7 % 13 + 1).toInt
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
+      val x1 = seed * 32 + y + 1
+      val base = ((x1 * 2654435761L % 2147483648L / 65536L) *
+        (x1 * 1779033703L % 2147483648L / 65536L) % 256L).toInt
       var x = 0
       while (x < w) {
-        val v = ((x.toLong * gx + y.toLong * gy + id * 37) % 256).toInt
+        val v = (base + x * gx) % 256
         px(y * w + x) = (v << 16) | (v << 8) | v
         x += 1
       }
@@ -233,11 +245,12 @@ object Multimodal {
   def syntheticGradientPngs(spark: SparkSession,
                             dir: String): Dataset[ImageRow] = {
     import spark.implicits._
+    val mod = dupSeedModulus(spark, dir, 221L)
     graft.sources.Tables.load(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val writer = newPngWriter()
-        it.map(id => ImageRow(id, makeGradientPng(writer, id)))
+        it.map(id => ImageRow(id, makeGradientPng(writer, id, mod)))
       }
   }
 
@@ -298,13 +311,13 @@ object Multimodal {
     (hi, lo)
   }
 
-  /** Gradient-frame GVID container for doc `id`: seed = id mod 150
-    * (re-uploaded videos share every frame), frame count seed%3+4,
+  /** Gradient-frame GVID container for doc `id`: seed = dupSeed(id, 150·scale)
+    * (re-uploaded videos — same hashed dup class — share every frame), frame count seed%3+4,
     * frame f a 32×32 gradient keyed by k = seed·31 + f (the PNG
     * gradient formula). Same container layout as the solid GVID. */
   private def makeGradientGvid(writer: javax.imageio.ImageWriter,
                                id: Long, mod: Long): Array[Byte] = {
-    val seed = id % mod
+    val seed = dupSeed(id, mod)
     val nf = (seed % 3).toInt + 4
     val frames = (0 until nf).map { f =>
       val k = seed * 31 + f
@@ -356,6 +369,27 @@ object Multimodal {
   def dupSeedModulus(spark: SparkSession, dir: String, base: Long): Long =
     base * math.max(1L,
       graft.sources.Tables.load(spark, dir, "documents").count() / 5000L)
+
+  /** Dup-class seed of a doc id: HASH the id before the class modulus.
+    * A raw `id % m` assumes ids are dense over a range ≫ m — on a
+    * replica-strided tree (blocks of ~5k ids spaced 10⁸ apart) the
+    * stride is a multiple of every corpus-scaled m past the block
+    * size, so all replicas collapse onto the block's residues: class
+    * size grows WITH the corpus and the near-dup pair output
+    * (Σ C(|class|,2)) turns quadratic however m scales — the r15 sf10
+    * probe measured q163 at 4× its intended pair volume from exactly
+    * this. `x·c mod 2³¹` is a BIJECTION on [0, 2³¹) for odd c, so the
+    * hashed ids spread uniformly over the classes no matter how the
+    * raw ids cluster. The `id % 2³¹` pre-fold keeps the product inside
+    * Long/BIGINT (strided ids reach ~10¹⁰) and is collision-free for
+    * any realistic stride (collisions need ids 2³¹ apart). Replayed
+    * verbatim in audioPackCtes/videoPackCtes. */
+  private def dupSeed(id: Long, mod: Long): Long =
+    id % 2147483648L * 2654435761L % 2147483648L % mod
+
+  /** SQL replay of [[dupSeed]] for the pack CTEs. */
+  private[graft] def dupSeedSql(modSql: String): String =
+    s"doc_id % 2147483648 * 2654435761 % 2147483648 % ($modSql)"
 
   /** One gradient GVID per document. Partition-local encode. */
   def syntheticGradientGvids(spark: SparkSession,
@@ -423,30 +457,47 @@ object Multimodal {
 
   /** Deterministic amplitude-stepped PCM clip for doc `id`: 4096
     * frames of a square carrier whose magnitude changes per 64-sample
-    * window — a(w) = ((seed·97 + w·step·640) mod 8192) + 1 with
-    * step = seed·13 mod 7 + 1 and seed = id mod m (m corpus-scaled,
-    * see [[dupSeedModulus]]; 200 at oracle-checked sfs). The seed fold
-    * models RE-UPLOADED clips (ids congruent mod m carry identical
-    * audio — the duplicate traffic the fingerprint family exists to
-    * catch); the window-stepped envelope makes the energy fingerprint
-    * non-degenerate. Same oracle discipline as the gradient PNGs: the
-    * formula is replayed in SQL, the REAL WAV encode→decode round-trip
-    * sits inside the hash check. */
+    * window — a(w) = Knuth-hash(seed·64 + w) folded to (0, 8192], with
+    * seed = [[dupSeed]](id, m) (m corpus-scaled, see [[dupSeedModulus]]; 200 at
+    * oracle-checked sfs). The seed fold models RE-UPLOADED clips (ids
+    * congruent mod m carry identical audio — the duplicate traffic the
+    * fingerprint family exists to catch).
+    *
+    * The per-window energy is a MULTIPLICATIVE HASH of (seed, w), not
+    * a polynomial envelope: every polynomial-in-seed envelope the
+    * family tried (arithmetic step r13, quadratic curvature r14,
+    * corpus-scaled curvature r15) re-saturated at the next scale tier,
+    * because its w-coefficients live mod 8192 and the mean threshold
+    * cancels the seed offset — seeds collide (or land hamming-≤3
+    * close) once they pack the coefficient space, making cross-class
+    * pair output quadratic again (the sf10 probe measured 41× pairs
+    * for 10× data even with corpus-scaled curvature). Hashed energies
+    * behave like random 64-bit fingerprints: P(dist ≤ 3) between
+    * distinct seeds ≈ 4·10⁻¹⁵, so the near-dup output is the exact
+    * dup-class pair count — linear at every scale. Same oracle
+    * discipline as the gradient PNGs: the formula is replayed in SQL,
+    * the REAL WAV encode→decode round-trip sits inside the hash
+    * check. */
   private def makeSteppedWav(id: Long, mod: Long): Array[Byte] = {
-    val seed = id % mod
-    val step = (seed * 13 % 7 + 1).toInt
+    val seed = dupSeed(id, mod)
     val frames = 4096
     val pcm = new Array[Byte](frames * 2)
     var i = 0
     while (i < frames) {
       val w = i / 64
-      // the w² term keeps the 64-bit energy fingerprint space growing
-      // with the seed modulus: the pure arithmetic-progression envelope
-      // saturated at 336 distinct fingerprints however many seeds
-      // existed (measured), which made dist≤3 matching quadratic in
-      // corpus size no matter how dupSeedModulus scaled the classes
-      val a = ((seed * 97 + w.toLong * step * 640 +
-        w.toLong * w * (seed % 61) * 37) % 8192).toInt + 1
+      // Product of two independent Knuth extractions — the mix must be
+      // NONLINEAR in (seed, w): a single multiply-fold is affine, so
+      // the mean threshold cancels the per-seed base and every seed
+      // lands in one wrap-phase family (measured 64 distinct patterns
+      // for 200 seeds). Multiplying the two 15-bit high-bit
+      // extractions breaks the linearity; measured 20 000/20 000
+      // distinct fingerprints and 0 dist≤3 hits in 2M sampled cross-
+      // seed pairs. x ≤ ~1.3e8 at the 100× tier, x·c ≈ 3.4e17 and
+      // m1·m2 < 2³⁰ — every intermediate fits Long/BIGINT exactly.
+      val x = seed * 64 + w + 1
+      val m1 = x * 2654435761L % 2147483648L / 65536L
+      val m2 = x * 1779033703L % 2147483648L / 65536L
+      val a = (m1 * m2 % 8192L).toInt + 1
       val s = if (i % 2 == 0) a else -a
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte

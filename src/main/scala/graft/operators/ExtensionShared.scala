@@ -819,17 +819,23 @@ private[operators] object ExtensionShared {
     * discipline): any codec or raster-walk divergence breaks the
     * hash match. */
   private[operators] def aHashPackCtes: String =
-    """WITH ids AS (
-      |  SELECT doc_id FROM documents
+    s"""WITH ids AS (
+      |  SELECT doc_id,
+      |         ${graft.functions.Multimodal.dupSeedSql(
+             "221 * (SELECT GREATEST(1, COUNT(*) // 5000) " +
+               "FROM documents)")} AS seed
+      |  FROM documents
       |), xs AS (
       |  SELECT unnest(generate_series(0, 31)) AS x
       |), ys AS (
       |  SELECT unnest(generate_series(0, 31)) AS y
       |), px AS (
       |  SELECT i.doc_id, xs.x, ys.y,
-      |         (xs.x * (i.doc_id * 7 % 13 + 1)
-      |          + ys.y * (i.doc_id * 11 % 17 + 1)
-      |          + i.doc_id * 37) % 256 AS v
+      |         ((((i.seed * 32 + ys.y + 1) * 2654435761 % 2147483648
+      |             // 65536)
+      |           * ((i.seed * 32 + ys.y + 1) * 1779033703 % 2147483648
+      |             // 65536)) % 256
+      |          + xs.x * (i.seed * 7 % 13 + 1)) % 256 AS v
       |  FROM ids i CROSS JOIN xs CROSS JOIN ys
       |), blk AS (
       |  SELECT doc_id, x // 4 AS bx, y // 4 AS by,
@@ -865,18 +871,20 @@ private[operators] object ExtensionShared {
     * packed halves; the Spark side's real WAV encode→decode round-trip
     * is certified end-to-end (the q160 discipline on audio). */
   private[operators] def audioPackCtes: String =
-    """WITH ids AS (
+    s"""WITH ids AS (
       |  SELECT doc_id,
-      |         doc_id % (200 * (SELECT GREATEST(1, COUNT(*) // 5000)
-      |                          FROM documents)) AS seed
+      |         ${graft.functions.Multimodal.dupSeedSql(
+             "200 * (SELECT GREATEST(1, COUNT(*) // 5000) " +
+               "FROM documents)")} AS seed
       |  FROM documents
       |), ws AS (
       |  SELECT unnest(generate_series(0, 63)) AS w
       |), en AS (
       |  SELECT i.doc_id, ws.w,
-      |         (i.seed * 97 + ws.w * (i.seed * 13 % 7 + 1) * 640
-      |          + ws.w * ws.w * (i.seed % 61) * 37)
-      |           % 8192 + 1 AS e
+      |         (((i.seed * 64 + ws.w + 1) * 2654435761 % 2147483648
+      |            // 65536)
+      |          * ((i.seed * 64 + ws.w + 1) * 1779033703 % 2147483648
+      |            // 65536)) % 8192 + 1 AS e
       |  FROM ids i CROSS JOIN ws
       |), gmean AS (
       |  SELECT doc_id, CAST(SUM(e) // 64 AS BIGINT) AS gm
@@ -892,10 +900,11 @@ private[operators] object ExtensionShared {
     * packf(doc_id, f, h_hi, h_lo). Certifies the container parse +
     * per-frame PNG decode end-to-end. */
   private[operators] def videoPackCtes: String =
-    """WITH ids AS (
+    s"""WITH ids AS (
       |  SELECT doc_id,
-      |         doc_id % (150 * (SELECT GREATEST(1, COUNT(*) // 5000)
-      |                          FROM documents)) AS seed
+      |         ${graft.functions.Multimodal.dupSeedSql(
+             "150 * (SELECT GREATEST(1, COUNT(*) // 5000) " +
+               "FROM documents)")} AS seed
       |  FROM documents
       |), fr AS (
       |  SELECT doc_id, seed,

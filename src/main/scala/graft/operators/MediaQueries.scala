@@ -252,7 +252,7 @@ object MediaQueries {
 
     // Audio energy fingerprint with a REAL WAV codec in the loop: one
     // stepped-envelope PCM clip per doc (re-uploads modeled as ids
-    // congruent mod 200 — identical audio), decode + per-window mean
+    // in the same hashed dup class — identical audio), decode + per-window mean
     // |amplitude| → 64 energy bits packed as the same two unsigned
     // halves as q160. The oracle regenerates the fingerprint from the
     // envelope FORMULA, certifying the encode→decode round-trip.
@@ -272,7 +272,7 @@ object MediaQueries {
 
     // Audio near-duplicate pairs: the q161 band join UNCHANGED over
     // the audio fingerprint frame (the hash surface is modality-
-    // agnostic by construction). Re-uploaded clips (ids ≡ mod 200)
+    // agnostic by construction). Re-uploaded clips (same hashed class)
     // land at distance 0; the blocking-free n² oracle again certifies
     // pigeonhole completeness at ≤ 3.
 
@@ -299,7 +299,7 @@ object MediaQueries {
 
     // Per-frame video hashes with a REAL container parse + PNG decode
     // per frame: one gradient-frame GVID per doc (re-uploads modeled
-    // as ids ≡ mod 150), each frame aHashed with the q160 core. The
+    // as hashed dup classes), each frame aHashed with the q160 core. The
     // frame-hash table is the video dedup INDEX; the oracle
     // regenerates every frame hash from the pixel formula, certifying
     // container index, seek walk, and codec together.

@@ -260,10 +260,17 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hashes.length > 0)
     // independent replay of the pixel formula for every doc
+    def dupSeedI(id: Long, mod: Long): Long =
+      id % 2147483648L * 2654435761L % 2147483648L % mod
     def formulaHash(id: Long): (Long, Long) = {
-      val gx = (id * 7 % 13 + 1).toInt; val gy = (id * 11 % 17 + 1).toInt
-      def v(x: Int, y: Int) =
-        ((x.toLong * gx + y.toLong * gy + id * 37) % 256).toInt
+      val seed = dupSeedI(id, 221)
+      val gx = (seed * 7 % 13 + 1).toInt
+      def v(x: Int, y: Int) = {
+        val x1 = seed * 32 + y + 1
+        (((x1 * 2654435761L % 2147483648L / 65536L) *
+          (x1 * 1779033703L % 2147483648L / 65536L) % 256L).toInt
+          + x * gx) % 256
+      }
       val bm = Array.tabulate(64) { k =>
         val bx = k % 8; val by = k / 8
         (for (y <- by * 4 until by * 4 + 4; x <- bx * 4 until bx * 4 + 4)
@@ -292,9 +299,10 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (ia, ib, d.toLong)).toSet
     assert(brute.nonEmpty, "fixture produced no near-dup pairs — weak")
     assert(got == brute)
-    // ids congruent mod 221 share the gradient class → distance 0
+    // ids in the same hashed class share every pixel → distance 0
     val zeroPairs = got.filter(_._3 == 0L)
-    assert(zeroPairs.exists { case (a, b, _) => (b - a) % 221 == 0 })
+    assert(zeroPairs.exists { case (a, b, _) =>
+      dupSeedI(a, 221) == dupSeedI(b, 221) })
   }
 
   test("audioFingerprint: real WAV round-trip reproduces the envelope " +
@@ -303,12 +311,15 @@ class MultimodalSpec extends AnyFunSuite {
     val hashes = Multimodal.audioFingerprint(
       Multimodal.syntheticSteppedWavs(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dupSeed(id: Long, mod: Long): Long =
+      id % 2147483648L * 2654435761L % 2147483648L % mod
     def formulaHash(id: Long): (Long, Long) = {
-      val seed = id % 200
-      val step = (seed * 13 % 7 + 1).toInt
-      val e = Array.tabulate(64)(w =>
-        (seed * 97 + w.toLong * step * 640 +
-          w.toLong * w * (seed % 61) * 37) % 8192 + 1)
+      val seed = dupSeed(id, 200)
+      val e = Array.tabulate(64) { w =>
+        val x = seed * 64 + w + 1
+        (x * 2654435761L % 2147483648L / 65536L) *
+          (x * 1779033703L % 2147483648L / 65536L) % 8192L + 1
+      }
       val gm = e.sum / 64
       var hi = 0L; var lo = 0L
       for (k <- 0 until 64 if e(k) > gm)
@@ -319,9 +330,14 @@ class MultimodalSpec extends AnyFunSuite {
       assert((hi, lo) == formulaHash(id), s"doc $id")
     }
     val byId = hashes.map(h => h._1 -> ((h._2, h._3))).toMap
-    // re-uploads: ids congruent mod 200 carry identical fingerprints
-    byId.keys.filter(_ >= 200).foreach { id =>
-      assert(byId(id) == byId(id % 200), s"re-upload $id")
+    // re-uploads: ids in the same HASHED dup class carry identical
+    // fingerprints (class = dupSeed(id, 200), not raw id % 200 — the
+    // hash makes classes id-layout-independent)
+    val byClass = byId.keys.groupBy(dupSeed(_, 200))
+      .filter(_._2.size > 1)
+    assert(byClass.nonEmpty, "fixture produced no re-upload classes")
+    byClass.foreach { case (cls, members) =>
+      assert(members.map(byId).toSet.size == 1, s"class $cls")
     }
     // band join == brute force at <= 3 (pigeonhole completeness)
     val got = Multimodal.imageNearDupPairs(
@@ -337,9 +353,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute && brute.nonEmpty)
   }
 
-  test("videoNearDupPairs: re-uploaded videos (ids ≡ mod 150) surface " +
-    "at full overlap; matching is frame-hash-join-driven") {
+  test("videoNearDupPairs: re-uploaded videos (same hashed dup class) " +
+    "surface at full overlap; matching is frame-hash-join-driven") {
     import graft.functions.Multimodal
+    def dupSeed(id: Long, mod: Long): Long =
+      id % 2147483648L * 2654435761L % 2147483648L % mod
     val fh = Multimodal.videoFrameHashes(
       Multimodal.syntheticGradientGvids(spark, dir))
     val pairs = Multimodal.videoNearDupPairs(fh)
@@ -349,7 +367,8 @@ class MultimodalSpec extends AnyFunSuite {
     val ids = fh.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
     val reuploads = for {
-      a <- ids; b <- ids if a < b && (b - a) % 150 == 0
+      a <- ids; b <- ids
+      if a < b && dupSeed(a, 150) == dupSeed(b, 150)
     } yield (a, b)
     assert(reuploads.nonEmpty)
     reuploads.foreach { p =>

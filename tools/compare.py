@@ -65,6 +65,16 @@ def main():
     timeout = float(os.environ.get("COMPARE_ORACLE_TIMEOUT_SEC", "0"))
     json_out = os.environ.get("COMPARE_JSON_OUT", "")
     con = duckdb.connect()
+    # In-memory DuckDB has no temp_directory, so a big-tree oracle (the
+    # sf10 range join) aborts at the memory limit instead of spilling.
+    # Give it an out-of-core path as OVERFLOW only — the memory cap
+    # stays near the box's RAM (a low cap pushes corpus-wide CTE chains
+    # to disk wholesale and fills the volume instead). Both overridable.
+    tmp = os.environ.get("COMPARE_DUCKDB_TMP", "/tmp/duckdb_compare_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET memory_limit='"
+                + os.environ.get("COMPARE_DUCKDB_MEM", "100GB") + "'")
     for t in TABLES:
         # driver testdata is single-file; ScaleUp trees are directories
         src = f"{sf_dir}/{t}.parquet"
