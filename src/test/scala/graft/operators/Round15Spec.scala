@@ -36,6 +36,34 @@ class Round15Spec extends AnyFunSuite {
     assert(ExtensionShared.certSliceCutoff(spark, tmp, 100L) == 12000L)
   }
 
+  // --- hashed dup classes stay uniform on strided id layouts ---------------
+
+  test("dupSeed classes stay uniform on a replica-strided id layout " +
+    "where the raw modulus collapses all replicas onto one block's " +
+    "residues (the q163 sf10 quadratic)") {
+    // two replica blocks of 1000 dense ids, 10^8 apart — the ScaleUp
+    // layout in miniature; class modulus 2000 exceeds the block size
+    val ids = (0L until 1000L) ++ (100000000L until 100001000L)
+    val m = 2000L
+    def dupSeed(id: Long): Long =
+      id % 2147483648L * 2654435761L % 2147483648L % m
+    // raw id % m: the stride is a multiple of m, so both blocks land
+    // on residues 0..999 — HALF the classes empty, every class double-
+    // sized, and pair volume 2x what uniform classes would give
+    val rawSizes = ids.groupBy(_ % m).values.map(_.size)
+    assert(rawSizes.forall(_ == 2) && rawSizes.size == 1000)
+    // hashed classes: the uniform-occupancy expectation for n balls in
+    // n bins is n·(1 − 1/e) ≈ 1264 occupied — measured 1265
+    val hashedSizes = ids.groupBy(dupSeed).values.map(_.size)
+    assert(hashedSizes.size > 1100,
+      s"hashed classes collapsed: ${hashedSizes.size}")
+    assert(hashedSizes.max <= 6, s"hashed pile-up: ${hashedSizes.max}")
+    // pair volume (sum C(k,2)) at or below the raw layout's
+    val pairs = (szs: Iterable[Int]) =>
+      szs.map(k => k.toLong * (k - 1) / 2).sum
+    assert(pairs(hashedSizes) < pairs(rawSizes))
+  }
+
   // --- q247: empty corpus slice must short-circuit, not NPE ---------------
 
   test("q247 streamed curation returns an EMPTY curated set (no NPE on " +
