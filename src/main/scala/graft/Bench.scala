@@ -17,15 +17,54 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE: shuffle width must scale with the DATA, not
+    // the core count — the sf10 runs learned that 32 partitions hold
+    // ~500 MB+ each on the wide joins and spill (on a real cluster
+    // maxPartitionBytes + AQE coalescing do this sizing; in a
+    // fixed-core bench the config has to). Default stays = cpus for
+    // the sf0.1/sf1 rounds so numbers remain comparable.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietBoundedWindowWarnings()
+
+    // Data-movement accounting: cumulative shuffle read/write and spill
+    // across all tasks, snapshotted around each pass-1 timing window so
+    // the artifact carries bytes-moved per query alongside seconds.
+    // Wall-clock ratios only expose superlinear data movement when a
+    // human watches a slow run (the r15 q185 spill was found that way);
+    // a shuffle-bytes column makes an sf1/sf0.1 movement ratio
+    // mechanically comparable for every query at every scale.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+    def shuffleSnap(): (Long, Long, Long) =
+      (shufRead.get(), shufWrite.get(), spillBytes.get())
+    // (read, write, spill) deltas observed during each query's pass-1
+    // window. Listener events land asynchronously; the gcBarrier before
+    // every window plus a short post-run drain keep attribution smear
+    // to single-task granularity — decision-grade for movement ratios.
+    val shuffleByQuery =
+      scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
 
     // Failures are TRACKED, not just swallowed: a query that regresses
     // into a crash times near-zero and would otherwise read as a
@@ -82,7 +121,13 @@ object Bench {
       .filter(names.contains)
     val iterative = iterativeOrder.toSet
     val execOrder = names.filterNot(iterative) ++ iterativeOrder
-    execOrder.foreach(run)
+    // SPARK_GRAFT_WARMUP=0 drops the untimed warmup pass — for the
+    // sf10 full-suite run, where a second full pass costs hours and the
+    // question is cold scale behavior, not steady-state precision (the
+    // Sf10Probe precedent: one cold pass, memo builders ordered before
+    // their consumers — which the sorted suite order already does).
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    if (doWarmup) execOrder.foreach(run)
     // Standing-cache pressure report: bytes held by the block-manager
     // storage pool after warmup (when every standing memo frame is built)
     // — the pool the iterative queries' own persists must share.
@@ -109,18 +154,28 @@ object Bench {
     // barrier lists lose that game every round; ~110 ms × every window
     // (~1 min per bench run, outside all timing windows) retires the
     // class. The iterative tail keeps its longer drain.
+    var captureShuffle = false
     def timed(name: String): Double = {
       gcBarrier(if (iterative(name)) 200 else 100)
+      val s0 = if (captureShuffle) Some(shuffleSnap()) else None
       val t0 = System.nanoTime()
       run(name)
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      s0.foreach { case (r0, w0, p0) =>
+        Thread.sleep(80) // let queued task-end events land before the delta
+        val (r1, w1, p1) = shuffleSnap()
+        shuffleByQuery(name) = (r1 - r0, w1 - w0, p1 - p0)
+      }
+      sec
     }
     // SPARK_GRAFT_PASSES=1 drops the repeat passes — for the sf1-scale
     // evidence run, where one pass is ~10× the sf0.1 suite and the
     // noise floor the extra passes buy is irrelevant next to the
     // ×10 signal being measured.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    captureShuffle = true
     val pass1 = execOrder.map(n => n -> timed(n)).toMap
+    captureShuffle = false
     val pass2 =
       if (passes >= 2) execOrder.map(n => n -> timed(n)).toMap else pass1
     // min-of-3 for sub-second queries: at n-of-2 several flat queries
@@ -291,6 +346,25 @@ object Bench {
     val fleetMedJson = fleetMed.map(fmt).getOrElse("null")
     val calibRatioJson = prevCalibEnd
       .collect { case p if p > 0 => fmt(calibEnd / p) }.getOrElse("null")
+    // bytes-moved-per-query maps (pass-1 windows; standing memos warm
+    // when the warmup pass ran, cold on SPARK_GRAFT_WARMUP=0 runs)
+    def bytesJson(sel: ((Long, Long, Long)) => Long): String = names
+      .flatMap(n => shuffleByQuery.get(n)
+        .map(t => "\"" + n + "\":" + sel(t)))
+      .mkString("{", ",", "}")
+    // Baseline-rebase provenance rides INSIDE the artifact: the canary
+    // baseline is whatever artifact was last committed, so a rebase is
+    // an ordinary commit — this block (maintained in
+    // BASELINE_REBASES.json: query, old, new, commit, cause) makes the
+    // committed baseline self-describing instead of relying on PLANS.md
+    // prose a future round could skip.
+    val rebases = {
+      val p = java.nio.file.Paths
+        .get(sys.props("user.dir"), "BASELINE_REBASES.json")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).replaceAll("\\s+", " ").trim
+      else "[]"
+    }
     val fileJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries":$qs,""" +
@@ -303,6 +377,10 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""fleet_median_ratio":$fleetMedJson,""" +
       s""""calib_ratio":$calibRatioJson,""" +
+      s""""shuffle_read_bytes":${bytesJson(_._1)},""" +
+      s""""shuffle_write_bytes":${bytesJson(_._2)},""" +
+      s""""spilled_bytes":${bytesJson(_._3)},""" +
+      s""""rebases":$rebases,""" +
       s""""writes":$ws,"partitioned_files":$nFiles,""" +
       s""""partitioned_bytes":$nBytes,"calib_start":${fmt(calibStart)},""" +
       s""""calib_end":${fmt(calibEnd)},"standing_mem_bytes":$standMem,""" +

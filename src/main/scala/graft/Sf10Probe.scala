@@ -45,8 +45,13 @@ object Sf10Probe {
     "q165_video_neardup",     // corpus-scaled dup-class fixture
     "q138_hnsw_incremental",  // insert volume × beam growth (self-built)
     "q168_kn3_score",         // per-token KN kernel (worst sf1 ratio)
-    "q246_streamed_neardups", // certSliceModulus-bounded machinery
-    "q247_streamed_curation") // certSliceModulus-bounded machinery
+    "q246_streamed_neardups", // certSliceCutoff-bounded machinery
+    "q247_streamed_curation", // certSliceCutoff-bounded machinery
+    "q282_spike_window_pairs",// pair-materializing interval join (74k
+                              // pairs at sf1 — the output class that
+                              // goes quadratic when fixtures saturate)
+    "q283_audio_neardup_cert")// audio near-dup 100x hash anchor (the
+                              // sliced oracle stays DuckDB-feasible)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10")

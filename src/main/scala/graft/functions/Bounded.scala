@@ -22,22 +22,32 @@ object Bounded {
     * The probe is the `connectedComponents` limit+count pattern: a
     * `limit(maxRows + 1).count()` — itself bounded, never corpus-sized —
     * against a persisted handle, so the upstream aggregation is computed
-    * once and the window job reuses the (≤ maxRows-row) cached result
-    * rather than recomputing it. The cached frame is a few rows; LRU
-    * eviction handles the residue.
+    * once; the window job then reads an eager localCheckpoint of the
+    * (≤ maxRows-row) certified frame, and the persist is released
+    * BEFORE returning. The persist must not outlive this call: a
+    * returned cached frame has no materialization point the caller
+    * could unpersist after (queries return lazy DataFrames), so every
+    * construction used to leak one CacheManager entry for the session
+    * (repeated Bench/probe invocations accumulated copies).
+    * Checkpoint blocks carry no CacheManager reference — the
+    * ContextCleaner reclaims them once the returned frame is
+    * unreachable, the same residue discipline as the iterative
+    * queries' in-loop checkpoints.
     */
   def globalWindowFrame(df: DataFrame, maxRows: Int,
                         contract: String): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val probed = cached.limit(maxRows + 1).count()
-    if (probed > maxRows) {
-      cached.unpersist()
-      throw new IllegalStateException(
-        s"bounded-global-window contract '$contract' violated: frame " +
-          s"exceeds $maxRows rows — refusing to run a no-partition " +
-          "window over an unbounded input")
-    }
-    cached
+    try {
+      val probed = cached.limit(maxRows + 1).count()
+      if (probed > maxRows)
+        throw new IllegalStateException(
+          s"bounded-global-window contract '$contract' violated: frame " +
+            s"exceeds $maxRows rows — refusing to run a no-partition " +
+            "window over an unbounded input")
+      // eager: materializes the ≤ maxRows rows out of the cache before
+      // the finally releases it
+      cached.localCheckpoint(true)
+    } finally cached.unpersist()
   }
 }

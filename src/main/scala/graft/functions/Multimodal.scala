@@ -243,16 +243,24 @@ object Multimodal {
   /** One gradient PNG per document. Partition-local encode; payload
     * bytes never shuffle. */
   def syntheticGradientPngs(spark: SparkSession,
-                            dir: String): Dataset[ImageRow] = {
-    import spark.implicits._
-    val mod = dupSeedModulus(spark, dir, 221L)
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        val writer = newPngWriter()
-        it.map(id => ImageRow(id, makeGradientPng(writer, id, mod)))
-      }
-  }
+                            dir: String): Dataset[ImageRow] =
+    gradientPngsForIds(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      dupSeedModulus(spark, dir, 221L))
+
+  /** Id-parameterized face of the gradient-PNG fixture (the dup-class
+    * modulus is explicit): the saturation pins feed synthetic strided
+    * id layouts at two sizes and assert the distinct-fingerprint count
+    * scales with the class modulus — the invariant whose silent loss
+    * made the r13–r15 media pair outputs quadratic. */
+  private[graft] def gradientPngsForIds(ids: Dataset[Long],
+                                        mod: Long): Dataset[ImageRow] =
+    ids.mapPartitions { it =>
+      val writer = newPngWriter()
+      it.map(id => ImageRow(id, makeGradientPng(writer, id, mod)))
+    }(org.apache.spark.sql.Encoders.product[ImageRow])
 
   /** Average-hash (aHash) of each image via a REAL PNG decode: 8×8
     * block means (integer floor over the 4×4 pixel blocks of the
@@ -393,16 +401,21 @@ object Multimodal {
 
   /** One gradient GVID per document. Partition-local encode. */
   def syntheticGradientGvids(spark: SparkSession,
-                             dir: String): Dataset[VideoRow] = {
-    import spark.implicits._
-    val mod = dupSeedModulus(spark, dir, 150L)
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        val writer = newPngWriter()
-        it.map(id => VideoRow(id, makeGradientGvid(writer, id, mod)))
-      }
-  }
+                             dir: String): Dataset[VideoRow] =
+    gradientGvidsForIds(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      dupSeedModulus(spark, dir, 150L))
+
+  /** Id-parameterized face of the gradient-GVID fixture — see
+    * [[gradientPngsForIds]] for why the saturation pins need it. */
+  private[graft] def gradientGvidsForIds(ids: Dataset[Long],
+                                         mod: Long): Dataset[VideoRow] =
+    ids.mapPartitions { it =>
+      val writer = newPngWriter()
+      it.map(id => VideoRow(id, makeGradientGvid(writer, id, mod)))
+    }(org.apache.spark.sql.Encoders.product[VideoRow])
 
   /** Per-frame aHash of every frame in each container (REAL parse +
     * PNG decode): (doc_id, frame_idx, h_hi, h_lo). The frame-hash
@@ -515,13 +528,19 @@ object Multimodal {
 
   /** One stepped-envelope WAV per document. Partition-local encode. */
   def syntheticSteppedWavs(spark: SparkSession,
-                           dir: String): Dataset[AudioRow] = {
-    import spark.implicits._
-    val mod = dupSeedModulus(spark, dir, 200L)
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => AudioRow(id, makeSteppedWav(id, mod))))
-  }
+                           dir: String): Dataset[AudioRow] =
+    steppedWavsForIds(
+      graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong),
+      dupSeedModulus(spark, dir, 200L))
+
+  /** Id-parameterized face of the stepped-WAV fixture — see
+    * [[gradientPngsForIds]] for why the saturation pins need it. */
+  private[graft] def steppedWavsForIds(ids: Dataset[Long],
+                                       mod: Long): Dataset[AudioRow] =
+    ids.mapPartitions(_.map(id => AudioRow(id, makeSteppedWav(id, mod))))(
+      org.apache.spark.sql.Encoders.product[AudioRow])
 
   /** Energy fingerprint of each clip via a REAL WAV decode: mean
     * absolute amplitude per 64-sample window (integer floor), 64

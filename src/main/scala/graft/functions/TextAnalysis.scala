@@ -561,29 +561,32 @@ object TextAnalysis {
       .drop("_es_key")
   }
 
-  /** Fuzzy self-join (edit-distance ≤ `maxDist` pairs) via q-gram
-    * blocking + levenshtein verify — the filter-verification shape of
-    * PassJoin/ED-Join (Gravano et al., VLDB 2001): candidate pairs must
-    * share a character q-gram and have length difference ≤ maxDist, and
-    * by the q-gram COUNT filter must share at least
-    * max(|a|,|b|) − q + 1 − maxDist·q of them; only candidates reach
-    * the O(len²) levenshtein, never the full n² cross join.
+  /** Fuzzy self-join (edit-distance ≤ `maxDist` pairs) via the Ed-Join
+    * PREFIX filter + levenshtein verify (Xiao, Wang & Lin, PVLDB 1(1)
+    * 2008 §3.1): d edits destroy at most d·q of a string's q-grams, so
+    * under any global total order on grams two strings within edit
+    * distance d must share a gram among each side's first d·q + 1
+    * ordered grams. Candidates = pairs sharing a PREFIX gram (ordered
+    * by ascending global frequency, so prefixes hold each string's
+    * rarest grams) with length difference ≤ maxDist; only candidates
+    * reach the O(len²) levenshtein, never the full n² cross join.
     *
-    * COMPLETENESS contract: the blocking provably equals the cross join
-    * it replaces when every string is at least q·(maxDist+1) characters
-    * long (then the count-filter bound max(L)−q+1−d·q ≥ 1, so a true
-    * pair always shares a gram). Shorter strings keep a whole-string
-    * gram (exact-match blocking only) — callers with very short keys
-    * should drop to q=1.
+    * COMPLETENESS contract: the prefix filter never drops a true pair
+    * when every string is at least q·(maxDist+1) characters long (then
+    * each side has ≥ d·q + 1 grams, so the pigeonhole prefix argument
+    * applies; taking d·q + 1 DISTINCT grams covers a multiset prefix of
+    * ≥ d·q + 1 grams — a superset of the required prefix). Shorter
+    * strings keep a whole-string gram (exact-match blocking only) —
+    * callers with very short keys should drop to q=1. The verify keeps
+    * the output exact either way, so the oracle stays the plain n²
+    * formulation.
     *
-    * Scale posture: grams explode map-side (grouped to (id, gram,
-    * multiplicity) — the count filter needs MULTISET intersections, a
-    * distinct-gram-types count violates the bound on gram-repeating
-    * strings like "aaaa"); ONE equi-join on the gram key (hot grams
-    * bound the blocking fan-out — production shards or drops
-    * stop-grams); the Σ min(cnt_a, cnt_b) aggregate applies the count
-    * filter BEFORE any levenshtein runs. Strings ride the gram rows
-    * (short by contract); verify is codegen'd levenshtein. */
+    * Scale posture: grams explode map-side; one frequency-census agg
+    * ranks grams by rarity; the equi-join runs on PREFIX grams only, so
+    * corpus-wide frequent grams (the buckets that made the full-gram
+    * blocker quadratic — 86× wall-clock for 10× names at the r15 sf10
+    * probe) never form join buckets. Strings ride the gram rows (short
+    * by contract); verify is codegen'd levenshtein. */
   def fuzzyPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
                  strCol: String, maxDist: Int,
                  q: Int = 2): org.apache.spark.sql.DataFrame = {

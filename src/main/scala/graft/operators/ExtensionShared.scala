@@ -54,9 +54,13 @@ private[operators] object ExtensionShared {
     * near-dup structure — so the certification output stays at its
     * small-sf volume forever while the machinery still streams real
     * traffic. ONE bounded decision read (TakeOrdered of `target` ids,
-    * never corpus-sized); Long.MaxValue (= keep all) when the corpus
-    * holds ≤ target docs, reproducing pre-slice behavior at the
-    * oracle-checked sfs. */
+    * never corpus-sized); when the corpus holds ≤ target docs the
+    * cutoff is the corpus max id (= keep all), reproducing pre-slice
+    * behavior at the oracle-checked sfs. Empty-corpus sentinel:
+    * Long.MinValue here vs -1 in the SQL mirror — equivalent because
+    * doc_id is nonnegative by the driver's data contract (TESTDATA.md
+    * ids; ScaleUp offsets only add), so both sentinels qualify
+    * nothing. */
   private[operators] def certSliceCutoff(
       s: org.apache.spark.sql.SparkSession, dir: String,
       target: Long): Long = {
@@ -870,13 +874,22 @@ private[operators] object ExtensionShared {
     * envelope formula regenerates per-window energies → bits → the
     * packed halves; the Spark side's real WAV encode→decode round-trip
     * is certified end-to-end (the q160 discipline on audio). */
-  private[operators] def audioPackCtes: String =
+  private[operators] def audioPackCtes: String = audioPackCtesWhere("")
+
+  /** [[audioPackCtes]] with a doc predicate pushed into the `ids` CTE —
+    * the q283 certification slice. The predicate bounds the per-doc
+    * envelope regeneration (the part of the oracle that times out at
+    * 100×: 5M docs × 64 windows); the dup-class seed stays a function
+    * of the FULL corpus count (its scalar subquery reads `documents`
+    * independently), so sliced fingerprints are bit-identical to the
+    * full run's. */
+  private[operators] def audioPackCtesWhere(where: String): String =
     s"""WITH ids AS (
       |  SELECT doc_id,
       |         ${graft.functions.Multimodal.dupSeedSql(
              "200 * (SELECT GREATEST(1, COUNT(*) // 5000) " +
                "FROM documents)")} AS seed
-      |  FROM documents
+      |  FROM documents $where
       |), ws AS (
       |  SELECT unnest(generate_series(0, 63)) AS w
       |), en AS (

@@ -297,6 +297,46 @@ object MediaQueries {
           |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
           |ORDER BY id_a, id_b""".stripMargin)),
 
+    // q163's 100× HASH ANCHOR: the same standing-fingerprint band join
+    // restricted to the certification window (first ~5k docs by id —
+    // the q246 certSliceCutoff rule). q163's own oracle regenerates
+    // envelopes for EVERY doc and honestly times out past sf1, so the
+    // audio family's 100× evidence was row-count linearity alone; the
+    // window bounds the oracle's per-doc envelope CTE to ~5k docs at
+    // ANY corpus size while the dup-class seed stays corpus-scaled
+    // (identical bits to the full run — audioPackCtesWhere). Band
+    // candidacy is pair-local, so the sliced join output ≡ the full
+    // q163 output restricted to both-endpoints-in-window: a real
+    // cross-engine hash certificate for the audio near-dup path at
+    // sf10. Non-vacuous by construction: hashed dup seeds land ~n²/2m
+    // same-class pairs inside the dense window (≥ hundreds at sf10,
+    // the full q163 output at oracle-checked sfs where cut = max id).
+
+    Q("q283_audio_neardup_cert",
+      (s, dir) => {
+        val cut = certSliceCutoff(s, dir, target = 5000L)
+        graft.functions.Multimodal.imageNearDupPairs(
+            Tables.memoTable(s, dir, "audio_fp") {
+              graft.functions.Multimodal.audioFingerprint(
+                mediaTable(s, dir, "stepped_wavs") {
+                  graft.functions.Multimodal
+                    .syntheticSteppedWavs(s, dir).toDF()
+                }.as[graft.functions.Multimodal.AudioRow](
+                  org.apache.spark.sql.Encoders.product))
+            }.filter(col("doc_id") <= cut))
+          .orderBy("id_a", "id_b")
+      },
+      Some(audioPackCtesWhere(
+          s"WHERE doc_id <= ${certSliceCutoffSql(5000L)}") +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.h_hi, b.h_hi))
+          |         + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS dist
+          |FROM pack a JOIN pack b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.h_hi, b.h_hi))
+          |    + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
+
     // Per-frame video hashes with a REAL container parse + PNG decode
     // per frame: one gradient-frame GVID per doc (re-uploads modeled
     // as hashed dup classes), each frame aHashed with the q160 core. The

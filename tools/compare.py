@@ -126,7 +126,20 @@ def main():
                 state["done"] = True
             timer.cancel()
 
-    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+    present = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    # A requested query with no output dir is a FAILURE, not a skip: a
+    # crashed Verify run leaves a partial tree, and silently iterating
+    # only what exists would print ALL OK over a subset (the r15 advice
+    # finding on sf10_probe.sh).
+    for missing in sorted(only - set(present)):
+        print(f"  {missing}: NO OUTPUT DIR under {out_dir} "
+              f"(Verify crashed or never ran it)")
+        failures.append(missing)
+        report[missing] = {"rows_match": False, "schema_match": False,
+                           "hash_match": False, "spark_rows": None,
+                           "oracle_rows": None,
+                           "err": "no verify output dir"}
+    for name in present:
         if only and name not in only:
             continue
         got_rel = con.execute(
@@ -223,6 +236,17 @@ def main():
         print(f"ORACLE TIMEOUTS ({len(timeouts)}): {timeouts}")
     if failures:
         print(f"FAILED: {failures}")
+        sys.exit(1)
+    # A vacuous 0=0 "pass" certifies nothing — fail the exit code too,
+    # so the gate scripts consume the flag mechanically instead of
+    # relying on a human reading stdout/JSON (the JSON keeps
+    # hash_match=true + vacuous=true so the artifact distinguishes
+    # "values matched on an empty set" from a real mismatch).
+    # COMPARE_ALLOW_VACUOUS=1 opts out for trees where emptiness is the
+    # expected fixture shape.
+    if vacuous and os.environ.get("COMPARE_ALLOW_VACUOUS", "") != "1":
+        print("FAILED: vacuous 0=0 matches (set COMPARE_ALLOW_VACUOUS=1 "
+              "if emptiness is expected on this tree)")
         sys.exit(1)
     print("ALL OK" + (f" ({len(timeouts)} oracle timeouts)"
                       if timeouts else ""))

@@ -13,12 +13,16 @@ cd "$(dirname "$0")/.."
 
 BUDGET="${SF10_BUDGET_SEC:-300}"
 ORACLE_TIMEOUT="${SF10_ORACLE_TIMEOUT_SEC:-600}"
-# the oracle-checkable slice of the probe tier (q168's trigram CTE and
-# q138's sequential HNSW walk are DuckDB-hostile at 100×; q78's SQL
-# Lloyd chain OOM-kills DuckDB on 5M vectors; q163's audio pack CTEs
-# exceed any sane timeout — q163 stays listed so the artifact records
-# the honest unverified-at-this-sf timeout)
-ORACLE_QUERIES="${SF10_ORACLE_QUERIES:-q103_range_join q163_audio_neardup q246_streamed_neardups q247_streamed_curation}"
+# The oracle-checkable slice of the probe tier. Per-query infeasibility
+# notes for the excluded ones live in PLANS.md ("sf10 oracle
+# feasibility, per query"); the short version: q78 OOM-kills DuckDB,
+# q104/q185 need an n² verify over 500k+ names, q161–q165 regenerate
+# per-doc media formulas corpus-wide (q163 stays listed so the artifact
+# records the honest unverified-at-this-sf timeout; q283 is its
+# bounded-window hash anchor), q138/q168/q210 have corpus-sized
+# sequential/self-join CTEs, q282's interval oracle is feasible — it
+# joins the list here.
+ORACLE_QUERIES="${SF10_ORACLE_QUERIES:-q103_range_join q163_audio_neardup q246_streamed_neardups q247_streamed_curation q282_spike_window_pairs q283_audio_neardup_cert}"
 
 if [ ! -d target/sf10/lineitem.parquet ]; then
   echo "[sf10] generating target/sf10 (100x sf0.1) ..."
@@ -37,9 +41,23 @@ sbt -batch "runMain graft.Sf10Probe" 2>&1 | grep '"metric"' | tail -1
 
 echo "[sf10] oracle subset (timeout ${ORACLE_TIMEOUT}s/query) ..."
 rm -rf target/verify_sf10
+# sbt's own exit status is checked DIRECTLY (tee + $?), then the log is
+# grepped separately: the old `sbt | grep failed && exit` construct only
+# failed when the literal line was printed — an sbt crash with no such
+# line left grep failing (errexit-exempt on the left of &&) and the
+# script continued over a partially written verify tree.
+VERIFY_LOG=target/verify_sf10_run.log
+set +e
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g sbt -batch \
   "runMain graft.Verify $PWD/target/sf10 target/verify_sf10 $ORACLE_QUERIES" \
-  2>&1 | grep -i '\[verify\].*failed' && { echo "[sf10] Verify FAILED"; exit 1; }
+  2>&1 | tee "$VERIFY_LOG" | grep -E '^\[|error' | tail -5
+sbt_rc=${PIPESTATUS[0]}
+set -e
+[ "$sbt_rc" -eq 0 ] || { echo "[sf10] Verify sbt exited $sbt_rc"; exit 1; }
+grep -qi '\[verify\].*failed' "$VERIFY_LOG" \
+  && { echo "[sf10] Verify reported per-query failures"; exit 1; }
+# compare.py itself fails on: mismatch, a requested query with no
+# output dir (crashed Verify), or any vacuous 0=0 match.
 COMPARE_ORACLE_TIMEOUT_SEC="$ORACLE_TIMEOUT" \
 COMPARE_JSON_OUT=CORRECTNESS_sf10_subset.json \
 python3 tools/compare.py "$PWD/target/sf10" target/verify_sf10 $ORACLE_QUERIES
@@ -57,3 +75,8 @@ if bad:
     sys.exit(1)
 print(f"[sf10] OK: total={b['value']}s n={b['n_queries']} over_budget=0 failed=0")
 EOF
+
+# Artifacts written by THIS run are fresh by construction; the guard is
+# for the commit path — it refuses to green-light artifacts that
+# predate the newest engine commit (the r15 stale-q163 class).
+tools/artifact_freshness.sh BENCH_sf10_subset.json CORRECTNESS_sf10_subset.json

@@ -55,3 +55,8 @@ if bad:
 print(f"[sf1_gate] OK: total={b['value']}s n={b['n_queries']} "
       f"fleet_median_ratio={fm} over_budget=0 failed=0")
 EOF
+
+# Freshness guard (commit-path): refuse to green-light sf1 artifacts
+# that predate the newest engine commit. Also sweeps the sf1
+# correctness artifact if one is on disk from a manual verify run.
+tools/artifact_freshness.sh BENCH_sf1.json CORRECTNESS_sf1_subset.json
