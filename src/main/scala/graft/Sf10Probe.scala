@@ -82,7 +82,14 @@ object Sf10Probe {
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map { name =>
-      System.gc(); Thread.sleep(200)
+      // Double-gc drain barrier (see Bench.gcBarrier): at sf10 a
+      // predecessor's shuffle files only delete once its RDDs are
+      // collected, and GBs of undeleted shuffle tree squeeze the page
+      // cache under the next window — the r16 probe measured q78 at
+      // 149 s in-suite vs 44 s isolated with zero code difference.
+      // 2×(gc + 500 ms) per query is noise against 300 s budgets.
+      System.gc(); Thread.sleep(500)
+      System.gc(); Thread.sleep(500)
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.toRdd.count()

@@ -298,23 +298,27 @@ object MediaQueries {
           |ORDER BY id_a, id_b""".stripMargin)),
 
     // q163's 100× HASH ANCHOR: the same standing-fingerprint band join
-    // restricted to the certification window (first ~5k docs by id —
-    // the q246 certSliceCutoff rule). q163's own oracle regenerates
-    // envelopes for EVERY doc and honestly times out past sf1, so the
-    // audio family's 100× evidence was row-count linearity alone; the
-    // window bounds the oracle's per-doc envelope CTE to ~5k docs at
-    // ANY corpus size while the dup-class seed stays corpus-scaled
-    // (identical bits to the full run — audioPackCtesWhere). Band
-    // candidacy is pair-local, so the sliced join output ≡ the full
-    // q163 output restricted to both-endpoints-in-window: a real
-    // cross-engine hash certificate for the audio near-dup path at
-    // sf10. Non-vacuous by construction: hashed dup seeds land ~n²/2m
-    // same-class pairs inside the dense window (≥ hundreds at sf10,
-    // the full q163 output at oracle-checked sfs where cut = max id).
+    // restricted to the certification window (first 20k docs by id —
+    // the q246 certSliceCutoff rule, widened). q163's own oracle
+    // regenerates envelopes for EVERY doc and honestly times out past
+    // sf1, so the audio family's 100× evidence was row-count linearity
+    // alone; the window bounds the oracle's per-doc envelope CTE to
+    // ~20k docs at ANY corpus size while the dup-class seed stays
+    // corpus-scaled (identical bits to the full run —
+    // audioPackCtesWhere). Band candidacy is pair-local, so the sliced
+    // join output ≡ the full q163 output restricted to
+    // both-endpoints-in-window: a real cross-engine hash certificate
+    // for the audio near-dup path at sf10. Window sizing: the
+    // multiplicative dup-seed hash is LOW-DISCREPANCY on the dense id
+    // head (consecutive ids spread maximally far apart — by design),
+    // so a dense window collides far BELOW the n²/2m birthday rate; a
+    // 5k window yielded a 2-pair anchor at sf10 (non-vacuous but
+    // thin), 20k measures a pair count in the dozens while keeping the
+    // oracle's pack CTE at 20k docs (~seconds in DuckDB at any sf).
 
     Q("q283_audio_neardup_cert",
       (s, dir) => {
-        val cut = certSliceCutoff(s, dir, target = 5000L)
+        val cut = certSliceCutoff(s, dir, target = 20000L)
         graft.functions.Multimodal.imageNearDupPairs(
             Tables.memoTable(s, dir, "audio_fp") {
               graft.functions.Multimodal.audioFingerprint(
@@ -327,7 +331,7 @@ object MediaQueries {
           .orderBy("id_a", "id_b")
       },
       Some(audioPackCtesWhere(
-          s"WHERE doc_id <= ${certSliceCutoffSql(5000L)}") +
+          s"WHERE doc_id <= ${certSliceCutoffSql(20000L)}") +
         """
           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |       CAST(bit_count(xor(a.h_hi, b.h_hi))
