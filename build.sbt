@@ -32,3 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc JVM flags for diagnostic runs (event logs, GC logging) without
+// editing the build: SPARK_GRAFT_JAVA_OPTS="-Dspark.eventLog.enabled=true ..."
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

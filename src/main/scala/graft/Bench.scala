@@ -172,7 +172,11 @@ object Bench {
       run(name)
       val sec = (System.nanoTime() - t0) / 1e9
       s0.foreach { case (r0, w0, p0) =>
-        Thread.sleep(80) // let queued task-end events land before the delta
+        // wait for the listener bus to actually drain (a fixed sleep is
+        // a race with a constant: queries with large task counts lost
+        // tail task-end events into the next query's delta)
+        org.apache.spark.graft.ListenerDrain
+          .waitUntilEmpty(spark.sparkContext, 5000): Unit
         val (r1, w1, p1) = shuffleSnap()
         shuffleByQuery(name) = (r1 - r0, w1 - w0, p1 - p0)
       }
@@ -368,11 +372,17 @@ object Bench {
     // BASELINE_REBASES.json: query, old, new, commit, cause) makes the
     // committed baseline self-describing instead of relying on PLANS.md
     // prose a future round could skip.
+    // The file is VALIDATED before splicing (scala.util.parsing is not
+    // on the classpath; the check is structural): a malformed rebase
+    // file must fail THIS run loudly, not poison the artifact JSON the
+    // gate parsers read. Minification strips whitespace only BETWEEN
+    // tokens, never inside string values (the old blanket \s+ collapse
+    // rewrote multi-space text inside "cause" strings).
     val rebases = {
       val p = java.nio.file.Paths
         .get(sys.props("user.dir"), "BASELINE_REBASES.json")
       if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.readString(p).replaceAll("\\s+", " ").trim
+        minifyJsonArray(java.nio.file.Files.readString(p))
       else "[]"
     }
     val fileJson =
@@ -450,6 +460,41 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     catch { case scala.util.control.NonFatal(_) => () } // non-log4j2 env
+
+  /** String-aware minify + structural validation of a JSON array blob
+    * destined for splicing into the bench artifact: whitespace is
+    * stripped only BETWEEN tokens (never inside string values), and the
+    * blob must be a bracket-balanced array or this throws — a malformed
+    * BASELINE_REBASES.json must fail the run loudly instead of writing
+    * an artifact the gate parsers can't read. (No JSON library on the
+    * classpath by the zero-dependency rule; bracket balance + string
+    * tracking is the sufficient structural check for a splice.) */
+  def minifyJsonArray(txt: String): String = {
+    val out = new StringBuilder
+    var inStr = false; var esc = false; var depth = 0
+    txt.foreach { ch =>
+      if (inStr) {
+        out.append(ch)
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case c if c.isWhitespace => ()
+        case '"' => inStr = true; out.append(ch): Unit
+        case '[' | '{' => depth += 1; out.append(ch): Unit
+        case ']' | '}' =>
+          depth -= 1
+          require(depth >= 0, "BASELINE_REBASES.json: unbalanced brackets")
+          out.append(ch): Unit
+        case c => out.append(c): Unit
+      }
+    }
+    val s = out.toString
+    require(!inStr && depth == 0 && s.startsWith("[") && s.endsWith("]"),
+      s"BASELINE_REBASES.json is not a well-formed JSON array: " +
+        s.take(80))
+    s
+  }
 
   /** The committed previous artifact via `git show HEAD:<file>` — the
     * canary's baseline must be the last ROUND's numbers, not whatever an

@@ -50,8 +50,24 @@ object Sf10Probe {
     "q282_spike_window_pairs",// pair-materializing interval join (74k
                               // pairs at sf1 — the output class that
                               // goes quadratic when fixtures saturate)
-    "q283_audio_neardup_cert")// audio near-dup 100x hash anchor (the
+    "q283_audio_neardup_cert",// audio near-dup 100x hash anchor (the
                               // sliced oracle stays DuckDB-feasible)
+    // the r16 FULL-suite sweep's heavy tail, adopted per its verdict:
+    "q53_lsh_neighbors",      // corpus-scaled planes (r17 fix; was 296 s)
+    "q137_hnsw_ann",          // corpus-scaled shards + warm split (r17)
+    "q37_jaccard_pairs",      // data-scaled width, unsorted output (r17)
+    "q265_basket_support",    // data-scaled width (r17; was 7.96 GB spill)
+    "q73_curated_corpus",     // decontamination-probe funnel (70.7× cold)
+    "q68_decontamination")    // Bloom-thinned probe (47.1× cold)
+
+  /** Queries whose first sf10 run is dominated by a one-time standing
+    * build (memoTable index construction): the probe runs them a second
+    * time and records `<name>_warm` alongside the cold number, so
+    * build-vs-probe cost separates mechanically (the r16 q137 ambiguity
+    * — 181.6 s cold read as "218× superlinear" when it was almost
+    * entirely the 1-shard index build). The budget applies to the WARM
+    * number for these; the cold number carries the build. */
+  val WarmSplit: Set[String] = Set("q137_hnsw_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf10")
@@ -81,7 +97,7 @@ object Sf10Probe {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def fmt(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val results = names.map { name =>
+    def timedRun(name: String, label: String): (String, Double) = {
       // Double-gc drain barrier (see Bench.gcBarrier): at sf10 a
       // predecessor's shuffle files only delete once its RDDs are
       // collected, and GBs of undeleted shuffle tree squeeze the page
@@ -94,15 +110,57 @@ object Sf10Probe {
       try SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.toRdd.count()
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[sf10] $name FAILED: ${e.getMessage}")
+        failed += label
+        System.err.println(s"[sf10] $label FAILED: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(s"[sf10] $name ${fmt(sec)}s")
-      name -> sec
+      System.err.println(s"[sf10] $label ${fmt(sec)}s")
+      label -> sec
+    }
+    val results = names.flatMap { name =>
+      val cold = timedRun(name, name)
+      // warm split: a second run of standing-index queries separates
+      // the one-time build (billed to the cold row) from the probe
+      if (WarmSplit(name)) Seq(cold, timedRun(name, s"${name}_warm"))
+      else Seq(cold)
     }
     spark.stop()
-    val over = results.filter(_._2 > budget).filterNot(r => failed.contains(r._1))
+    // Per-query budget overrides ride BASELINE_REBASES.json (entries
+    // with "baseline":"BENCH_sf10_subset.json" and a "budget_sec" —
+    // same provenance discipline as timing rebases: query, evidence,
+    // commit, cause). The ONE standing override is q185: its audited
+    // honest sf10 cost is 293–332 s (r16 audit, PLANS.md) against the
+    // generic 300 s, and the r17 width experiment measurably REGRESSED
+    // it — the uniform budget is re-based for that query rather than
+    // hand-waved over every sweep.
+    val budgetOverrides: Map[String, Double] = {
+      val p = java.nio.file.Paths
+        .get(sys.props("user.dir"), "BASELINE_REBASES.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        """\{[^{}]*\}""".r.findAllIn(txt).flatMap { obj =>
+          val q = """"query"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(obj).map(_.group(1))
+          val base = """"baseline"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(obj).map(_.group(1))
+          val b = """"budget_sec"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(obj).map(_.group(1).toDouble)
+          (q, base, b) match {
+            case (Some(qq), Some("BENCH_sf10_subset.json"), Some(bb)) =>
+              Some(qq -> bb)
+            case _ => None
+          }
+        }.toMap
+      }
+    }
+    // budget: WarmSplit queries are judged on their warm row — the cold
+    // row carries the one-time standing build (documented per query in
+    // PLANS.md), which is amortized over every probe in production
+    val over = results
+      .filter { case (k, v) => v > budgetOverrides.getOrElse(k, budget) }
+      .filterNot(r => failed.contains(r._1))
+      .filterNot(r => WarmSplit(r._1))
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "-1" else fmt(v))
     }.mkString("{", ",", "}")

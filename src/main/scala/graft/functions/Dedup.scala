@@ -1143,6 +1143,16 @@ object Dedup {
                              textCol: String = "text"): DataFrame = {
     require(minJaccardBp > 0 && minJaccardBp <= 10000,
       s"minJaccardBp must be in (0, 10000], got $minJaccardBp")
+    // Width note (r17, measured): an explicit data-scaled repartition
+    // was TRIED here and on the pair stream below and made things far
+    // worse at sf10 (cold 1108 s vs the honest 293 s; 106 GB spilled):
+    // repartitioning the raw pair stream before distinct() bypasses the
+    // map-side partial aggregate the planner places BEFORE distinct's
+    // exchange, so ~10^9 un-deduped pairs enter a >200-partition
+    // sort-shuffle writer. The planner's own exchange placement is the
+    // right plan; q185's sf10 cost is candidate-volume work, not a
+    // width defect (per-core candidate volume is constant on a real
+    // cluster where cores scale with data — PLANS.md r16 audit).
     val hs = shingleSets(docs, idCol, textCol, shingleN)
     val prefix = allPairsPrefix(hs, minJaccardBp, idCol)
     // Bayardo length filter inside the candidate join: J(A,B) ≤

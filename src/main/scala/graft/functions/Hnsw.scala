@@ -297,6 +297,21 @@ object Hnsw {
       col("embedding"),
       lit(null).cast("array<array<bigint>>").as("nbrs"))
 
+  /** Corpus-scaled shard count for standing indexes: ceil(n / 16384),
+    * floor 1. A FIXED shard count caps build parallelism — the r16
+    * full-suite sf10 sweep billed q137 181.6 s cold, almost all of it
+    * the 1-shard 200k-vector sequential construction (one core builds
+    * the whole graph while 31 idle, and per-insert cost grows with the
+    * graph). Scaling shards keeps per-shard graphs bounded (~16k nodes)
+    * so build wall-clock stays ~flat per core as the corpus grows — the
+    * production posture for a 100 TB standing index. At every
+    * oracle-checked sf (≤ 20k vectors... ≤ 16384 at sf ≤ 0.1) this
+    * collapses to 1 shard, so memo names and query results are
+    * unchanged. One column-pruned count at plan-build time (a bounded
+    * decision, the scaledSeedCutoff discipline). */
+  def scaledShards(corpus: DataFrame, target: Long = 16384L): Int =
+    math.max(1L, (corpus.count() + target - 1) / target).toInt
+
   /** Build a standing index from scratch: ONE shuffle (the shard
     * repartition), then construction is embarrassingly parallel across
     * shards. Persist the result with Tables.memoTable for reuse. */

@@ -484,9 +484,41 @@ object Similarity {
         col("dot_q"), col("sim_q"))
   }
 
+  /** Corpus-scaled hyperplane count for [[lshNeighbors]]: the smallest
+    * p with target·2^p ≥ |corpus|, floored at `minPlanes` and capped at
+    * 24 (2 billion vectors — past any tested sf). A FIXED plane count
+    * is a scale-killer: bucket count is constant in corpus size, so
+    * within-bucket candidate volume grows quadratically — the r16
+    * full-suite sf10 sweep measured the fixed-4-plane q53 at 83.7×
+    * wall for 10× data (296 s, 6.0 GB shuffle). Scaling p keeps the
+    * expected bucket occupancy ≤ `target`, so candidate volume grows
+    * linearly with the corpus — the same rule as [[scaledSeedCutoff]]
+    * (IVF cells) and MinHash-LSH's band count on the text side.
+    *
+    * INTEGER arithmetic only (a shift loop, no float log2): the rule
+    * must be the IDENTICAL computation in the engine and the SQL
+    * oracle (the r13 scaledSeedCutoff discipline), and float log2 of
+    * an exact power of two is ulp-fragile across libm implementations.
+    * The SQL mirror is a MIN over generate_series with the same shift.
+    * Floor 4 keeps every sf ≤ 0.1 at the historical fixed default, so
+    * small-sf oracle results are unchanged: n=500 (sf0.01) → 2→4;
+    * n=2,000 (sf0.1) → 4; n=20,000 (sf1) → 8; n=200,000 (sf10) → 11.
+    * One column-pruned count at plan-build time — a bounded decision,
+    * not a per-row data path. */
+  def scaledPlanes(corpus: DataFrame, minPlanes: Int = 4,
+                   target: Long = 128L): Int = {
+    val n = corpus.count()
+    var p = 0
+    while (p < 24 && (target << p) < n) p += 1
+    math.max(minPlanes, p)
+  }
+
   /** ANN via hyperplane-LSH bucketing: candidates share a signature bucket,
     * exact cosine re-ranks within the bucket. Trades recall for turning the
-    * corpus×corpus cross join into a per-bucket equi-join. */
+    * corpus×corpus cross join into a per-bucket equi-join. Pass
+    * `planes = scaledPlanes(corpus)` unless a fixed recall level is
+    * wanted at a known corpus size — fixed planes do not scale (see
+    * [[scaledPlanes]]). */
   def lshNeighbors(corpus: DataFrame, planes: Int, dim: Int,
                    threshold: Double): DataFrame = {
     // raw float arrays throughout: the native dot/cosine kernels widen

@@ -655,9 +655,18 @@ object CardQueries {
 
     Q("q265_basket_support",
       (s, dir) => {
-        val op = Tables.load(s, dir, "lineitem")
+        // DATA-SCALED width (ShuffleWidth.pairWidth): the within-order
+        // pair explosion (Σ_order c·(c−1)/2) feeds a pair-keyed hash
+        // aggregate whose partial maps spilled 7.96 GB at the fixed
+        // 128-partition sf10 width. The census is a count per orderkey
+        // over the 2-col projection (map-side combinable, bounded
+        // decision); 96 B/pair covers the pair row plus its partial-agg
+        // hash entry. Floors at the session width — ≤ sf0.1 unchanged.
+        val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
+        val width = graft.plans.ShuffleWidth.pairWidth(s,
+          li.select(col("o")), Seq("o"), bytesPerPair = 96L)
+        val op = li.distinct().repartition(width, col("o"))
         op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
@@ -979,22 +988,10 @@ object CardQueries {
     Q("q273_gain_curve",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.load(s, dir, "documents")
-        val cc = TextAnalysis.charClassCountsFast(col("text"))
-        val alphaBp = when(cc.getItem(0) === 0, lit(0L))
-          .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
-          .cast("long")
         // ≤11 bucket rows: cum fold over the bounded score domain
-        // (alpha_bp div 1000 ∈ [0,10]; Bounded.globalWindowFrame
-        // enforces the bound at runtime)
-        val byBucket = graft.functions.Bounded.globalWindowFrame(
-          docs.select(col("doc_id"), alphaBp.as("alpha_bp"))
-            .join(TextAnalysis.gopherGate(docs)
-              .select(col("doc_id"), col("gopher_pass")), Seq("doc_id"))
-            .groupBy(expr("alpha_bp div 1000").as("bucket"))
-            .agg(count(lit(1)).as("n_docs"),
-              sum(col("gopher_pass").cast("long")).as("n_pass")),
-          maxRows = 11, contract = "q273 alpha-score buckets")
+        // (alpha_bp div 1000 ∈ [0,10]) — the standing α×Gopher census
+        // shared with q233 (ExtensionShared.alphaGopherBuckets)
+        val byBucket = ExtensionShared.alphaGopherBuckets(s, dir)
         val wDesc = Window.orderBy(desc("bucket"))
           .rowsBetween(Long.MinValue, 0)
         byBucket

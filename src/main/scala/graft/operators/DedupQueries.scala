@@ -123,11 +123,27 @@ object DedupQueries {
         // feeds the probe side — shingles are computed once per doc, not
         // twice. Intersection is a codegen'd merge scan over the sorted
         // hash arrays.
-        val sh = Tables.load(s, dir, "documents")
+        // DATA-SCALED width (ShuffleWidth.pairWidth): the (lang, bucket)
+        // block self-join's in-flight volume is pair-quadratic in block
+        // occupancy — at the fixed 128-partition scale-tier width it
+        // spilled 11.26 GB at sf10 (the r16 sweep's worst spiller). The
+        // census reads metadata columns only (never the shingle kernel);
+        // rowBytes sizes the hash-join build side (~8 B/token shingle
+        // arrays ≈ 2×n_chars), bytesPerPair the pair stream feeding the
+        // final sort. Floors at the session width, so ≤ sf0.1 plans and
+        // timings are unchanged.
+        val docs = Tables.load(s, dir, "documents")
+        val width = graft.plans.ShuffleWidth.pairWidth(s,
+          docs.select(col("lang"), (col("n_chars") % 50).as("bucket"),
+            col("n_chars")),
+          Seq("lang", "bucket"), bytesPerPair = 24L,
+          rowBytes = col("n_chars") * 2L)
+        val sh = docs
           .select(col("doc_id"), col("lang"),
             (col("n_chars") % 50).as("bucket"),
             Dedup.shingleHashesFast(col("text"), 3).as("sh"))
           .filter(size(col("sh")) > 0)
+          .repartition(width, col("lang"), col("bucket"))
         sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
             col("a.lang") === col("b.lang") &&
               col("a.bucket") === col("b.bucket") &&
@@ -139,7 +155,14 @@ object DedupQueries {
             floor(col("ninter") * lit(10000.0) / (col("ntot") - col("ninter")))
               .cast("long"))
           .select("id_a", "id_b", "jaccard_bp")
-          .orderBy("id_a", "id_b")
+          // NO global sort: the output is corpus-quadratic (660M pairs
+          // at sf10), and ordering it was the whole spill — the range
+          // exchange moved 4.1 GB and its >200-partition sort-shuffle
+          // writer buffered skewed join outputs (9.3 GB spilled, plus a
+          // 105 s reduce-side sort doing presentation work). The
+          // correctness compare hashes value-sorted rows, so row order
+          // was never part of the contract — q185 (the same output
+          // class) already ends unsorted.
       },
       Some("""WITH tok AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -186,19 +209,38 @@ object DedupQueries {
     // Per-language stats with exact interpolating median.
 
     Q("q53_lsh_neighbors",
-      (s, dir) => Similarity.lshNeighbors(
-        Tables.load(s, dir, "embeddings"), planes = 4, dim = 64,
-        threshold = 0.1).orderBy("id_a", "id_b"),
+      (s, dir) => {
+        // CORPUS-SCALED plane count (Similarity.scaledPlanes): 4 at the
+        // oracle-checked sfs (unchanged results), 8 at sf1, 11 at sf10 —
+        // bucket count grows with the corpus so candidate volume stays
+        // linear (the fixed-4-plane variant measured 83.7× wall for 10×
+        // data at the r16 sf10 sweep)
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.lshNeighbors(emb,
+          planes = Similarity.scaledPlanes(emb), dim = 64,
+          threshold = 0.1).orderBy("id_a", "id_b")
+      },
       Some {
-        val bits = (0 until 4).map { p =>
+        // the full 24-plane signature as literals; the bucket is its
+        // p-char prefix with p = the scaledPlanes shift rule in pure
+        // integer SQL (identical arithmetic to the engine — the
+        // scaledSeedCutoff discipline)
+        val bits = (0 until 24).map { p =>
           val lits = (0 until 64).map(d =>
             Similarity.hyperplaneCoeff(p, d).toString).mkString("[", ", ", "]")
           s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN '1' ELSE '0' END)"
         }.mkString(" || ")
         s"""WITH e AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |), np AS (
+           |  SELECT GREATEST(4, (SELECT MIN(p)
+           |    FROM generate_series(0, 24) t(p)
+           |    WHERE 128 * (1::BIGINT << p) >= (SELECT COUNT(*) FROM e)))
+           |    AS p
            |), sig AS (
-           |  SELECT vec_id, v, $bits AS bucket FROM e
+           |  SELECT vec_id, v,
+           |         substr($bits, 1, (SELECT p FROM np)) AS bucket
+           |  FROM e
            |)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |       round(list_dot_product(a.v, b.v)

@@ -334,11 +334,17 @@ object EventQueries {
         // instead of funnelling the corpus through one task.
         val byDay = Window.orderBy(col("d"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val calDays = graft.functions.Bounded.globalWindowFrame(
-          cal.join(day, Seq("d"), "left")
-            .na.fill(0L, Seq("day_cnt", "day_qty")),
-          maxRows = 40000,
-          contract = "q103 day-grain prefix sum: frame = dense calendar")
+        // STANDING: the dense-calendar frame (≤40k rows) memoizes per
+        // (session, dir) — its upstream is the day-grain lineitem
+        // aggregation, the expensive pass of this query
+        val calDays = graft.sources.Standing.frame(s, dir,
+          "q103-dense-calendar") {
+          graft.functions.Bounded.globalWindowFrame(
+            cal.join(day, Seq("d"), "left")
+              .na.fill(0L, Seq("day_cnt", "day_qty")),
+            maxRows = 40000,
+            contract = "q103 day-grain prefix sum: frame = dense calendar")
+        }
         val prefix = calDays
           .select(col("d"),
             sum(col("day_cnt")).over(byDay).as("cum_cnt"),

@@ -701,12 +701,18 @@ object MixingQueries {
 
     Q("q175_unimax_alloc",
       (s, dir) => {
-        val counts = Tables.load(s, dir, "documents")
-          .select(col("source"),
-            when(length(trim(col("text"))) === 0, 0)
-              .otherwise(size(split(trim(col("text")), "\\s+")))
-              .as("nw"))
-          .groupBy("source").agg(sum(col("nw")).as("tokens"))
+        // STANDING: the per-source token census (a bounded dim — one
+        // row per source) memoizes per (session, dir); the corpus-wide
+        // tokenize-and-count is this query's only expensive pass
+        val counts = graft.sources.Standing.frame(s, dir,
+          "q175-source-token-counts") {
+          Tables.load(s, dir, "documents")
+            .select(col("source"),
+              when(length(trim(col("text"))) === 0, 0)
+                .otherwise(size(split(trim(col("text")), "\\s+")))
+                .as("nw"))
+            .groupBy("source").agg(sum(col("nw")).as("tokens"))
+        }
         Mixing.unimaxAllocation(counts, budgetTokens = 50000L,
             epochCap = 2)
           .orderBy("source")

@@ -522,8 +522,13 @@ object SimilarityQueries {
         // fold paths explicitly; this query is the probe path)
         val sOuter = s
         import sOuter.implicits._
-        val idx = Tables.memoTable(s, dir, "hnsw_idx_1s_m8") {
-          Hnsw.buildIndex(emb, nShards = 1, m = 8,
+        // corpus-scaled shards (Hnsw.scaledShards): 1 at every
+        // oracle-checked sf (memo name + results unchanged), 13 at
+        // sf10 — the fixed 1-shard build was 181.6 s of single-core
+        // construction in the r16 sweep
+        val ns = Hnsw.scaledShards(emb)
+        val idx = Tables.memoTable(s, dir, s"hnsw_idx_${ns}s_m8") {
+          Hnsw.buildIndex(emb, nShards = ns, m = 8,
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
         Hnsw.searchIndex(idx, emb.filter(col("vec_id") < 5), k = 10,

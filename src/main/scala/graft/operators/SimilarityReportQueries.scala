@@ -229,8 +229,11 @@ object SimilarityReportQueries {
         val exactCos = Similarity.bruteForceTopK(emb, qs, 10)
           .select(col("query_id"), col("vec_id"))
         // HNSW over the standing index, exhaustive-certified setting
-        val idx = Tables.memoTable(s, dir, "hnsw_idx_1s_m8") {
-          Hnsw.buildIndex(emb, nShards = 1, m = 8,
+        // corpus-scaled shards, same memo as q137 (1 shard — name and
+        // results unchanged — at every oracle-checked sf)
+        val nsH = Hnsw.scaledShards(emb)
+        val idx = Tables.memoTable(s, dir, s"hnsw_idx_${nsH}s_m8") {
+          Hnsw.buildIndex(emb, nShards = nsH, m = 8,
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
         val hnsw = Hnsw.searchIndex(idx, qs, k = 10, efSearch = 4096)

@@ -208,10 +208,12 @@ class PlanSpec extends AnyFunSuite {
     // data scale, the orders side streams through map-side
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     // the unpartitioned prefix window runs over the RUNTIME-CERTIFIED
-    // calendar frame (Bounded.globalWindowFrame materializes it as an
-    // eager localCheckpoint — a Scan ExistingRDD — and releases its
-    // persist before returning) — not a raw recomputed input
-    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    // calendar frame — now a STANDING memo (Standing.frame persist of
+    // the Bounded.globalWindowFrame checkpoint), so the plan reads the
+    // in-memory relation (whose child is the checkpoint's Scan
+    // ExistingRDD) — never a raw recomputed input
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
   test("vocabulary→encode join is size-conditional: AQE broadcasts the " +

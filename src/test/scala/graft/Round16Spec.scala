@@ -24,7 +24,13 @@ import graft.functions.Multimodal
   */
 class Round16Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
-  val dir = "/root/testdata/sf0.001"
+  // driver-convention fixture dir, overridable; tests that read it
+  // CANCEL (assume) rather than error on machines without the tree
+  val dir = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR",
+    "/root/testdata/sf0.001")
+  private def assumeTestdata(): Unit =
+    assume(new java.io.File(dir).isDirectory,
+      s"driver testdata tree absent: $dir")
 
   /** Replica-strided id layout (the ScaleUp shape in miniature):
     * dense blocks of 5000 ids spaced 10^8 apart. The layout every
@@ -90,6 +96,7 @@ class Round16Spec extends AnyFunSuite {
   test("q283 == q163 on a corpus smaller than the certification " +
     "window (cutoff = max id keeps everything), and both are " +
     "non-vacuous at the oracle-checked sf") {
+    assumeTestdata()
     val full = SparkEntry.queries("q163_audio_neardup")(spark, dir)
       .collect().map(_.toString).sorted
     val cert = SparkEntry.queries("q283_audio_neardup_cert")(spark, dir)

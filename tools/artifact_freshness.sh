@@ -15,6 +15,15 @@ cd "$(dirname "$0")/.."
 
 newest_commit_ts=$(git log -1 --format=%ct -- src/main/scala 2>/dev/null || echo 0)
 rc=0
+# Uncommitted engine edits are invisible to the commit-timestamp check
+# (and a fresh checkout resets file mtimes), so a dirty src/main/scala
+# fails outright: an artifact can only be certified fresh against a
+# tree whose state a commit hash names. (r16 advice finding.)
+if [ -n "$(git status --porcelain src/main/scala 2>/dev/null)" ]; then
+  echo "[freshness] FAIL: src/main/scala has uncommitted changes —" \
+       "commit the engine state first, then regenerate/recheck artifacts"
+  exit 1
+fi
 for f in "$@"; do
   [ -f "$f" ] || continue   # absent artifact = nothing to be stale
   file_ts=$(stat -c %Y "$f")

@@ -130,8 +130,12 @@ def main():
     # A requested query with no output dir is a FAILURE, not a skip: a
     # crashed Verify run leaves a partial tree, and silently iterating
     # only what exists would print ALL OK over a subset (the r15 advice
-    # finding on sf10_probe.sh).
-    for missing in sorted(only - set(present)):
+    # finding on sf10_probe.sh). In the default no-args mode the
+    # expected set is every key of oracle_sql.json — a full-suite run
+    # that crashed mid-way must fail the same check, not green-light
+    # the dirs that happened to get written (the r16 advice finding).
+    expected = only if only else set(oracle)
+    for missing in sorted(expected - set(present)):
         print(f"  {missing}: NO OUTPUT DIR under {out_dir} "
               f"(Verify crashed or never ran it)")
         failures.append(missing)
