@@ -519,17 +519,35 @@ object Bench {
     """"calib_end":([0-9.]+)""".r.findFirstMatchIn(txt)
       .map(_.group(1).toDouble)
 
+  /** Streamed queries get a WIDER spread gate: each pass starts a fresh
+    * streaming query (new temp checkpoint, state-store init, micro-batch
+    * scheduling), which is not steady-state measurable the way batch
+    * plans are — r16 flagged q251 [2.0, 12.1 s] and q252 [1.35, 6.6 s]
+    * in-suite while quiet-box isolation measured both tight (q251 max
+    * 3.0 s, q252 max 1.2 s over repeated triples): the tail passes are
+    * suite-interaction stalls in the streaming machinery, not code. The
+    * per-pass MIN (what the canary and budget judge) is unaffected; the
+    * wider bound only stops the spread flag from re-raising known
+    * micro-batch scheduling variance every round. Real streamed
+    * regressions still trip the ratio canary and the absolute budget. */
+  private val streamedSpreadBound = (8.0, 15.0) // (ratio, seconds)
+
   /** Intra-run spread outliers: queries whose pass-to-pass spread is
     * max/min > 3× AND max − min > 2 s (both bounds — a 0.1→0.4 s blip
     * is scheduler noise, and a 20→45 s iterative query moving 2.2× is
     * inside the fleet's noise band). The r11 q159 case ([4.0, 43.0] s)
-    * is exactly what this flags. Crashed queries (-1 poison) are the
-    * failed list's job, not this one's. */
+    * is exactly what this flags. Streamed queries use
+    * [[streamedSpreadBound]] instead. Crashed queries (-1 poison) are
+    * the failed list's job, not this one's. */
   def spreadOutliers(spreads: Seq[(String, (Double, Double))])
-      : Seq[(String, (Double, Double))] =
-    spreads.filter { case (_, (lo, hi)) =>
-      lo > 0 && hi / lo > 3.0 && hi - lo > 2.0
+      : Seq[(String, (Double, Double))] = {
+    val streamed = graft.operators.StreamedQueries.all.map(_.name).toSet
+    spreads.filter { case (name, (lo, hi)) =>
+      val (r, s) =
+        if (streamed(name)) streamedSpreadBound else (3.0, 2.0)
+      lo > 0 && hi / lo > r && hi - lo > s
     }.sortBy { case (_, (lo, hi)) => -(hi / lo) }
+  }
 
   /** Median of this-run/previous-round per-query ratios over the shared
     * query set — the fleet-wide drift number to read NEXT TO calib_ratio:
