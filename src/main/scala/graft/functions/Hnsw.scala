@@ -304,11 +304,15 @@ object Hnsw {
     * the whole graph while 31 idle, and per-insert cost grows with the
     * graph). Scaling shards keeps per-shard graphs bounded (~16k nodes)
     * so build wall-clock stays ~flat per core as the corpus grows — the
-    * production posture for a 100 TB standing index. At every
-    * oracle-checked sf (≤ 20k vectors... ≤ 16384 at sf ≤ 0.1) this
-    * collapses to 1 shard, so memo names and query results are
-    * unchanged. One column-pruned count at plan-build time (a bounded
-    * decision, the scaledSeedCutoff discipline). */
+    * production posture for a 100 TB standing index. 1 shard holds only
+    * for n ≤ 16384, i.e. sf ≤ 0.1 — every sf where the HNSW queries are
+    * currently oracle-checked — so memo names and query results there
+    * are unchanged; at sf1 (20k vectors) this is already 2 shards and
+    * the search runs in the approximate regime (efSearch=4096 < the
+    * ~10k-node shards), so an HNSW query must NOT join an sf1+ oracle
+    * subset without first re-deriving the exact-regime argument for
+    * multi-shard search. One column-pruned count at plan-build time (a
+    * bounded decision, the scaledSeedCutoff discipline). */
   def scaledShards(corpus: DataFrame, target: Long = 16384L): Int =
     math.max(1L, (corpus.count() + target - 1) / target).toInt
 

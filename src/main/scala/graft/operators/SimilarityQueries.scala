@@ -522,10 +522,13 @@ object SimilarityQueries {
         // fold paths explicitly; this query is the probe path)
         val sOuter = s
         import sOuter.implicits._
-        // corpus-scaled shards (Hnsw.scaledShards): 1 at every
-        // oracle-checked sf (memo name + results unchanged), 13 at
-        // sf10 — the fixed 1-shard build was 181.6 s of single-core
-        // construction in the r16 sweep
+        // corpus-scaled shards (Hnsw.scaledShards): 1 at sf <= 0.1
+        // (n <= 16384 — every sf where this query is oracle-checked;
+        // memo name + results unchanged there), 2 at sf1, 13 at sf10 —
+        // the fixed 1-shard build was 181.6 s of single-core
+        // construction in the r16 sweep. Do not add this query to an
+        // sf1+ oracle subset without the multi-shard exact-regime
+        // re-derivation (see Hnsw.scaledShards doc).
         val ns = Hnsw.scaledShards(emb)
         val idx = Tables.memoTable(s, dir, s"hnsw_idx_${ns}s_m8") {
           Hnsw.buildIndex(emb, nShards = ns, m = 8,

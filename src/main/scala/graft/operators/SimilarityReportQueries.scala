@@ -230,7 +230,9 @@ object SimilarityReportQueries {
           .select(col("query_id"), col("vec_id"))
         // HNSW over the standing index, exhaustive-certified setting
         // corpus-scaled shards, same memo as q137 (1 shard — name and
-        // results unchanged — at every oracle-checked sf)
+        // results unchanged — at sf <= 0.1 / n <= 16384, the sfs where
+        // this query is oracle-checked; 2 shards at sf1: see
+        // Hnsw.scaledShards doc before adding it to an sf1+ subset)
         val nsH = Hnsw.scaledShards(emb)
         val idx = Tables.memoTable(s, dir, s"hnsw_idx_${nsH}s_m8") {
           Hnsw.buildIndex(emb, nShards = nsH, m = 8,

@@ -39,14 +39,27 @@ object ShuffleWidth {
   def pairWidth(spark: SparkSession, keyed: DataFrame, keys: Seq[String],
                 bytesPerPair: Long, rowBytes: Column = lit(0L),
                 targetBytes: Long = 32L << 20): Int = {
+    // The census itself runs in DOUBLE: a long `sum(c*(c-1) div 2)` can
+    // wrap negative INSIDE Spark before any driver-side guard sees it
+    // (non-ANSI sum wraps silently), and the old `mulSat(...) + rb` then
+    // added the row term unsaturated — both paths could hand widthFor a
+    // negative total that silently floored at the session width, the
+    // exact under-width failure this module exists to prevent. Doubles
+    // are exact for every pair count below 2^53 (far past the 4096-cap
+    // regime) and only lose precision where the width is saturated
+    // anyway; satLong clamps the final estimate.
     val row = keyed
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("c"), sum(rowBytes.cast("long")).as("rb"))
+      .agg(count(lit(1)).as("c"), sum(rowBytes.cast("double")).as("rb"))
       .agg(
-        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("pairs"),
-        coalesce(sum(col("rb")), lit(0L)).as("rb"))
+        coalesce(sum(expr(
+          "CAST(c AS DOUBLE) * (CAST(c AS DOUBLE) - 1.0) / 2.0")),
+          lit(0.0)).as("pairs"),
+        coalesce(sum(col("rb")), lit(0.0)).as("rb"))
       .collect()(0)
-    widthFor(spark, mulSat(row.getLong(0), bytesPerPair) + row.getLong(1),
+    widthFor(spark,
+      satLong(row.getDouble(0) * bytesPerPair + math.max(0.0,
+        row.getDouble(1))),
       targetBytes)
   }
 
@@ -57,15 +70,20 @@ object ShuffleWidth {
     * bytes times a measured prefix-fan-out factor). */
   def bytesWidth(spark: SparkSession, keyed: DataFrame, byteCol: Column,
                  expansion: Long, targetBytes: Long = 32L << 20): Int = {
-    val total = keyed.agg(coalesce(sum(byteCol.cast("long")), lit(0L)))
-      .collect()(0).getLong(0)
-    widthFor(spark, mulSat(total, expansion), targetBytes)
+    // double census for the same wrap-proofing as pairWidth
+    val total = keyed.agg(coalesce(sum(byteCol.cast("double")), lit(0.0)))
+      .collect()(0).getDouble(0)
+    widthFor(spark, satLong(math.max(0.0, total) * expansion), targetBytes)
   }
 
-  /** Saturating multiply (both operands nonnegative): an extreme census
-    * must clamp to the 4096 cap, never wrap negative past it. */
-  private def mulSat(a: Long, b: Long): Long =
-    if (a > 0 && b > 0 && a > Long.MaxValue / b) Long.MaxValue else a * b
+  /** Clamp a double byte estimate into [0, Long.MaxValue]: an extreme
+    * census must saturate to the 4096 cap, never wrap negative past it
+    * (NaN — a poisoned census — also saturates, failing wide). */
+  private def satLong(d: Double): Long =
+    if (java.lang.Double.isNaN(d) || d >= Long.MaxValue.toDouble)
+      Long.MaxValue
+    else if (d <= 0.0) 0L
+    else d.toLong
 
   private def widthFor(spark: SparkSession, bytes: Long,
                        targetBytes: Long): Int = {
