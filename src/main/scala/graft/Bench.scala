@@ -375,8 +375,16 @@ object Bench {
     // can't silently push the suite past the harness's patience.
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "8.0").toDouble
+    // Per-query overrides ride BASELINE_REBASES.json keyed to THIS
+    // artifact name (the Sf10Probe discipline, adopted for the full
+    // sweep in r18): q185's audited honest sf10 cost exceeds the
+    // uniform 300 s sweep budget, and re-basing that one query with
+    // provenance beats either loosening every query's gate or shipping
+    // a permanent known-cause overage flag.
+    val budgetOv = budgetOverrides(sys.props("user.dir"), resultsName)
     val overBudget = results
-      .filter { case (_, v) => v > budgetSec }.sortBy(-_._2)
+      .filter { case (k, v) => v > budgetOv.getOrElse(k, budgetSec) }
+      .sortBy(-_._2)
     // Contention-vs-code separation: the fleet's median now/prev ratio
     // next to the calibration probe's own ratio. r11's raw 1.24× median
     // was fully explained by a measured 1.85× contention factor, but a
@@ -525,6 +533,35 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     catch { case scala.util.control.NonFatal(_) => () } // non-log4j2 env
+
+  /** Per-query budget overrides for the named artifact, from
+    * BASELINE_REBASES.json entries carrying `{"query", "baseline":
+    * <artifact name>, "budget_sec"}` — the same provenance file the
+    * timing rebases live in, so every budget exception names its query,
+    * evidence, commit, and cause. The file is structurally validated
+    * first (malformed input fails the run loudly instead of silently
+    * dropping overrides). Empty when the file is absent. */
+  def budgetOverrides(cwd: String,
+                      baselineName: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(cwd, "BASELINE_REBASES.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val txt = minifyJsonArray(java.nio.file.Files.readString(p))
+      """\{[^{}]*\}""".r.findAllIn(txt).flatMap { obj =>
+        val q = """"query"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(obj).map(_.group(1))
+        val base = """"baseline"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(obj).map(_.group(1))
+        val b = """"budget_sec"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(obj).map(_.group(1).toDouble)
+        (q, base, b) match {
+          case (Some(qq), Some(bn), Some(bb)) if bn == baselineName =>
+            Some(qq -> bb)
+          case _ => None
+        }
+      }.toMap
+    }
+  }
 
   /** String-aware minify + structural validation of a JSON array blob
     * destined for splicing into the bench artifact: whitespace is

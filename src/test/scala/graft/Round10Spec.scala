@@ -354,7 +354,12 @@ class Round10Spec extends AnyFunSuite {
     assert(Standing.release(spark, d1) == 1)
     assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(b.storageLevel.useMemory, "other dir's frame must survive")
-    assert(Standing.releaseAll(spark) == 1)
+    // releaseAll is session-global and TestSpark is shared: other suites
+    // (Round17Spec's standing-frame test) may hold registered frames at
+    // this moment, so assert b's lifecycle, never an exact global count
+    // (the `== 1` version failed 5 != 1 under a testOnly combination
+    // whose suite order left 4 bounded-frame memos registered).
+    assert(Standing.releaseAll(spark) >= 1)
     assert(b.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 }

@@ -41,6 +41,35 @@ class Round18Spec extends AnyFunSuite {
       bytesPerPair = 24L) == 144)
   }
 
+  test("Bench.budgetOverrides scrapes only entries keyed to the named " +
+    "artifact, and fails loudly on a malformed file") {
+    val dir = java.nio.file.Files.createTempDirectory("r18-ov")
+    val f = dir.resolve("BASELINE_REBASES.json")
+    java.nio.file.Files.writeString(f,
+      """[
+        |  {"query": "qA", "baseline": "BENCH_sf10.json",
+        |   "budget_sec": 450.0, "cause": "x"},
+        |  {"query": "qA", "baseline": "BENCH_sf10_subset.json",
+        |   "budget_sec": 400.0, "cause": "y"},
+        |  {"scope": "baseline", "baseline": "bench_results.json",
+        |   "old_sec": 1.0, "new_sec": 2.0, "cause": "no query key"},
+        |  {"query": "qB", "baseline": "BENCH_sf10.json", "old_sec": 1.0,
+        |   "cause": "no budget_sec - a timing rebase, not an override"}
+        |]""".stripMargin)
+    assert(Bench.budgetOverrides(dir.toString, "BENCH_sf10.json") ==
+      Map("qA" -> 450.0))
+    assert(Bench.budgetOverrides(dir.toString, "BENCH_sf10_subset.json") ==
+      Map("qA" -> 400.0))
+    assert(Bench.budgetOverrides(dir.toString, "other.json").isEmpty)
+    assert(Bench.budgetOverrides(
+      java.nio.file.Files.createTempDirectory("r18-none").toString,
+      "BENCH_sf10.json").isEmpty)
+    java.nio.file.Files.writeString(f, """[{"query": "qA", """)
+    intercept[IllegalArgumentException] {
+      Bench.budgetOverrides(dir.toString, "BENCH_sf10.json")
+    }
+  }
+
   test("Sf10Probe.budgetFor: cold WarmSplit rows gate at the build " +
     "budget, warm rows at the query budget, overrides win per label") {
     val b = 300.0; val bb = 600.0
