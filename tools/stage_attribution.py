@@ -13,14 +13,20 @@ Usage: tools/stage_attribution.py EVENTLOG [EVENTLOG ...]
 import json, os, sys
 
 
-def log_file(path):
+def log_files(path):
+    """All event-log parts for a run, in order. Rolling logs split into
+    events_1_*, events_2_*, ...; returning only part 1 silently truncated
+    long runs to their first segment (r18 advice finding)."""
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if name.startswith("events_") or name == "appstatus":
-                if name.startswith("events_"):
-                    return os.path.join(path, name)
-        raise SystemExit(f"no events_ file under {path}")
-    return path
+        parts = sorted(
+            (name for name in os.listdir(path)
+             if name.startswith("events_")),
+            key=lambda n: int(n.split("_")[1]) if
+            n.split("_")[1].isdigit() else 0)
+        if not parts:
+            raise SystemExit(f"no events_ file under {path}")
+        return [os.path.join(path, p) for p in parts]
+    return [path]
 
 
 def human(n):
@@ -30,10 +36,22 @@ def human(n):
         n /= 1024
 
 
-def attribute(path):
+def read_lines(path):
+    if path.endswith(".zstd") or path.endswith(".zst"):
+        import subprocess
+        p = subprocess.Popen(["zstd", "-dc", path],
+                             stdout=subprocess.PIPE, text=True,
+                             errors="replace")
+        yield from p.stdout
+        p.wait()
+    else:
+        yield from open(path, errors="replace")
+
+
+def attribute(paths):
     stages = {}
     app_start = app_end = None
-    for line in open(path, errors="replace"):
+    for line in (ln for p in paths for ln in read_lines(p)):
         line = line.strip()
         if not line:
             continue
@@ -50,15 +68,17 @@ def attribute(path):
             si = ev["Stage Info"]
             key = (si["Stage ID"], si["Stage Attempt ID"])
             st = stages.setdefault(key, {
-                "name": si.get("Stage Name", ""), "tasks": 0,
+                "name": "", "tasks": 0,
                 "run_ms": 0, "gc_ms": 0, "sr": 0, "sw": 0,
                 "spill": 0, "input": 0})
+            # assign, don't setdefault: TaskEnd events precede
+            # StageCompleted, so the entry usually already exists with
+            # name "" (r18 advice finding — every name printed blank)
+            st["name"] = si.get("Stage Name", st["name"])
             sub = si.get("Submission Time")
             comp = si.get("Completion Time")
             st["wall_ms"] = (comp - sub) if sub and comp else 0
             st["ntasks_spec"] = si.get("Number of Tasks", 0)
-            for acc in si.get("Accumulables", []):
-                pass  # task-end metrics below are authoritative
         elif kind == "SparkListenerTaskEnd":
             key = (ev["Stage ID"], ev["Stage Attempt ID"])
             st = stages.setdefault(key, {
@@ -102,4 +122,4 @@ if __name__ == "__main__":
         raise SystemExit(__doc__)
     for p in sys.argv[1:]:
         print(f"=== {p}")
-        attribute(log_file(p))
+        attribute(log_files(p))
