@@ -177,6 +177,19 @@ object Bench {
     // noise floor the extra passes buy is irrelevant next to the
     // ×10 signal being measured.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // SPARK_GRAFT_RESULTS_FILE redirects BOTH the artifact and the
+    // canary baseline — the sf1 scale gate (tools/sf1_gate.sh) runs this
+    // same suite against BENCH_sf1.json so 10×-scale ratios diff against
+    // the committed 10×-scale round, not the sf0.1 numbers.
+    // Baseline = the COMMITTED artifact (`git show HEAD:...`), not
+    // whatever is on disk: a local bench run that isn't reverted would
+    // otherwise silently rebase the canary for the next run and mask a
+    // real regression. On-disk is the fallback only (no git / fresh
+    // artifact not yet committed).
+    val resultsName = sys.env
+      .getOrElse("SPARK_GRAFT_RESULTS_FILE", "bench_results.json")
+    val resultsFile = java.nio.file.Paths
+      .get(sys.props("user.dir"), resultsName)
     captureShuffle = true
     val pass1 = execOrder.map(n => n -> timed(n)).toMap
     captureShuffle = false
@@ -224,24 +237,93 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
+    // Shared re-probe kernel for both self-verify channels (spread AND,
+    // since r19, regression): 2 barriered passes with standing memos
+    // still warm, JVM GC time sampled around each pass so a confirmed
+    // stall names its mechanism. A pass that CRASHES (run() returns -1)
+    // is a reproduced defect, not a fast retirement — the near-zero
+    // time-to-failure must never read as "came back tight" (r18 advice
+    // finding); crashed names also land in failed_in_reprobe so the
+    // artifact separates them from clean timings.
+    val failedInReprobe = scala.collection.mutable.Set.empty[String]
+    case class Reprobe(reLo: Double, reHi: Double, gcOfSlowest: Double,
+                       crashed: Boolean)
+    def reprobe(name: String): Reprobe = {
+      val obs = (1 to 2).map { _ =>
+        gcBarrier(if (iterative(name)) 200 else 100)
+        val g0 = gcSecTotal(); val t0 = System.nanoTime()
+        val rc = run(name)
+        ((System.nanoTime() - t0) / 1e9, gcSecTotal() - g0, rc < 0)
+      }
+      if (obs.exists(_._3)) failedInReprobe += name
+      Reprobe(obs.map(_._1).min, obs.map(_._1).max,
+        obs.maxBy(_._1)._2, obs.exists(_._3))
+    }
     case class SpreadVerdict(name: String, lo: Double, hi: Double,
                              reLo: Double, reHi: Double, gcOfSlowest: Double,
                              reproduced: Boolean)
+    // Retire policy (documented backstop, r18 advice): a 2-pass re-probe
+    // retires an intermittent stall with probability (1-p)^2 — a
+    // 30%-rate stall escapes roughly half the time. Accepted: the ratio
+    // canary and the absolute per-query budget remain the stated
+    // backstops (a stall that matters keeps re-flagging until one
+    // re-probe reproduces it, and a persistent one trips the budget).
     val spreadVerdicts: Seq[SpreadVerdict] = spreadOutliers(spreads)
       .filterNot { case (name, _) => failedQueries(name) }
       .map { case (name, (lo, hi)) =>
-        val obs = (1 to 2).map { _ =>
-          gcBarrier(if (iterative(name)) 200 else 100)
-          val g0 = gcSecTotal(); val t0 = System.nanoTime()
-          run(name)
-          ((System.nanoTime() - t0) / 1e9, gcSecTotal() - g0)
-        }
-        val reLo = obs.map(_._1).min; val reHi = obs.map(_._1).max
-        val reproduced = spreadOutliers(
-          Seq(name -> ((math.min(lo, reLo), reHi)))).nonEmpty
-        SpreadVerdict(name, lo, hi, reLo, reHi, obs.maxBy(_._1)._2,
+        val rp = reprobe(name)
+        val reproduced = rp.crashed || spreadOutliers(
+          Seq(name -> ((math.min(lo, rp.reLo), rp.reHi)))).nonEmpty
+        SpreadVerdict(name, lo, hi, rp.reLo, rp.reHi, rp.gcOfSlowest,
           reproduced)
       }
+    // Regression-vs-baseline self-verify (r19, the r18 verdict's top
+    // task): the committed r18 artifact shipped 7 unadjudicated >2×
+    // flags that were a contention window (contiguous pass-order block,
+    // calib 2.104) a human had to retire by hand. Candidates are now
+    // re-probed in-run exactly like spread flags — only a candidate
+    // whose re-probe STILL trips the candidate rule (on the best
+    // observation across passes and re-probes) emits as a regression,
+    // with the slowest re-probe pass's GC seconds as mechanism
+    // attribution; retired candidates ride `regressions_retired` with
+    // their re-probe spread as the machine-attributed disproof. Runs
+    // BEFORE the standing-release lifecycle (memos warm, same plans the
+    // passes measured). Single-pass scale runs (SPARK_GRAFT_PASSES=1:
+    // the sf1 gate, the sf10 sweep) skip the re-probe — they measure
+    // cold cost once by design and are judged on fleet median + budget;
+    // their candidates emit unprobed as before, and the artifact's
+    // `regressions_reprobed` field says which regime produced it.
+    val prevBlob: Option[String] =
+      committedPrevBlob(sys.props("user.dir"), resultsName)
+        .orElse(
+          if (java.nio.file.Files.exists(resultsFile))
+            Some(java.nio.file.Files.readString(resultsFile))
+          else None)
+    val prevQueries: Map[String, Double] =
+      prevBlob.map(parsePrevQueries).getOrElse(Map.empty)
+    val reopenOv = reopenOverrides(sys.props("user.dir"), resultsName)
+    val regCandidates = regressionCandidates(prevQueries, results, reopenOv)
+    val regReprobed = passes >= 2
+    case class RegVerdict(name: String, ratio: Double, reLo: Double,
+                          reHi: Double, gcOfSlowest: Double,
+                          reproduced: Boolean)
+    val regVerdicts: Seq[RegVerdict] = regCandidates.map {
+      case (name, ratio) =>
+        if (!regReprobed || failedQueries(name))
+          RegVerdict(name, ratio, -1, -1, 0, reproduced = true)
+        else {
+          val rp = reprobe(name)
+          val best = math.min(results.toMap.getOrElse(name, rp.reLo),
+            rp.reLo)
+          val still = rp.crashed || regressionCandidates(prevQueries,
+            Seq(name -> best), reopenOv).nonEmpty
+          val bestRatio = regressionCandidates(prevQueries,
+            Seq(name -> best), reopenOv).headOption.map(_._2)
+            .getOrElse(ratio)
+          RegVerdict(name, if (still) bestRatio else ratio,
+            rp.reLo, rp.reHi, rp.gcOfSlowest, reproduced = still)
+        }
+    }
     // Standing-cache LIFECYCLE exercise — after the timed passes so no
     // pass absorbs a rebuild: release every standing frame, sample the
     // pool (must drop to ~0), then re-run a fixed trio of standing-
@@ -321,36 +403,16 @@ object Bench {
     // (pinned by BenchLineSpec).
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // SPARK_GRAFT_RESULTS_FILE redirects BOTH the artifact and the
-    // canary baseline — the sf1 scale gate (tools/sf1_gate.sh) runs this
-    // same suite against BENCH_sf1.json so 10×-scale ratios diff against
-    // the committed 10×-scale round, not the sf0.1 numbers.
-    val resultsName = sys.env
-      .getOrElse("SPARK_GRAFT_RESULTS_FILE", "bench_results.json")
-    val resultsFile = java.nio.file.Paths
-      .get(sys.props("user.dir"), resultsName)
-    // Round-over-round regression canary: diff this run's minima
-    // against the COMMITTED previous bench_results.json (read before
-    // the overwrite below). Two consecutive rounds each shipped a >3×
-    // per-query regression that only the judge's cross-round diff
-    // caught (r9 q61, r10 q185) — this makes the repo catch it first.
-    // Flag ratio > 2× AND absolute growth > 0.3 s (a 0.04 s → 0.09 s
-    // blip is noise, not a regression); queries new this round have no
-    // baseline and are skipped.
-    // Baseline = the COMMITTED artifact (`git show HEAD:...`), not
-    // whatever is on disk: a local bench run that isn't reverted would
-    // otherwise silently rebase the canary for the next run and mask a
-    // real regression. On-disk is the fallback only (no git / fresh
-    // artifact not yet committed).
-    val prevBlob: Option[String] =
-      committedPrevBlob(sys.props("user.dir"), resultsName)
-        .orElse(
-          if (java.nio.file.Files.exists(resultsFile))
-            Some(java.nio.file.Files.readString(resultsFile))
-          else None)
-    val prevQueries: Map[String, Double] =
-      prevBlob.map(parsePrevQueries).getOrElse(Map.empty)
-    val regressions = regressionsAgainst(prevQueries, results)
+    // Round-over-round regression canary (candidates + re-probe verdicts
+    // computed above, before the standing release): only REPRODUCED
+    // candidates emit here; retired ones carry their re-probe spread as
+    // the machine-attributed disproof.
+    val regressions = regVerdicts.filter(_.reproduced)
+      .map(v => v.name -> v.ratio)
+    val regressionsRetired = regVerdicts.filterNot(_.reproduced)
+      .map(v => v.name -> ((v.reLo, v.reHi)))
+    val regressionGc = regVerdicts.filter(v => v.reproduced && regReprobed)
+      .map(v => v.name -> v.gcOfSlowest)
     // Intra-run spread outliers: the r11 q159 case ([4.0, 43.0]s across
     // passes) shipped silently because the canary only compared minima
     // round-over-round — a within-run 10× pass is a signal the artifact
@@ -406,6 +468,19 @@ object Bench {
     val fleetMedJson = fleetMed.map(fmt).getOrElse("null")
     val calibRatioJson = prevCalibEnd
       .collect { case p if p > 0 => fmt(calibEnd / p) }.getOrElse("null")
+    // Canonical-baseline calib gate (r19, verdict task 1b): a run whose
+    // fixed-load probe ENDS past CalibGateMaxRatio × the recorded quiet
+    // steady state (BASELINE_REBASES "calib_steady" entry) self-marks
+    // non-canonical — it must not be committed as the next round's
+    // canary baseline, and its regression flags are to be read against
+    // the elevated calib. Mechanizes the "scratch artifact deliberately
+    // NOT committed" judgment PLANS.md previously made by hand.
+    val calibSteady = calibSteadySec(sys.props("user.dir"), resultsName)
+    val canonical = calibSteady
+      .forall(s => calibEnd <= CalibGateMaxRatio * s)
+    val calibSteadyJson = calibSteady.map(fmt).getOrElse("null")
+    val calibVsSteadyJson = calibSteady
+      .collect { case s if s > 0 => fmt(calibEnd / s) }.getOrElse("null")
     // bytes-moved-per-query maps (pass-1 windows; standing memos warm
     // when the warmup pass ran, cold on SPARK_GRAFT_WARMUP=0 runs)
     def bytesJson(sel: ((Long, Long, Long)) => Long): String = names
@@ -435,11 +510,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries":$qs,""" +
       s""""spread":$spreadJson,"regressions":$regJson,""" +
+      s""""regressions_retired":${spreadOutJson(regressionsRetired)},""" +
+      s""""regression_gc_sec":${regressionGc
+        .map { case (k, g) => "\"" + k + "\":" + fmt(g) }
+        .mkString("{", ",", "}")},""" +
+      s""""regressions_reprobed":$regReprobed,""" +
       s""""spread_outliers":${spreadOutJson(spreadOut)},""" +
       s""""spread_retired":${spreadOutJson(spreadRetired)},""" +
       s""""spread_gc_sec":${spreadGc
         .map { case (k, g) => "\"" + k + "\":" + fmt(g) }
         .mkString("{", ",", "}")},""" +
+      s""""failed_in_reprobe":[${failedInReprobe.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(",")}],""" +
       s""""budget_sec":${fmt(budgetSec)},""" +
       s""""n_over_budget":${overBudget.size},""" +
       s""""over_budget":${overBudget
@@ -447,6 +529,10 @@ object Bench {
         .mkString("{", ",", "}")},""" +
       s""""fleet_median_ratio":$fleetMedJson,""" +
       s""""calib_ratio":$calibRatioJson,""" +
+      s""""calib_steady_sec":$calibSteadyJson,""" +
+      s""""calib_end_vs_steady":$calibVsSteadyJson,""" +
+      s""""calib_gate_max_ratio":${fmt(CalibGateMaxRatio)},""" +
+      s""""canonical":$canonical,""" +
       s""""shuffle_read_bytes":${bytesJson(_._1)},""" +
       s""""shuffle_write_bytes":${bytesJson(_._2)},""" +
       s""""spilled_bytes":${bytesJson(_._3)},""" +
@@ -484,6 +570,7 @@ object Bench {
     // the line stays bounded; full map in the file)
     println(s"""{"metric":"regressions","baseline":"git HEAD """ +
       s"""$resultsName","n_regressions":${regressions.size},""" +
+      s""""n_regressions_retired":${regressionsRetired.size},""" +
       s""""n_failed":${failedQueries.size},"failed":$failTop,""" +
       s""""worst":$regTop,""" +
       s""""n_over_budget":${overBudget.size},""" +
@@ -494,7 +581,9 @@ object Bench {
       s""""spread_outliers":${spreadOutJson(spreadOut.take(8))},""" +
       s""""n_spread_retired":${spreadRetired.size},""" +
       s""""fleet_median_ratio":$fleetMedJson,""" +
-      s""""calib_ratio":$calibRatioJson}""")
+      s""""calib_ratio":$calibRatioJson,""" +
+      s""""calib_end_vs_steady":$calibVsSteadyJson,""" +
+      s""""canonical":$canonical}""")
     println(totalLine(total, results.size, sfDir, resultsFile.toString))
   }
 
@@ -542,7 +631,25 @@ object Bench {
     * first (malformed input fails the run loudly instead of silently
     * dropping overrides). Empty when the file is absent. */
   def budgetOverrides(cwd: String,
-                      baselineName: String): Map[String, Double] = {
+                      baselineName: String): Map[String, Double] =
+    rebaseOverrides(cwd, baselineName, "budget_sec")
+
+  /** Per-query regression-reopen thresholds for the named artifact, from
+    * BASELINE_REBASES.json entries carrying `{"query", "baseline",
+    * "reopen_sec"}`. For a query with an override, the round-over-round
+    * regression CANDIDATE rule becomes `sec > reopen_sec` (an absolute
+    * threshold with recorded provenance) instead of the generic
+    * ratio>2×+0.3 s rule — the q204 run-state-bimodality audit's "reopen
+    * only past 6.4 s" line, machine-read instead of PLANS.md prose. */
+  def reopenOverrides(cwd: String,
+                      baselineName: String): Map[String, Double] =
+    rebaseOverrides(cwd, baselineName, "reopen_sec")
+
+  /** Scrape `{"query", "baseline": <artifact>, "<field>": N}` entries
+    * from BASELINE_REBASES.json for the named artifact (structurally
+    * validated first — malformed input fails the run loudly). */
+  private def rebaseOverrides(cwd: String, baselineName: String,
+                              field: String): Map[String, Double] = {
     val p = java.nio.file.Paths.get(cwd, "BASELINE_REBASES.json")
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
@@ -552,7 +659,7 @@ object Bench {
           .findFirstMatchIn(obj).map(_.group(1))
         val base = """"baseline"\s*:\s*"([^"]+)"""".r
           .findFirstMatchIn(obj).map(_.group(1))
-        val b = """"budget_sec"\s*:\s*([0-9.]+)""".r
+        val b = ("\"" + field + """"\s*:\s*([0-9.]+)""").r
           .findFirstMatchIn(obj).map(_.group(1).toDouble)
         (q, base, b) match {
           case (Some(qq), Some(bn), Some(bb)) if bn == baselineName =>
@@ -560,6 +667,45 @@ object Bench {
           case _ => None
         }
       }.toMap
+    }
+  }
+
+  /** Maximum calib_end/steady ratio for a run to mint a CANONICAL
+    * committed baseline. r18's official sf0.1 artifact shipped with
+    * calib_ratio 2.104 and 7 unadjudicated >2× regression flags that a
+    * human had to retire as box contention by hand; a run whose own
+    * fixed-load probe ends past this bound self-marks non-canonical so
+    * the "scratch artifact deliberately NOT committed" judgment is
+    * mechanical, not PLANS.md prose. */
+  val CalibGateMaxRatio = 1.5
+
+  /** The box's quiet-steady-state fixed-load calib seconds, from the
+    * BASELINE_REBASES.json entry `{"scope": "calib_steady",
+    * "steady_sec": N, "baseline": <artifact>|"*"}` — "*" applies to
+    * every artifact (the probe is data-independent, so steady state is
+    * a property of the box, not the scale tier). None when unrecorded
+    * (then the gate cannot judge and the run counts as canonical). */
+  def calibSteadySec(cwd: String, baselineName: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(cwd, "BASELINE_REBASES.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = minifyJsonArray(java.nio.file.Files.readString(p))
+      val hits = """\{[^{}]*\}""".r.findAllIn(txt).flatMap { obj =>
+        val scope = """"scope"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(obj).map(_.group(1))
+        val base = """"baseline"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(obj).map(_.group(1))
+        val s = """"steady_sec"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(obj).map(_.group(1).toDouble)
+        (scope, base, s) match {
+          case (Some("calib_steady"), Some(bn), Some(ss))
+              if bn == baselineName || bn == "*" =>
+            Some((bn, ss))
+          case _ => None
+        }
+      }.toList
+      // an exact artifact match wins over the "*" box-wide entry
+      hits.find(_._1 == baselineName).orElse(hits.headOption).map(_._2)
     }
   }
 
@@ -684,6 +830,29 @@ object Bench {
           name -> sec / p
       }
     }.sortBy(-_._2)
+
+  /** Regression CANDIDATES, worst first: [[regressionsAgainst]] for
+    * most queries, but a query with a `reopen_sec` override from
+    * BASELINE_REBASES.json is judged by `sec > reopen_sec` instead —
+    * the per-query absolute threshold an audited bimodal query (q204)
+    * carries with provenance. The reported ratio is vs the committed
+    * baseline when one exists, else vs the threshold itself. Since r19
+    * candidates are RE-PROBED in-run before any is emitted as a
+    * regression (the spread channel's self-verify, extended). */
+  def regressionCandidates(prev: Map[String, Double],
+                           now: Seq[(String, Double)],
+                           reopen: Map[String, Double])
+      : Seq[(String, Double)] = {
+    val overridden = now.flatMap { case (name, sec) =>
+      reopen.get(name).collect { case r if sec > r && sec > 0 =>
+        name -> prev.get(name).filter(_ > 0).map(sec / _)
+          .getOrElse(sec / r)
+      }
+    }
+    val default =
+      regressionsAgainst(prev, now.filterNot(q => reopen.contains(q._1)))
+    (overridden ++ default).sortBy(-_._2)
+  }
 
   /** The driver-contract stdout line: total + query count + a pointer to
     * the full per-query artifact. Deliberately does NOT embed the

@@ -66,13 +66,26 @@ object Sf10Probe {
     * build-vs-probe cost separates mechanically (the r16 q137 ambiguity
     * — 181.6 s cold read as "218× superlinear" when it was almost
     * entirely the 1-shard index build; q162's 245 s cold is ~90% the
-    * audio fingerprint memo that q163 then consumes in 15 s). The
-    * per-query budget applies to the WARM number for these; the cold
-    * number carries the build and is gated against the separate
+    * audio fingerprint memo that q163 then consumes in 15 s; q164's
+    * 271.5 s in-suite vs 57.7–93.3 s probe-tier gap, r18, was the video
+    * frame-hash memo billed to the query — the same disease, same cure).
+    * The per-query budget applies to the WARM number for these; the
+    * cold number carries the build and is gated against the separate
     * `SF10_BUILD_BUDGET_SEC` so an unbounded build regression still
     * fails the probe instead of riding the warm exemption. */
   val WarmSplit: Set[String] =
-    Set("q137_hnsw_ann", "q162_audio_fingerprint")
+    Set("q137_hnsw_ann", "q162_audio_fingerprint",
+      "q164_video_frame_hashes")
+
+  /** The artifact's headline `value`: cold rows only. `_warm` re-runs
+    * are diagnostic splits, not additional tier members — summing them
+    * into the headline made the total non-comparable across rounds
+    * every time a query joined WarmSplit (r18 advice finding; the r18
+    * artifact's value includes q137/q162 warm rows, so expect a small
+    * headline DROP at the r19 discontinuity on top of the q164 cold-row
+    * shrink). */
+  def headlineValue(results: Seq[(String, Double)]): Double =
+    results.filterNot(_._1.endsWith("_warm")).map(_._2).sum
 
   /** Budget for a result row: a per-label BASELINE_REBASES override wins
     * (overrides key on the emitted label, so a `<name>_warm` row and its
@@ -182,12 +195,27 @@ object Sf10Probe {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (failed.contains(k)) "-1" else fmt(v))
     }.mkString("{", ",", "}")
+    // Calib gate (r19, shared discipline with Bench): the probe's own
+    // emissions are judged against the recorded quiet steady state too —
+    // a probe artifact whose calib ends past the gate self-marks
+    // non-canonical (the r17 probe's q185/q210 "suspect" rows were
+    // exactly this: honest timings on a 5-8× contended box).
+    val calibSteady =
+      Bench.calibSteadySec(sys.props("user.dir"), "BENCH_sf10_subset.json")
+    val canonical = calibSteady
+      .forall(s => calibEnd <= Bench.CalibGateMaxRatio * s)
     val line =
-      s"""{"metric":"sf10_subset","value":${fmt(results.map(_._2).sum)},""" +
+      s"""{"metric":"sf10_subset","value":${fmt(headlineValue(results))},""" +
         s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        s""""headline_excludes_warm":true,""" +
         s""""queries":$qs,"budget_sec":$budget,""" +
         s""""build_budget_sec":$buildBudget,""" +
         s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},""" +
+        s""""calib_steady_sec":${calibSteady.map(fmt).getOrElse("null")},""" +
+        s""""calib_end_vs_steady":${calibSteady
+          .collect { case s if s > 0 => fmt(calibEnd / s) }
+          .getOrElse("null")},""" +
+        s""""canonical":$canonical,""" +
         s""""n_over_budget":${over.size},""" +
         s""""over_budget":${over.map(o => "\"" + o._1 + "\":" + fmt(o._2))
           .mkString("{", ",", "}")},""" +

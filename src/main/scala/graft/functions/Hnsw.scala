@@ -304,17 +304,99 @@ object Hnsw {
     * the whole graph while 31 idle, and per-insert cost grows with the
     * graph). Scaling shards keeps per-shard graphs bounded (~16k nodes)
     * so build wall-clock stays ~flat per core as the corpus grows — the
-    * production posture for a 100 TB standing index. 1 shard holds only
-    * for n ≤ 16384, i.e. sf ≤ 0.1 — every sf where the HNSW queries are
-    * currently oracle-checked — so memo names and query results there
-    * are unchanged; at sf1 (20k vectors) this is already 2 shards and
-    * the search runs in the approximate regime (efSearch=4096 < the
-    * ~10k-node shards), so an HNSW query must NOT join an sf1+ oracle
-    * subset without first re-deriving the exact-regime argument for
-    * multi-shard search. One column-pruned count at plan-build time (a
-    * bounded decision, the scaledSeedCutoff discipline). */
+    * production posture for a 100 TB standing index. At sf1 (20k
+    * vectors) this is 2 shards of ~10k nodes, past any fixed efSearch
+    * literal's exact regime — which is why the exact-regime queries
+    * (q137/q138/q204) take their efSearch from [[certifiedExactEf]]
+    * (max shard size + per-shard strong-connectivity certificate)
+    * instead of a constant: the exactness contract then holds at EVERY
+    * sf and shard count, and q137 can sit in sf1+ oracle subsets. One
+    * column-pruned count at plan-build time (a bounded decision, the
+    * scaledSeedCutoff discipline). */
   def scaledShards(corpus: DataFrame, target: Long = 16384L): Int =
     math.max(1L, (corpus.count() + target - 1) / target).toInt
+
+  /** Certified exact-regime `efSearch` for a standing index — the
+    * multi-shard re-derivation of the q137/q138/q204 exactness contract
+    * (r18 verdict task 6), which previously held only where a 4096
+    * literal happened to exceed the corpus size (sf ≤ 0.1, 1 shard).
+    *
+    * One pass over the index computes, per shard, the node count and
+    * BOTH BFS reach counts (forward and reverse, over the layer-0
+    * DIRECTED adjacency — neighbor-list pruning keeps the new node's
+    * out-edge while trimming the reverse edge, so connectivity must be
+    * certified on the digraph, not its undirected shadow) from the
+    * shard's lowest-vec_id node. fwd == n and rev == n certify the
+    * layer-0 digraph STRONGLY connected: every node reaches node 0 and
+    * node 0 reaches every node, hence any node reaches any other.
+    *
+    * Exactness derivation: `searchLayer` with `ef >= |shard|` never
+    * fills its result set, so its early-termination test never fires
+    * and the beam is a full traversal of every layer-0 node reachable
+    * from the (query-dependent) entry the upper-layer descent lands on;
+    * strong connectivity makes that reachable set the WHOLE shard from
+    * ANY landing point, so each node's true cosine enters the per-shard
+    * ranking — the per-shard result IS brute force, and the window
+    * merge of exact per-shard rankings is the exact global top-k.
+    * Returns the max shard node count (the smallest ef with that
+    * guarantee for every shard); throws naming the first offender if
+    * any shard's certificate fails — an uncertified index must be
+    * probed in the recall-gated approximate regime instead of
+    * masquerading as exact.
+    *
+    * Cost: O(n·M) local edge-walking + a one-row-per-shard collect
+    * (bounded: ceil(n/16384) rows — the scaledSeedCutoff
+    * bounded-decision discipline). */
+  def certifiedExactEf(index: Dataset[HnswNode]): Int = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val stats: Array[(Int, Int, Int, Int)] = index.mapPartitions { it =>
+      it.toArray.groupBy(_.shard).iterator.map { case (shard, nodes) =>
+        val (n, fwd, rev) = layer0ReachCounts(nodes)
+        (shard, n, fwd, rev)
+      }
+    }.collect()
+    require(stats.nonEmpty, "certifiedExactEf on an empty index")
+    stats.foreach { case (shard, n, fwd, rev) =>
+      require(fwd == n && rev == n,
+        s"HNSW shard $shard layer-0 digraph is not strongly connected " +
+          s"($fwd/$n forward, $rev/$n reverse reachable from its first " +
+          "node) — the exact-regime certificate does not hold; probe " +
+          "this index in the recall-gated approximate regime")
+    }
+    stats.map(_._2).max
+  }
+
+  /** (n, forward-reach, reverse-reach) over one shard's layer-0
+    * directed adjacency, BFS'd from the lowest-vec_id node. */
+  private[graft] def layer0ReachCounts(
+      nodes: Array[HnswNode]): (Int, Int, Int) = {
+    val sorted = nodes.sortBy(_.vec_id)
+    val n = sorted.length
+    val idToIdx = mutable.LongMap.empty[Int]
+    var i = 0
+    while (i < n) { idToIdx(sorted(i).vec_id) = i; i += 1 }
+    val fwd = Array.tabulate(n)(j =>
+      if (sorted(j).nbrs.nonEmpty) sorted(j).nbrs(0).map(idToIdx)
+      else Array.empty[Int])
+    val rev = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    i = 0
+    while (i < n) { fwd(i).foreach(rev(_) += i); i += 1 }
+    def bfs(adj: Int => Iterable[Int]): Int = {
+      val seen = new Array[Boolean](n)
+      val queue = mutable.Queue(0)
+      seen(0) = true; var reached = 0
+      while (queue.nonEmpty) {
+        val u = queue.dequeue(); reached += 1
+        adj(u).foreach { v =>
+          if (!seen(v)) { seen(v) = true; queue.enqueue(v) }
+        }
+      }
+      reached
+    }
+    if (n == 0) (0, 0, 0)
+    else (n, bfs(fwd(_).toSeq), bfs(rev(_)))
+  }
 
   /** Build a standing index from scratch: ONE shuffle (the shard
     * repartition), then construction is embarrassingly parallel across

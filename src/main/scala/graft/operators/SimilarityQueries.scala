@@ -505,14 +505,18 @@ object SimilarityQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_vecs
              |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // q137: HNSW search in the EXACT regime (efSearch >= corpus size ⇒
-    // searchLayer never overflows its result set, so the beam visits the
-    // whole connected layer-0 component and the ranking IS brute force —
-    // HnswSpec pins connectivity). The oracle is the q28 brute-force
-    // chain: a graph walk and a cross join agree row-for-row, which
-    // pins entry-point descent, tie-breaks, rounding, and the window
-    // merge all at once. The approximate regime (small ef) reuses the
-    // SAME code path and is recall-gated in HnswSpec.
+    // q137: HNSW search in the EXACT regime, CERTIFIED per index since
+    // r19 (Hnsw.certifiedExactEf: efSearch = max shard size, with a
+    // per-shard layer-0 strong-connectivity certificate ⇒ searchLayer
+    // never overflows its result set and the beam visits every node
+    // from any entry — the per-shard ranking IS brute force at every sf
+    // and shard count, which is what lets this query sit in the sf1
+    // oracle subset at 2×~10k-node shards). The oracle is the q28
+    // brute-force chain: a graph walk and a cross join agree
+    // row-for-row, which pins entry-point descent, tie-breaks,
+    // rounding, and the window merge all at once. The approximate
+    // regime (small ef) reuses the SAME code path and is recall-gated
+    // in HnswSpec.
 
     Q("q137_hnsw_ann",
       (s, dir) => {
@@ -522,20 +526,16 @@ object SimilarityQueries {
         // fold paths explicitly; this query is the probe path)
         val sOuter = s
         import sOuter.implicits._
-        // corpus-scaled shards (Hnsw.scaledShards): 1 at sf <= 0.1
-        // (n <= 16384 — every sf where this query is oracle-checked;
-        // memo name + results unchanged there), 2 at sf1, 13 at sf10 —
-        // the fixed 1-shard build was 181.6 s of single-core
-        // construction in the r16 sweep. Do not add this query to an
-        // sf1+ oracle subset without the multi-shard exact-regime
-        // re-derivation (see Hnsw.scaledShards doc).
+        // corpus-scaled shards (Hnsw.scaledShards): 1 at sf <= 0.1,
+        // 2 at sf1, 13 at sf10 — the fixed 1-shard build was 181.6 s of
+        // single-core construction in the r16 sweep
         val ns = Hnsw.scaledShards(emb)
         val idx = Tables.memoTable(s, dir, s"hnsw_idx_${ns}s_m8") {
           Hnsw.buildIndex(emb, nShards = ns, m = 8,
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
         Hnsw.searchIndex(idx, emb.filter(col("vec_id") < 5), k = 10,
-            efSearch = 4096)
+            efSearch = Hnsw.certifiedExactEf(idx))
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (
@@ -574,11 +574,14 @@ object SimilarityQueries {
         val cut = emb.agg(max("vec_id")).head.getLong(0) * 4 / 5
         val base = Hnsw.buildIndex(emb.filter(col("vec_id") <= cut),
           nShards = 4, m = 8, efConstruction = 64)
+        // localCheckpoint: the exact-regime certificate (one pass) and
+        // the search (another) both consume the folded index — without
+        // it the incremental build would run twice
         val folded = Hnsw.insertIncremental(base,
           emb.filter(col("vec_id") > cut), nShards = 4, m = 8,
-          efConstruction = 64)
+          efConstruction = 64).localCheckpoint()
         Hnsw.searchIndex(folded, emb.filter(col("vec_id") < 5), k = 10,
-            efSearch = 4096)
+            efSearch = Hnsw.certifiedExactEf(folded))
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (

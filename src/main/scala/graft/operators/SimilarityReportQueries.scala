@@ -228,17 +228,17 @@ object SimilarityReportQueries {
         // exact cosine top-10 (the IVF/HNSW baseline)
         val exactCos = Similarity.bruteForceTopK(emb, qs, 10)
           .select(col("query_id"), col("vec_id"))
-        // HNSW over the standing index, exhaustive-certified setting
-        // corpus-scaled shards, same memo as q137 (1 shard — name and
-        // results unchanged — at sf <= 0.1 / n <= 16384, the sfs where
-        // this query is oracle-checked; 2 shards at sf1: see
-        // Hnsw.scaledShards doc before adding it to an sf1+ subset)
+        // HNSW over the standing index in the CERTIFIED exact regime
+        // (corpus-scaled shards, same memo as q137; efSearch from
+        // Hnsw.certifiedExactEf so the recall-is-exactly-10000 claim
+        // holds at every sf and shard count, not just n <= 4096)
         val nsH = Hnsw.scaledShards(emb)
         val idx = Tables.memoTable(s, dir, s"hnsw_idx_${nsH}s_m8") {
           Hnsw.buildIndex(emb, nShards = nsH, m = 8,
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
-        val hnsw = Hnsw.searchIndex(idx, qs, k = 10, efSearch = 4096)
+        val hnsw = Hnsw.searchIndex(idx, qs, k = 10,
+            efSearch = Hnsw.certifiedExactEf(idx))
           .select(col("query_id"), col("vec_id"))
         // IVF multi-probe + its measured candidate volume
         val ivf = Similarity.ivfTopKProbed(emb, qs, cells = 8, k = 10,

@@ -47,7 +47,13 @@ object ShuffleWidth {
     // exact under-width failure this module exists to prevent. Doubles
     // are exact for every pair count below 2^53 (far past the 4096-cap
     // regime) and only lose precision where the width is saturated
-    // anyway; satLong clamps the final estimate.
+    // anyway; satLong clamps the final estimate. Margin, recorded
+    // (r18 advice): the width pins at its 4096 cap from
+    // 4096×32 MB/24 B ≈ 5.7e9 pairs, while double stays exact to
+    // 2^53 ≈ 9.0e15 — precision loss begins ~1.6e6× past the point
+    // where the answer is already the cap (Round19Spec pins the
+    // arithmetic; re-audit only if a tier's census ever nears 2^53,
+    // i.e. ~10^7× today's sf10 worst case of ~1e9 pairs).
     val row = keyed
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("c"), sum(rowBytes.cast("double")).as("rb"))

@@ -85,6 +85,58 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("certifiedExactEf: max shard size + strong-connectivity " +
+    "certificate, and the certified ef reproduces brute force on a " +
+    "multi-shard index (the r19 q137-at-sf1 derivation)") {
+    val sOuter = spark
+    import sOuter.implicits._
+    val idx = Hnsw.buildIndex(emb, nShards = 3, m = 8,
+      efConstruction = 64)
+    val ef = Hnsw.certifiedExactEf(idx)
+    val maxShard = idx.groupBy("shard").count()
+      .agg(max("count")).head.getLong(0)
+    assert(ef == maxShard)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    val got = Hnsw.searchIndex(idx, queries, k = 10, efSearch = ef)
+      .select("query_id", "vec_id", "sim", "rank")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == exact, "certified-ef search diverges from brute force")
+  }
+
+  test("certifiedExactEf rejects a disconnected shard — fails loudly " +
+    "instead of masquerading as exact") {
+    val sOuter = spark
+    import sOuter.implicits._
+    // node 3 has no in- or out-edges on layer 0: unreachable either way
+    // coalesce(1): the index contract is shard-contiguous partitions
+    // (buildShards repartitions on shard); a raw toDS would split the
+    // 3-row shard across local partitions
+    val nodes = Seq(
+      HnswNode(0, 1L, 0, Array(1f, 0f), Array(Array(2L))),
+      HnswNode(0, 2L, 0, Array(0f, 1f), Array(Array(1L))),
+      HnswNode(0, 3L, 0, Array(1f, 1f), Array(Array.empty[Long])))
+      .toDS().coalesce(1)
+    val e = intercept[Exception] { Hnsw.certifiedExactEf(nodes) }
+    assert(e.getMessage.contains("strongly connected"))
+  }
+
+  test("layer0ReachCounts certifies the DIGRAPH: a one-way chain is " +
+    "fully forward-reachable but fails the reverse sweep (the pruned " +
+    "reverse-edge case the undirected shadow would miss)") {
+    def node(id: Long, out: Long*) =
+      HnswNode(0, id, 0, Array(id.toFloat, 1f),
+        Array(out.toArray))
+    // 1 -> 2 -> 3, no back edges: fwd BFS from node 1 reaches all 3,
+    // rev BFS reaches only node 1 itself
+    assert(Hnsw.layer0ReachCounts(
+      Array(node(1, 2), node(2, 3), node(3))) == ((3, 3, 1)))
+    // a 3-cycle is strongly connected
+    assert(Hnsw.layer0ReachCounts(
+      Array(node(1, 2), node(2, 3), node(3, 1))) == ((3, 3, 3)))
+  }
+
   test("approximate regime holds recall@10 >= 0.9 vs brute force") {
     val qs = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, qs, 10)

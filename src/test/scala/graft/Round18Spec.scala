@@ -73,8 +73,9 @@ class Round18Spec extends AnyFunSuite {
   test("Sf10Probe.budgetFor: cold WarmSplit rows gate at the build " +
     "budget, warm rows at the query budget, overrides win per label") {
     val b = 300.0; val bb = 600.0
+    // q164 joined WarmSplit in r19 (Round19Spec pins the membership)
     assert(Sf10Probe.WarmSplit == Set("q137_hnsw_ann",
-      "q162_audio_fingerprint"))
+      "q162_audio_fingerprint", "q164_video_frame_hashes"))
     assert(Sf10Probe.budgetFor("q137_hnsw_ann", Map.empty, b, bb) == bb)
     assert(Sf10Probe.budgetFor("q137_hnsw_ann_warm", Map.empty, b, bb) == b)
     assert(Sf10Probe.budgetFor("q53_lsh_neighbors", Map.empty, b, bb) == b)
