@@ -348,14 +348,7 @@ object Hnsw {
     * (bounded: ceil(n/16384) rows — the scaledSeedCutoff
     * bounded-decision discipline). */
   def certifiedExactEf(index: Dataset[HnswNode]): Int = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    val stats: Array[(Int, Int, Int, Int)] = index.mapPartitions { it =>
-      it.toArray.groupBy(_.shard).iterator.map { case (shard, nodes) =>
-        val (n, fwd, rev) = layer0ReachCounts(nodes)
-        (shard, n, fwd, rev)
-      }
-    }.collect()
+    val stats = shardReachStats(index)
     require(stats.nonEmpty, "certifiedExactEf on an empty index")
     stats.foreach { case (shard, n, fwd, rev) =>
       require(fwd == n && rev == n,
@@ -365,6 +358,47 @@ object Hnsw {
           "this index in the recall-gated approximate regime")
     }
     stats.map(_._2).max
+  }
+
+  /** Certify-or-degrade ef selection — what the standing-index queries
+    * (q137/q138/q204) actually call: [[certifiedExactEf]]'s bound when
+    * every shard certifies strongly connected, else `fallbackEf` (the
+    * recall-gated approximate regime, HnswSpec's ≥0.9 recall pin) with
+    * a stderr note naming the offending shard. Measured reality behind
+    * the split (r19): the certificate HOLDS at every oracle-checked sf
+    * (1 shard ≤2048 nodes at sf ≤ 0.1; 2×~10.2k sf1 shards; q138's
+    * 4×~5.1k) but FAILS at sf10 — neighbor-list pruning strands 1 of
+    * 15,334 nodes in one 13-shard q137 shard and 6 of 49,816 in a
+    * q138 shard. That is the correct production posture, made
+    * mechanical: at 100 TB an HNSW probe is approximate and
+    * recall-gated, and the exact regime is a per-index CERTIFICATE the
+    * oracle-checked tiers actually pass, not an assumption a literal
+    * happened to satisfy. */
+  def certifiedEfOr(index: Dataset[HnswNode], fallbackEf: Int): Int = {
+    val stats = shardReachStats(index)
+    require(stats.nonEmpty, "certifiedEfOr on an empty index")
+    stats.find { case (_, n, fwd, rev) => fwd != n || rev != n } match {
+      case Some((shard, n, fwd, rev)) =>
+        System.err.println(s"[hnsw] exact-regime certificate failed " +
+          s"(shard $shard: $fwd/$n fwd, $rev/$n rev) — probing in the " +
+          s"recall-gated approximate regime, ef=$fallbackEf")
+        fallbackEf
+      case None => stats.map(_._2).max
+    }
+  }
+
+  /** One bounded-decision pass: per shard `(shard, n, fwdReach,
+    * revReach)` over the layer-0 digraph (ceil(n/16384) rows). */
+  private def shardReachStats(
+      index: Dataset[HnswNode]): Array[(Int, Int, Int, Int)] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.mapPartitions { it =>
+      it.toArray.groupBy(_.shard).iterator.map { case (shard, nodes) =>
+        val (n, fwd, rev) = layer0ReachCounts(nodes)
+        (shard, n, fwd, rev)
+      }
+    }.collect()
   }
 
   /** (n, forward-reach, reverse-reach) over one shard's layer-0

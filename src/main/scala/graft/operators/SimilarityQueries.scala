@@ -505,18 +505,20 @@ object SimilarityQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_vecs
              |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // q137: HNSW search in the EXACT regime, CERTIFIED per index since
-    // r19 (Hnsw.certifiedExactEf: efSearch = max shard size, with a
-    // per-shard layer-0 strong-connectivity certificate ⇒ searchLayer
-    // never overflows its result set and the beam visits every node
-    // from any entry — the per-shard ranking IS brute force at every sf
-    // and shard count, which is what lets this query sit in the sf1
-    // oracle subset at 2×~10k-node shards). The oracle is the q28
-    // brute-force chain: a graph walk and a cross join agree
+    // q137: HNSW search with the regime CERTIFIED per index since r19
+    // (Hnsw.certifiedEfOr): when every shard's layer-0 digraph
+    // certifies strongly connected, efSearch = max shard size ⇒
+    // searchLayer never overflows its result set and the beam visits
+    // every node from any entry — the per-shard ranking IS brute force,
+    // which is what lets this query sit in the sf1 oracle subset at
+    // 2×~10k-node shards. Where the certificate fails (sf10: pruning
+    // strands 1 node of 15,334 in one shard) the probe degrades to the
+    // recall-gated approximate regime (ef=4096, HnswSpec ≥0.9 pin) with
+    // a stderr note — the honest 100 TB posture, decided by a
+    // certificate instead of assumed from a literal. The oracle is the
+    // q28 brute-force chain: a graph walk and a cross join agree
     // row-for-row, which pins entry-point descent, tie-breaks,
-    // rounding, and the window merge all at once. The approximate
-    // regime (small ef) reuses the SAME code path and is recall-gated
-    // in HnswSpec.
+    // rounding, and the window merge all at once.
 
     Q("q137_hnsw_ann",
       (s, dir) => {
@@ -535,7 +537,7 @@ object SimilarityQueries {
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
         Hnsw.searchIndex(idx, emb.filter(col("vec_id") < 5), k = 10,
-            efSearch = Hnsw.certifiedExactEf(idx))
+            efSearch = Hnsw.certifiedEfOr(idx, 4096))
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (
@@ -581,7 +583,7 @@ object SimilarityQueries {
           emb.filter(col("vec_id") > cut), nShards = 4, m = 8,
           efConstruction = 64).localCheckpoint()
         Hnsw.searchIndex(folded, emb.filter(col("vec_id") < 5), k = 10,
-            efSearch = Hnsw.certifiedExactEf(folded))
+            efSearch = Hnsw.certifiedEfOr(folded, 4096))
           .orderBy("query_id", "rank")
       },
       Some("""WITH e AS (

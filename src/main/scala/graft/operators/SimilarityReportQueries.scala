@@ -238,7 +238,7 @@ object SimilarityReportQueries {
             efConstruction = 64).toDF()
         }.as[graft.functions.HnswNode]
         val hnsw = Hnsw.searchIndex(idx, qs, k = 10,
-            efSearch = Hnsw.certifiedExactEf(idx))
+            efSearch = Hnsw.certifiedEfOr(idx, 4096))
           .select(col("query_id"), col("vec_id"))
         // IVF multi-probe + its measured candidate volume
         val ivf = Similarity.ivfTopKProbed(emb, qs, cells = 8, k = 10,

@@ -120,6 +120,17 @@ class HnswSpec extends AnyFunSuite {
       .toDS().coalesce(1)
     val e = intercept[Exception] { Hnsw.certifiedExactEf(nodes) }
     assert(e.getMessage.contains("strongly connected"))
+    // the certify-or-degrade entry point (what q137/q138/q204 call)
+    // falls back to the recall-gated ef instead of throwing — the sf10
+    // posture, where pruning strands a handful of nodes per shard
+    assert(Hnsw.certifiedEfOr(nodes, 4096) == 4096)
+  }
+
+  test("certifiedEfOr returns the certified exact bound when the " +
+    "certificate holds") {
+    val idx = Hnsw.buildIndex(emb, nShards = 2, m = 8,
+      efConstruction = 64)
+    assert(Hnsw.certifiedEfOr(idx, 4096) == Hnsw.certifiedExactEf(idx))
   }
 
   test("layer0ReachCounts certifies the DIGRAPH: a one-way chain is " +
