@@ -54,8 +54,10 @@ object Multimodal {
     * full multimodal plumbing run on driver testdata. */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), col("n_chars")),
+        col("doc_id"))
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
         val kind = (id % 3) match {
@@ -245,8 +247,9 @@ object Multimodal {
   def syntheticGradientPngs(spark: SparkSession,
                             dir: String): Dataset[ImageRow] =
     gradientPngsForIds(
-      graft.sources.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"))
+      graft.sources.Tables.fanOut(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .select(col("doc_id")), col("doc_id"))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong),
       dupSeedModulus(spark, dir, 221L))
 
@@ -403,8 +406,9 @@ object Multimodal {
   def syntheticGradientGvids(spark: SparkSession,
                              dir: String): Dataset[VideoRow] =
     gradientGvidsForIds(
-      graft.sources.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"))
+      graft.sources.Tables.fanOut(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .select(col("doc_id")), col("doc_id"))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong),
       dupSeedModulus(spark, dir, 150L))
 
@@ -530,8 +534,9 @@ object Multimodal {
   def syntheticSteppedWavs(spark: SparkSession,
                            dir: String): Dataset[AudioRow] =
     steppedWavsForIds(
-      graft.sources.Tables.load(spark, dir, "documents")
-        .select(col("doc_id"))
+      graft.sources.Tables.fanOut(
+          graft.sources.Tables.load(spark, dir, "documents")
+            .select(col("doc_id")), col("doc_id"))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong),
       dupSeedModulus(spark, dir, 200L))
 
@@ -644,8 +649,9 @@ object Multimodal {
     * partition-local; payload bytes never shuffle. */
   def syntheticPngs(spark: SparkSession, dir: String): Dataset[ImageRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writer = newPngWriter()
@@ -719,8 +725,9 @@ object Multimodal {
     * amplitude = (doc_id·97) mod 8192 + 1. Encoding is partition-local. */
   def syntheticWavs(spark: SparkSession, dir: String): Dataset[AudioRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (id, n) => AudioRow(id, makeWavPayload(id, n)) }
@@ -836,8 +843,9 @@ object Multimodal {
     * misread index produces wrong, hash-detectable colors). */
   def syntheticGvids(spark: SparkSession, dir: String): Dataset[VideoRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writer = newPngWriter()
@@ -1038,8 +1046,9 @@ object Multimodal {
     * muxing are partition-local. */
   def syntheticMjpegAvis(spark: SparkSession, dir: String): Dataset[AviRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writer = newJpegWriter()
@@ -1142,8 +1151,9 @@ object Multimodal {
   def syntheticMediaReal(spark: SparkSession,
                          dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    graft.sources.Tables.fanOut(
+        graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writer = newPngWriter()

@@ -230,7 +230,12 @@ object DedupReportQueries {
 
     Q("q232_contamination_matrix",
       (s, dir) => {
-        val ss = Tables.load(s, dir, "documents")
+        // fanOut: the shingle explode is the query's dominant kernel and
+        // the documents scan is one task at bench scale (guide §2.5) —
+        // spread it across the session's cores before the explode
+        val ss = Tables.fanOut(Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
           .select(col("source"),
             explode(Dedup.shingles(col("text"), 3)).as("sh"))
           .distinct()

@@ -89,6 +89,27 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Scale-adaptive parallelism floor for CPU-dense per-row kernels
+    * (codec encode/decode, shingling, sketch folds) fed by a SMALL scan
+    * (optimization guide §2.5, "input skew: one huge unsplittable
+    * file... repartition immediately after the read"): the driver's test
+    * tables are single-file single-row-group parquet, so their scans are
+    * ONE task and everything map-side runs on one core of the session.
+    * Hash-repartition such an input to the session's core count so the
+    * kernel stage uses every core; an input that already carries >=
+    * defaultParallelism partitions (any real at-scale table) passes
+    * through untouched — the floor derives from the session, never a
+    * constant. Hash distribution on a caller-named high-cardinality key
+    * (not round-robin) keeps row routing deterministic under task retry
+    * and skips sortBeforeRepartition's per-partition sort. Results are
+    * unchanged: only row-to-partition placement moves, and every caller
+    * is aggregation/join/sort-shaped downstream. */
+  def fanOut(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** events needs special casing: the driver's `ts` encoding has drifted
     * across testdata generations — Parquet TIMESTAMP(NANOS) (which Spark 4
     * only reads as a long via spark.sql.legacy.parquet.nanosAsLong) and,
