@@ -144,7 +144,7 @@ object Bpe {
                  textCol: String = "text"): DataFrame = {
     val trained = trainedWords
       .select(col("word"), size(symsOf(col("sym"))).as("n_subwords"))
-    docs.select(col(idCol),
+    graft.sources.Tables.fanOut(docs, col(idCol)).select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .join(trained, Seq("word"))

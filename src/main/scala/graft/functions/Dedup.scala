@@ -526,10 +526,23 @@ object Dedup {
                           idCol: String, textCol: String,
                           shingleN: Int = 3, bands: Int = 4,
                           rowsPerBand: Int = 4,
-                          minJaccardBp: Long = 5000): DataFrame = {
-    val nb = nearDupBandRows(newDocs, idCol, textCol, shingleN, bands,
-      rowsPerBand)
-    val ns = shingleSets(newDocs, idCol, textCol, shingleN)
+                          minJaccardBp: Long = 5000): DataFrame =
+    incrementalNearDupsFrom(
+      nearDupBandRows(newDocs, idCol, textCol, shingleN, bands,
+        rowsPerBand),
+      shingleSets(newDocs, idCol, textCol, shingleN),
+      indexBands, indexShingles, idCol, minJaccardBp)
+
+  /** [[incrementalNearDups]] over PRE-BUILT batch band rows / shingle
+    * sets — the probe stage alone. Callers that also LAND nb/ns as index
+    * growth (the streaming ingest) build them once, localCheckpoint, and
+    * share the frames between the probe and the index writes instead of
+    * re-running the text kernels per consumer (the r19 q246/q247 cost
+    * audit measured the batch text kernel evaluated ~5x per batch). */
+  def incrementalNearDupsFrom(nb: DataFrame, ns: DataFrame,
+                              indexBands: DataFrame,
+                              indexShingles: DataFrame, idCol: String,
+                              minJaccardBp: Long): DataFrame = {
     // new × indexed: the index side stays unshuffled (broadcast probe)
     val candOld = indexBands.as("o")
       .join(broadcast(nb.as("n")),

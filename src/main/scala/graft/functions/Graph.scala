@@ -85,13 +85,20 @@ object Graph {
   def triangles(pairs: DataFrame, srcCol: String = "id_a",
                 dstCol: String = "id_b",
                 standingDegrees: Option[DataFrame] = None): DataFrame = {
+    // localCheckpoint: e is referenced by the degree pass, the
+    // orientation join and both wedge legs — without it the caller's
+    // whole edge-producing chain (for q110/q197, the LSH near-dup
+    // pipeline) is planned and executed once per reference (guide §3.3:
+    // materialize to truncate the plan). The edge list is the same frame
+    // the wedge join shuffles anyway, and the checkpoint spills
+    // gracefully at scale (MEMORY_AND_DISK).
     val e = pairs
       .select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .distinct()
+      .distinct().localCheckpoint()
     // the orientation key only needs a TOTAL ORDER on nodes to
     // enumerate each triangle exactly once — degree-ordering is the
     // performance lever, not a correctness requirement. So an
@@ -152,11 +159,14 @@ object Graph {
     * after the enumeration is node-table-sized. */
   def clusteringCoefficients(pairs: DataFrame, srcCol: String = "id_a",
                              dstCol: String = "id_b"): DataFrame = {
-    val tcount = triangles(pairs, srcCol, dstCol)
+    // one checkpoint of the pair list: triangles() and degrees() below
+    // would otherwise each re-run the caller's edge-producing chain
+    val p = pairs.localCheckpoint()
+    val tcount = triangles(p, srcCol, dstCol)
       .select(explode(array(col("id_a"), col("id_b"), col("id_c")))
         .as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    degrees(pairs, srcCol, dstCol)
+    degrees(p, srcCol, dstCol)
       .join(tcount, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -60,7 +60,7 @@ object Retrieval {
     // Project boundary (CollapseProject keeps non-cheap aliases with
     // multiple references un-inlined), so the tokenize pipeline runs
     // once, not once per referencing expression
-    val base = docs
+    val base = graft.sources.Tables.fanOut(docs, col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("ws"))
       .select(
         col(idCol) +: size(col("ws")).cast("long").as("dl") +:
@@ -326,11 +326,12 @@ object Retrieval {
     require(window > 0, s"window must be positive, got $window")
     val spark = docs.sparkSession
     import spark.implicits._
-    val top = bm25TopKIndexed(docs, queries, topK, idCol, textCol)
+    val fanned = graft.sources.Tables.fanOut(docs, col(idCol))
+    val top = bm25TopKIndexed(fanned, queries, topK, idCol, textCol)
     val qterms = broadcast(queries
       .map { case (q, ts) => (q, ts.map(_.toLowerCase).distinct) }
       .toDF("qid", "terms"))
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("ws"))
+    val toks = fanned.select(col(idCol), tokens(col(textCol)).as("ws"))
     top.join(toks, Seq(idCol)).join(qterms, Seq("qid"))
       .withColumn("npos",
         greatest(lit(1), size(col("ws")) - lit(window) + 1))
@@ -735,8 +736,9 @@ object Retrieval {
                   window: Int = 32, stride: Int = 16, k: Int = 20,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val passages = Mixing.slidingWindows(docs, window, stride, idCol,
-        textCol)
+    val passages = Mixing.slidingWindows(
+        graft.sources.Tables.fanOut(docs, col(idCol)), window, stride,
+        idCol, textCol)
       .withColumn("pid", col(idCol) * lit(65536L) + col("win_id"))
     val scored = bm25(passages, queryTerms, idCol = "pid",
       textCol = "window_text")

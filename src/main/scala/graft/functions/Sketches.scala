@@ -344,8 +344,13 @@ object Sketches {
                depth: Int): DataFrame = {
     require(width > 0 && depth > 0,
       s"width/depth must be positive, got $width/$depth")
-    df.select(explode(array((0 until depth).map(lit): _*)).as("j"),
-        col(itemCol).cast("string").as("item"))
+    // project to the item column BEFORE the fan-out (guide §2.3), then
+    // floor the parallelism: depth md5 hashes per input row is the
+    // query's dominant kernel and a single-file scan runs it on one core
+    val items = graft.sources.Tables.fanOut(
+      df.select(col(itemCol).cast("string").as("item")), col("item"))
+    items.select(explode(array((0 until depth).map(lit): _*)).as("j"),
+        col("item"))
       .select(col("j"), cmCell(col("j"), col("item"), width).as("cell"))
       .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
   }

@@ -200,7 +200,9 @@ object TextAnalysis {
     val bp = when(cc.getItem(0) === 0, lit(0L))
       .otherwise(floor(cc.getItem(1) * lit(10000.0) / cc.getItem(0)))
       .cast("long")
-    docs
+    // census kernels are the dominant per-row cost — floor the
+    // parallelism when the input is an under-parallel small scan
+    graft.sources.Tables.fanOut(docs, col(idCol))
       .select(col(idCol) +:
         (repetitionMetricsFast(t) :+ bp.as("alpha_bp")): _*)
       .withColumn("reason",
@@ -384,7 +386,8 @@ object TextAnalysis {
                         textCol: String = "text"):
       org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col(idCol),
+    val words = graft.sources.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
     val totals = words.groupBy(col(idCol)).agg(
@@ -458,7 +461,9 @@ object TextAnalysis {
                  textCol: String = "text"):
       org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    val withArrays = docs.select(col(idCol), t.as("t"),
+    // interpreted HOF census over every word — parallelism floor first
+    val withArrays = graft.sources.Tables.fanOut(docs, col(idCol))
+      .select(col(idCol), t.as("t"),
       filter(split(trim(t), "\\s+"), w => length(w) > 0).as("ws"),
       split(t, "\n").as("lines"))
     val n = size(col("ws")).cast("long")

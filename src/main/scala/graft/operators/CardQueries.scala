@@ -666,7 +666,14 @@ object CardQueries {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         val width = graft.plans.ShuffleWidth.pairWidth(s,
           li.select(col("o")), Seq("o"), bytesPerPair = 96L)
-        val op = li.distinct().repartition(width, col("o"))
+        // one exchange instead of two: repartition FIRST, then distinct
+        // — HashPartitioning(o) satisfies the (o, p) distinct's
+        // clustering (subset of group keys), so the dedup runs in place
+        // on the already-fanned partitions and the self-join below
+        // reuses the same partitioning; the old order ran the partial
+        // distinct serially on the single-task scan and then paid a
+        // second exchange to re-key by o
+        val op = li.repartition(width, col("o")).distinct()
         op.as("a").join(op.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))

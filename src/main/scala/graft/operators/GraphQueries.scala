@@ -143,9 +143,10 @@ object GraphQueries {
         // per-wave distinct ≡ partitioned global distinct — and each
         // wave dedups only its third instead of re-running the full
         // corpus-wide distinct three times
-        val base = Tables.load(s, dir, "lineitem")
+        val base = Tables.fanOut(Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").cast("long").as("id_a"),
-            (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
+            (col("l_partkey").cast("long") + 1000000000L).as("id_b")),
+          col("id_a"))
         val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
         val batches = (0 to 2).map(b =>
           base.filter(wave === b).distinct())

@@ -586,6 +586,10 @@ object SimilarityReportQueries {
             cells = Similarity.scaledSeedCutoff(b, mult = 2),
             nprobe = 2, lloydIters = 1)
           .select(col("query_id").as("id_a"), col("vec_id").as("id_b"))
+        // localCheckpoint: the scored candidate frame is referenced
+        // 3x below (two top-4 windows + the final join) — without it
+        // the whole IVF train/assign/probe/cosine chain planned and ran
+        // three times (guide §3.3)
         val pairs = cand
           .join(emb.select(col("vec_id").as("id_a"),
             col("embedding").as("va")), Seq("id_a"))
@@ -594,7 +598,7 @@ object SimilarityReportQueries {
           .withColumn("c_micro",
             floor(round(Similarity.cosine(col("va"), col("vb")), 6)
               * lit(1000000L)).cast("long"))
-          .select("id_a", "id_b", "c_micro")
+          .select("id_a", "id_b", "c_micro").localCheckpoint()
         val wa = Window.partitionBy(col("id_a"))
           .orderBy(desc("c_micro"), asc("id_b"))
         val wb = Window.partitionBy(col("id_b"))

@@ -222,9 +222,10 @@ object StreamedQueries {
 
     Q("q236_streamed_degrees",
       (s, dir) => {
-        val base = Tables.load(s, dir, "lineitem")
+        val base = Tables.fanOut(Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey").cast("long").as("id_a"),
-            (col("l_partkey").cast("long") + 1000000000L).as("id_b"))
+            (col("l_partkey").cast("long") + 1000000000L).as("id_b")),
+          col("id_a"))
         val wave = pmod(col("id_a") * 31 + col("id_b"), lit(3))
         val stateDir = graft.sources.TmpDirs.appState(s, dir, "q236")
         (0L to 2L).foreach { b =>

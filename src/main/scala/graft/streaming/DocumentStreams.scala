@@ -64,16 +64,23 @@ object DocumentStreams {
     // between index write and checkpoint commit) — remove its own ids so
     // replay probes the same index state the first attempt did
     val ownIds = docs.select(col(idCol)).distinct()
-    val pairs = Dedup.incrementalNearDups(docs,
+    // build the batch's band rows and shingle sets ONCE and checkpoint:
+    // the probe references each 2x and the index growth lands the same
+    // frames, so uncheckpointed the batch text kernel ran ~5x per batch
+    // (r19 audit) — now once, with the writes scanning the materialized
+    // frames
+    val nb = Dedup.nearDupBandRows(docs, idCol, textCol, shingleN, bands,
+      rowsPerBand).localCheckpoint()
+    val ns = Dedup.shingleSets(docs, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val pairs = Dedup.incrementalNearDupsFrom(nb, ns,
       idxBands.join(broadcast(ownIds), Seq(idCol), "left_anti"),
       idxShingles.join(broadcast(ownIds), Seq(idCol), "left_anti"),
-      idCol, textCol, shingleN, bands, rowsPerBand, minJaccardBp)
+      idCol, minJaccardBp)
     pairs.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-    Dedup.nearDupBandRows(docs, idCol, textCol, shingleN, bands, rowsPerBand)
-      .write.mode("overwrite")
+    nb.write.mode("overwrite")
       .parquet(s"$indexDir/bands/batch_id=$batchId")
-    Dedup.shingleSets(docs, idCol, textCol, shingleN)
-      .write.mode("overwrite")
+    ns.write.mode("overwrite")
       .parquet(s"$indexDir/shingles/batch_id=$batchId")
   }
 
