@@ -1035,7 +1035,7 @@ object Dedup {
     * position — the shared front of the ExactSubstr family. */
   private def positionWindows(docs: DataFrame, L: Int, idCol: String,
                               textCol: String): DataFrame =
-    docs
+    graft.sources.Tables.fanOut(docs, col(idCol))
       .select(col(idCol), wsTokens(textCol).as("w"))
       .select(col(idCol),
         posexplode(when(size(col("w")) < L, array().cast("array<string>"))
@@ -1117,7 +1117,23 @@ object Dedup {
   def exactSubstrSpansAgainst(standingIndex: DataFrame, batch: DataFrame,
                               windowWords: Int,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text"): DataFrame =
+    exactSubstrSpansAndFold(standingIndex, batch, windowWords, idCol,
+      textCol)._1
+
+  /** Probe AND fold in one pass: returns (spans, folded index). The
+    * combined owner table the probe joins against IS the folded index
+    * (groupBy-min over standing UNION batch owners), so callers that need
+    * both (q180's wave loop, IndexStreams.substrBatch) compute the
+    * window frame and the owner aggregate once instead of re-running
+    * positionWindows per consumer. The folded side is localCheckpointed —
+    * it is read by the probe join here and again as the next wave's
+    * standing index. */
+  def exactSubstrSpansAndFold(standingIndex: DataFrame, batch: DataFrame,
+                              windowWords: Int,
+                              idCol: String = "doc_id",
+                              textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     val L = windowWords
     // same double-consumer shape as the one-shot: batch windows feed
     // the batch-local owner aggregate AND the probe join
@@ -1126,10 +1142,11 @@ object Dedup {
     val combined = standingIndex.unionByName(
         w.groupBy(col("h")).agg(min(col(idCol)).as("first_id")))
       .groupBy(col("h")).agg(min(col("first_id")).as("first_id"))
+      .localCheckpoint(false)
     val marked = w.join(combined, Seq("h"))
       .filter(col(idCol) =!= col("first_id"))
       .select(col(idCol), col("pos").cast("long").as("pos"))
-    islandSpans(marked, L, idCol)
+    (islandSpans(marked, L, idCol), combined)
   }
 
   /** EXACT set-similarity join via prefix filtering (AllPairs, Bayardo

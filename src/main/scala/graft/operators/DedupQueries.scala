@@ -836,8 +836,12 @@ object DedupQueries {
         val spans = bounds.map { case (lo, hi) =>
           val wave = docs.filter(
             col("doc_id") >= lo && col("doc_id") < hi)
-          val sp = Dedup.exactSubstrSpansAgainst(idx, wave, 5)
-          idx = Dedup.foldExactSubstrIndex(idx, wave, 5)
+          // probe + fold in ONE pass: the fold's owner table is exactly
+          // the combined table the probe joins (and it arrives
+          // checkpointed, so wave N+1's standing side is materialized
+          // instead of a 2^wave nested re-plan of every earlier wave)
+          val (sp, folded) = Dedup.exactSubstrSpansAndFold(idx, wave, 5)
+          idx = folded
           sp
         }.reduce(_ unionByName _)
         spans.orderBy("doc_id", "s")

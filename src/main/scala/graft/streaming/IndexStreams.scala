@@ -209,12 +209,12 @@ object IndexStreams {
         spark.read.parquet(versionPath(idxDir, batchId - 1))
       else graft.functions.Dedup
         .exactSubstrIndex(batch.limit(0), windowWords)
-    graft.functions.Dedup
-      .exactSubstrSpansAgainst(standing, batch, windowWords)
-      .write.mode("overwrite").parquet(s"$stateDir/spans/b=$batchId")
-    graft.functions.Dedup
-      .foldExactSubstrIndex(standing, batch, windowWords)
-      .write.mode("overwrite").parquet(versionPath(idxDir, batchId))
+    // probe + fold share one window pass (the fold IS the probe's
+    // combined owner table) — see Dedup.exactSubstrSpansAndFold
+    val (spans, folded) = graft.functions.Dedup
+      .exactSubstrSpansAndFold(standing, batch, windowWords)
+    spans.write.mode("overwrite").parquet(s"$stateDir/spans/b=$batchId")
+    folded.write.mode("overwrite").parquet(versionPath(idxDir, batchId))
   }
 
   /** Start the streaming ExactSubstr maintainer. */
