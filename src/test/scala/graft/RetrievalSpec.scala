@@ -31,10 +31,23 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = Retrieval.bm25(corpus, Seq("a"))
       .queryExecution.executedPlan.toString
     // one Exchange pair for the global scalar agg (partial→final) plus
-    // the broadcast back; the corpus-side projection must not exchange
-    val shuffles = "Exchange hashpartitioning".r
-      .findAllIn(plan).size
-    assert(shuffles == 0, s"corpus rows entered a hash exchange:\n$plan")
+    // the broadcast back; the corpus-side projection must not be
+    // RE-KEYED for scoring (no planner-inserted hash exchange). The one
+    // allowed hash exchange is the explicit r19 parallelism floor
+    // (Tables.fanOut → REPARTITION_BY_NUM), which exists only when the
+    // scan is under-parallel and moves each row once without keying the
+    // scoring itself.
+    val shuffles = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS"
+      .r.findAllIn(plan).size
+    assert(shuffles == 0,
+      s"corpus rows entered a planner-keyed hash exchange:\n$plan")
+    // and every hash exchange in the plan IS that explicit fan-out
+    // (the corpus subtree appears once per consumer — scoring side and
+    // stats side — so the fan-out exchange can appear more than once)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size ==
+      "Exchange hashpartitioning[^\\n]*REPARTITION_BY_NUM".r
+        .findAllIn(plan).size,
+      s"a non-fan-out hash exchange keyed the corpus side:\n$plan")
   }
 
   test("bm25TopKIndexed: index-path scores match the scan-path formula " +
