@@ -341,14 +341,19 @@ object Sketches {
     * Plan: one ×depth explode + one (width·depth)-bounded hash
     * aggregate with map-side combine; nothing row-sized shuffles. */
   def countMin(df: DataFrame, itemCol: String, width: Int,
-               depth: Int): DataFrame = {
+               depth: Int, fan: Boolean = true): DataFrame = {
     require(width > 0 && depth > 0,
       s"width/depth must be positive, got $width/$depth")
     // project to the item column BEFORE the fan-out (guide §2.3), then
     // floor the parallelism: depth md5 hashes per input row is the
-    // query's dominant kernel and a single-file scan runs it on one core
-    val items = graft.sources.Tables.fanOut(
-      df.select(col(itemCol).cast("string").as("item")), col("item"))
+    // query's dominant kernel and a single-file scan runs it on one core.
+    // `fan = false` for MICRO-BATCH callers (SketchStreams.cmBatch): a
+    // batch is small by contract, so the exchange is pure overhead next
+    // to its kernel — measured r19: q250 1.92 s -> 2.62 s isolated with
+    // the fan, the exact inverse of q124's one-shot 1.91 -> 0.82 win.
+    val proj = df.select(col(itemCol).cast("string").as("item"))
+    val items =
+      if (fan) graft.sources.Tables.fanOut(proj, col("item")) else proj
     items.select(explode(array((0 until depth).map(lit): _*)).as("j"),
         col("item"))
       .select(col("j"), cmCell(col("j"), col("item"), width).as("cell"))

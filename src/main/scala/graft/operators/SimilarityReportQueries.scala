@@ -226,15 +226,15 @@ object SimilarityReportQueries {
         val qs = emb.filter(col("vec_id") < 5)
         val nRow = emb.agg(count(lit(1)).as("n_corpus"))
         // exact cosine top-10 (the IVF/HNSW baseline)
-        // localCheckpoint every bake-off component (guide §3.3:
-        // materialize to truncate the plan): each tiny result frame
-        // (<= 50 rows) is referenced 2-3x by the recall aggregates
-        // below, so uncheckpointed the whole brute-force / HNSW / IVF /
-        // PQ subtree was planned AND executed once per reference (the
-        // before plan carried ~98 exchanges), and optimizer+AQE time on
-        // the mega-plan dominated the query.
+        // NOTE (r19, measured): checkpointing every bake-off component
+        // (6 eager localCheckpoints) was TRIED here — it shrank the
+        // formatted plan (98 -> 38 Exchanges) but RAN SLOWER (isolated
+        // min 3.6 s -> 5.4-5.6 s; in-suite 2.7 -> 3.8): the eager
+        // materialization serializes six tiny jobs and forfeits the
+        // shared-scan reuse AQE finds inside the one mega-plan. Plan
+        // size is not execution time; reverted to the lazy shape.
         val exactCos = Similarity.bruteForceTopK(emb, qs, 10)
-          .select(col("query_id"), col("vec_id")).localCheckpoint()
+          .select(col("query_id"), col("vec_id"))
         // HNSW over the standing index in the CERTIFIED exact regime
         // (corpus-scaled shards, same memo as q137; efSearch from
         // Hnsw.certifiedExactEf so the recall-is-exactly-10000 claim
@@ -246,13 +246,13 @@ object SimilarityReportQueries {
         }.as[graft.functions.HnswNode]
         val hnsw = Hnsw.searchIndex(idx, qs, k = 10,
             efSearch = Hnsw.certifiedEfOr(idx, 4096))
-          .select(col("query_id"), col("vec_id")).localCheckpoint()
+          .select(col("query_id"), col("vec_id"))
         // IVF multi-probe + its measured candidate volume
         val ivf = Similarity.ivfTopKProbed(emb, qs, cells = 8, k = 10,
             nprobe = 2, lloydIters = 1)
-          .select(col("query_id"), col("vec_id")).localCheckpoint()
+          .select(col("query_id"), col("vec_id"))
         val ivfCand = Similarity.ivfProbedCandidateCount(emb, qs,
-          cells = 8, nprobe = 2, lloydIters = 1).localCheckpoint()
+          cells = 8, nprobe = 2, lloydIters = 1)
         // PQ ADC shortlist → exact rerank, vs the exact-d² baseline
         val cb = Tables.memoTable(s, dir, "pq_cb_8x16") {
           graft.functions.Pq.codebook(emb, nsub = 8, k = 16, dsub = 8,
@@ -262,7 +262,7 @@ object SimilarityReportQueries {
           dsub = 8)
         val pq = graft.functions.Pq.adcRerankTopK(codes, cb, emb, qs,
             k = 10, shortlist = 50, nsub = 8, dsub = 8)
-          .select(col("query_id"), col("vec_id")).localCheckpoint()
+          .select(col("query_id"), col("vec_id"))
         val qv = qs.select(col("vec_id").as("query_id"),
           col("embedding").as("qe"))
         val wd = Window.partitionBy(col("query_id"))
@@ -276,7 +276,7 @@ object SimilarityReportQueries {
               + Similarity.dotFast(col("ve"), col("ve")), 6))
           .withColumn("rank", row_number().over(wd))
           .filter(col("rank") <= 10)
-          .select(col("query_id"), col("vec_id")).localCheckpoint()
+          .select(col("query_id"), col("vec_id"))
         // measured recall: |approx ∩ exact| over |exact|, exact int64
         def hitsAgg(approx: org.apache.spark.sql.DataFrame,
                     exact: org.apache.spark.sql.DataFrame) =

@@ -90,8 +90,12 @@ object TextReportQueries {
     Q("q126_adaptive_quality",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // localCheckpoint: the verdict frame is referenced 3x (both
+        // threshold percentiles + the final join) — without it the
+        // census chain plans and runs once per reference (guide §3.3);
+        // the frame is doc-count rows of 3 ints, trivially small
         val q = TextAnalysis.qualityVerdict(docs)
-          .select("doc_id", "alpha_bp", "n_words")
+          .select("doc_id", "alpha_bp", "n_words").localCheckpoint()
         // the threshold derivation is the reusable function the
         // curation driver's adaptiveQualityPercentile lever routes
         // through (CurationSpec pins adaptive run ≡ manual run)
