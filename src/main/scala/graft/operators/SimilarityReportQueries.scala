@@ -144,7 +144,18 @@ object SimilarityReportQueries {
         val pos = clusters.filter(col("id") =!= col("comp"))
           .select(col("comp").as("anchor_id"),
             col("id").as("positive_id"))
-        val hs = Dedup.shingleSets(docs, "doc_id", "text", 3)
+        // parallelism floor before the shingle kernel + explode: this
+        // query's dominant cost is the exploded (doc, shingle) overlap
+        // join fed by the single-task documents scan; the fanned source
+        // is one small (id, text) exchange, reused by both tok branches.
+        // Measured r19: 1.47-1.76 s -> 1.02 s isolated. (A blanket fan
+        // inside Dedup.shingleSets was tried and REVERTED: it cost
+        // q246/q247 +2 s each — their foreachBatch waves re-execute the
+        // exchange per job — and moved nothing else; this is the one
+        // call site where the explode volume makes it pay.)
+        val hs = Dedup.shingleSets(
+          Tables.fanOut(docs.select(col("doc_id"), col("text")),
+            col("doc_id")), "doc_id", "text", 3)
         val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
         val anchors = pos.select(col("anchor_id").as("doc_id")).distinct()
         val aTok = tok.join(anchors, Seq("doc_id"))
