@@ -62,7 +62,15 @@ object Sketches {
         max(col(c)).as(s"max_$c"),
         minK(Dedup.md5Hash64(col(c).cast("string")), k).as(s"mins_$c"))
     }
-    table.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // project to the profiled columns, then floor the parallelism
+    // (guide §2.3/§2.5): the per-row cost is |cols| md5 hashes + MinK
+    // updates in the PARTIAL aggregate, which a single-file scan runs on
+    // one core; the fan's exchange carries only the profiled columns and
+    // the aggregate output is one row (the q124 countMin shape —
+    // measured there 1.91 -> 0.82 s)
+    val proj = graft.sources.Tables.fanOut(
+      table.select(cols.map(col): _*), struct(cols.map(col): _*))
+    proj.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
   /** Merge two profile states over DISJOINT row sets: counts add,
