@@ -832,13 +832,24 @@ object CardQueries {
 
     Q("q270_supplier_hhi",
       (s, dir) => {
+        // ONE part-keyed exchange for the whole part-grain chain
+        // (guide §2.4): hashpartitioning(l_partkey) satisfies the
+        // clustering of the (part, supp) aggregate (subset rule), the
+        // part-window total AND the hhi aggregate, so the former
+        // sq→tot self-join (2 extra lineitem-sized exchanges + a
+        // double-executed scan subtree) collapses into a window sum.
+        // isNotNull pins the old inner join's null-key drop.
+        import org.apache.spark.sql.expressions.Window
         val sq = Tables.load(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"),
             col("l_quantity").cast("long").as("q"))
+          .filter(col("l_partkey").isNotNull)
+          .repartition(col("l_partkey"))
           .groupBy("l_partkey", "l_suppkey")
           .agg(sum("q").as("sq"))
-        val tot = sq.groupBy("l_partkey").agg(sum("sq").as("tq"))
-        val hhi = sq.join(tot, Seq("l_partkey"))
+        val hhi = sq
+          .withColumn("tq",
+            sum("sq").over(Window.partitionBy(col("l_partkey"))))
           .select(col("l_partkey"),
             expr("sq * 1000000 div tq").as("share_ppm"))
           .groupBy("l_partkey")
