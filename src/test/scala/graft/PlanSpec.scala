@@ -44,6 +44,20 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q270 hhi: one data-sized exchange (the explicit part " +
+    "repartition) feeds the (part,supp) aggregate, the part-window " +
+    "total AND the hhi aggregate — no self-join, single lineitem scan") {
+    val p = plan("q270_supplier_hhi")
+    // the r19 rewrite: hashpartitioning(l_partkey) satisfies all three
+    // part-grain operators (subset rule), so the only exchanges are the
+    // REPARTITION_BY_COL and the two bounded-domain finals
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size == 1,
+      p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("ivf assignment is map-side: corpus rows never shuffle (every " +
     "exchange sits inside the broadcast centroid subtree) and there is " +
     "no window") {
